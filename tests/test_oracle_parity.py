@@ -1,0 +1,71 @@
+"""Oracle-parity harness: run every registered query through Spark AND
+its DuckDB oracle over the same parquet, compare row count, column
+names, and order-insensitive values — a local mirror of the driver's
+CORRECTNESS gate (at sf0.001 for speed; the driver uses sf0.01).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tfm_semisup_spark.io import TABLES
+from tfm_semisup_spark.queries import ORACLES, QUERIES, load_all_queries
+
+load_all_queries()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(rows, colnames):
+    out = []
+    for row in rows:
+        norm = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    norm.append("NaN")
+                else:
+                    # collapse -0.0 / float formatting noise
+                    norm.append(f"{v:.6f}")
+            else:
+                norm.append(str(v))
+        out.append(tuple(norm))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    spark_df = QUERIES[name](spark, SF_DIR)
+    cols = spark_df.columns
+    spark_rows = [tuple(r[c] for c in sorted(cols)) for r in spark_df.collect()]
+
+    duck_df = _duck(ORACLES[name])
+    assert sorted(duck_df.columns.tolist()) == sorted(cols), (
+        f"column mismatch: spark={sorted(cols)} duck={sorted(duck_df.columns.tolist())}"
+    )
+    duck_rows = [
+        tuple(rec[c] for c in sorted(cols)) for rec in duck_df.to_dict(orient="records")
+    ]
+
+    s_norm = _normalize(spark_rows, sorted(cols))
+    d_norm = _normalize(duck_rows, sorted(cols))
+    assert len(s_norm) == len(d_norm), f"{name}: row count {len(s_norm)} vs {len(d_norm)}"
+    mismatches = [(a, b) for a, b in zip(s_norm, d_norm) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_all_queries_have_callables(spark):
+    load_all_queries()
+    assert QUERIES, "no queries registered"
+    for name in ORACLES:
+        assert name in QUERIES

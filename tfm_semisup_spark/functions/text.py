@@ -1,0 +1,34 @@
+"""Text-analysis columnar helpers (extension surface, SURVEY.md §2.3).
+
+All JVM-side expressions; designed so a 100 TB documents table never
+crosses into Python. Tokenization is whitespace-based to stay
+portable between Spark (Java regex) and the DuckDB oracle (RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def whitespace_tokens(text: Column) -> Column:
+    """Split on runs of whitespace; empty strings filtered out."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams from a token array, via sequence+transform (no UDF)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+    return F.when(F.size(tokens) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-gram shingles, via substr over an index sequence."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: text.substr(i, F.lit(n)))

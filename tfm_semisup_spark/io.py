@@ -1,0 +1,59 @@
+"""Parquet loaders for the driver's star schema + extension tables.
+
+The reference reads CSV with inferSchema
+(``SemiSupervisedAndBaseClassifiers.scala:53-57``) or raw text + manual
+parsing; the driver harness materializes deterministic parquet
+(TESTDATA.md), so the loaders here are plain ``spark.read.parquet``
+(schema embedded, predicate/column pushdown for free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Read it as a long (legacy conf) and truncate to
+    microseconds — the same ns->us truncation DuckDB applies, so oracle
+    comparisons see identical instants."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so queries can run via spark.sql."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing (SURVEY.md §2.3).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside. Heavy per-item work (decode, resize,
+feature-extract, frame-sample) runs through Arrow-batched
+``mapInPandas`` — the ONLY sanctioned Python boundary in the engine —
+so a 100 TB media table streams through Python in columnar batches
+instead of row-at-a-time pickling.
+
+The decode step itself is stubbed (no image/audio libs in this
+container): ``decode_stub`` computes deterministic per-payload features
+(byte length, a checksum-derived pseudo-dimension) so the Spark-side
+plumbing — schema, batch shape, partitioning — is real and tested. Swap
+``_extract_features`` for a real decoder (PIL/torchaudio/ffmpeg) in
+production; the UDF signature and plan shape do not change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, checksum_mod long"
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column + metadata struct from text
+    (stand-in for real media payloads; plumbing is type-faithful)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _extract_features(batch: "pd.DataFrame") -> "pd.DataFrame":
+    """Stub feature extractor over one Arrow batch.
+
+    Real implementation would decode ``payload`` (image/audio bytes) and
+    emit embeddings / frames. Deterministic stand-in: byte length and a
+    cheap checksum, so tests pin the batch plumbing end-to-end.
+    """
+    import pandas as pd
+
+    payloads = batch["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": payloads.map(len).astype("int64"),
+            "checksum_mod": payloads.map(lambda b: sum(b[:64]) % 997).astype("int64"),
+        }
+    )
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload).
+
+    mapInPandas keeps partitioning intact (narrow op): at scale, one
+    Python worker per core streams batches; no shuffle is introduced.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for batch in batches:
+            yield _extract_features(batch)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Placeholder for a real image decode — the container has no image
+    libs. Kept as an explicit NotImplementedError so callers fail loudly
+    rather than silently skipping the decode."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv (not in this container); "
+        "use extract_media_features for the tested stub path"
+    )

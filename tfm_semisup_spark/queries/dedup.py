@@ -1,0 +1,120 @@
+"""Deduplication operators (extension surface, SURVEY.md §2.3).
+
+Three tiers, each with the partition strategy that survives 100 TB:
+
+- exact: fingerprint = md5(text); dedup is a groupBy on the hash, which
+  shuffles only (hash, doc_id) pairs, never the text payload.
+- n-gram Jaccard: exact pairwise similarity over shared-shingle pairs —
+  the candidate join explodes only distinct shingles; at scale the
+  shingle->doc inverted index is the shuffle, with hot shingles (stop
+  n-grams) the skew risk (AQE skew-join + an optional document-frequency
+  cap handle it).
+- MinHash LSH (in operators/dedup.py): the scale path — constant-size
+  signatures + banded bucketing replace the quadratic candidate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.functions.text import word_ngrams
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+EXACT_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+FROM documents
+"""
+
+
+@register("dedup_exact_stats", EXACT_ORACLE)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_exact_dups"),
+    )
+
+
+KEEPER_ORACLE = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+@register("dedup_exact_keepers", KEEPER_ORACLE)
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection: one survivor (min doc_id) per duplicate group.
+    Empty when the corpus has no exact dups — still a correctness check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+# Word-3-gram Jaccard near-dup pairs. Spark side builds shingles with
+# sequence+transform (JVM-side, no UDF), explodes the distinct-shingle
+# inverted index, and self-joins on shingle. 0.5 threshold.
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.shared * 1.0 / (sa.n + sb.n - p.shared), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    shingled = (
+        docs.select("doc_id", F.array_distinct(word_ngrams(toks, 3)).alias("shingles"))
+        .where(F.size("shingles") > 0)
+    )
+    tri = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+
+    a = tri.alias("a")
+    b = tri.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    # sizes is one row per doc — at corpus scale this is NOT broadcastable;
+    # plain equi-joins let AQE pick broadcast at small SF automatically.
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

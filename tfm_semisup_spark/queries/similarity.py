@@ -1,0 +1,95 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.3).
+
+Brute-force cosine top-k is the oracle-checkable baseline: one narrow
+pass over embeddings against a broadcast query vector — at 100 TB this
+is a full scan but zero shuffle (TakeOrderedAndProject for the top-k).
+The LSH-bucketed ANN variant (sub-linear candidate set) lives in
+``operators/similarity.py`` and is rows-only checked.
+
+Arithmetic parity: embeddings are float32 on disk; BOTH sides cast to
+double before the dot products so the only engine difference is
+summation order (then rounded away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.functions.vector import cosine_similarity
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+COSINE_TOPK_ORACLE = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+         list_inner_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, ROUND(sim, 4) AS cosine_sim
+FROM scored
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("similarity_cosine_topk", COSINE_TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    query = emb.where(F.col("vec_id") == 0).select(F.col("emb_d").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("emb_d"), F.col("qv")).alias("sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("sim", 4).alias("cosine_sim"))
+    )
+
+
+# Pairwise high-similarity pairs among a keyed subset (vec_id % 20 == 0):
+# the all-pairs form of similarity join, oracle-checkable. The subset keeps
+# the cross join quadratic-in-a-constant; the full-corpus path is LSH.
+PAIRS_ORACLE = """
+WITH sub AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(
+         list_inner_product(a.v, b.v)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+         4) AS cosine_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.25
+"""
+
+
+@register("similarity_pairs_above", PAIRS_ORACLE)
+def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") % 20 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(sim > 0.25)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.3).
+
+Language-ID, quality scoring, and token counting as pure columnar
+expressions — a 100 TB documents table never leaves the JVM. The
+whitespace tokenizer is split-on-single-space + empty-filter so the
+DuckDB oracle (``string_split``) computes the identical token set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+
+def _tokens(text: Column | str = "text") -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+STATS_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4) AS avg_tokens,
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("text_stats_by_lang", STATS_ORACLE)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+            F.sum(n_tok).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# Token counting, two tokenizers side by side (SURVEY §2.3 "whitespace +
+# a BPE-ish regex"): whitespace tokens vs lowercase-word regex tokens.
+TOKEN_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+         AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+@register("token_count_by_source", TOKEN_ORACLE)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(_tokens())
+    re_tok = F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0)))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(re_tok).cast("long").alias("re_tokens"),
+        )
+    )
+
+
+# Quality scoring: stopword ratio + mean word length, bucketed histogram.
+QUALITY_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+           / len(list_filter(string_split(text, ' '), t -> t <> '')) AS stop_ratio
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+)
+SELECT CAST(floor(stop_ratio * 20) AS BIGINT) AS stop_bucket,
+       COUNT(*) AS n,
+       ROUND(AVG(stop_ratio), 4) AS avg_stop_ratio
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("quality_score_buckets", QUALITY_ORACLE)
+def quality_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_ratio = (
+        F.size(F.filter(F.split("text", " "), lambda t: (t == "the") | (t == "a"))) * 1.0
+        / F.size(toks)
+    )
+    scored = docs.where(F.size(toks) > 0).select(stop_ratio.alias("stop_ratio"))
+    return (
+        scored.groupBy(F.floor(F.col("stop_ratio") * 20).cast("long").alias("stop_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        )
+    )
+
+
+# Language-ID heuristic: marker-token votes. The corpus is synthetic word
+# salad, so this checks the OPERATOR (deterministic votes per doc), not
+# real linguistics — group by (actual lang, predicted) is a confusion
+# matrix both engines can compute.
+LANG_ID_ORACLE = """
+WITH toks AS (
+  SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(w, t -> t IN ('the', 'a'))) * 2
+                   >= len(list_filter(w, t -> t IN ('data', 'query'))) * 3
+              THEN 'en' ELSE 'other' END AS predicted
+  FROM toks
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM pred
+GROUP BY 1, 2
+"""
+
+
+@register("lang_id_confusion", LANG_ID_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    en_votes = F.size(F.filter(w, lambda t: (t == "the") | (t == "a")))
+    other_votes = F.size(F.filter(w, lambda t: (t == "data") | (t == "query")))
+    predicted = F.when(en_votes * 2 >= other_votes * 3, "en").otherwise("other")
+    return (
+        docs.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Document fingerprinting: content hash + shape signature (length, token
+# count) — the join key for cross-snapshot incremental dedup.
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(text) AS content_fp,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+@register("doc_fingerprints", FINGERPRINT_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_fp"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,129 @@
+"""Event-time windowing (extension surface, SURVEY.md §2.3).
+
+The reference has no window/streaming semantics; the `events` table
+exists to exercise them. Batch forms here mirror the Structured
+Streaming forms in ``streaming/`` — same ``F.window`` /
+``F.session_window`` expressions work under ``readStream``.
+
+Output timestamps are formatted as strings (driver-hash dtype safety).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+TUMBLING_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("tumbling_window_hourly", TUMBLING_ORACLE)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SLIDING_ORACLE = """
+WITH exploded AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS window_start, value
+  FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM exploded
+GROUP BY 1
+"""
+
+
+@register("sliding_window_2h_1h", SLIDING_ORACLE)
+def sliding_window_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour: each event lands in exactly two
+    windows; Spark's F.window handles the explode internally."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# Session windows: 30-minute inactivity gap per user. Spark side uses the
+# native F.session_window (same operator Structured Streaming uses with
+# state); the oracle reconstructs sessions relationally with
+# lag + cumulative sum — the classic sessionization identity.
+SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_events_per_session
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register("session_window_30m", SESSION_ORACLE)
+def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_session = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("n_events") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "avg_events_per_session"
+            ),
+        )
+    )
