@@ -1,0 +1,188 @@
+"""SSC operator tests: invariants the reference's behavior implies
+(SURVEY.md §5): masked fraction ~ p, promoted ⊆ unlabeled (pool sizes
+monotone), iterations ≤ maxIter, metrics in [0,1], deterministic seeds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import DecisionTreeClassifier, LinearSVC
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.featurization import ArrayToVector
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.co_training import CoTraining
+from tfm_semisup_spark.operators.evaluation import (
+    cross_validate,
+    metrics_from_confusion,
+)
+from tfm_semisup_spark.operators.grid import build_ssl_grid, run_experiment_grid
+from tfm_semisup_spark.operators.self_training import SelfTraining, require_probabilistic
+from tfm_semisup_spark.operators.supervised import Supervised
+from tfm_semisup_spark.operators.unlabeled import (
+    DeterministicLabelMasker,
+    UnlabeledTransformer,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def labeled_points(spark):
+    emb = load_table(spark, SF, "embeddings")
+    df = ArrayToVector(inputCol="embedding", outputCol="features").transform(emb)
+    # binary task: label 1 vs rest (reference datasets are binary)
+    return df.select(
+        "vec_id",
+        "features",
+        F.when(F.col("label") == 1, 1.0).otherwise(0.0).alias("label"),
+    ).cache()
+
+
+def test_unlabeled_transformer_masks_fraction(labeled_points):
+    out = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    total = out.count()
+    assert total == labeled_points.count()  # no row loss
+    n_unlab = out.where(F.isnan("labelSelection")).count()
+    assert 0.5 < n_unlab / total < 0.9  # ~0.7 expected
+    # labeled rows keep their label
+    assert (
+        out.where(~F.isnan("labelSelection"))
+        .where(F.col("labelSelection") != F.col("label"))
+        .count()
+        == 0
+    )
+    # seeded determinism
+    again = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    assert again.where(F.isnan("labelSelection")).count() == n_unlab
+
+
+def test_deterministic_masker_exact_and_stable(labeled_points):
+    masker = DeterministicLabelMasker(percentageLabeled=0.1, idCol="vec_id", seed=7)
+    out = masker.transform(labeled_points)
+    kept1 = sorted(r["vec_id"] for r in out.where(~F.isnan("labelSelection")).collect())
+    kept2 = sorted(
+        r["vec_id"]
+        for r in masker.transform(labeled_points.repartition(13)).where(
+            ~F.isnan("labelSelection")
+        ).collect()
+    )
+    assert kept1 == kept2  # partitioning-independent membership
+    assert 0.05 < len(kept1) / out.count() < 0.15
+
+
+def test_require_probabilistic_rejects_svc():
+    with pytest.raises(TypeError):
+        require_probabilistic(LinearSVC())
+
+
+def test_self_training_threshold(labeled_points):
+    data = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    st = SelfTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5), threshold=0.75, maxIter=4
+    )
+    model = st.fit(data)
+    s = model.ss_summary
+    assert s.labeled_initial + s.unlabeled_initial == labeled_points.count()
+    assert s.labeled_final >= s.labeled_initial
+    assert s.unlabeled_final <= s.unlabeled_initial
+    assert s.labeled_final + s.unlabeled_final == labeled_points.count()
+    assert 1 <= s.iterations <= 4
+    preds = model.transform(labeled_points)
+    assert preds.where(F.col("prediction").isNull()).count() == 0
+
+
+def test_self_training_kbest(labeled_points):
+    data = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    st = SelfTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5),
+        criterion="kBest",
+        kBest=0.5,
+        maxIter=3,
+    )
+    model = st.fit(data)
+    s = model.ss_summary
+    # per-iteration budget k = round(0.5 * U / 2); after ≤2 promotions
+    expected_k = round(0.5 * s.unlabeled_initial / 2)
+    assert s.labeled_final - s.labeled_initial <= 2 * expected_k
+    assert s.labeled_final > s.labeled_initial
+
+
+def test_co_training_threshold(labeled_points):
+    data = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    ct = CoTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5), threshold=0.75, maxIter=3
+    )
+    model = ct.fit(data)
+    s = model.ss_summary
+    assert s.labeled_initial + s.unlabeled_initial == labeled_points.count()
+    assert s.labeled_final >= s.labeled_initial
+    assert 1 <= s.iterations <= 3
+    assert model.transform(labeled_points).select("prediction").distinct().count() <= 2
+
+
+def test_supervised_baseline(labeled_points):
+    data = UnlabeledTransformer(percentageLabeled=0.5, seed=11).transform(labeled_points)
+    model = Supervised(baseClassifier=DecisionTreeClassifier(seed=5)).fit(data)
+    s = model.ss_summary
+    assert s.labeled_final == s.labeled_initial  # no promotion
+    assert s.iterations == 0
+
+
+def test_metrics_from_confusion_hand_computed():
+    # pred/label cells: TP=40, FN=10, FP=20, TN=30
+    cells = [(1.0, 1.0, 40), (0.0, 1.0, 10), (1.0, 0.0, 20), (0.0, 0.0, 30)]
+    m = metrics_from_confusion(cells)
+    assert m.accuracy == pytest.approx(0.7)
+    tpr, fpr = 0.8, 0.4
+    assert m.auc_roc == pytest.approx((1 + tpr - fpr) / 2)  # 0.7
+    prec, rec, prior = 40 / 60, 0.8, 0.5
+    assert m.f1_label1 == pytest.approx(2 * prec * rec / (prec + rec))
+    assert m.auc_pr == pytest.approx(rec * prec + (1 - rec) * (prec + prior) / 2)
+    assert m.n_rows == 100
+
+
+def test_cross_validate_pipeline(labeled_points):
+    pipeline = Pipeline(
+        stages=[
+            UnlabeledTransformer(percentageLabeled=0.5, seed=11),
+            SelfTraining(baseClassifier=DecisionTreeClassifier(seed=5), maxIter=2),
+        ]
+    )
+    cv = cross_validate(labeled_points, pipeline, k=2, id_col="vec_id")
+    assert len(cv.per_fold) == 2
+    assert 0.0 <= cv.metrics.accuracy <= 1.0
+    assert 0.0 <= cv.metrics.auc_roc <= 1.0
+    assert cv.metrics.n_rows == labeled_points.count()
+    assert cv.ss_summary.labeled_initial > 0
+
+
+def test_experiment_grid_results_schema(spark, labeled_points):
+    cells = build_ssl_grid(
+        classifiers={"DT": lambda: DecisionTreeClassifier(seed=5)},
+        percentages=[0.3],
+        thresholds=[0.8],
+        family="selfTraining",
+        max_iter=2,
+    )
+    results = run_experiment_grid(
+        spark, labeled_points, "embeddings", [], cells, k=2, id_col="vec_id"
+    )
+    rows = results.collect()
+    assert len(rows) == 1
+    row = rows[0].asDict()
+    assert row["data"] == "embeddings"
+    assert row["classifier"] == "DT"
+    assert row["criterion"] == "threshold"
+    assert row["thresholdOrKBest"] == 0.8
+    assert 0.0 <= row["accuracy"] <= 1.0
+    assert not math.isnan(row["percentageLabeledFinal"])
+    assert list(results.columns) == [
+        "data", "classifier", "criterion", "percentageLabeled",
+        "thresholdOrKBest", "iteration", "LabeledInitial", "UnLabeledInitial",
+        "LabeledFinal", "UnLabeledFinal", "percentageLabeledFinal",
+        "accuracy", "AUC", "PR", "F1score",
+    ]

