@@ -1,0 +1,171 @@
+"""Near-duplicate detection — the 100 TB scale paths (SURVEY.md §2.3).
+
+Three sub-quadratic strategies over the documents table:
+
+- MinHash LSH (`minhash_near_dup_pairs`): shingle -> HashingTF sparse
+  vector -> MinHashLSH signatures -> banded ``approxSimilarityJoin``.
+  Candidate generation is a join on LSH buckets, so the shuffle is
+  O(docs x numHashTables), never O(docs^2). The Jaccard threshold is
+  exact on candidates (Spark computes true distance post-bucketing).
+
+- SimHash (`simhash_fingerprints`, `simhash_near_dup_pairs`): pure
+  columnar 64-bit fingerprints (xxhash64 per token, per-bit majority);
+  candidate pairs via band-join on 16-bit quarters (a pair within
+  Hamming distance 3 shares at least one exact quarter — pigeonhole),
+  verified with ``bit_count(xor)``. Zero Python, zero LSH model state:
+  the whole operator is joins + aggregates Catalyst can optimize.
+
+- Embedding LSH (`embedding_near_dup_pairs`): random-hyperplane
+  bucketing via BucketedRandomProjectionLSH over the embedding vectors,
+  euclidean-threshold join on bucket candidates.
+
+All are seeded/deterministic. The exact tiers (hash groupBy, n-gram
+Jaccard with its oracle) live in ``queries/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.functions.text import whitespace_tokens, word_ngrams
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit bands; pigeonhole guarantee for hamming <= 3
+
+
+def shingle_documents(docs: DataFrame, n: int = 3, num_features: int = 1 << 18) -> DataFrame:
+    """documents -> (doc_id, features sparse vector of hashed shingles).
+
+    num_features=262144 keeps collision rate low while bounding vector
+    width; at 100 TB the HashingTF step is a narrow map — no shuffle.
+    """
+    toks = whitespace_tokens(F.col("text"))
+    shingled = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(toks, n)).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
+    return tf.transform(shingled).select("doc_id", "features")
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_distance) for candidate pairs under the
+    threshold. distCol is JACCARD DISTANCE (1 - similarity)."""
+    feats = shingle_documents(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_distance"
+    )
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_distance", 4).alias("jaccard_distance"),
+        )
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document, fully columnar.
+
+    Per token t: h = xxhash64(t); per bit i: vote +1 if set else -1,
+    summed over tokens; fingerprint bit i = (vote_i > 0). One explode +
+    one groupBy — the shuffle carries (doc_id, 64 ints).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded candidate join on 16-bit fingerprint quarters, exact
+    Hamming verification with bit_count(xor). max_hamming <= 3 keeps
+    the pigeonhole guarantee with 4 bands."""
+    fps = simhash_fingerprints(docs)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band_idx", "band_val"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()  # a pair can share multiple bands
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    distance_threshold: float = 0.8,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vector_col: str = "features",
+) -> DataFrame:
+    """Euclidean near-dup pairs via random-projection LSH bucketing."""
+    lsh = BucketedRandomProjectionLSH(
+        inputCol=vector_col,
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(embeddings)
+    joined = model.approxSimilarityJoin(
+        embeddings, embeddings, distance_threshold, distCol="euclidean"
+    )
+    return (
+        joined.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("vec_a"),
+            F.col(f"datasetB.{id_col}").alias("vec_b"),
+            F.round("euclidean", 4).alias("euclidean"),
+        )
+    )

@@ -118,3 +118,34 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path near-dup operators (rows-only checked: LSH bucketing and
+# xxhash64 fingerprints are not DuckDB-expressible; all seeded and
+# deterministic). Implementations in operators/dedup.py.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh_pairs")
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
+
+
+@register("dedup_simhash_fingerprints")
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+@register("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)

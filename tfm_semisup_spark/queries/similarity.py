@@ -93,3 +93,31 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim > 0.25)
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path ANN (rows-only: LSH bucketing; seeded deterministic).
+# ---------------------------------------------------------------------------
+
+
+@register("similarity_ann_lsh_topk")
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.similarity import (
+        ann_top_k,
+        build_ann_index,
+        with_feature_vectors,
+    )
+
+    emb = with_feature_vectors(load_table(spark, sf_dir, "embeddings"))
+    model = build_ann_index(emb)
+    query_vec = emb.where(F.col("vec_id") == 0).head()["features"]
+    return ann_top_k(model, emb.where(F.col("vec_id") != 0), query_vec, k=10)
+
+
+@register("similarity_embedding_neardup_lsh")
+def similarity_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.dedup import embedding_near_dup_pairs
+    from tfm_semisup_spark.operators.similarity import with_feature_vectors
+
+    emb = with_feature_vectors(load_table(spark, sf_dir, "embeddings"))
+    return embedding_near_dup_pairs(emb, distance_threshold=1.2)

@@ -1,0 +1,120 @@
+"""Streaming event pipelines: file-source stream over the events table,
+watermarked window aggregations, and a custom stateful operator via
+``applyInPandasWithState``.
+
+Scale design: watermarks bound state (late data beyond the watermark is
+dropped, so state size is O(active windows x keys), not O(history));
+the stateful per-user counter keys state by user_id so it shards across
+executors; ``trigger(availableNow=True)`` gives deterministic
+batch-equivalent runs for tests and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (TIMESTAMP(NANOS) handled
+    the same way as the batch loader: read ns as long, truncate to us)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source rejects a literal single-file path ("basePath must
+    # be a directory"); a glob pattern routes through directory-listing
+    # semantics and accepts it
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — same expression as the
+    batch query `tumbling_window_hourly`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session windows per user (append mode emits sessions
+    once finalized past the watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("total", LongType())])
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("batch_events", LongType()),
+        StructField("total_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def running_user_counts_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event totals via
+    applyInPandasWithState (the PySpark stateful-processing hook; state
+    is a single long per user, partitioned by the grouping key)."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = 0
+        last_ts = None
+        for pdf in pdfs:
+            batch += len(pdf)
+            ts_max = pdf["ts"].max()
+            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+        (total,) = state.get if state.exists else (0,)
+        total += batch
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "batch_events": [batch],
+                "total_events": [total],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(result: DataFrame, table_name: str, output_mode: str = "complete"):
+    """Drain the stream deterministically into an in-memory table
+    (tests/backfills); returns the finished StreamingQuery."""
+    query = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
