@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Execution sink is the noop writer so timings measure plan execution,
+not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from tfm_semisup_spark.queries import QUERIES, load_all_queries
+from tfm_semisup_spark.session import get_spark
+
+# Headline set: one per operator family (join+agg, wide agg, window fns,
+# event-time windows, dedup exact->LSH, similarity, text, ML pipeline,
+# multimodal plumbing).
+HEADLINE = [
+    "flagship_regional_revenue",
+    "pricing_summary",
+    "window_rank_top_order",
+    "tumbling_window_hourly",
+    "session_window_30m",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "similarity_cosine_topk",
+    "text_stats_by_lang",
+    "multimodal_feature_stub",
+    "ssl_selftrain_threshold",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    load_all_queries()
+    spark = get_spark(app_name="tfm-semisup-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

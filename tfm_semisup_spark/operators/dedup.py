@@ -42,11 +42,15 @@ def shingle_documents(docs: DataFrame, n: int = 3, num_features: int = 1 << 18) 
     width; at 100 TB the HashingTF step is a narrow map — no shuffle.
     """
     toks = whitespace_tokens(F.col("text"))
+    spark = docs.sparkSession
+    # decouple expression parallelism from input splits: a single-file
+    # (single-row-group) scan would run shingling on one core
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     shingled = docs.select(
         "doc_id", F.array_distinct(word_ngrams(toks, n)).alias("shingles")
     ).where(F.size("shingles") > 0)
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
-    return tf.transform(shingled).select("doc_id", "features")
+    return tf.transform(shingled).select("doc_id", "features").persist()
 
 
 def minhash_near_dup_pairs(
@@ -82,6 +86,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     summed over tokens; fingerprint bit i = (vote_i > 0). One explode +
     one groupBy — the shuffle carries (doc_id, 64 ints).
     """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     tok = docs.select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
     ).withColumn("h", F.xxhash64("token"))

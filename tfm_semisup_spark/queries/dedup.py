@@ -91,11 +91,17 @@ WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.5
 
 @register("dedup_ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # single-file parquet scans arrive as ONE partition (one row group);
+    # hash-repartition by doc_id so shingle construction parallelizes —
+    # at corpus scale this also pre-co-locates the doc-keyed joins below
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     shingled = (
         docs.select("doc_id", F.array_distinct(word_ngrams(toks, 3)).alias("shingles"))
         .where(F.size("shingles") > 0)
+        .persist()  # reused by the index (twice via self-join) and sizes
     )
     tri = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
