@@ -1,0 +1,77 @@
+"""Hold-out baseline runner (reference C12) + multi-classifier grid."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    LogisticRegression,
+    RandomForestClassifier,
+)
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.featurization import ArrayToVector
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.grid import (
+    HOLDOUT_SCHEMA,
+    build_ssl_grid,
+    run_experiment_grid,
+    run_holdout_baselines,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    emb = load_table(spark, SF, "embeddings")
+    df = ArrayToVector(inputCol="embedding", outputCol="features").transform(emb)
+    return df.select(
+        "vec_id", "features",
+        F.when(F.col("label") == 1, 1.0).otherwise(0.0).alias("label"),
+    ).cache()
+
+
+def test_holdout_baselines_shape_and_metrics(spark, points):
+    results = run_holdout_baselines(
+        spark,
+        points,
+        "embeddings",
+        [],
+        classifiers={
+            "DT": lambda: DecisionTreeClassifier(seed=5),
+            "LR": lambda: LogisticRegression(maxIter=20),
+        },
+        percentages=[0.3, 0.6],
+    )
+    rows = results.collect()
+    assert len(rows) == 4  # 2 pcts x 2 classifiers
+    assert results.schema == HOLDOUT_SCHEMA
+    for r in rows:
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert 0.0 <= r["AUC"] <= 1.0
+    # more training data should not wildly hurt DT accuracy (sanity, not strict)
+    by_key = {(r["clasificador"], r["porcentajeEtiquetado"]): r["accuracy"] for r in rows}
+    assert set(by_key) == {("DT", 0.3), ("DT", 0.6), ("LR", 0.3), ("LR", 0.6)}
+
+
+def test_multi_classifier_ssl_grid(spark, points):
+    cells = build_ssl_grid(
+        classifiers={
+            "DT": lambda: DecisionTreeClassifier(seed=5),
+            "RF": lambda: RandomForestClassifier(seed=5, numTrees=5),
+            "LR": lambda: LogisticRegression(maxIter=10),
+        },
+        percentages=[0.3],
+        thresholds=[0.8],
+        family="selfTraining",
+        max_iter=2,
+    )
+    results = run_experiment_grid(
+        spark, points, "embeddings", [], cells, k=2, id_col="vec_id"
+    )
+    rows = {r["classifier"]: r for r in results.collect()}
+    assert set(rows) == {"DT", "RF", "LR"}
+    for r in rows.values():
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["LabeledInitial"] > 0

@@ -1,0 +1,64 @@
+"""As-of (nearest-prior) join — a custom operator Spark lacks natively.
+
+Composed from existing DataFrame ops (the preferred strategy for custom
+operators, per the engine's design rules): tag both sides, UNION, and
+carry the most recent right-side payload forward with
+``last(ignorenulls=True)`` over a per-key event-time window. One
+shuffle+sort per key — no range join, no per-row subquery. At 100 TB
+this is the classic scalable formulation: the union shuffles
+O(|L|+|R|) rows once, and the window sort is per-key.
+
+Ties: right rows sort BEFORE left rows at equal timestamps (backward
+as-of includes same-instant matches). Right-side duplicates at the same
+(key, time) should be pre-aggregated by the caller for deterministic
+output (DuckDB's native ASOF JOIN has the same caveat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """left + most-recent right values with right_time <= left_time.
+
+    Returns all left columns plus ``value_cols`` (null when no prior
+    right row exists for the key).
+    """
+    left_cols = left.columns
+    tagged_left = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c) for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left",
+        *[F.col(c) for c in left_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.where(F.col("__is_left") == 1).drop("__is_left")

@@ -161,3 +161,70 @@ def run_experiment_grid(
             )
         )
     return spark.createDataFrame(rows, RESULTS_SCHEMA)
+
+
+HOLDOUT_SCHEMA = StructType(
+    [
+        StructField("data", StringType()),
+        StructField("clasificador", StringType()),
+        StructField("porcentajeEtiquetado", DoubleType()),
+        StructField("accuracy", DoubleType()),
+        StructField("AUC", DoubleType()),
+        StructField("PR", DoubleType()),
+        StructField("F1score", DoubleType()),
+    ]
+)
+
+HOLDOUT_SPLIT_SEED = 8  # reference: `BaseClassifiers.scala:296` (75/25)
+HOLDOUT_SUBSET_SEED = 11  # reference: `BaseClassifiers.scala:100`
+
+
+def run_holdout_baselines(
+    spark: SparkSession,
+    data: DataFrame,
+    data_name: str,
+    featurization: list,
+    classifiers: dict[str, Callable[[], Estimator]],
+    percentages: list[float],
+    train_fraction: float = 0.75,
+) -> DataFrame:
+    """Supervised hold-out baseline runner (reference C12:
+    ``generadorModeloResutladosCompleto``, ``BaseClassifiers.scala:87-165``).
+
+    One fixed train/test split (seed 8); per (percentage, classifier):
+    seeded randomSplit keeps `percentage` of training (seed 11), fit the
+    featurization+classifier pipeline, evaluate on the held-out test.
+    The per-percentage subset is reused across classifiers (same-seed
+    split of the same input — the reference relies on this too).
+
+    Results collected as rows -> ONE createDataFrame
+    (resultsClasificadoresBase.csv schema, FIXTURES.md) instead of the
+    reference's per-cell CASE-WHEN updates (``:142-153``).
+    """
+    from tfm_semisup_spark.operators.evaluation import evaluate_predictions
+
+    train, test = data.randomSplit(
+        [train_fraction, 1.0 - train_fraction], seed=HOLDOUT_SPLIT_SEED
+    )
+    train = train.localCheckpoint(eager=True)
+    test = test.localCheckpoint(eager=True)
+    rows = []
+    for pct in percentages:
+        subset = train.randomSplit([pct, 1.0 - pct], seed=HOLDOUT_SUBSET_SEED)[0]
+        subset = subset.localCheckpoint(eager=True)
+        for clf_name, make_clf in classifiers.items():
+            pipeline = Pipeline(stages=list(featurization) + [make_clf()])
+            model = pipeline.fit(subset)
+            m = evaluate_predictions(model.transform(test))
+            rows.append(
+                (
+                    data_name,
+                    clf_name,
+                    float(pct),
+                    float(m.accuracy),
+                    float(m.auc_roc),
+                    float(m.auc_pr),
+                    float(m.f1_label1),
+                )
+            )
+    return spark.createDataFrame(rows, HOLDOUT_SCHEMA)

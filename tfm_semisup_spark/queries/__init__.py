@@ -46,6 +46,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all_queries() -> None:
     """Import every query module so registration side effects run."""
     from tfm_semisup_spark.queries import relational  # noqa: F401
+    from tfm_semisup_spark.queries import relational2  # noqa: F401
     from tfm_semisup_spark.queries import dedup  # noqa: F401
     from tfm_semisup_spark.queries import similarity  # noqa: F401
     from tfm_semisup_spark.queries import text_analysis  # noqa: F401

@@ -164,3 +164,20 @@ def ssl_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         preds.groupBy(F.col("prediction").cast("long").alias("prediction"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register("ssl_holdout_baselines")
+def ssl_holdout_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised hold-out baseline table (reference C12/E3 lifecycle;
+    resultsClasificadoresBase.csv schema)."""
+    from tfm_semisup_spark.operators.grid import run_holdout_baselines
+
+    data = _labeled_points(spark, sf_dir)
+    return run_holdout_baselines(
+        spark,
+        data,
+        "embeddings",
+        [],
+        classifiers={"DT": lambda: DecisionTreeClassifier(seed=5)},
+        percentages=[0.3, 0.6],
+    )
