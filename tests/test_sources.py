@@ -1,0 +1,85 @@
+"""Sources/sinks round-trips + text featurization pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.text_pipeline import build_text_pipeline
+from tfm_semisup_spark.sources import (
+    read_csv,
+    read_delimited_text,
+    read_json_lines,
+    write_csv,
+    write_partitioned_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_with_infer_schema(spark, tmp_path):
+    nation = load_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, header=True, infer_schema=True)
+    assert sorted(back.columns) == sorted(nation.columns)
+    assert back.count() == nation.count()
+    assert dict(back.dtypes)["n_nationkey"] == "int"  # inferSchema worked
+    assert {r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in nation.collect()
+    }
+
+
+def test_delimited_text_parse_and_clean(spark, tmp_path):
+    # reference pattern: raw lines, drop rows containing '?'
+    raw = tmp_path / "raw.txt"
+    raw.write_text("1,alice,30\n2,b?b,40\n3,carol,50\n\n")
+    df = read_delimited_text(
+        spark,
+        str(raw),
+        column_names=["id", "name", "age"],
+        drop_malformed_containing="?",
+    )
+    rows = {r["id"]: (r["name"], r["age"]) for r in df.collect()}
+    assert rows == {"1": ("alice", "30"), "3": ("carol", "50")}
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    events = load_table(spark, SF, "events").limit(50)
+    path = str(tmp_path / "events_json")
+    events.select("event_id", "event_type", "value").write.mode("overwrite").json(path)
+    back = read_json_lines(spark, path)
+    assert back.count() == 50
+    assert {r["event_id"] for r in back.collect()} == {
+        r["event_id"] for r in events.collect()
+    }
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: only files under o_orderstatus=F are read
+    pruned = back.where(F.col("o_orderstatus") == "F").select(
+        F.input_file_name().alias("f")
+    )
+    files = {r["f"] for r in pruned.distinct().collect()}
+    assert files and all("o_orderstatus=F" in f for f in files)
+
+
+def test_text_pipeline_tfidf(spark):
+    docs = load_table(spark, SF, "documents")
+    model = build_text_pipeline().fit(docs)
+    out = model.transform(docs).select("doc_id", "tfidf")
+    first = out.head()
+    assert first["tfidf"].numNonzeros() > 0
+    assert out.count() == docs.count()
+
+
+def test_text_pipeline_bigrams(spark):
+    docs = load_table(spark, SF, "documents")
+    model = build_text_pipeline(ngram=2).fit(docs)
+    out = model.transform(docs)
+    assert out.head()["tfidf"].numNonzeros() > 0

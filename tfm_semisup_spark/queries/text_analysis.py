@@ -164,3 +164,20 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         F.size(_tokens()).cast("long").alias("n_tokens"),
     )
+
+
+@register("text_tfidf_norms")
+def text_tfidf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML text featurization (RegexTokenizer -> StopWordsRemover ->
+    HashingTF -> IDF); rows-only (hashing TF not DuckDB-expressible).
+    Deterministic: HashingTF is stateless, IDF depends only on corpus."""
+    from pyspark.ml.functions import vector_to_array
+
+    from tfm_semisup_spark.operators.text_pipeline import build_text_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = build_text_pipeline().fit(docs)
+    out = model.transform(docs)
+    arr = vector_to_array(F.col("tfidf"))
+    l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v))
+    return out.select("doc_id", F.round(l2, 4).alias("tfidf_l2"))

@@ -1,0 +1,82 @@
+"""Sources & sinks beyond the harness parquet (SURVEY.md §2.2 scans).
+
+The reference ingests data two ways:
+- CSV with sep/header/inferSchema options
+  (``SemiSupervisedAndBaseClassifiers.scala:53-57``,
+  ``BaseClassifiers.scala:250-254``) -> ``read_csv``;
+- raw text via ``sc.textFile`` + manual split/clean, with header skip
+  via ``zipWithIndex`` (``:276,525,801,825``) -> ``read_delimited_text``
+  re-expresses that WITHOUT RDDs: ``spark.read.text`` + columnar
+  split/filter, so the parse stays inside Catalyst (predicate pushdown,
+  codegen) instead of opaque Python/Scala closures.
+
+Sinks: the reference only display()s results; a real engine needs
+durable writes — ``write_partitioned_parquet`` demonstrates the 100 TB
+layout discipline (partition column -> directory pruning for readers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    infer_schema: bool = True,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """CSV scan with the reference's option set. Note inferSchema costs
+    an extra full pass — at scale pass an explicit ``schema``."""
+    reader = spark.read.option("sep", sep).option("header", header)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", infer_schema).csv(path)
+
+
+def read_delimited_text(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    column_names: list[str] | None = None,
+    drop_malformed_containing: str | None = None,
+) -> DataFrame:
+    """Raw-text ingestion without RDDs.
+
+    Re-expression of the reference's textFile->split->filter cleaning
+    (e.g. dropping '?'-containing rows, ``SemiSupervisedAndBaseClassifiers
+    .scala:287``): everything is a column expression, so Catalyst can
+    pipeline it into the scan.
+    """
+    lines = spark.read.text(path).where(F.col("value") != "")
+    if drop_malformed_containing is not None:
+        lines = lines.where(~F.col("value").contains(drop_malformed_containing))
+    parts = F.split("value", sep)
+    if column_names is None:
+        return lines.select(parts.alias("fields"))
+    return lines.select(
+        *[parts.getItem(i).alias(name) for i, name in enumerate(column_names)]
+    )
+
+
+def read_json_lines(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned columnar sink: readers prune directories on the
+    partition column (verified by test via input_file_name)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", header).csv(path)
