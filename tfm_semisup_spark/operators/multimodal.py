@@ -74,6 +74,33 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+CHUNK_SCHEMA = "doc_id long, chunk_idx long, chunk_len long"
+
+
+def sample_chunks(df: DataFrame, chunk_size: int = 100) -> DataFrame:
+    """Frame/chunk sampling plumbing: one output row per fixed-size
+    payload chunk — the 1-to-N shape of video frame-sampling or audio
+    windowing, as an Arrow-batched mapInPandas (rows fan out inside the
+    Python worker; no shuffle introduced)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            ids, idxs, lens = [], [], []
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n = len(payload)
+                for i in range(0, max((n + chunk_size - 1) // chunk_size, 0)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(min(chunk_size, n - i * chunk_size))
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "chunk_len": lens}
+            ).astype("int64")
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Placeholder for a real image decode — the container has no image
     libs. Kept as an explicit NotImplementedError so callers fail loudly

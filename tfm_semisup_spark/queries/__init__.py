@@ -47,6 +47,7 @@ def load_all_queries() -> None:
     """Import every query module so registration side effects run."""
     from tfm_semisup_spark.queries import relational  # noqa: F401
     from tfm_semisup_spark.queries import relational2  # noqa: F401
+    from tfm_semisup_spark.queries import relational3  # noqa: F401
     from tfm_semisup_spark.queries import dedup  # noqa: F401
     from tfm_semisup_spark.queries import similarity  # noqa: F401
     from tfm_semisup_spark.queries import text_analysis  # noqa: F401

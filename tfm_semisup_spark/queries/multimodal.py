@@ -28,3 +28,25 @@ FROM documents
 def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_features(with_binary_payload(docs))
+
+
+# Frame/chunk sampling plumbing: one output row per fixed-size payload
+# chunk (the shape of video frame-sampling / audio windowing), produced
+# by an Arrow-batched mapInPandas; oracle reproduces the chunk geometry
+# with generate_series.
+CHUNKS_ORACLE = """
+SELECT d.doc_id,
+       CAST(t.i AS BIGINT) AS chunk_idx,
+       CAST(least(100, octet_length(encode(d.text)) - t.i * 100) AS BIGINT) AS chunk_len
+FROM documents d,
+     UNNEST(generate_series(0, CAST(ceil(octet_length(encode(d.text)) / 100.0) AS BIGINT) - 1))
+       AS t(i)
+"""
+
+
+@register("multimodal_chunk_sample", CHUNKS_ORACLE)
+def multimodal_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.multimodal import sample_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_chunks(with_binary_payload(docs), chunk_size=100)

@@ -1,0 +1,176 @@
+"""Third relational coverage block: semi/anti joins, pivot, exact
+percentiles, planted-duplicate dedup, full-corpus embedding similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.functions.vector import cosine_similarity
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+# LEFT SEMI join (EXISTS): customers that have at least one urgent order.
+SEMI_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("semi_join_urgent_customers", SEMI_ORACLE)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# LEFT ANTI join (NOT EXISTS): customers with no orders at all.
+ANTI_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("anti_join_orderless_customers", ANTI_ORACLE)
+def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# PIVOT: order counts per status (rows) x priority (columns). Spark
+# .pivot with explicit values (no extra distinct-scan job); oracle uses
+# conditional aggregation — identical semantics, portable SQL.
+PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("pivot_status_by_priority", PIVOT_ORACLE)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).alias("low"),
+        )
+    )
+
+
+# Exact percentiles (linear interpolation — Spark `percentile` and
+# DuckDB `quantile_cont` share the definition).
+PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("percentiles_extendedprice", PERCENTILE_ORACLE)
+def percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+# Dedup with PLANTED duplicates: the corpus is dup-free, so union a
+# copy under shifted ids — the keeper query must then select exactly
+# the original min-id per text. Proves the dedup operator actually
+# drops rows (the plain-corpus variant can't distinguish a no-op).
+PLANTED_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       CAST(SUM(CASE WHEN doc_id < 1000000 THEN 0 ELSE 1 END) AS BIGINT) AS n_planted,
+       (SELECT COUNT(*) FROM (
+          SELECT md5(text), MIN(doc_id) AS keeper FROM corpus GROUP BY 1
+        ) WHERE keeper < 1000000) AS n_keepers_original
+FROM corpus
+"""
+
+
+@register("dedup_planted_duplicates", PLANTED_ORACLE)
+def dedup_planted_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    keepers = corpus.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    n_keepers_original = keepers.where(F.col("keeper") < 1000000).count()
+    return corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.sum(F.when(F.col("doc_id") < 1000000, 0).otherwise(1))
+        .cast("long")
+        .alias("n_planted"),
+        F.lit(n_keepers_original).cast("long").alias("n_keepers_original"),
+    )
+
+
+# Full-corpus embedding cosine near-dup pairs (exact, oracled — the
+# brute-force tier under the LSH scale path). Threshold keeps output
+# small; at 100 TB this moves to LSH candidates first.
+COSINE_PAIRS_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_inner_product(a.e, b.e)
+         / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+         4) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e)
+        / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) > 0.35
+"""
+
+
+@register("dedup_embedding_cosine_pairs", COSINE_PAIRS_ORACLE)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .where(sim > 0.35)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
+    )

@@ -181,3 +181,42 @@ def ssl_holdout_baselines(spark: SparkSession, sf_dir: str) -> DataFrame:
         classifiers={"DT": lambda: DecisionTreeClassifier(seed=5)},
         percentages=[0.3, 0.6],
     )
+
+
+@register("ssl_featurization_path")
+def ssl_featurization_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical featurization path (reference C6
+    indexStringColumnsStagePipeline + VectorAssembler,
+    `FunctionsSemiSupervised.scala:32-42`): multi-col StringIndexer
+    (handleInvalid=keep) + assembler over customer, then a supervised
+    fit predicting a binarized balance class. Rows-only (StringIndexer
+    ordering + DT are ML-side)."""
+    from pyspark.ml import Pipeline
+
+    from tfm_semisup_spark.featurization import build_featurization
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "balance_class", F.when(F.col("c_acctbal") > 5000, "high").otherwise("low")
+    )
+    stages = build_featurization(
+        categorical_cols=["c_mktsegment"],
+        numeric_cols=["c_acctbal", "c_nationkey"],
+        label_col="balance_class",
+    )
+    pipeline = Pipeline(
+        stages=stages
+        + [
+            DeterministicLabelMasker(
+                percentageLabeled=0.5, idCol="c_custkey", seed=11
+            ),
+            Supervised(baseClassifier=DecisionTreeClassifier(seed=5)),
+        ]
+    )
+    model = pipeline.fit(cust)
+    preds = model.transform(cust)
+    return (
+        preds.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
