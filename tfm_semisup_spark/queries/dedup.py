@@ -97,9 +97,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # bind tokens to a column before n-gramming: passing the split
+    # expression directly would be re-evaluated per n-gram (O(tokens²))
+    tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
     shingled = (
-        docs.select("doc_id", F.array_distinct(word_ngrams(toks, 3)).alias("shingles"))
+        tokens.select(
+            "doc_id", F.array_distinct(word_ngrams(F.col("__w"), 3)).alias("shingles")
+        )
         .where(F.size("shingles") > 0)
         .persist()  # reused by the index (twice via self-join) and sizes
     )
