@@ -105,3 +105,28 @@ def test_streaming_stateful_user_counts(spark):
         out.groupBy("user_id").agg(F.max("total_events").alias("total")).collect()
     )
     assert {r["user_id"]: r["total"] for r in last} == batch
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from tfm_semisup_spark.queries.windows import sliding_window_2h_1h
+    from tfm_semisup_spark.streaming.events import read_events_stream, run_available_now
+
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, SF)
+    result = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+    run_available_now(result, "stream_sliding", output_mode="complete")
+    streamed = {
+        (str(r["window_start"])[:19], r["n"], r["sum_value"])
+        for r in spark.table("stream_sliding").collect()
+    }
+    batch = {
+        (r["window_start"], r["n"], r["sum_value"])
+        for r in sliding_window_2h_1h(spark, SF).collect()
+    }
+    assert streamed == batch

@@ -174,3 +174,50 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim > 0.35)
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine_sim"))
     )
+
+
+# SQL API surface (SURVEY §2.2 catalog note): same query text runs via
+# spark.sql over temp views AND via DuckDB — one statement, two engines.
+SQL_API_TEXT = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY c_mktsegment
+"""
+
+
+@register("sql_api_segment_revenue", SQL_API_TEXT)
+def sql_api_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_API_TEXT)
+
+
+# Incremental (cross-snapshot) dedup: which new-snapshot docs are
+# content-new vs already present in the old snapshot — fingerprint
+# anti-join, the shape of a daily ingest dedup step.
+INCREMENTAL_ORACLE = """
+WITH old AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+     new AS (SELECT * FROM documents WHERE doc_id % 2 = 1)
+SELECT COUNT(*) AS n_new_docs,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+         SELECT 1 FROM old WHERE md5(old.text) = md5(new.text)
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_content_new
+FROM new
+"""
+
+
+@register("dedup_incremental_new_docs", INCREMENTAL_ORACLE)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    new = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", F.md5("text").alias("fp"))
+    content_new = new.join(old, "fp", "left_anti")
+    n_content_new = content_new.count()
+    return new.agg(
+        F.count(F.lit(1)).alias("n_new_docs"),
+        F.lit(n_content_new).cast("long").alias("n_content_new"),
+    )
