@@ -60,3 +60,63 @@ def ann_top_k(
     return neighbors.select(
         F.col(id_col), F.round("distCol", 4).alias("euclidean")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    vector_col: str = "features",
+    num_centroids: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids + bucketed dataset.
+
+    The classic ANN scale path next to LSH: fit k centroids (tiny model,
+    broadcast), assign every vector to its nearest centroid ONCE at
+    index-build time; queries probe only the closest n_probe buckets.
+    Returns (kmeans_model, bucketed DataFrame with `ivf_bucket`).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    km = KMeans(k=num_centroids, seed=seed, featuresCol=vector_col,
+                predictionCol="ivf_bucket")
+    model = km.fit(embeddings)
+    return model, model.transform(embeddings)
+
+
+def ivf_top_k(
+    kmeans_model,
+    bucketed: DataFrame,
+    query_vector,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "features",
+) -> DataFrame:
+    """k nearest neighbors (euclidean) probing the n_probe closest
+    centroids' buckets only — candidate set is ~n_probe/num_centroids
+    of the corpus; partition pruning does the rest if the index is
+    written partitioned by bucket."""
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    centers = kmeans_model.clusterCenters()
+    q = np.asarray(query_vector.toArray() if hasattr(query_vector, "toArray") else query_vector)
+    order = np.argsort([float(np.linalg.norm(q - c)) for c in centers])
+    probe = [int(b) for b in order[:n_probe]]
+
+    arr = vector_to_array(F.col(vector_col))
+    q_lit = F.array(*[F.lit(float(v)) for v in q])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(arr, q_lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        bucketed.where(F.col("ivf_bucket").isin(probe))
+        .select(id_col, F.round(dist, 4).alias("euclidean"))
+        .orderBy("euclidean", id_col)
+        .limit(k)
+    )

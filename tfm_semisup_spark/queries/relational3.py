@@ -221,3 +221,26 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_new_docs"),
         F.lit(n_content_new).cast("long").alias("n_content_new"),
     )
+
+
+# Grouped applyInPandas custom aggregation vs SQL's closed form: per-user
+# OLS slope of event value over time (regr_slope). Two genuinely
+# independent implementations (numpy least squares / SQL normal
+# equations) — strong cross-check of the Arrow grouped-UDF path.
+TREND_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n,
+       ROUND(regr_slope(value,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 3.6e9), 4) AS slope
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("grouped_pandas_value_trend", TREND_ORACLE)
+def grouped_pandas_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.operators.grouped_pandas import per_user_value_trend
+
+    events = load_table(spark, sf_dir, "events")
+    out = per_user_value_trend(events)
+    return out.select("user_id", "n", F.round("slope", 4).alias("slope"))

@@ -121,3 +121,21 @@ def similarity_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFr
 
     emb = with_feature_vectors(load_table(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(emb, distance_threshold=1.2)
+
+
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, n_probe buckets searched) —
+    rows-only; seeded KMeans keeps it deterministic."""
+    from tfm_semisup_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_top_k,
+        with_feature_vectors,
+    )
+
+    emb = with_feature_vectors(load_table(spark, sf_dir, "embeddings"))
+    model, bucketed = build_ivf_index(emb, num_centroids=8)
+    q = emb.where(F.col("vec_id") == 0).head()["features"]
+    return ivf_top_k(
+        model, bucketed.where(F.col("vec_id") != 0), q, k=10, n_probe=3
+    )
