@@ -130,3 +130,32 @@ def test_streaming_sliding_matches_batch(spark):
         for r in sliding_window_2h_1h(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_exactly_once_file_sink(spark, tmp_path):
+    """File sink + checkpointLocation: re-running availableNow over the
+    same source adds NO duplicate rows (offset tracking in the
+    checkpoint makes the pipeline restart-safe)."""
+    from tfm_semisup_spark.streaming.events import read_events_stream
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            read_events_stream(spark, SF)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # same source, same checkpoint -> no new data
+    n2 = spark.read.parquet(out).count()
+    assert n1 == 1000
+    assert n2 == n1

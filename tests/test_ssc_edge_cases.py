@@ -93,3 +93,22 @@ def test_adult_style_featurization_with_maxbins(spark):
     assert preds.where(F.col("prediction").isNull()).count() == 0
     acc = preds.where(F.col("prediction") == F.col("label")).count() / preds.count()
     assert acc > 0.9  # label is a function of a feature; DT should nail it
+
+
+def test_reliable_checkpoint_dir(spark, masked, tmp_path):
+    """checkpointDir set -> reliable .checkpoint() path (cluster-grade
+    lineage truncation); results identical to the localCheckpoint path."""
+    st_local = SelfTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5), threshold=0.75, maxIter=3
+    )
+    st_reliable = SelfTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5),
+        threshold=0.75,
+        maxIter=3,
+        checkpointDir=str(tmp_path / "ckpt"),
+    )
+    s1 = st_local.fit(masked).ss_summary
+    s2 = st_reliable.fit(masked).ss_summary
+    assert s1 == s2
+    import os
+    assert os.listdir(tmp_path / "ckpt")  # checkpoint data actually written

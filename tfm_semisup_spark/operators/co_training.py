@@ -51,6 +51,7 @@ class CoTraining(Estimator, _SSCParams):
         labelSelectionCol: str = "labelSelection",
         featuresCol: str = "features",
         labelCol: str = "label",
+        checkpointDir: str = "",
     ):
         super().__init__()
         self.baseClassifier = baseClassifier
@@ -62,6 +63,7 @@ class CoTraining(Estimator, _SSCParams):
             labelSelectionCol="labelSelection",
             featuresCol="features",
             labelCol="label",
+            checkpointDir="",
         )
         kwargs = dict(self._input_kwargs)
         kwargs.pop("baseClassifier", None)
@@ -75,11 +77,10 @@ class CoTraining(Estimator, _SSCParams):
     def _score(self, model, pool: DataFrame) -> DataFrame:
         feats = self.getOrDefault(self.featuresCol)
         prob_col = model.getProbabilityCol() if hasattr(model, "getProbabilityCol") else "probability"
-        return (
+        return self._truncate_lineage(
             model.transform(pool)
             .withColumn("probMax", prob_max(prob_col))
             .select(feats, "prediction", "probMax")
-            .localCheckpoint(eager=True)
         )
 
     def _promote(self, preds: DataFrame, k: int, n_pool: int):
@@ -128,8 +129,8 @@ class CoTraining(Estimator, _SSCParams):
         )
         lab1, lab2 = labeled.randomSplit([0.5, 0.5], seed=_SPLIT_SEED)
         unlab1, unlab2 = unlabeled.randomSplit([0.5, 0.5], seed=_SPLIT_SEED)
-        lab1 = lab1.localCheckpoint(eager=True)
-        lab2 = lab2.localCheckpoint(eager=True)
+        lab1 = self._truncate_lineage(lab1)
+        lab2 = self._truncate_lineage(lab2)
 
         # per-view unlabeled counts: one pass each (they feed loop guards)
         n_unlab1 = unlab1.count()
@@ -154,8 +155,8 @@ class CoTraining(Estimator, _SSCParams):
 
             # cross-teaching: view 1 learns from view 2's confident labels
             # and vice versa (`CoTraining.scala:172-173`)
-            lab1 = lab1.unionAll(promo2).localCheckpoint(eager=True)
-            lab2 = lab2.unionAll(promo1).localCheckpoint(eager=True)
+            lab1 = self._truncate_lineage(lab1.unionAll(promo2))
+            lab2 = self._truncate_lineage(lab2.unionAll(promo1))
             n_unlab1 -= n_promo1
             n_unlab2 -= n_promo2
             n_lab1 += n_promo2

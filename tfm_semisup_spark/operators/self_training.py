@@ -89,6 +89,26 @@ class _SSCParams(Params):
         Params._dummy(), "featuresCol", "features column", TypeConverters.toString
     )
     labelCol = Param(Params._dummy(), "labelCol", "label column", TypeConverters.toString)
+    checkpointDir = Param(
+        Params._dummy(),
+        "checkpointDir",
+        "reliable checkpoint directory (HDFS/S3); empty -> localCheckpoint",
+        TypeConverters.toString,
+    )
+
+    def _truncate_lineage(self, df: DataFrame) -> DataFrame:
+        """Lineage truncation per iteration (SURVEY §4: the one custom
+        physical concern). localCheckpoint is fast but pins blocks to
+        executors — on a real cluster with dynamic allocation or
+        preemption, set checkpointDir to durable storage and pay the
+        write for restart-safety."""
+        target = self.getOrDefault(self.checkpointDir)
+        if target:
+            sc = df.sparkSession.sparkContext
+            if sc.getCheckpointDir() != target:
+                sc.setCheckpointDir(target)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
 
 class SelfTrainingModel(Model):
@@ -125,6 +145,7 @@ class SelfTraining(Estimator, _SSCParams):
         labelSelectionCol: str = "labelSelection",
         featuresCol: str = "features",
         labelCol: str = "label",
+        checkpointDir: str = "",
     ):
         super().__init__()
         self.baseClassifier = baseClassifier
@@ -136,6 +157,7 @@ class SelfTraining(Estimator, _SSCParams):
             labelSelectionCol="labelSelection",
             featuresCol="features",
             labelCol="label",
+            checkpointDir="",
         )
         kwargs = dict(self._input_kwargs)
         kwargs.pop("baseClassifier", None)
@@ -169,11 +191,10 @@ class SelfTraining(Estimator, _SSCParams):
         starts from materialized data, not the whole history."""
         feats = self.getOrDefault(self.featuresCol)
         prob_col = model.getProbabilityCol() if hasattr(model, "getProbabilityCol") else "probability"
-        return (
+        return self._truncate_lineage(
             model.transform(unlabeled)
             .withColumn("probMax", prob_max(prob_col))
             .select(feats, "prediction", "probMax")
-            .localCheckpoint(eager=True)
         )
 
     # -- fit ----------------------------------------------------------
@@ -189,7 +210,7 @@ class SelfTraining(Estimator, _SSCParams):
         label = self.getOrDefault(self.labelCol)
 
         labeled, unlabeled, n_lab, n_unlab = self._split_pools(dataset)
-        labeled = labeled.localCheckpoint(eager=True)
+        labeled = self._truncate_lineage(labeled)
         n_lab_ini, n_unlab_ini = n_lab, n_unlab
 
         model = base.fit(labeled)
@@ -214,9 +235,11 @@ class SelfTraining(Estimator, _SSCParams):
                 promoted = top_k
                 n_promoted = min(k, n_unlab)
 
-            labeled = labeled.unionAll(
-                promoted.select(feats, F.col("prediction").alias(label))
-            ).localCheckpoint(eager=True)
+            labeled = self._truncate_lineage(
+                labeled.unionAll(
+                    promoted.select(feats, F.col("prediction").alias(label))
+                )
+            )
             unlabeled = rest.select(feats, F.col("prediction").alias(label))
             n_lab += n_promoted
             n_unlab -= n_promoted

@@ -34,6 +34,7 @@ class Supervised(Estimator, _SSCParams):
             labelSelectionCol="labelSelection",
             featuresCol="features",
             labelCol="label",
+            checkpointDir="",
         )
         kwargs = dict(self._input_kwargs)
         kwargs.pop("baseClassifier", None)

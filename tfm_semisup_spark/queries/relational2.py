@@ -220,3 +220,21 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("last_orderkey", F.lit(-1)).alias("last_orderkey"),
         F.coalesce("last_totalprice", F.lit(-1.0)).alias("last_totalprice"),
     )
+
+
+# CUBE grouping sets (all 4 combinations of the two keys)
+CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_flag_status", CUBE_ORACLE)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
