@@ -112,3 +112,24 @@ def test_reliable_checkpoint_dir(spark, masked, tmp_path):
     assert s1 == s2
     import os
     assert os.listdir(tmp_path / "ckpt")  # checkpoint data actually written
+
+
+def test_self_training_model_persistence(spark, masked, tmp_path):
+    st = SelfTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5), threshold=0.75, maxIter=2
+    )
+    model = st.fit(masked)
+    path = str(tmp_path / "st_model")
+    model.save(path)
+
+    from tfm_semisup_spark.operators.self_training import SelfTrainingModel
+
+    loaded = SelfTrainingModel.load(path)
+    assert loaded.ss_summary == model.ss_summary
+    orig = sorted(
+        (r["vec_id"], r["prediction"]) for r in model.transform(masked).collect()
+    )
+    back = sorted(
+        (r["vec_id"], r["prediction"]) for r in loaded.transform(masked).collect()
+    )
+    assert orig == back

@@ -125,6 +125,38 @@ class SelfTrainingModel(Model):
     def copy(self, extra=None):
         return SelfTrainingModel(self.base_model, self.ss_summary)
 
+    # -- persistence (the reference has none; models only lived inside
+    # notebook sessions). Layout: <path>/base (base model's own writer)
+    # + <path>/ss_metadata.json (summary + base class for reload). -----
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+        from dataclasses import asdict
+
+        os.makedirs(path, exist_ok=True)
+        self.base_model.write().overwrite().save(os.path.join(path, "base"))
+        meta = {
+            "base_class": f"{type(self.base_model).__module__}."
+            f"{type(self.base_model).__name__}",
+            "ss_summary": asdict(self.ss_summary),
+        }
+        with open(os.path.join(path, "ss_metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    @staticmethod
+    def load(path: str) -> "SelfTrainingModel":
+        import importlib
+        import json
+        import os
+
+        with open(os.path.join(path, "ss_metadata.json")) as f:
+            meta = json.load(f)
+        module, cls_name = meta["base_class"].rsplit(".", 1)
+        cls = getattr(importlib.import_module(module), cls_name)
+        base = cls.load(os.path.join(path, "base"))
+        return SelfTrainingModel(base, SemiSupervisedSummary(**meta["ss_summary"]))
+
 
 class SelfTraining(Estimator, _SSCParams):
     """Defaults mirror the reference (``SelfTraining.scala:26-30``):

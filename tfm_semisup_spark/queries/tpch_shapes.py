@@ -1,0 +1,134 @@
+"""Classic TPC-H query shapes for join/agg plan diversity (Q3, Q14,
+Q18 analogs on the driver's star schema). These add plan shapes the
+flagship doesn't cover: mixed-key group-by after a 3-way join, a
+conditional-aggregation ratio, and a HAVING-filtered subquery join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+# Q3-style: shipping-priority top-k for one segment.
+Q3_ORACLE = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+# Q14-style: conditional-aggregation revenue share (PROMO parts).
+Q14_ORACLE = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+"""
+
+
+@register("q14_promo_revenue_share", Q14_ORACLE)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# Q18-style: large-volume orders (HAVING subquery joined back).
+Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name, o.o_orderkey,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(b.sum_qty, 2) AS sum_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("q18_large_volume_orders", Q18_ORACLE)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .where(F.col("sum_qty_raw") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+    )
