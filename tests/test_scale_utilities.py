@@ -75,3 +75,27 @@ def test_ivf_topk_recall_vs_exact(spark):
     }
     recall = len(got & exact) / 10
     assert recall >= 0.5  # 3/8 of the corpus probed; typically much higher
+
+
+def test_ivf_index_partitioned_write_prunes(spark, tmp_path):
+    """IVF index persisted partitioned by centroid bucket: probing reads
+    only the probed buckets' files (directory-level pruning — at 100 TB
+    the probe never touches the other buckets' data)."""
+    emb = with_feature_vectors(load_table(spark, SF, "embeddings"))
+    model, bucketed = build_ivf_index(emb, num_centroids=8)
+    path = str(tmp_path / "ivf_index")
+    bucketed.select("vec_id", "embedding", "ivf_bucket").write.partitionBy(
+        "ivf_bucket"
+    ).parquet(path)
+
+    back = spark.read.parquet(path)
+    probe = [0, 3]
+    files = {
+        r["f"]
+        for r in back.where(F.col("ivf_bucket").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files
+    assert all(("ivf_bucket=0" in f) or ("ivf_bucket=3" in f) for f in files)

@@ -159,3 +159,79 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# Document-frequency-capped n-gram Jaccard: drop shingles appearing in
+# more than DF_CAP docs before pairing (stop-shingle removal — the knob
+# that keeps the candidate join bounded on adversarial corpora where a
+# few hot shingles appear in ~every doc). Jaccard is then over the
+# capped shingle universe, identically on both sides.
+DF_CAP = 25
+
+NGRAM_JACCARD_CAPPED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+kept AS (
+  SELECT doc_id, shingle FROM tri
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.shared * 1.0 / (sa.n + sb.n - p.shared), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard_capped", NGRAM_JACCARD_CAPPED_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
+    tri = (
+        tokens.select(
+            "doc_id", F.array_distinct(word_ngrams(F.col("__w"), 3)).alias("shingles")
+        )
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    kept = (
+        tri.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .where(F.col("__df") <= DF_CAP)
+        .drop("__df")
+        .persist()
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
