@@ -1,0 +1,132 @@
+"""Fourth relational coverage block: statistical aggregates
+(stddev/variance/corr/covar), GROUPING markers, array-column
+aggregates over embeddings, filtered distinct counts, string functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.functions.vector import l2_norm
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+# Sample stddev/variance + correlation/covariance (both engines use the
+# sample definitions for stddev/var_samp/corr/covar_samp).
+STATS_ORACLE = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+       ROUND(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_aggregates", STATS_ORACLE)
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("cov_pd"),
+    )
+
+
+# GROUPING() markers distinguish "NULL because rolled up" from data
+# NULLs in grouping-set outputs.
+GROUPING_ORACLE = """
+SELECT o_orderstatus,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus)
+"""
+
+
+@register("grouping_markers", GROUPING_ORACLE)
+def grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus").agg(
+        F.grouping("o_orderstatus").cast("long").alias("is_total"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "is_total", "n")
+
+
+# Array-column aggregates: per-label embedding norm statistics (the
+# shape of embedding-quality monitoring over a 100 TB vector table).
+EMB_NORM_ORACLE = """
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*) AS n,
+       ROUND(AVG(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS avg_norm,
+       ROUND(MIN(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS min_norm,
+       ROUND(MAX(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+         AS max_norm
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@register("embedding_norm_stats", EMB_NORM_ORACLE)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "norm", l2_norm(F.col("embedding").cast("array<double>"))
+    )
+    return emb.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.min("norm"), 4).alias("min_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
+# Conditional distinct counts (count(DISTINCT x) over a predicate).
+COND_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS users_total,
+       COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END) AS users_high_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("conditional_distinct_users", COND_DISTINCT_ORACLE)
+def conditional_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users_total"),
+        F.countDistinct(
+            F.when(F.col("value") > 100, F.col("user_id"))
+        ).alias("users_high_value"),
+    )
+
+
+# String function battery: trim/case/substring/replace/lpad (SURVEY §2.2
+# string ops beyond split/contains).
+STRING_FUNCS_ORACLE = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       replace(c_mktsegment, 'A', '_') AS seg_replaced,
+       lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+       length(trim(c_name)) AS name_len
+FROM customer
+"""
+
+
+@register("string_function_battery", STRING_FUNCS_ORACLE)
+def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_replaced"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.length(F.trim(F.col("c_name"))).cast("long").alias("name_len"),
+    )
