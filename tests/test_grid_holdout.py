@@ -75,3 +75,24 @@ def test_multi_classifier_ssl_grid(spark, points):
     for r in rows.values():
         assert 0.0 <= r["accuracy"] <= 1.0
         assert r["LabeledInitial"] > 0
+
+
+def test_two_criteria_grid(spark, points):
+    """E2 lifecycle with BOTH promotion criteria in one grid."""
+    cells = build_ssl_grid(
+        classifiers={"DT": lambda: DecisionTreeClassifier(seed=5)},
+        percentages=[0.3],
+        thresholds=[0.8],
+        kbests=[0.5],
+        criteria=("threshold", "kBest"),
+        family="selfTraining",
+        max_iter=2,
+    )
+    assert len(cells) == 2
+    results = run_experiment_grid(
+        spark, points, "embeddings", [], cells, k=2, id_col="vec_id"
+    )
+    rows = {r["criterion"]: r for r in results.collect()}
+    assert set(rows) == {"threshold", "kBest"}
+    assert rows["threshold"]["thresholdOrKBest"] == 0.8
+    assert rows["kBest"]["thresholdOrKBest"] == 0.5
