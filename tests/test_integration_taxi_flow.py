@@ -84,3 +84,40 @@ def test_taxi_style_pipeline_end_to_end(spark):
     st_model = model.stages[-1]
     assert st_model.ss_summary.labeled_initial > 0
     assert st_model.ss_summary.labeled_final >= st_model.ss_summary.labeled_initial
+
+
+def test_poker_style_pipeline_end_to_end(spark):
+    """A3 fixture path (`SemiSupervisedAndBaseClassifiers.scala:529-604`):
+    integer codes treated as categoricals via StringIndexer, class
+    binarized with when/otherwise, supervised fit."""
+    from tfm_semisup_spark.operators.supervised import Supervised
+
+    li = load_table(spark, SF, "lineitem").limit(2000)
+    hands = li.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        F.col("l_linenumber").cast("string").alias("c0"),
+        F.col("l_returnflag").alias("c1"),
+        F.col("l_linestatus").alias("c2"),
+        F.when(F.col("l_quantity") > 25, "AtleastOnePair").otherwise("Nothing").alias(
+            "clase"
+        ),
+        "l_quantity",
+    )
+    stages = build_featurization(
+        categorical_cols=["c0", "c1", "c2"],
+        numeric_cols=["l_quantity"],
+        label_col="clase",
+        handle_invalid="keep",
+    )
+    from pyspark.ml import Pipeline as MLPipeline
+
+    pipe = MLPipeline(
+        stages=stages
+        + [
+            DeterministicLabelMasker(percentageLabeled=0.5, idCol="row_id", seed=11),
+            Supervised(baseClassifier=DecisionTreeClassifier(seed=5, maxBins=42)),
+        ]
+    )
+    model = pipe.fit(hands)
+    m = evaluate_predictions(model.transform(hands))
+    assert m.accuracy > 0.95  # class is a deterministic function of a feature
