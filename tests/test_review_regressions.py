@@ -1,0 +1,86 @@
+"""Regression tests for code-review findings: as-of NULL-payload
+stitching, NULL-label loss, same-name-key joins, NULL media payloads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.operators.asof import asof_join_backward
+from tfm_semisup_spark.operators.bucketing import salted_join
+from tfm_semisup_spark.operators.multimodal import (
+    extract_media_features,
+    sample_chunks,
+)
+from tfm_semisup_spark.operators.unlabeled import (
+    DeterministicLabelMasker,
+    UnlabeledTransformer,
+)
+
+
+def test_asof_does_not_stitch_values_across_right_rows(spark):
+    """A right row with a NULL value column must be carried AS IS — not
+    blended with an older row's non-NULL value."""
+    left = spark.createDataFrame([(1, 3)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 1, 5, None), (1, 2, None, 7)], "k2 int, t2 int, a int, b int"
+    )
+    out = asof_join_backward(
+        left, right, "k", "k2", "t", "t2", value_cols=["a", "b"]
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # the t2=2 row is the as-of match: a must be NULL (its own value),
+    # NOT 5 carried over from the t2=1 row
+    assert row["a"] is None
+    assert row["b"] == 7
+
+
+def test_asof_no_prior_right_row_gives_nulls(spark):
+    left = spark.createDataFrame([(9, 1)], ["k", "t"])
+    right = spark.createDataFrame([(9, 5, 100)], "k2 int, t2 int, v int")
+    out = asof_join_backward(left, right, "k", "k2", "t", "t2", ["v"]).collect()
+    assert out[0]["v"] is None
+
+
+def test_null_labels_become_unlabeled_not_lost(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, None), (4, None)], "id long, label double"
+    )
+    for masker in (
+        UnlabeledTransformer(percentageLabeled=0.5, seed=11),
+        DeterministicLabelMasker(percentageLabeled=0.5, idCol="id", seed=11),
+    ):
+        out = masker.transform(df)
+        assert out.count() == 4  # nothing dropped
+        # every row is classifiable: labelSelection is NaN or a number,
+        # never NULL (NULL would vanish from downstream isnan splits)
+        assert out.where(F.col("labelSelection").isNull()).count() == 0
+        null_label_rows = out.where(F.col("id").isin(3, 4))
+        assert null_label_rows.where(F.isnan("labelSelection")).count() == 2
+
+
+def test_salted_join_same_key_name(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "l"])
+    right = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "r"])
+    out = salted_join(left, right, "k", "k", num_salts=3)
+    assert out.count() == 2
+
+
+def test_bucketed_join_same_key_name(spark):
+    from tfm_semisup_spark.operators.bucketing import bucketed_join, write_bucketed_table
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "l"])
+    right = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "r"])
+    write_bucketed_table(left, "bj_left", "k", 4)
+    write_bucketed_table(right, "bj_right", "k", 4)
+    assert bucketed_join(spark, "bj_left", "bj_right", "k", "k").count() == 2
+
+
+def test_multimodal_null_payload_does_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello")), (2, None)], "doc_id long, payload binary"
+    )
+    feats = {r["doc_id"]: r["n_bytes"] for r in extract_media_features(df).collect()}
+    assert feats == {1: 5, 2: 0}
+    chunks = sample_chunks(df, chunk_size=2).collect()
+    assert {r["doc_id"] for r in chunks} == {1}  # null payload -> no chunks

@@ -36,19 +36,28 @@ def asof_join_backward(
     right row exists for the key).
     """
     left_cols = left.columns
+    # the right payload is carried as ONE struct: carrying columns
+    # independently with last(ignorenulls) would stitch values from
+    # DIFFERENT right rows whenever a value column contains NULL (the
+    # null padding and genuine right-side NULLs would be conflated)
+    right_struct_type = (
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
     tagged_left = left.select(
         F.col(left_key).alias("__key"),
         F.col(left_time).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left_cols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(right_struct_type).alias("__rv"),
     )
     tagged_right = right.select(
         F.col(right_key).alias("__key"),
         F.col(right_time).alias("__ts"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -59,6 +68,12 @@ def asof_join_backward(
     carried = unioned.select(
         "__is_left",
         *[F.col(c) for c in left_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
-    return carried.where(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left_cols],
+            *[F.col(f"__rv.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -39,8 +39,18 @@ def write_bucketed_table(
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+    warehouse_uri = spark.conf.get("spark.sql.warehouse.dir")
+    scheme = urlparse(warehouse_uri).scheme
+    if scheme in ("", "file"):
+        # managed-table layout: default db -> <warehouse>/<table>;
+        # qualified 'db.table' -> <warehouse>/<db>.db/<table>
+        warehouse = urlparse(warehouse_uri).path
+        parts = table_name.lower().split(".")
+        rel = parts[-1] if len(parts) == 1 else f"{parts[-2]}.db/{parts[-1]}"
+        shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)
+    # non-local warehouses (hdfs/s3): DROP TABLE is the only cleanup we
+    # can do from here; a stale location then still fails saveAsTable
+    # loudly rather than being silently half-cleaned
     (
         df.write.mode(mode)
         .format("parquet")
@@ -58,10 +68,10 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     # merge hint: keep it an SMJ so the bucket layout (not a broadcast)
-    # is what avoids the shuffle — the property being relied on at scale
-    return left.hint("merge").join(
-        right, F.col(left_key) == F.col(right_key)
-    )
+    # is what avoids the shuffle — the property being relied on at scale.
+    # DataFrame-qualified key refs: unqualified F.col would be ambiguous
+    # whenever both tables use the same key column name.
+    return left.hint("merge").join(right, left[left_key] == right[right_key])
 
 
 def salted_join(
@@ -87,6 +97,7 @@ def salted_join(
     )
     joined = left_salted.join(
         right_replicated,
-        (F.col(left_key) == F.col(right_key)) & (left_salted["__salt"] == right_replicated["__salt"]),
+        (left_salted[left_key] == right_replicated[right_key])
+        & (left_salted["__salt"] == right_replicated["__salt"]),
     )
     return joined.drop("__salt")

@@ -129,10 +129,13 @@ class CoTraining(Estimator, _SSCParams):
         )
         lab1, lab2 = labeled.randomSplit([0.5, 0.5], seed=_SPLIT_SEED)
         unlab1, unlab2 = unlabeled.randomSplit([0.5, 0.5], seed=_SPLIT_SEED)
+        # checkpoint ALL four views before counting: the counts then scan
+        # materialized data instead of re-running the upstream
+        # featurization once per count() action
         lab1 = self._truncate_lineage(lab1)
         lab2 = self._truncate_lineage(lab2)
-
-        # per-view unlabeled counts: one pass each (they feed loop guards)
+        unlab1 = self._truncate_lineage(unlab1)
+        unlab2 = self._truncate_lineage(unlab2)
         n_unlab1 = unlab1.count()
         n_unlab2 = unlab2.count()
         n_lab1 = lab1.count()

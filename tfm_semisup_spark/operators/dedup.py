@@ -40,6 +40,11 @@ def shingle_documents(docs: DataFrame, n: int = 3, num_features: int = 1 << 18) 
 
     num_features=262144 keeps collision rate low while bounding vector
     width; at 100 TB the HashingTF step is a narrow map — no shuffle.
+
+    The result is persist()ed (it feeds both sides of the LSH self-join);
+    callers running many dedup passes in one long session should
+    ``.unpersist()`` the returned DataFrame when done — per-query driver
+    runs and tests are one-shot, so no cleanup is wired in here.
     """
     spark = docs.sparkSession
     # decouple expression parallelism from input splits: a single-file

@@ -50,7 +50,9 @@ def _extract_features(batch: "pd.DataFrame") -> "pd.DataFrame":
     """
     import pandas as pd
 
-    payloads = batch["payload"]
+    # NULL payloads (e.g. NULL source text) are treated as empty media,
+    # not task-killing TypeErrors
+    payloads = batch["payload"].map(lambda b: b if b is not None else b"")
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -95,7 +97,7 @@ def sample_chunks(df: DataFrame, chunk_size: int = 100) -> DataFrame:
         for batch in batches:
             ids, idxs, lens = [], [], []
             for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
-                n = len(payload)
+                n = len(payload) if payload is not None else 0
                 for i in range(0, max((n + chunk_size - 1) // chunk_size, 0)):
                     ids.append(doc_id)
                     idxs.append(i)

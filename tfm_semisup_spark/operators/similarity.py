@@ -114,9 +114,12 @@ def ivf_top_k(
             lambda acc, v: acc + v,
         )
     )
+    # order by the EXACT distance; rounding first could flip the k-th
+    # boundary between near-tied candidates
     return (
         bucketed.where(F.col("ivf_bucket").isin(probe))
-        .select(id_col, F.round(dist, 4).alias("euclidean"))
-        .orderBy("euclidean", id_col)
+        .select(id_col, dist.alias("__d"))
+        .orderBy("__d", id_col)
         .limit(k)
+        .select(id_col, F.round("__d", 4).alias("euclidean"))
     )

@@ -78,10 +78,16 @@ class UnlabeledTransformer(Transformer, DefaultParamsReadable, DefaultParamsWrit
         label = self.getOrDefault(self.labelCol)
         out = self.getOrDefault(self.outputCol)
         labeled, unlabeled = dataset.randomSplit([p, 1.0 - p], seed=seed)
-        # split 0 keeps the label; split 1 gets label * NaN (preserves the
-        # reference's arithmetic so non-finite labels propagate identically)
-        return labeled.withColumn(out, F.col(label).cast("double")).unionAll(
-            unlabeled.withColumn(out, F.col(label).cast("double") * float("nan"))
+        # split 0 keeps the label; split 1 gets label * NaN (the
+        # reference's arithmetic). NULL input labels are coerced to the
+        # NaN sentinel (== unlabeled): the reference's `label * NaN`
+        # yields NULL for NULL, which every downstream isnan() split
+        # silently DROPS — no-label rows should be unlabeled, not lost.
+        lbl = F.col(label).cast("double")
+        return labeled.withColumn(out, F.coalesce(lbl, F.lit(float("nan")))).unionAll(
+            unlabeled.withColumn(
+                out, F.coalesce(lbl * float("nan"), F.lit(float("nan")))
+            )
         )
 
 
@@ -141,7 +147,12 @@ class DeterministicLabelMasker(Transformer, DefaultParamsReadable, DefaultParams
             < int(p * _MASK_MODULUS)
         )
         label = F.col(self.getOrDefault(self.labelCol)).cast("double")
+        # NULL labels coerce to the NaN sentinel (unlabeled) rather than
+        # propagating NULL, which downstream isnan() splits would drop
         return dataset.withColumn(
             self.getOrDefault(self.outputCol),
-            F.when(keep, label).otherwise(label * float("nan")),
+            F.coalesce(
+                F.when(keep, label).otherwise(label * float("nan")),
+                F.lit(float("nan")),
+            ),
         )
