@@ -1,0 +1,102 @@
+"""Sixth relational coverage block: scalar subqueries, IN-subqueries,
+distinct set ops, offset pagination."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+# Scalar subquery: orders above the global average price. DataFrame
+# form: broadcast the 1-row aggregate (what Catalyst rewrites scalar
+# subqueries into anyway).
+SCALAR_SUBQ_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@register("scalar_subquery_above_avg", SCALAR_SUBQ_ORACLE)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# IN-subquery: lineitems of urgent orders (semi-join rewrite).
+IN_SUBQ_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+@register("in_subquery_urgent_lineitems", IN_SUBQ_ORACLE)
+def in_subquery_urgent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# UNION (distinct) + EXCEPT (distinct) — the set-op variants the
+# reference never used (it used unionAll/exceptAll).
+DISTINCT_SETOPS_ORACLE = """
+SELECT nk, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+  UNION
+  SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -900
+)
+GROUP BY nk
+"""
+
+
+@register("distinct_set_ops", DISTINCT_SETOPS_ORACLE)
+def distinct_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.where(F.col("c_acctbal") > 5000).select(F.col("c_nationkey").alias("nk"))
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    broke = cust.where(F.col("c_acctbal") < -900).select(F.col("c_nationkey").alias("nk"))
+    combined = rich.union(building).distinct().exceptAll(broke.distinct())
+    # NB: SQL UNION/EXCEPT bind left-assoc with equal precedence in both
+    # engines: ((rich UNION building) EXCEPT broke), all distinct.
+    return combined.groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+# LIMIT/OFFSET pagination with a total ordering.
+OFFSET_ORACLE = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 20
+"""
+
+
+@register("limit_offset_page", OFFSET_ORACLE)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
