@@ -186,3 +186,40 @@ def test_experiment_grid_results_schema(spark, labeled_points):
         "LabeledFinal", "UnLabeledFinal", "percentageLabeledFinal",
         "accuracy", "AUC", "PR", "F1score",
     ]
+
+
+def test_score_based_roc_auc_hand_computed(spark):
+    """Known case: scores [0.9,0.8,0.4,0.3] labels [1,0,1,0] ->
+    pairs: (0.9 vs 0.8): pos>neg ok; (0.9 vs 0.3): ok; (0.4 vs 0.8): bad;
+    (0.4 vs 0.3): ok -> AUC = 3/4. Plus a tie case for midranks."""
+    from pyspark.ml.linalg import Vectors
+
+    from tfm_semisup_spark.operators.evaluation import score_based_roc_auc
+
+    rows = [
+        (Vectors.dense([0.1, 0.9]), 1.0),
+        (Vectors.dense([0.2, 0.8]), 0.0),
+        (Vectors.dense([0.6, 0.4]), 1.0),
+        (Vectors.dense([0.7, 0.3]), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["probability", "label"])
+    assert score_based_roc_auc(df) == pytest.approx(0.75)
+
+    # perfect separation -> 1.0
+    rows2 = [
+        (Vectors.dense([0.1, 0.9]), 1.0),
+        (Vectors.dense([0.3, 0.7]), 1.0),
+        (Vectors.dense([0.8, 0.2]), 0.0),
+    ]
+    assert score_based_roc_auc(
+        spark.createDataFrame(rows2, ["probability", "label"])
+    ) == pytest.approx(1.0)
+
+    # full tie -> 0.5 (midranks)
+    rows3 = [
+        (Vectors.dense([0.5, 0.5]), 1.0),
+        (Vectors.dense([0.5, 0.5]), 0.0),
+    ]
+    assert score_based_roc_auc(
+        spark.createDataFrame(rows3, ["probability", "label"])
+    ) == pytest.approx(0.5)

@@ -22,10 +22,10 @@ single-threshold trapezoids, not true score AUCs:
   (balanced accuracy);
 - areaUnderPR over points (0, prec), (rec, prec), (1, prior).
 
-``roc_auc_scores``/``pr_auc_scores=True`` variants using real
-probabilities are exposed behind ``score_based=...`` for correct-AUC
-use; defaults preserve the reference semantics. Positive class is
-label 1.0 (reference: ``metrics.fMeasure(1)``).
+``score_based_roc_auc`` computes the CORRECT probability-ranked AUC
+(Mann-Whitney rank form, one distributed window pass) for when parity
+with the reference's quirk is not wanted. Positive class is label 1.0
+(reference: ``metrics.fMeasure(1)``).
 """
 
 from __future__ import annotations
@@ -101,6 +101,48 @@ def evaluate_predictions(
         .collect()
     ]
     return metrics_from_confusion(cells)
+
+
+def score_based_roc_auc(
+    predictions: DataFrame,
+    probability_col: str = "probability",
+    label_col: str = "label",
+) -> float:
+    """True ROC AUC from the positive-class posterior (not the
+    reference's hard-prediction trapezoid).
+
+    Mann-Whitney rank form: AUC = (R_pos - P(P+1)/2) / (P*N), with
+    average ranks for score ties — one global sort (window over the
+    score) + one aggregation; no per-threshold passes. Suitable at
+    scale: the only shuffle is the rank's range partitioning.
+    """
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql.window import Window
+
+    score = F.element_at(vector_to_array(F.col(probability_col)), 2)
+    scored = predictions.select(
+        score.alias("score"), (F.col(label_col) == 1.0).alias("is_pos")
+    )
+    # average rank for ties: rank() gives the tie-group start; adding
+    # (count-1)/2 within the tie group yields the midrank
+    w_rank = Window.orderBy("score")
+    w_tie = Window.partitionBy("score")
+    ranked = scored.select(
+        "is_pos",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("is_pos"), F.col("midrank"))).alias("r_pos"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).alias("n"),
+    ).head()
+    p, n = agg["p"], agg["n"]
+    if not p or not n:
+        return 0.0
+    return float((agg["r_pos"] - p * (p + 1) / 2.0) / (p * n))
 
 
 def assign_folds(
