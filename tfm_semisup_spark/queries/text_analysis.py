@@ -181,3 +181,45 @@ def text_tfidf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = vector_to_array(F.col("tfidf"))
     l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v))
     return out.select("doc_id", F.round(l2, 4).alias("tfidf_l2"))
+
+
+# Fluent corpus pipeline end-to-end: exact dedup (keeper = min id) +
+# language + quality filters, as ONE composed Catalyst plan. The oracle
+# reproduces the same chain relationally.
+PIPELINE_ORACLE = """
+WITH keepers AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+),
+deduped AS (SELECT * FROM keepers WHERE rn = 1),
+toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM deduped
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(w)) AS BIGINT) AS total_tokens
+FROM toks
+WHERE lang IN ('de', 'en')
+  AND len(w) >= 20
+  AND len(list_filter(w, t -> t IN ('the', 'a'))) * 1.0 / len(w) <= 0.10
+GROUP BY lang
+"""
+
+
+@register("corpus_pipeline_end_to_end", PIPELINE_ORACLE)
+def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfm_semisup_spark.pipeline import CorpusPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = (
+        CorpusPipeline.from_documents(docs)
+        .dedup_exact()
+        .filter_language({"en", "de"})
+        .filter_quality(min_tokens=20, max_stop_ratio=0.10)
+        .df()
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
+    )
