@@ -127,3 +127,31 @@ def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Day-level rollup (the read shape served by the incremental
+# hypertable-style rollup in operators/rollup_table.py; here computed
+# directly so DuckDB can check the aggregation semantics).
+DAILY_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("daily_rollup_by_type", DAILY_ROLLUP_ORACLE)
+def daily_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
