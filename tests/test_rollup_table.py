@@ -19,8 +19,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _normalized(df):
+    # serving-layer rounding: the materialized table stores full-precision
+    # decomposable sums; presentation rounds (ADVICE r1)
     return sorted(
-        (str(r["day"])[:10], r["event_type"], r["n"], r["sum_value"])
+        (str(r["day"])[:10], r["event_type"], r["n"], round(r["sum_value"], 2))
         for r in df.collect()
     )
 
@@ -60,3 +62,32 @@ def test_incremental_noop_on_empty_delta(spark, tmp_path):
     n = incremental_refresh(spark, events.where(F.lit(False)), path)
     assert n == 0
     assert _normalized(read_rollup(spark, path)) == _normalized(_aggregate(events))
+
+
+def test_incremental_exact_with_fine_precision_values(spark, tmp_path):
+    """Sums finer than 2dp: incremental refreshes must still equal a full
+    recompute because partials are stored UNROUNDED (rounding partials
+    would drift up to 0.005 per refresh)."""
+    events = load_table(spark, SF, "events").withColumn(
+        "value", F.col("value") / F.lit(7.0)  # values now have >2dp
+    )
+    cutoff = "2024-01-20"
+    path = str(tmp_path / "rollup")
+    incremental_refresh(spark, events.where(F.col("ts") < cutoff), path)
+    incremental_refresh(spark, events.where(F.col("ts") >= cutoff), path)
+    assert _normalized(read_rollup(spark, path)) == _normalized(_aggregate(events))
+
+
+def test_read_failure_on_existing_rollup_raises(spark, tmp_path):
+    """A corrupt EXISTING rollup must raise, not silently bootstrap and
+    overwrite affected day partitions with delta-only aggregates."""
+    import pytest
+
+    events = load_table(spark, SF, "events")
+    path = tmp_path / "rollup"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        incremental_refresh(spark, events, str(path))
+    # the garbage is still there — nothing was overwritten
+    assert (path / "part-00000.parquet").read_bytes() == b"this is not parquet"

@@ -22,15 +22,31 @@ ROLLUP_KEYS = ("day", "event_type")
 
 
 def _aggregate(events: DataFrame) -> DataFrame:
+    # sums are stored at FULL double precision: the materialized table
+    # holds decomposable partials that get re-aggregated on every
+    # incremental merge, and rounding partials would accumulate up to
+    # 0.005 error per refresh. Presentation rounding belongs in the
+    # serving query (queries/windows.py:daily_rollup_by_type).
     return (
         events.groupBy(
             F.date_trunc("day", "ts").alias("day"), F.col("event_type")
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("value").alias("sum_value"),
         )
     )
+
+
+def _rollup_exists(spark: SparkSession, rollup_path: str) -> bool:
+    """Explicit existence probe via the Hadoop FileSystem API (works for
+    file://, hdfs://, s3a://...). A probe keeps 'first refresh' distinct
+    from 'read failed': a transient/corruption error on an EXISTING
+    rollup must propagate, never silently degrade to delta-only output."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
 
 
 def full_refresh(events: DataFrame, rollup_path: str) -> None:
@@ -52,21 +68,21 @@ def incremental_refresh(
     if not affected_days:
         return 0
 
-    try:
+    if _rollup_exists(spark, rollup_path):
         existing = spark.read.parquet(rollup_path).where(
             F.col("day").isin(affected_days)
         )
         merged_input = existing.select("day", "event_type", "n", "sum_value").unionAll(
             delta
         )
-    except Exception:  # first refresh: nothing materialized yet
+    else:  # first refresh: nothing materialized yet
         merged_input = delta
 
     merged = (
         merged_input.groupBy("day", "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.sum("sum_value").alias("sum_value"),
         )
     )
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -43,8 +43,83 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# Driver-verification priority: the correctness driver evaluates the
+# FIRST 50 oracled entries of queries() in dict order. This list pins
+# the window to flagship + the 17 LLM-pipeline extension oracles
+# (dedup/similarity/text/windows/rollup/multimodal — round 1 shipped
+# them past the window with zero driver rows) + the 32 highest-value
+# relational/ML-shape oracles. Oracled entries NOT listed here (the
+# scalar-function batteries and grouping-set variants, all driver-green
+# in CORRECTNESS_r01) follow in module-import order, past the window.
+_ORACLE_PRIORITY = [
+    "flagship_regional_revenue",
+    # -- extension surface: every one of these needs a driver row --
+    "dedup_exact_keepers",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_capped",
+    "similarity_cosine_topk",
+    "similarity_pairs_above",
+    "text_stats_by_lang",
+    "token_count_by_source",
+    "quality_score_buckets",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "corpus_pipeline_end_to_end",
+    "tumbling_window_hourly",
+    "sliding_window_2h_1h",
+    "session_window_30m",
+    "daily_rollup_by_type",
+    "multimodal_feature_stub",
+    "multimodal_chunk_sample",
+    # -- relational/ML-shape keepers (one per operator family) --
+    "pricing_summary",
+    "project_cast_derive",
+    "filter_range_outliers",
+    "nan_label_mask_stats",
+    "union_append_pools",
+    "except_all_remainder",
+    "distinct_flag_status",
+    "topk_orders",
+    "class_distribution",
+    "grid_results_join",
+    "window_rank_top_order",
+    "na_drop_clean",
+    "rollup_status_priority",
+    "moving_avg_lag",
+    "categorical_index_freq",
+    "range_join_event_pairs",
+    "asof_join_latest_order",
+    "semi_join_urgent_customers",
+    "anti_join_orderless_customers",
+    "sql_api_segment_revenue",
+    "grouped_pandas_value_trend",
+    "embedding_norm_stats",
+    "conditional_distinct_users",
+    "scalar_subquery_above_avg",
+    "in_subquery_urgent_lineitems",
+    "q3_shipping_priority",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "dedup_planted_duplicates",
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_new_docs",
+    "dedup_exact_stats",
+]
+
+
+def _reorder_registries() -> None:
+    """Rebuild QUERIES/ORACLES in priority order, in place (both dicts
+    are imported by reference elsewhere)."""
+    for registry in (QUERIES, ORACLES):
+        ordered = {n: registry[n] for n in _ORACLE_PRIORITY if n in registry}
+        ordered.update((n, v) for n, v in registry.items() if n not in ordered)
+        registry.clear()
+        registry.update(ordered)
+
+
 def load_all_queries() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run, then
+    apply the driver-window priority order."""
     from tfm_semisup_spark.queries import relational  # noqa: F401
     from tfm_semisup_spark.queries import relational2  # noqa: F401
     from tfm_semisup_spark.queries import relational3  # noqa: F401
@@ -58,3 +133,5 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import windows  # noqa: F401
     from tfm_semisup_spark.queries import multimodal  # noqa: F401
     from tfm_semisup_spark.queries import ssl_queries  # noqa: F401
+
+    _reorder_registries()
