@@ -23,9 +23,9 @@ single-threshold trapezoids, not true score AUCs:
 - areaUnderPR over points (0, prec), (rec, prec), (1, prior).
 
 ``score_based_roc_auc`` computes the CORRECT probability-ranked AUC
-(Mann-Whitney rank form, one distributed window pass) for when parity
-with the reference's quirk is not wanted. Positive class is label 1.0
-(reference: ``metrics.fMeasure(1)``).
+(Mann-Whitney rank form over distributed two-phase midranks — no
+global-sort window) for when parity with the reference's quirk is not
+wanted. Positive class is label 1.0 (reference: ``metrics.fMeasure(1)``).
 """
 
 from __future__ import annotations
@@ -103,42 +103,101 @@ def evaluate_predictions(
     return metrics_from_confusion(cells)
 
 
-def score_based_roc_auc(
+def midranked_score_groups(
     predictions: DataFrame,
     probability_col: str = "probability",
     label_col: str = "label",
-) -> float:
-    """True ROC AUC from the positive-class posterior (not the
-    reference's hard-prediction trapezoid).
+    n_range_partitions: int = 32,
+) -> DataFrame:
+    """(score, cnt, pos_cnt, midrank) per distinct score, computed
+    WITHOUT a global-sort window (an unpartitioned ``Window.orderBy``
+    moves every row to ONE partition; a scale-killer on a 100 TB
+    prediction set):
 
-    Mann-Whitney rank form: AUC = (R_pos - P(P+1)/2) / (P*N), with
-    average ranks for score ties — one global sort (window over the
-    score) + one aggregation; no per-threshold passes. Suitable at
-    scale: the only shuffle is the rank's range partitioning.
+    1. ``groupBy(score)`` collapses rows to one (cnt, pos_cnt) pair per
+       distinct score — a normal hash-shuffle reduction;
+    2. ``repartitionByRange(score)`` range-partitions the distinct
+       scores; per-partition totals (one tiny row per partition) are
+       collected and turned into cumulative *offsets* on the driver;
+    3. the midrank of each score group = its partition's offset + the
+       within-partition running count (a PARTITIONED window) +
+       (cnt+1)/2 — classic two-phase distributed cumulative sum.
     """
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql.window import Window
 
     score = F.element_at(vector_to_array(F.col(probability_col)), 2)
-    scored = predictions.select(
-        score.alias("score"), (F.col(label_col) == 1.0).alias("is_pos")
+    per_score = (
+        predictions.select(
+            score.alias("score"), (F.col(label_col) == 1.0).alias("is_pos")
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("pos_cnt"),
+        )
+        .repartitionByRange(n_range_partitions, "score")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin pid: same partitioning for both passes
     )
-    # average rank for ties: rank() gives the tie-group start; adding
-    # (count-1)/2 within the tie group yields the midrank
-    w_rank = Window.orderBy("score")
-    w_tie = Window.partitionBy("score")
-    ranked = scored.select(
-        "is_pos",
-        (
-            F.rank().over(w_rank)
-            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
-        ).alias("midrank"),
+    # per-partition totals -> cumulative offsets (bounded: one row per partition)
+    totals = {
+        r["pid"]: r["t"]
+        for r in per_score.groupBy("pid").agg(F.sum("cnt").alias("t")).collect()
+    }
+    running = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += totals[pid]
+    spark = predictions.sparkSession
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, offset long")
+
+    w_part = (
+        Window.partitionBy("pid")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("is_pos"), F.col("midrank"))).alias("r_pos"),
-        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("p"),
-        F.sum(F.when(~F.col("is_pos"), 1).otherwise(0)).alias("n"),
-    ).head()
+    return (
+        per_score.join(F.broadcast(offsets_df), "pid")
+        .withColumn("cum_through", F.sum("cnt").over(w_part))
+        .select(
+            "score",
+            "cnt",
+            "pos_cnt",
+            (
+                F.col("offset")
+                + (F.col("cum_through") - F.col("cnt"))
+                + (F.col("cnt") + 1) / 2.0
+            ).alias("midrank"),
+        )
+    )
+
+
+def score_based_roc_auc(
+    predictions: DataFrame,
+    probability_col: str = "probability",
+    label_col: str = "label",
+    n_range_partitions: int = 32,
+) -> float:
+    """True ROC AUC from the positive-class posterior (not the
+    reference's hard-prediction trapezoid).
+
+    Mann-Whitney rank form: AUC = (R_pos - P(P+1)/2) / (P*N), with
+    average ranks for score ties, over the distributed midranks of
+    ``midranked_score_groups`` (no single-partition sort anywhere).
+    """
+    agg = (
+        midranked_score_groups(
+            predictions, probability_col, label_col, n_range_partitions
+        )
+        .agg(
+            F.sum(F.col("pos_cnt") * F.col("midrank")).alias("r_pos"),
+            F.sum("pos_cnt").alias("p"),
+            F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n"),
+        )
+        .head()
+    )
     p, n = agg["p"], agg["n"]
     if not p or not n:
         return 0.0
