@@ -289,3 +289,80 @@ def test_score_auc_plan_has_no_unpartitioned_window(spark):
             # spec args: partition cols..., order col ASC/DESC..., frame
             assert "pid" in m.group(1), f"unpartitioned Window in plan: {line}"
     assert n_windows >= 1, f"no Window node found — vacuous test:\n{plan}"
+
+
+def test_selftraining_with_naivebayes_end_to_end(labeled_points):
+    """NB completes the reference's 4-classifier set DT/RF/NB/LR
+    (`SemiSupervisedAndBaseClassifiers.scala:140-143`); duck-typed
+    probabilistic contract must hold through a real ST fit. Gaussian
+    event model (signed embedding features). NB is seedless ->
+    deterministic: two fits agree exactly."""
+    from pyspark.ml.classification import NaiveBayes
+
+    from tfm_semisup_spark.operators.evaluation import evaluate_predictions
+
+    require_probabilistic(NaiveBayes())
+
+    data = DeterministicLabelMasker(
+        percentageLabeled=0.3, idCol="vec_id", seed=11
+    ).transform(labeled_points)
+
+    def fit_once():
+        model = SelfTraining(
+            baseClassifier=NaiveBayes(modelType="gaussian"),
+            threshold=0.75,
+            maxIter=3,
+        ).fit(data)
+        m = evaluate_predictions(model.transform(labeled_points))
+        return model.ss_summary, m
+
+    s1, m1 = fit_once()
+    s2, m2 = fit_once()
+    assert s1 == s2
+    assert m1 == m2
+    assert s1.labeled_final >= s1.labeled_initial
+    assert s1.labeled_final + s1.unlabeled_final == s1.labeled_initial + s1.unlabeled_initial
+    assert 0.0 <= m1.accuracy <= 1.0 and m1.n_rows == 500
+
+
+def test_cotraining_with_naivebayes_runs(labeled_points):
+    from pyspark.ml.classification import NaiveBayes
+
+    data = DeterministicLabelMasker(
+        percentageLabeled=0.4, idCol="vec_id", seed=11
+    ).transform(labeled_points)
+    model = CoTraining(
+        baseClassifier=NaiveBayes(modelType="gaussian"), threshold=0.7, maxIter=2
+    ).fit(data)
+    preds = model.transform(labeled_points)
+    assert preds.count() == 500
+    assert preds.select("prediction").distinct().count() <= 2
+
+
+def test_kbest_order_tie_break_partitioning_independent(spark):
+    """Tied probMax rows must be promoted identically under any
+    partitioning (ADVICE r1: bare desc(probMax).limit(k) leaves ties to
+    partition order). kbest_order adds a content hash tie-break."""
+    from pyspark.ml.linalg import Vectors
+
+    from tfm_semisup_spark.operators.self_training import kbest_order
+
+    rows = [
+        (Vectors.dense([float(i), float(i % 3)]), float(i % 2), 0.9)
+        for i in range(40)
+    ] + [
+        (Vectors.dense([100.0 + i, 0.0]), 1.0, 0.95) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["features", "prediction", "probMax"])
+    picks = []
+    for nparts in (1, 3, 11):
+        top = (
+            df.repartition(nparts)
+            .orderBy(*kbest_order("features"))
+            .limit(10)
+            .collect()
+        )
+        picks.append(sorted((tuple(r["features"]), r["prediction"]) for r in top))
+    assert picks[0] == picks[1] == picks[2]
+    # the 5 strictly-higher rows are always in
+    assert sum(1 for f, _ in picks[0] if f[0] >= 100.0) == 5

@@ -28,6 +28,7 @@ from tfm_semisup_spark.operators.results import SemiSupervisedSummary
 from tfm_semisup_spark.operators.self_training import (
     SelfTrainingModel,
     _SSCParams,
+    kbest_order,
     require_probabilistic,
 )
 from tfm_semisup_spark.functions.vector import prob_max
@@ -94,7 +95,7 @@ class CoTraining(Estimator, _SSCParams):
             rest = preds.where(~confident)
             n_promoted = promoted.count()
         else:
-            promoted = preds.orderBy(F.desc("probMax")).limit(k)
+            promoted = preds.orderBy(*kbest_order(feats)).limit(k)
             rest = preds.exceptAll(promoted)
             n_promoted = min(k, n_pool)
         as_labeled = promoted.select(feats, F.col("prediction").alias(label))

@@ -59,6 +59,46 @@ FAMILIES = ("selfTraining", "coTraining", "supervised")
 
 MASK_SEED = 11  # reference: `UnlabeledTransformer.scala:14`
 
+# reference Adult config (`SemiSupervisedAndBaseClassifiers.scala:399,463`;
+# `BaseClassifiers.scala:568-570`): a categorical feature has >32 distinct
+# values, so tree classifiers need maxBins raised to 42
+ADULT_MAX_BINS = 42
+
+
+def reference_classifiers(
+    seed: int = 5,
+    max_bins: int = 32,
+    nb_model_type: str = "multinomial",
+) -> dict[str, Callable[[], Estimator]]:
+    """The reference's 4-classifier set — DT, RF, NB, LR
+    (``SemiSupervisedAndBaseClassifiers.scala:140-143``), all Spark
+    defaults like the reference, plus the two published knobs:
+
+    - ``max_bins``: pass ``ADULT_MAX_BINS`` (42) to reproduce the Adult
+      config (``:399,463``) where a categorical feature exceeds the
+      32-bin default;
+    - ``nb_model_type``: the reference's ``new NaiveBayes()`` is
+      multinomial (non-negative features only — its KEEL/Adult inputs
+      are); pass ``'gaussian'`` for signed feature spaces such as
+      embeddings.
+
+    LinearSVC is deliberately absent: no probabilityCol, same exclusion
+    the reference applies for SSL (``SelfTraining.scala:17-24``).
+    """
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        LogisticRegression,
+        NaiveBayes,
+        RandomForestClassifier,
+    )
+
+    return {
+        "DT": lambda: DecisionTreeClassifier(seed=seed, maxBins=max_bins),
+        "RF": lambda: RandomForestClassifier(seed=seed, maxBins=max_bins),
+        "NB": lambda: NaiveBayes(modelType=nb_model_type),
+        "LR": lambda: LogisticRegression(),
+    }
+
 
 @dataclass(frozen=True)
 class GridCell:

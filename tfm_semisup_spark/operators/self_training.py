@@ -47,6 +47,24 @@ from tfm_semisup_spark.operators.results import SemiSupervisedSummary
 CRITERIA = ("threshold", "kBest")
 
 
+def kbest_order(features_col: str) -> list:
+    """Deterministic kBest promotion order: probMax descending, ties
+    broken by a hash of (features, prediction). The reference's
+    ``orderBy(desc("probMax")).limit(k)`` (`SelfTraining.scala:177`)
+    leaves tie-breaking to partition order — rerun- and
+    partitioning-sensitive, which violates this repo's determinism rule
+    for rows-only checks. The hash tie-break is content-defined, so the
+    same rows win regardless of cluster layout. (Identical duplicate
+    rows remain interchangeable — multiset semantics make either pick
+    equivalent.)"""
+    from pyspark.ml.functions import vector_to_array
+
+    return [
+        F.desc("probMax"),
+        F.xxhash64(vector_to_array(F.col(features_col)), F.col("prediction")),
+    ]
+
+
 def require_probabilistic(classifier) -> None:
     """Runtime stand-in for the reference's ProbabilisticClassifier
     generic bound (``SelfTraining.scala:17-24``): any classifier whose
@@ -262,7 +280,7 @@ class SelfTraining(Estimator, _SSCParams):
                 rest = preds.where(~confident)
                 n_promoted = promoted.count()
             else:
-                top_k = preds.orderBy(F.desc("probMax")).limit(k)
+                top_k = preds.orderBy(*kbest_order(feats)).limit(k)
                 rest = preds.exceptAll(top_k)
                 promoted = top_k
                 n_promoted = min(k, n_unlab)

@@ -101,6 +101,27 @@ def ssl_selftrain_kbest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ssl_selftrain_nb")
+def ssl_selftrain_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaiveBayes-backed SelfTraining — completes the reference's
+    4-classifier set DT/RF/NB/LR (`SemiSupervisedAndBaseClassifiers
+    .scala:140-143`). Gaussian event model because embeddings are
+    signed (the reference's multinomial default assumes non-negative
+    features; exercised on a scaled path in tests/test_baseline_parity
+    .py). NB has no seed param — fully deterministic."""
+    from pyspark.ml.classification import NaiveBayes
+
+    data = _masked(spark, sf_dir, 0.3)
+    st = SelfTraining(
+        baseClassifier=NaiveBayes(modelType="gaussian"), threshold=0.75, maxIter=3
+    )
+    model = st.fit(data)
+    return _result_row(
+        spark, "embeddings", "NB", "threshold", 0.3, 0.75, model,
+        _labeled_points(spark, sf_dir),
+    )
+
+
 @register("ssl_cotrain_threshold")
 def ssl_cotrain_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = _masked(spark, sf_dir, 0.3)
