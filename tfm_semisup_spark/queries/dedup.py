@@ -1,16 +1,24 @@
 """Deduplication operators (extension surface, SURVEY.md §2.3).
 
-Three tiers, each with the partition strategy that survives 100 TB:
+Tiers, and which to use at corpus scale (VERDICT r1):
 
 - exact: fingerprint = md5(text); dedup is a groupBy on the hash, which
-  shuffles only (hash, doc_id) pairs, never the text payload.
-- n-gram Jaccard: exact pairwise similarity over shared-shingle pairs —
-  the candidate join explodes only distinct shingles; at scale the
-  shingle->doc inverted index is the shuffle, with hot shingles (stop
-  n-grams) the skew risk (AQE skew-join + an optional document-frequency
-  cap handle it).
-- MinHash LSH (in operators/dedup.py): the scale path — constant-size
-  signatures + banded bucketing replace the quadratic candidate join.
+  shuffles only (hash, doc_id) pairs, never the text payload. Always
+  safe.
+- **Corpus-scale near-dup DEFAULTS**: MinHash LSH
+  (``operators/dedup.py``, constant-size signatures + banded bucketing
+  — no quadratic candidate join) or the DF-CAPPED n-gram Jaccard below
+  (``dedup_ngram_jaccard_capped``): dropping shingles with document
+  frequency > DF_CAP bounds every shingle's candidate contribution at
+  C(DF_CAP, 2), so total candidate volume is O(n_shingles · DF_CAP²)
+  — linear in the corpus for a fixed cap. The cap drops only
+  stop-shingles that carry no near-dup signal.
+- ``dedup_ngram_jaccard_pairs`` (UNCAPPED) is the ORACLE TIER: the
+  exact shared-shingle join is quadratic per hot shingle — a single
+  shingle present in every document generates C(n_docs, 2) candidate
+  pairs. Keep it for small/verified corpora and as the DuckDB-parity
+  reference; do not point it at an adversarial corpus
+  (``tests/test_dedup_skew.py`` measures exactly this blow-up).
 """
 
 from __future__ import annotations
@@ -61,6 +69,60 @@ def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingled_docs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles: array) — distinct word n-grams per doc,
+    JVM-side sequence+transform, no UDF. Explode for the inverted
+    index. Tokens are bound to a column before n-gramming: passing the
+    split expression directly would be re-evaluated per n-gram by
+    Catalyst lambda inlining (O(tokens²), measured 33.6s -> 4.4s in
+    SCALE.md)."""
+    tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        tokens.select(
+            "doc_id", F.array_distinct(word_ngrams(F.col("__w"), n)).alias("shingles")
+        )
+        .where(F.size("shingles") > 0)
+    )
+
+
+def candidate_pair_volume(tri: DataFrame) -> int:
+    """Number of candidate pairs the shared-shingle self-join would
+    generate: sum over shingles of C(df, 2). The scale-safety metric for
+    near-dup plans — the capped tier keeps this linear in the corpus."""
+    row = (
+        tri.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("vol"))
+        .head()
+    )
+    return int(row["vol"] or 0)
+
+
+def jaccard_pairs_from_index(tri: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Shared-shingle self-join -> pair intersection counts -> Jaccard
+    filter. Joint candidate volume is governed by the shingle document
+    frequencies of ``tri`` (see candidate_pair_volume) — feed it a
+    DF-capped index at corpus scale."""
+    a = tri.alias("a")
+    b = tri.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
+    # sizes is one row per doc — at corpus scale this is NOT broadcastable;
+    # plain equi-joins let AQE pick broadcast at small SF automatically.
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # Word-3-gram Jaccard near-dup pairs. Spark side builds shingles with
 # sequence+transform (JVM-side, no UDF), explodes the distinct-shingle
 # inverted index, and self-joins on shingle. 0.5 threshold.
@@ -91,43 +153,20 @@ WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.5
 
 @register("dedup_ngram_jaccard_pairs", NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE TIER — exact, uncapped. The shared-shingle join is
+    quadratic per hot shingle (C(df,2) candidates each); on adversarial
+    corpora use ``dedup_ngram_jaccard_capped`` or MinHash LSH (module
+    docstring). Kept as the DuckDB-parity reference."""
     # single-file parquet scans arrive as ONE partition (one row group);
     # hash-repartition by doc_id so shingle construction parallelizes —
     # at corpus scale this also pre-co-locates the doc-keyed joins below
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # bind tokens to a column before n-gramming: passing the split
-    # expression directly would be re-evaluated per n-gram (O(tokens²))
-    tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
-    shingled = (
-        tokens.select(
-            "doc_id", F.array_distinct(word_ngrams(F.col("__w"), 3)).alias("shingles")
-        )
-        .where(F.size("shingles") > 0)
-        .persist()  # reused by the index (twice via self-join) and sizes
-    )
+    shingled = shingled_docs(docs).persist()  # reused: self-join + sizes
     tri = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
     sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
-
-    a = tri.alias("a")
-    b = tri.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
-    # sizes is one row per doc — at corpus scale this is NOT broadcastable;
-    # plain equi-joins let AQE pick broadcast at small SF automatically.
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return jaccard_pairs_from_index(tri, sizes, 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -197,41 +236,29 @@ WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.5
 """
 
 
-@register("dedup_ngram_jaccard_capped", NGRAM_JACCARD_CAPPED_ORACLE)
-def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def df_capped_index(tri: DataFrame, cap: int = DF_CAP) -> DataFrame:
+    """Drop shingles with document frequency > cap (stop-shingle
+    removal). Bounds each shingle's candidate contribution at C(cap,2),
+    making total candidate volume linear in the corpus — THE knob that
+    makes exact n-gram Jaccard corpus-safe."""
     from pyspark.sql.window import Window
 
+    return (
+        tri.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .where(F.col("__df") <= cap)
+        .drop("__df")
+    )
+
+
+@register("dedup_ngram_jaccard_capped", NGRAM_JACCARD_CAPPED_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-PATH DEFAULT for exact n-gram Jaccard (with MinHash LSH
+    the other scale tier). DF-capped: candidate volume stays bounded
+    under planted hot shingles — proven by tests/test_dedup_skew.py."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
-    tri = (
-        tokens.select(
-            "doc_id", F.array_distinct(word_ngrams(F.col("__w"), 3)).alias("shingles")
-        )
-        .where(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-    )
-    kept = (
-        tri.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .where(F.col("__df") <= DF_CAP)
-        .drop("__df")
-        .persist()
-    )
+    tri = shingled_docs(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    kept = df_capped_index(tri).persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.alias("a")
-    b = kept.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return jaccard_pairs_from_index(kept, sizes, 0.5)

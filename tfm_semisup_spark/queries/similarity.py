@@ -81,6 +81,12 @@ WHERE list_inner_product(a.v, b.v)
 
 @register("similarity_pairs_above", PAIRS_ORACLE)
 def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE TIER — exact all-pairs over a fixed vec_id%20 subset.
+    The non-equi join compiles to BroadcastNestedLoopJoin: O(subset²),
+    by design bounded here and NOT the corpus path. For full-corpus
+    similarity pairs use the LSH tier (embedding_near_dup_pairs /
+    similarity_embedding_neardup_lsh in operators/dedup.py) — bucketed
+    candidates, never blind all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     sub = emb.where(F.col("vec_id") % 20 == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
