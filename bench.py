@@ -21,14 +21,18 @@ from tfm_semisup_spark.queries import QUERIES, load_all_queries
 from tfm_semisup_spark.session import get_spark
 
 # Headline set: one per operator family (join+agg, wide agg, window fns,
-# event-time windows, dedup exact->LSH, similarity, text, ML pipeline,
-# multimodal plumbing).
+# event-time windows, as-of/range joins, rollup, grouped-pandas, dedup
+# exact->LSH, similarity, text, ML pipeline, multimodal plumbing).
 HEADLINE = [
     "flagship_regional_revenue",
     "pricing_summary",
     "window_rank_top_order",
     "tumbling_window_hourly",
     "session_window_30m",
+    "asof_join_latest_order",
+    "range_join_event_pairs",
+    "daily_rollup_by_type",
+    "grouped_pandas_value_trend",
     "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
