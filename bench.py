@@ -52,16 +52,17 @@ def main() -> None:
     load_all_queries()
     spark = get_spark(app_name="tfm-semisup-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen/parquet-reader warmup outside the timed region: run the
-    # first headline query once untimed so steady-state throughput is
-    # measured, not first-query JIT + classloading
+    # JVM/codegen/classload warmup outside the timed region: run EVERY
+    # headline query once at the tiny SF so steady-state throughput is
+    # measured. First hits otherwise pay one-off costs per operator
+    # family (MLlib LSH classload ~5s, Python/Arrow worker startup ~3s,
+    # whole-stage-codegen compile) that a long-running cluster never
+    # sees again.
     spark.range(1000).selectExpr("sum(id)").collect()
-    QUERIES[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # MLlib/codegen warmup for the training path (tiny SF): the first ML
-    # fit in a JVM pays ~8s of classloading+JIT that steady state doesn't
-    QUERIES["ssl_selftrain_threshold"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
