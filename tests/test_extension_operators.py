@@ -159,3 +159,61 @@ def test_streaming_exactly_once_file_sink(spark, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 == 1000
     assert n2 == n1
+
+
+def test_value_trend_mapinpandas_equals_applyinpandas(spark):
+    """The scale path (mapInPandas over key-contiguous partitions, with
+    boundary-group carry-over) must reproduce the canonical
+    applyInPandas result exactly (round-6dp) — including single-row
+    users (slope NaN)."""
+    import math
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.grouped_pandas import (
+        per_user_value_trend,
+        per_user_value_trend_apply,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+
+    def norm(df):
+        return {
+            r["user_id"]: (
+                r["n"],
+                None
+                if r["slope"] is None or math.isnan(r["slope"])
+                else round(r["slope"], 6),
+            )
+            for r in df.collect()
+        }
+
+    fast = norm(per_user_value_trend(events))
+    ref = norm(per_user_value_trend_apply(events))
+    assert fast == ref
+    assert len(fast) > 0
+
+
+def test_value_trend_carry_over_across_batches(spark):
+    """Force multi-batch partitions (tiny Arrow batch size) so groups
+    straddle batch boundaries — the carry-over stitching must still
+    produce whole-group results."""
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.grouped_pandas import (
+        per_user_value_trend,
+        per_user_value_trend_apply,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        fast = {
+            (r["user_id"], r["n"]) for r in per_user_value_trend(events).collect()
+        }
+        ref = {
+            (r["user_id"], r["n"])
+            for r in per_user_value_trend_apply(events).collect()
+        }
+        assert fast == ref
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
