@@ -91,3 +91,27 @@ def test_read_failure_on_existing_rollup_raises(spark, tmp_path):
         incremental_refresh(spark, events, str(path))
     # the garbage is still there — nothing was overwritten
     assert (path / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
+def test_stream_rollup_sink_converges_to_full_recompute(spark, tmp_path):
+    """Streaming continuous aggregate: two micro-batches (one file each)
+    through foreachBatch+incremental_refresh must equal the batch
+    full-recompute rollup."""
+    from tfm_semisup_spark.streaming.events import stream_rollup_sink
+
+    events = load_table(spark, SF, "events")
+    cutoff = "2024-01-20"
+    src = str(tmp_path / "src")
+    events.where(F.col("ts") < cutoff).coalesce(1).write.parquet(f"{src}/part1")
+    events.where(F.col("ts") >= cutoff).coalesce(1).write.parquet(f"{src}/part2")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+    )
+    rollup = str(tmp_path / "rollup")
+    q = stream_rollup_sink(stream, rollup, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "expected one micro-batch per file"
+    assert _normalized(read_rollup(spark, rollup)) == _normalized(_aggregate(events))

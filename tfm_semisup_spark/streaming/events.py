@@ -118,3 +118,31 @@ def run_available_now(result: DataFrame, table_name: str, output_mode: str = "co
     )
     query.awaitTermination()
     return query
+
+
+def stream_rollup_sink(
+    events: DataFrame, rollup_path: str, checkpoint_dir: str
+):
+    """Continuous-aggregate maintenance: stream micro-batches into the
+    hypertable-style day rollup via ``foreachBatch`` +
+    ``incremental_refresh`` (operators/rollup_table.py). Each
+    micro-batch touches only its affected day partitions (dynamic
+    partition overwrite); the checkpoint gives exactly-once batch
+    replay, and count/sum partials are decomposable, so the
+    materialized table converges to the full-recompute answer
+    regardless of how events are split across micro-batches.
+
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what is present, then stops; call awaitTermination()).
+    """
+    from tfm_semisup_spark.operators.rollup_table import incremental_refresh
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_refresh(batch_df.sparkSession, batch_df, rollup_path)
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
