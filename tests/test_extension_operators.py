@@ -217,3 +217,69 @@ def test_value_trend_carry_over_across_batches(spark):
         assert fast == ref
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    """Hash-based sampling: identical across reruns/partitionings, full
+    keep for unlisted languages, approximate rate for listed ones."""
+    from tfm_semisup_spark.queries.corpus_prep import (
+        SAMPLE_RATES,
+        corpus_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {r["lang"]: (r["n_total"], r["n_kept"]) for r in corpus_stratified_sample(spark, sf).collect()}
+    r2 = {r["lang"]: (r["n_total"], r["n_kept"]) for r in corpus_stratified_sample(spark, sf).collect()}
+    assert r1 == r2
+    for lang, (total, kept) in r1.items():
+        rate = SAMPLE_RATES.get(lang, 1.0)
+        if rate == 1.0:
+            assert kept == total, lang
+        else:
+            assert 0 < kept < total, lang
+            # binomial-ish tolerance around the target rate
+            assert abs(kept / total - rate) < 0.2, (lang, kept / total, rate)
+
+
+def test_doc_chunks_cover_all_tokens_with_overlap(spark):
+    """Chunking invariants: every doc's token count is recoverable from
+    its chunk sizes (n_tokens sum == n_words + overlap double-count),
+    first chunk starts at 0, ids contiguous."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.queries.corpus_prep import (
+        CHUNK_STEP,
+        CHUNK_TOKENS,
+        doc_chunks_overlap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chunks = doc_chunks_overlap(spark, sf)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.sum("n_tokens").alias("tok_sum"),
+        )
+        .collect()
+    )
+    words = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+        )
+        .collect()
+    }
+    overlap = CHUNK_TOKENS - CHUNK_STEP
+    for r in per_doc:
+        n = words[r["doc_id"]]
+        assert r["max_id"] == r["n_chunks"] - 1  # contiguous ids from 0
+        # chunks tile the doc: sum of sizes = n + overlap re-counted once
+        # per chunk boundary (each non-first chunk re-reads `overlap`
+        # tokens, except a final short chunk that may hold fewer)
+        assert r["tok_sum"] >= n
+        assert r["tok_sum"] <= n + overlap * (r["n_chunks"] - 1)

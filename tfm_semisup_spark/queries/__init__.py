@@ -47,10 +47,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # FIRST 50 oracled entries of queries() in dict order. This list pins
 # the window to flagship + the 17 LLM-pipeline extension oracles
 # (dedup/similarity/text/windows/rollup/multimodal — round 1 shipped
-# them past the window with zero driver rows) + the 32 highest-value
-# relational/ML-shape oracles. Oracled entries NOT listed here (the
-# scalar-function batteries and grouping-set variants, all driver-green
-# in CORRECTNESS_r01) follow in module-import order, past the window.
+# them past the window with zero driver rows; round 2 adds
+# chunking/packing) + the highest-value relational/ML-shape oracles.
+# Oracled entries NOT listed here (the scalar-function batteries,
+# grouping-set variants and scalar/IN subqueries, all driver-green in
+# CORRECTNESS_r01) follow in module-import order, past the window.
 _ORACLE_PRIORITY = [
     "flagship_regional_revenue",
     # -- extension surface: every one of these needs a driver row --
@@ -95,8 +96,8 @@ _ORACLE_PRIORITY = [
     "grouped_pandas_value_trend",
     "embedding_norm_stats",
     "conditional_distinct_users",
-    "scalar_subquery_above_avg",
-    "in_subquery_urgent_lineitems",
+    "doc_chunks_overlap",
+    "pack_token_bins",
     "q3_shipping_priority",
     "q14_promo_revenue_share",
     "q18_large_volume_orders",
@@ -133,5 +134,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import windows  # noqa: F401
     from tfm_semisup_spark.queries import multimodal  # noqa: F401
     from tfm_semisup_spark.queries import ssl_queries  # noqa: F401
+    from tfm_semisup_spark.queries import corpus_prep  # noqa: F401
 
     _reorder_registries()

@@ -1,0 +1,163 @@
+"""Corpus preparation operators for LLM training-data pipelines
+(extension surface): document chunking with overlap, token-budget
+sequence packing, deterministic stratified sampling.
+
+All three are fully columnar (split/slice/sequence/window — no Python)
+and scale-safe: chunking is a narrow per-row explode; packing windows
+are PARTITIONED by a doc_id bucket (never a global sort); sampling is a
+stateless hash filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+CHUNK_TOKENS = 60
+CHUNK_STEP = 45  # 15-token overlap between consecutive chunks
+
+CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w, CAST(s AS BIGINT) AS s
+  FROM toks, UNNEST(generate_series(1, len(w), {CHUNK_STEP})) AS t(s)
+  WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_STEP} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(w, s, s + {CHUNK_TOKENS - 1})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(w, s, s + {CHUNK_TOKENS - 1}), ' ')) AS chunk_fp
+FROM starts
+"""
+
+
+@register("doc_chunks_overlap", CHUNKS_ORACLE)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding word-window chunking ({CHUNK_TOKENS} tokens, step
+    {CHUNK_STEP}) — the standard long-document -> training-sequence
+    split. Narrow per-row explode, no shuffle; chunk text is emitted as
+    an md5 fingerprint so the compare (and a real pipeline's dedup
+    join) moves hashes, not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    chunked = (
+        docs.select("doc_id", words.alias("w"))
+        .where(F.size("w") > 0)
+        # 0-based starts: 0, step, 2*step, ... < n_words
+        .select(
+            "doc_id",
+            "w",
+            F.posexplode(
+                F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_STEP))
+            ).alias("chunk_id", "start"),
+        )
+    )
+    chunk = F.slice(F.col("w"), F.col("start") + 1, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+CTX_TOKENS = 256
+N_BUCKETS = 32
+
+PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % {N_BUCKETS} AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT bucket, doc_id, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {CTX_TOKENS}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT bucket, bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM packed
+GROUP BY bucket, bin
+"""
+
+
+@register("pack_token_bins", PACK_ORACLE)
+def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign docs (in deterministic
+    doc_id order) to ~{CTX_TOKENS}-token bins via the cumulative-sum
+    bin id floor(cum_before / ctx). Docs may straddle a bin boundary —
+    the streaming-concat packing used by most LLM data loaders, not
+    strict first-fit (which is inherently sequential). The window is
+    PARTITIONED by a doc_id bucket: each bucket packs independently,
+    so no global sort exists at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_BUCKETS).alias("bucket"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / CTX_TOKENS),
+    )
+    return packed.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+# Per-language sampling rates: downsample the high-resource languages,
+# keep everything else (the standard corpus-mixing move).
+SAMPLE_RATES = {"en": 0.5, "zh": 0.7}
+SAMPLE_SEED = 17
+_RATE_DENOM = 10_000
+
+
+@register("corpus_stratified_sample")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: doc kept iff
+    pmod(xxhash64(doc_id, seed), 10000) < rate(lang) * 10000 — a
+    content-keyed hash filter, so membership is stable across reruns,
+    partitionings and cluster sizes (no RNG state). Rows-only check:
+    xxhash64 has no DuckDB equivalent. Returns per-language kept/total
+    so the check pins exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in SAMPLE_RATES.items()
+        ],
+        F.lit(1.0),
+    )
+    kept = (
+        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(SAMPLE_SEED)), F.lit(_RATE_DENOM))
+        < rate * _RATE_DENOM
+    )
+    return (
+        docs.select("lang", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+    )
