@@ -283,3 +283,66 @@ def test_doc_chunks_cover_all_tokens_with_overlap(spark):
         # tokens, except a final short chunk that may hold fewer)
         assert r["tok_sum"] >= n
         assert r["tok_sum"] <= n + overlap * (r["n_chunks"] - 1)
+
+
+def test_ann_batch_topk_recall_vs_exact(spark):
+    """LSH-amortized batch ANN must agree with the exact batch top-k on
+    most neighbors (euclidean vs cosine rankings differ only through
+    vector norms here, so compare against exact EUCLIDEAN top-k), and
+    be deterministic across runs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.similarity import (
+        ann_top_k_batch,
+        build_ann_index,
+        with_feature_vectors,
+    )
+    from tfm_semisup_spark.queries.similarity import BATCH_TOPK_K
+
+    sf = "/root/testdata/sf0.001"
+    emb = with_feature_vectors(load_table(spark, sf, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "features"
+    )
+    corpus = emb.where(F.col("vec_id") % 100 != 1)
+    model = build_ann_index(emb)
+
+    def run():
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in ann_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K).collect()
+        }
+
+    got = run()
+    assert got == run()  # deterministic
+
+    # exact euclidean batch top-k via the same partitioned-rank shape
+    qd = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cd = emb.where(F.col("vec_id") % 100 != 1).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cd.crossJoin(F.broadcast(qd))
+        .select("query_id", "vec_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BATCH_TOPK_K)
+        .collect()
+    }
+    n_queries = len({q for q, _ in exact})
+    assert n_queries >= 3
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, f"batch ANN recall {recall:.2f} vs exact"

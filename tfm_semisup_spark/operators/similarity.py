@@ -123,3 +123,35 @@ def ivf_top_k(
         .limit(k)
         .select(id_col, F.round("__d", 4).alias("euclidean"))
     )
+
+
+def ann_top_k_batch(
+    model,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_distance: float = 5.0,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k per query for a whole QUERY SET in one pass:
+    ``approxSimilarityJoin`` compares only same-LSH-bucket pairs (the
+    bucketing amortizes across queries — this is where LSH beats N
+    single-query scans), then a per-query PARTITIONED rank window takes
+    k. Deterministic: seeded hyperplanes + (dist, id) tie-break."""
+    from pyspark.sql.window import Window
+
+    joined = model.approxSimilarityJoin(queries, corpus, max_distance, distCol="dist")
+    w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+    return (
+        joined.select(
+            F.col(f"datasetA.{query_id_col}").alias(query_id_col),
+            F.col(f"datasetB.{id_col}").alias(id_col),
+            F.col("dist"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            query_id_col, id_col, F.round("dist", 4).alias("euclidean")
+        )
+    )

@@ -145,3 +145,83 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_top_k(
         model, bucketed.where(F.col("vec_id") != 0), q, k=10, n_probe=3
     )
+
+
+# Batch top-k: the SAME broadcast-small-side + per-query PARTITIONED
+# rank pattern that serves a production retrieval batch. Ranking uses
+# round-6 similarity (+vec_id) so the k-th boundary is decided
+# identically by both engines regardless of float summation order.
+BATCH_TOPK_K = 5
+
+BATCH_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 1
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, ROUND(sim, 4) AS cosine_sim
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(sim, 6) DESC, vec_id) <= {BATCH_TOPK_K}
+"""
+
+
+@register("similarity_topk_batch", BATCH_TOPK_ORACLE)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch retrieval: broadcast the (small) query set against
+    the corpus scan — one narrow pass whatever the corpus size — then a
+    per-query PARTITIONED window takes k. The scale shape for 'embed a
+    batch of prompts, retrieve k docs each'; the LSH-amortized variant
+    is ann_top_k_batch (operators/similarity.py, rows-only)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("emb_d"), F.col("qv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 6)), "vec_id"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= BATCH_TOPK_K)
+        .select("query_id", "vec_id", F.round("sim", 4).alias("cosine_sim"))
+    )
+
+
+@register("similarity_ann_batch_topk")
+def similarity_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-amortized batch ANN (rows-only: bucketing is engine-side).
+    Same query set as similarity_topk_batch; recall vs the exact batch
+    is asserted in tests/test_extension_operators.py."""
+    from tfm_semisup_spark.operators.similarity import (
+        ann_top_k_batch,
+        build_ann_index,
+        with_feature_vectors,
+    )
+
+    emb = with_feature_vectors(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "features"
+    )
+    corpus = emb.where(F.col("vec_id") % 100 != 1)
+    model = build_ann_index(emb)
+    return ann_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K)
