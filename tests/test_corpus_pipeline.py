@@ -58,3 +58,58 @@ def test_full_chain_single_plan_and_enrichment(spark):
     # chain is deterministic
     again = sorted(r["doc_id"] for r in pipe.df().collect())
     assert again == sorted(r["doc_id"] for r in rows)
+
+
+def test_pipeline_sample_chunk_pack_end_to_end(spark):
+    """Round-2 corpus-prep stages compose with the round-1 chain into
+    one lazy plan: sample -> chunk -> pack; invariants checked."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.pipeline import CorpusPipeline
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = (
+        CorpusPipeline.from_documents(docs)
+        .stratified_sample({"en": 0.5}, seed=17)
+        .chunk(chunk_tokens=40, step=30)
+        .pack(ctx_tokens=128, n_buckets=8)
+        .df()
+    )
+    rows = out.collect()
+    assert rows
+
+    # sampling: en is reduced, other languages fully kept (doc granularity)
+    n_docs_en = len({r["doc_id"] for r in rows if r["lang"] == "en"})
+    total_en = docs.where(F.col("lang") == "en").count()
+    assert 0 < n_docs_en < total_en
+    n_docs_de = len({r["doc_id"] for r in rows if r["lang"] == "de"})
+    assert n_docs_de == docs.where(F.col("lang") == "de").count()
+
+    # chunking: chunk text <= 40 tokens, ids contiguous from 0 per doc
+    for r in rows:
+        assert 1 <= len(r["text"].split()) <= 40
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_id"])
+    for ids in by_doc.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+    # packing: bins within a bucket are contiguous from 0
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["pack_bucket"], set()).add(r["pack_bin"])
+    for bins in by_bucket.values():
+        assert bins == set(range(len(bins)))
+
+    # determinism end-to-end
+    again = (
+        CorpusPipeline.from_documents(docs)
+        .stratified_sample({"en": 0.5}, seed=17)
+        .chunk(chunk_tokens=40, step=30)
+        .pack(ctx_tokens=128, n_buckets=8)
+        .df()
+        .collect()
+    )
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))

@@ -115,3 +115,74 @@ class CorpusPipeline:
         return self._next(
             self._df.withColumn(out_col, F.size(self._tokens()).cast("long"))
         )
+
+    # -- corpus-prep steps (round 2): sampling, chunking, packing --------
+
+    def stratified_sample(
+        self, rates: dict[str, float], seed: int = 17, lang_col: str = "lang"
+    ) -> "CorpusPipeline":
+        """Deterministic per-language downsampling: keep iff
+        pmod(xxhash64(id, seed), 10000) < rate*10000 (unlisted languages
+        keep everything). Stateless hash filter — membership is stable
+        across reruns, partitionings and cluster sizes."""
+        rate = F.coalesce(
+            *[F.when(F.col(lang_col) == lang, F.lit(r)) for lang, r in sorted(rates.items())],
+            F.lit(1.0),
+        )
+        kept = (
+            F.pmod(F.xxhash64(F.col(self.id_col), F.lit(seed)), F.lit(10_000))
+            < rate * 10_000
+        )
+        return self._next(self._df.where(kept))
+
+    def chunk(self, chunk_tokens: int = 60, step: int = 45) -> "CorpusPipeline":
+        """Explode documents into overlapping word-window chunks; the
+        text column is REPLACED by the chunk text and a `chunk_id`
+        column is added (all other columns ride along). Narrow per-row
+        explode — no shuffle."""
+        toks = self._tokens()
+        other = [c for c in self._df.columns if c != self.text_col]
+        exploded = (
+            self._df.withColumn("__w", toks)
+            .where(F.size("__w") > 0)
+            .select(
+                *other,
+                "__w",
+                F.posexplode(
+                    F.sequence(F.lit(0), F.size("__w") - 1, F.lit(step))
+                ).alias("chunk_id", "__start"),
+            )
+        )
+        chunk_text = F.array_join(
+            F.slice(F.col("__w"), F.col("__start") + 1, chunk_tokens), " "
+        )
+        return self._next(
+            exploded.select(
+                *other, F.col("chunk_id").cast("long").alias("chunk_id"),
+                chunk_text.alias(self.text_col),
+            )
+        )
+
+    def pack(
+        self, ctx_tokens: int = 256, n_buckets: int = 32
+    ) -> "CorpusPipeline":
+        """Assign rows (deterministic id order) to ~ctx_tokens bins via
+        the cumulative-token bin id, windowed PER id-BUCKET so no global
+        sort exists at any scale. Adds `pack_bucket` and `pack_bin`."""
+        from pyspark.sql.window import Window
+
+        toks = F.size(self._tokens()).cast("long")
+        w = (
+            Window.partitionBy("pack_bucket")
+            .orderBy(self.id_col, "chunk_id" if "chunk_id" in self._df.columns else self.id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tokened = self._df.withColumn("__nt", toks).withColumn(
+            "pack_bucket", F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(n_buckets))
+        )
+        return self._next(
+            tokened.withColumn(
+                "pack_bin",
+                F.floor((F.sum("__nt").over(w) - F.col("__nt")) / ctx_tokens),
+            ).drop("__nt")
+        )
