@@ -346,3 +346,60 @@ def test_ann_batch_topk_recall_vs_exact(spark):
     assert n_queries >= 3
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, f"batch ANN recall {recall:.2f} vs exact"
+
+
+def test_ivf_batch_topk_recall_and_determinism(spark):
+    """Columnar batch IVF: deterministic, candidate set restricted to
+    probed buckets, decent recall vs exact euclidean top-k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_top_k_batch,
+        with_feature_vectors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = with_feature_vectors(load_table(spark, sf, "embeddings"))
+    model, bucketed = build_ivf_index(emb)
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "features"
+    )
+    corpus = bucketed.where(F.col("vec_id") % 100 != 1)
+
+    def run():
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_top_k_batch(model, corpus, queries, k=5, n_probe=4).collect()
+        }
+
+    got = run()
+    assert got == run()
+
+    qd = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    cd = emb.where(F.col("vec_id") % 100 != 1).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cd.crossJoin(F.broadcast(qd))
+        .select("query_id", "vec_id", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"IVF batch recall {recall:.2f} (n_probe=4/16 buckets)"

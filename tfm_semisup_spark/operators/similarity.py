@@ -155,3 +155,67 @@ def ann_top_k_batch(
             query_id_col, id_col, F.round("dist", 4).alias("euclidean")
         )
     )
+
+
+def ivf_top_k_batch(
+    kmeans_model,
+    bucketed: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vector_col: str = "features",
+) -> DataFrame:
+    """Batch IVF retrieval, fully columnar (no per-query driver work):
+
+    1. centroids (tiny) broadcast-cross-joined to the query set; a
+       per-query PARTITIONED rank keeps the n_probe nearest buckets;
+    2. the corpus joins the probe list on ``ivf_bucket`` — a broadcast
+       hash join when the query set is small, so each corpus row is
+       compared only against queries probing ITS bucket
+       (~n_probe/num_centroids of the query set);
+    3. exact distance + per-query partitioned rank takes k.
+
+    Deterministic: k-means is seeded, ties broken on (dist, id).
+    """
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql.window import Window
+
+    spark = bucketed.sparkSession
+    centers_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(kmeans_model.clusterCenters())
+        ],
+        "ivf_bucket int, center array<double>",
+    )
+
+    def sq_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    qarr = vector_to_array(F.col(vector_col)).cast("array<double>")
+    w_probe = Window.partitionBy(query_id_col).orderBy("__cd", "ivf_bucket")
+    probes = (
+        queries.select(query_id_col, qarr.alias("__qv"))
+        .crossJoin(F.broadcast(centers_df))
+        .withColumn("__cd", sq_dist(F.col("__qv"), F.col("center")))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qv", "ivf_bucket")
+    )
+
+    carr = vector_to_array(F.col(vector_col)).cast("array<double>")
+    w_k = Window.partitionBy(query_id_col).orderBy("__d", id_col)
+    return (
+        bucketed.select(id_col, "ivf_bucket", carr.alias("__cv"))
+        .join(F.broadcast(probes), "ivf_bucket")
+        .withColumn("__d", F.sqrt(sq_dist(F.col("__cv"), F.col("__qv"))))
+        .withColumn("__rn", F.row_number().over(w_k))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("__d", 4).alias("euclidean"))
+    )

@@ -161,3 +161,18 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("kept").cast("long")).alias("n_kept"),
         )
     )
+
+
+@register("pack_first_fit_bins")
+def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict first-fit packing summary (rows-only: the sequential
+    per-bucket pass is not SQL-expressible; determinism from hash
+    buckets + id order). Invariants proven in tests/test_packing.py."""
+    from tfm_semisup_spark.operators.packing import pack_first_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_first_fit(docs, ctx_tokens=CTX_TOKENS, n_buckets=N_BUCKETS)
+    return packed.groupBy("pack_bucket", "pack_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )

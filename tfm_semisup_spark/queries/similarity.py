@@ -225,3 +225,25 @@ def similarity_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 100 != 1)
     model = build_ann_index(emb)
     return ann_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K)
+
+
+@register("similarity_ivf_batch_topk")
+def similarity_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF retrieval (rows-only: k-means bucketing is engine-
+    side). Columnar probe assignment — broadcast centroids, per-query
+    partitioned rank for n_probe buckets, bucket-join to the corpus —
+    no per-query driver loop. Recall vs exact asserted in
+    tests/test_extension_operators.py."""
+    from tfm_semisup_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_top_k_batch,
+        with_feature_vectors,
+    )
+
+    emb = with_feature_vectors(load_table(spark, sf_dir, "embeddings"))
+    model, bucketed = build_ivf_index(emb)
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "features"
+    )
+    corpus = bucketed.where(F.col("vec_id") % 100 != 1)
+    return ivf_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K, n_probe=4)
