@@ -1,0 +1,122 @@
+"""Connected components over near-duplicate pair graphs.
+
+The dedup tier produces PAIR lists (MinHash LSH / SimHash / capped
+n-gram Jaccard); a real corpus dedup needs CLUSTERS — each document
+assigned the min doc_id reachable through near-dup edges, so one
+canonical keeper survives per cluster (transitive closure, same
+semantics as the union-find pass most pipeline stacks run after LSH).
+
+Algorithm: iterative min-label propagation with a pointer-jumping step
+(label-of-label) each round, so convergence is O(log diameter) rounds
+instead of O(diameter) — the property that matters on adversarial
+chain-shaped clusters at 100 TB. Each round is two shuffles of
+(node, label) pairs only (never document payloads):
+
+  1. neighbor-min: edges ⋈ labels, groupBy node, min(label);
+  2. pointer jump:  labels ⋈ labels on (label = node).
+
+Lineage is truncated each round (localCheckpoint; pass
+``checkpoint_dir`` for durable truncation on a preemptible cluster —
+same discipline as SelfTraining, operators/self_training.py).
+Termination is exact: iterate until a round changes zero labels
+(convergence detected via a count aggregate, a scalar per round).
+
+Deterministic: the component label is min(doc_id) over the cluster —
+content-defined, independent of partitioning and execution order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    if checkpoint_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) for every node incident to an edge in
+    ``pairs``; component = min node id reachable.
+
+    ``pairs`` is an undirected edge list (one row per pair, either
+    orientation). max_iter bounds the driver loop; with pointer
+    jumping, 25 rounds covers clusters of diameter ~2^25 — effectively
+    any graph. Raises if not converged (never silently wrong).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    edges = _truncate(edges, checkpoint_dir)
+
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels = _truncate(labels, checkpoint_dir)
+
+    for _ in range(max_iter):
+        # 1. min label over the open neighborhood
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # 2. pointer jump: label <- label(label) (path halving)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        jumped = _truncate(jumped, checkpoint_dir)
+
+        changed = (
+            labels.alias("old")
+            .join(jumped.alias("new"), "node")
+            .where(F.col("old.label") != F.col("new.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def cluster_keepers(components: DataFrame) -> DataFrame:
+    """(component, n_members) per near-dup cluster; the component label
+    IS the keeper doc_id (min of the cluster), so deletion lists are
+    `members where node != component`."""
+    return components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -104,6 +104,9 @@ _ORACLE_PRIORITY = [
     "dedup_planted_duplicates",
     "dedup_embedding_cosine_pairs",
     "dedup_incremental_new_docs",
+    # round-2 addition: cluster closure — needs its first driver row;
+    # dedup_exact_stats (r01 driver-green) yields the 50th slot to it.
+    "dedup_cluster_components",
     "dedup_exact_stats",
 ]
 

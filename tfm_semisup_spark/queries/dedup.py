@@ -262,3 +262,63 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = df_capped_index(tri).persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return jaccard_pairs_from_index(kept, sizes, 0.5)
+
+
+# Transitive closure of the capped near-dup pair graph: every document
+# incident to a near-dup edge is assigned the min doc_id reachable
+# through edges (its cluster keeper). Spark side: iterative min-label
+# propagation with pointer jumping (operators/components.py); oracle:
+# recursive CTE over the identical capped pair construction.
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+kept AS (
+  SELECT doc_id, shingle FROM tri
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc_id
+  JOIN sizes sb ON p.doc_b = sb.doc_id
+  WHERE p.shared * 1.0 / (sa.n + sb.n - p.shared) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jac
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM jac
+),
+walk(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, MIN(label) AS component
+FROM walk GROUP BY node
+"""
+
+
+@register("dedup_cluster_components", CLUSTER_ORACLE)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the corpus-default capped Jaccard pairs:
+    transitive closure via O(log diameter) min-label propagation
+    (operators/components.py). component == keeper doc_id; the
+    deletion list is rows where doc_id != component."""
+    from tfm_semisup_spark.operators.components import connected_components
+
+    pairs = dedup_ngram_jaccard_capped(spark, sf_dir)
+    comp = connected_components(pairs)
+    return comp.select(F.col("node").alias("doc_id"), "component")
