@@ -1,0 +1,75 @@
+"""Gopher/C4 quality rule chain (operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.quality import (
+    filter_quality_gopher,
+    with_quality_flags,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc(doc_id, text):
+    return (doc_id, text, "en", "srcT", len(text))
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_each_rule_kills_its_planted_violator(spark):
+    good = "the a " + " ".join(f"tok{i}" for i in range(40))
+    planted = [
+        _doc(1, good),                                     # passes all
+        _doc(2, "the a short doc only"),                   # word_count (<20)
+        _doc(3, "the a " + " ".join(["zz"] * 48)),         # mwl<3 + ttr
+        _doc(4, "the a " + " ".join(f"w{'x' * 12}{i}" for i in range(40))),  # mwl>8
+        _doc(5, "the a " + " ".join(["0123"] * 4) + " " + " ".join(f"n{i}" for i in range(40))),
+        _doc(6, " ".join(f"tok{i}" for i in range(40))),   # no stopwords
+    ]
+    df = with_quality_flags(spark.createDataFrame(planted, DOC_SCHEMA))
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert got[1]["quality_pass"]
+    assert not got[2]["word_count"]
+    assert not got[3]["mean_word_len"] and not got[3]["type_token_ratio"]
+    assert not got[4]["mean_word_len"]
+    assert not got[6]["stopword_signal"]
+    for d in (2, 3, 4, 6):
+        assert not got[d]["quality_pass"]
+
+
+def test_alpha_ratio_rule_fires_on_numeric_soup(spark):
+    digits = "the a " + " ".join(str(1000 + i) for i in range(38))
+    df = with_quality_flags(spark.createDataFrame([_doc(1, digits)], DOC_SCHEMA))
+    row = df.head()
+    assert not row["alpha_ratio"] and not row["quality_pass"]
+
+
+def test_empty_doc_fails_closed_not_null(spark):
+    df = with_quality_flags(spark.createDataFrame([_doc(1, " ")], DOC_SCHEMA))
+    row = df.head()
+    assert row["quality_pass"] is False  # not None: fail-closed
+
+
+def test_filter_equals_flag_projection_on_corpus(spark):
+    docs = load_table(spark, SF, "documents")
+    kept = {r["doc_id"] for r in filter_quality_gopher(docs).select("doc_id").collect()}
+    flagged = {
+        r["doc_id"]
+        for r in with_quality_flags(docs).where("quality_pass").select("doc_id").collect()
+    }
+    assert kept == flagged
+    assert 0 < len(kept) < docs.count()  # live signal both ways
+
+
+def test_pipeline_stage_and_plan_shape(spark):
+    from tfm_semisup_spark.pipeline import CorpusPipeline
+
+    docs = load_table(spark, SF, "documents")
+    out = CorpusPipeline.from_documents(docs).filter_quality_gopher().df()
+    assert out.count() == filter_quality_gopher(docs).count()
+    # pure narrow filter: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -102,6 +102,16 @@ class CorpusPipeline:
             cond = cond & (stop_count * 1.0 / F.size(toks) <= max_stop_ratio)
         return self._next(self._df.where(cond))
 
+    def filter_quality_gopher(self, **overrides) -> "CorpusPipeline":
+        """Gopher/C4-style rule-chain preset (operators/quality.py):
+        word count, mean word length, alphabetic ratio, type-token
+        ratio, stopword signal — all columnar, one where()."""
+        from tfm_semisup_spark.operators.quality import filter_quality_gopher
+
+        return self._next(
+            filter_quality_gopher(self._df, text_col=self.text_col, **overrides)
+        )
+
     # -- enrichment ------------------------------------------------------
 
     def with_fingerprints(self) -> "CorpusPipeline":

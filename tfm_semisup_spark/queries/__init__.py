@@ -103,10 +103,11 @@ _ORACLE_PRIORITY = [
     "q18_large_volume_orders",
     "dedup_planted_duplicates",
     "dedup_embedding_cosine_pairs",
-    "dedup_incremental_new_docs",
-    # round-2 addition: cluster closure — needs its first driver row;
-    # dedup_exact_stats (r01 driver-green) yields the 50th slot to it.
+    # round-2 additions needing their first driver row; the two r01
+    # driver-green entries below them yield the 49th/50th slots.
+    "quality_rule_report",
     "dedup_cluster_components",
+    "dedup_incremental_new_docs",
     "dedup_exact_stats",
 ]
 

@@ -223,3 +223,71 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens())).cast("long").alias("total_tokens"),
     )
+
+
+# Gopher/C4-style quality rule chain (operators/quality.py): per-source
+# rule-fail counts + survivors. Rules are pure columnar expressions;
+# the report and the filter share them, so this one query oracle-checks
+# the whole rule family end-to-end.
+QUALITY_RULES_ORACLE = """
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+f AS (
+  SELECT source,
+         len(w) AS n,
+         list_avg(list_transform(w, x -> len(x))) AS mwl,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(w) AS alpha,
+         len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+         len(list_distinct(list_filter(w, x -> x IN ('the', 'a')))) AS stop
+  FROM t WHERE len(w) > 0
+),
+flags AS (
+  SELECT source,
+         (n BETWEEN 20 AND 1000) AS word_count,
+         (mwl >= 3.0 AND mwl <= 8.0) AS mean_word_len,
+         (alpha >= 0.8) AS alpha_ratio,
+         (ttr >= 0.35) AS type_token_ratio,
+         (stop >= 2) AS stopword_signal
+  FROM f
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       CAST(SUM(CASE WHEN NOT mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN NOT alpha_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_ratio,
+       CAST(SUM(CASE WHEN NOT type_token_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_type_token_ratio,
+       CAST(SUM(CASE WHEN NOT stopword_signal THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword_signal,
+       CAST(SUM(CASE WHEN word_count AND mean_word_len AND alpha_ratio
+                      AND type_token_ratio AND stopword_signal
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags
+GROUP BY source
+"""
+
+
+@register("quality_rule_report", QUALITY_RULES_ORACLE)
+def quality_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule audit table: how many docs each rule kills, per
+    source, plus survivors — the measure-before-you-drop report every
+    corpus-prep run needs. Single narrow scan; no shuffle beyond the
+    final 20-group agg."""
+    from tfm_semisup_spark.operators.quality import with_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.where(F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0)
+    flags = with_quality_flags(docs)
+    rule_names = [
+        "word_count",
+        "mean_word_len",
+        "alpha_ratio",
+        "type_token_ratio",
+        "stopword_signal",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum((~F.col(r)).cast("long")).alias(f"fail_{r}") for r in rule_names
+    ]
+    aggs.append(F.sum(F.col("quality_pass").cast("long")).alias("n_pass"))
+    return flags.groupBy("source").agg(*aggs)
