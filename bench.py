@@ -11,6 +11,7 @@ not driver-side row transfer.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -35,10 +36,12 @@ HEADLINE = [
     "grouped_pandas_value_trend",
     "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs",
+    "dedup_cluster_components",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "similarity_cosine_topk",
     "text_stats_by_lang",
+    "quality_rule_report",
     "multimodal_feature_stub",
     "ssl_selftrain_threshold",
 ]
@@ -70,6 +73,15 @@ def main() -> None:
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # Isolate queries from each other: drop cached plans, then force
+        # a py->JVM GC so the ContextCleaner frees persist()/checkpoint
+        # blocks whose handles just went out of scope. Without this,
+        # storageFraction-protected leftovers steal execution memory
+        # from the next query (measured: MinHash 6s -> 65s when run
+        # after the components query on a 24g heap that never GC'd).
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -24,6 +24,7 @@ from pyspark.ml import Estimator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tfm_semisup_spark.operators.lineage import release
 from tfm_semisup_spark.operators.results import SemiSupervisedSummary
 from tfm_semisup_spark.operators.self_training import (
     SelfTrainingModel,
@@ -151,16 +152,26 @@ class CoTraining(Estimator, _SSCParams):
             # budget from the TOTAL unlabeled pool (`CoTraining.scala:199`)
             k = int(round(self.getOrDefault(self.kBest) * n_unlab_ini / (max_iter - 1)))
 
+        # pool_src_{1,2}: the checkpoint each view's `unlabX` lazily
+        # reads from; freed once the round's scoring re-materializes it
+        # into predsX (operators/lineage.py:release)
+        pool_src1, pool_src2 = unlab1, unlab2
         while it < max_iter and n_unlab1 > 0 and n_unlab2 > 0:
             preds1 = self._score(model1, unlab1)
             preds2 = self._score(model2, unlab2)
+            release(pool_src1)
+            release(pool_src2)
+            pool_src1, pool_src2 = preds1, preds2
             promo1, unlab1, n_promo1 = self._promote(preds1, k, n_unlab1)
             promo2, unlab2, n_promo2 = self._promote(preds2, k, n_unlab2)
 
             # cross-teaching: view 1 learns from view 2's confident labels
             # and vice versa (`CoTraining.scala:172-173`)
-            lab1 = self._truncate_lineage(lab1.unionAll(promo2))
-            lab2 = self._truncate_lineage(lab2.unionAll(promo1))
+            grown1 = self._truncate_lineage(lab1.unionAll(promo2))
+            grown2 = self._truncate_lineage(lab2.unionAll(promo1))
+            release(lab1)
+            release(lab2)
+            lab1, lab2 = grown1, grown2
             n_unlab1 -= n_promo1
             n_unlab2 -= n_promo2
             n_lab1 += n_promo2
@@ -182,4 +193,8 @@ class CoTraining(Estimator, _SSCParams):
         # final model: fit on the union of both views' pools
         # (`CoTraining.scala:251`)
         final_model = base.fit(lab1.unionAll(lab2))
+        release(pool_src1)
+        release(pool_src2)
+        release(lab1)
+        release(lab2)
         return SelfTrainingModel(final_model, summary)

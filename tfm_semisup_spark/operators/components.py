@@ -30,14 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
-    if checkpoint_dir:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
-            sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+from tfm_semisup_spark.operators.lineage import release, truncate
 
 
 def connected_components(
@@ -60,14 +53,14 @@ def connected_components(
         .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    edges = _truncate(edges, checkpoint_dir)
+    edges = truncate(edges, checkpoint_dir)
 
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    labels = _truncate(labels, checkpoint_dir)
+    labels = truncate(labels, checkpoint_dir)
 
     for _ in range(max_iter):
         # 1. min label over the open neighborhood
@@ -98,7 +91,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        jumped = _truncate(jumped, checkpoint_dir)
+        jumped = truncate(jumped, checkpoint_dir)
 
         changed = (
             labels.alias("old")
@@ -106,10 +99,14 @@ def connected_components(
             .where(F.col("old.label") != F.col("new.label"))
             .count()
         )
+        release(labels)  # superseded round's blocks, freed eagerly
         labels = jumped
         if changed == 0:
+            release(edges)
             return labels.select("node", F.col("label").alias("component"))
 
+    release(edges)
+    release(labels)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.functions.vector import prob_max
+from tfm_semisup_spark.operators.lineage import release
 from tfm_semisup_spark.operators.results import SemiSupervisedSummary
 
 CRITERIA = ("threshold", "kBest")
@@ -119,14 +120,11 @@ class _SSCParams(Params):
         physical concern). localCheckpoint is fast but pins blocks to
         executors — on a real cluster with dynamic allocation or
         preemption, set checkpointDir to durable storage and pay the
-        write for restart-safety."""
-        target = self.getOrDefault(self.checkpointDir)
-        if target:
-            sc = df.sparkSession.sparkContext
-            if sc.getCheckpointDir() != target:
-                sc.setCheckpointDir(target)
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        write for restart-safety. Superseded checkpoints are freed
+        eagerly in the fit loops (operators/lineage.py:release)."""
+        from tfm_semisup_spark.operators.lineage import truncate
+
+        return truncate(df, self.getOrDefault(self.checkpointDir) or None)
 
 
 class SelfTrainingModel(Model):
@@ -271,8 +269,14 @@ class SelfTraining(Estimator, _SSCParams):
             # (`SelfTraining.scala:173`)
             k = int(round(self.getOrDefault(self.kBest) * n_unlab / (max_iter - 1))) if max_iter > 1 else 0
 
+        prev_preds = None
         while it < max_iter and n_unlab > 0:
             preds = self._predict_pool(model, unlabeled)
+            # `unlabeled` (a lazy select over the previous round's preds
+            # checkpoint) was just re-materialized into `preds`; the old
+            # blocks are now unreachable — free them before the fit.
+            release(prev_preds)
+            prev_preds = preds
             if criterion == "threshold":
                 t = self.getOrDefault(self.threshold)
                 confident = F.col("probMax") > t
@@ -285,11 +289,13 @@ class SelfTraining(Estimator, _SSCParams):
                 promoted = top_k
                 n_promoted = min(k, n_unlab)
 
-            labeled = self._truncate_lineage(
+            grown = self._truncate_lineage(
                 labeled.unionAll(
                     promoted.select(feats, F.col("prediction").alias(label))
                 )
             )
+            release(labeled)
+            labeled = grown
             unlabeled = rest.select(feats, F.col("prediction").alias(label))
             n_lab += n_promoted
             n_unlab -= n_promoted
@@ -300,6 +306,8 @@ class SelfTraining(Estimator, _SSCParams):
             else:
                 break
 
+        release(prev_preds)
+        release(labeled)
         summary = SemiSupervisedSummary(
             labeled_initial=n_lab_ini,
             unlabeled_initial=n_unlab_ini,
