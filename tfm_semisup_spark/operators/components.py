@@ -62,6 +62,7 @@ def connected_components(
     )
     labels = truncate(labels, checkpoint_dir)
 
+    ckpt = labels  # handle to the blocks backing the current labels
     for _ in range(max_iter):
         # 1. min label over the open neighborhood
         nbr_min = (
@@ -73,6 +74,7 @@ def connected_components(
             labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
@@ -86,27 +88,27 @@ def connected_components(
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
         )
+        # old_label rides along in the checkpoint, so convergence
+        # detection is a SCAN of the fresh blocks — no join against the
+        # previous round (one fewer shuffle per round).
         jumped = truncate(jumped, checkpoint_dir)
 
-        changed = (
-            labels.alias("old")
-            .join(jumped.alias("new"), "node")
-            .where(F.col("old.label") != F.col("new.label"))
-            .count()
-        )
-        release(labels)  # superseded round's blocks, freed eagerly
-        labels = jumped
+        changed = jumped.where(F.col("old_label") != F.col("label")).count()
+        release(ckpt)  # superseded round's blocks, freed eagerly
+        ckpt = jumped
+        labels = jumped.select("node", "label")
         if changed == 0:
             release(edges)
             return labels.select("node", F.col("label").alias("component"))
 
     release(edges)
-    release(labels)
+    release(ckpt)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -164,7 +164,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     shingled = shingled_docs(docs).persist()  # reused: self-join + sizes
-    tri = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    # join/shuffle on the 8-byte xxhash64 of the shingle, not the ~25B
+    # string: halves shuffle bytes and makes join compares cheap. A
+    # cross-doc hash collision (2^-64/pair) would add a phantom shared
+    # shingle — negligible against the 0.5 Jaccard band.
+    tri = shingled.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("shingle")
+    )
     sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
     return jaccard_pairs_from_index(tri, sizes, 0.5)
 
@@ -265,7 +271,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    tri = shingled_docs(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    # hashed-shingle index: see dedup_ngram_jaccard_pairs
+    tri = (
+        shingled_docs(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+    )
     kept = df_capped_index(tri).persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return jaccard_pairs_from_index(kept, sizes, 0.5)
