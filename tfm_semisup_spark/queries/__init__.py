@@ -50,8 +50,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # them past the window with zero driver rows; round 2 adds
 # chunking/packing) + the highest-value relational/ML-shape oracles.
 # Oracled entries NOT listed here (the scalar-function batteries,
-# grouping-set variants and scalar/IN subqueries, all driver-green in
-# CORRECTNESS_r01) follow in module-import order, past the window.
+# grouping-set variants, scalar/IN subqueries, and q18 — all
+# driver-green in CORRECTNESS_r01) follow in module-import order, past
+# the window.
 _ORACLE_PRIORITY = [
     "flagship_regional_revenue",
     # -- extension surface: every one of these needs a driver row --
@@ -72,19 +73,20 @@ _ORACLE_PRIORITY = [
     "daily_rollup_by_type",
     "multimodal_feature_stub",
     "multimodal_chunk_sample",
+    # -- r2 governance/mixing additions: first driver rows needed --
+    "pii_redaction_report",
+    "contamination_screen",
+    "domain_mix_sample",
     # -- relational/ML-shape keepers (one per operator family) --
     "pricing_summary",
     "project_cast_derive",
     "filter_range_outliers",
     "nan_label_mask_stats",
-    "union_append_pools",
     "except_all_remainder",
-    "distinct_flag_status",
     "topk_orders",
     "class_distribution",
     "grid_results_join",
     "window_rank_top_order",
-    "na_drop_clean",
     "rollup_status_priority",
     "moving_avg_lag",
     "categorical_index_freq",
@@ -100,7 +102,7 @@ _ORACLE_PRIORITY = [
     "pack_token_bins",
     "q3_shipping_priority",
     "q14_promo_revenue_share",
-    "q18_large_volume_orders",
+    "similarity_topk_batch",  # r2 batch retrieval — needs its first row
     "dedup_planted_duplicates",
     "dedup_embedding_cosine_pairs",
     # round-2 additions needing their first driver row; the two r01
@@ -139,5 +141,7 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import multimodal  # noqa: F401
     from tfm_semisup_spark.queries import ssl_queries  # noqa: F401
     from tfm_semisup_spark.queries import corpus_prep  # noqa: F401
+    from tfm_semisup_spark.queries import pii  # noqa: F401
+    from tfm_semisup_spark.queries import contamination  # noqa: F401
 
     _reorder_registries()

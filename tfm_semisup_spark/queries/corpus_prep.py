@@ -163,6 +163,61 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Domain-mix resampling: per-source keep rates in sixteenths, keyed by
+# a hex digit of md5(doc_id) — md5 is bit-identical in Spark and DuckDB,
+# so unlike the xxhash64 sampler above this one is FULLY ORACLED.
+# rate16(srcK) = 16 - 4*(K % 4)  ->  {16, 12, 8, 4}/16 keep rates.
+DOMAIN_MIX_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         ascii(substring(md5(CAST(doc_id AS STRING)), 1, 1)) AS a,
+         16 - 4 * (CAST(substring(source, 4) AS INT) % 4) AS rate16
+  FROM documents
+),
+flagged AS (
+  SELECT source, rate16,
+         CASE WHEN (CASE WHEN a <= 57 THEN a - 48 ELSE a - 87 END) < rate16
+              THEN 1 ELSE 0 END AS kept
+  FROM scored
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_total,
+       SUM(kept)::BIGINT AS n_kept,
+       ROUND(MIN(rate16) / 16.0, 4) AS target_rate
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("domain_mix_sample", DOMAIN_MIX_ORACLE)
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing (The Pile / DoReMi-style static
+    source weights): keep each doc iff its md5 hex-digit bucket falls
+    under the source's target rate. Content-keyed — membership is
+    stable across reruns, partitionings and cluster sizes — and a pure
+    narrow filter at scan speed; the only shuffle is the tiny
+    per-source audit aggregate emitted here."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+    bucket16 = F.when(a <= 57, a - 48).otherwise(a - 87)
+    rate16 = 16 - 4 * (F.substring("source", 4, 10).cast("int") % 4)
+    return (
+        docs.select(
+            "source",
+            rate16.alias("rate16"),
+            (bucket16 < rate16).cast("int").alias("kept"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.min("rate16") / 16.0, 4).alias("target_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 @register("pack_first_fit_bins")
 def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict first-fit packing summary (rows-only: the sequential
