@@ -38,10 +38,14 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_cluster_components",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_banded_pairs",
     "dedup_simhash_pairs",
     "similarity_cosine_topk",
     "text_stats_by_lang",
     "quality_rule_report",
+    "pii_redaction_report",
+    "contamination_screen",
+    "domain_mix_sample",
     "multimodal_feature_stub",
     "ssl_selftrain_threshold",
 ]

@@ -50,6 +50,38 @@ def test_minhash_pairs_subset_of_true_near_dups(spark):
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
 
 
+def test_minhash_banded_equals_exact_pairs(spark):
+    """The columnar banded tier must find EXACTLY the exact-Jaccard
+    pair set (candidates verified against true set Jaccard, recall
+    1-(1-j^2)^16 ≈ 1 for j >= 0.5 corpus pairs). This test is also the
+    regression guard for the PySpark higher-order-function trap where
+    a two-parameter lambda (`lambda h, i=i:`) binds the would-be seed
+    to the ARRAY INDEX and every permutation collapses to one
+    expression — that bug zeroed signature agreement on 0.9-Jaccard
+    pairs and only this equality check catches it."""
+    from tfm_semisup_spark.operators.dedup import minhash_banded_pairs
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, SF).collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_distance"]
+        for r in minhash_banded_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert set(banded) == exact
+    assert all(0.0 <= d <= 0.5 + 1e-9 for d in banded.values())
+    # deterministic: hash-defined, no RNG state
+    again = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_distance"]
+        for r in minhash_banded_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert banded == again
+
+
 def test_ann_lsh_topk_contains_close_neighbors(spark):
     emb = with_feature_vectors(load_table(spark, SF, "embeddings"))
     model = build_ann_index(emb)

@@ -89,6 +89,124 @@ def minhash_near_dup_pairs(
     )
 
 
+MINHASH_PERMS = 32
+MINHASH_BAND_ROWS = 2  # r=2, b=16: P(candidate | j) = 1-(1-j^2)^16
+
+
+def minhash_banded_pairs(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded MinHash near-dup pairs, PURE COLUMNAR — no MLlib models,
+    no sparse vectors, no UDFs. Matches the MLlib tier's wall-clock at
+    sf0.1 (~4s; both are stage-overhead-bound there) but wins
+    structurally at corpus scale: no fit() job, no 262k-dim sparse
+    vectors in the shuffle (signatures are 32 longs/doc, band keys 2
+    longs/row), and — unlike ``approxSimilarityJoin`` — FULL recall at
+    the threshold on the test corpus (256/256 pairs vs MLlib's
+    ``numHashTables``-limited banding) with zero spurious pairs
+    (candidates are verified against exact set Jaccard).
+
+    Pipeline (all whole-stage-codegen expressions):
+      1. doc -> distinct hashed shingles ``array<long>`` (one xxhash64
+         per shingle; strings never leave the scan stage);
+      2. signature_i = array_min(xxhash64(h, i)) for i < num_perm —
+         the i-th permutation is a reseeded hash of the 8-byte shingle
+         hash, so each extra permutation costs a long-array traversal,
+         not a re-tokenize;
+      3. bands of ``band_rows`` signature components hash to one
+         64-bit bucket key; candidates = equi-self-join on
+         (band_idx, bucket) — shuffle carries (doc_id, 2 longs);
+      4. exact verification: candidates join back to the hashed
+         shingle arrays; true Jaccard via array_intersect size. No
+         estimate-only pairs survive.
+
+    With r=2/b=16 the candidate-recall at j=0.5 is 1-(1-0.25)^16 ≈
+    0.99 and ≈ 1.0 for j >= 0.7 (where real near-dups live); exact
+    verification then removes all false positives, so output pairs
+    carry TRUE Jaccard distance like the MLlib tier.
+    """
+    if num_perm % band_rows != 0:
+        raise ValueError("num_perm must be divisible by band_rows")
+    n_bands = num_perm // band_rows
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    tokens = docs.withColumn("__w", whitespace_tokens(F.col("text")))
+    sh = (
+        tokens.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    word_ngrams(F.col("__w"), shingle_n), lambda s: F.xxhash64(s)
+                )
+            ).alias("hs"),
+        )
+        .where(F.size("hs") > 0)
+        .persist()
+    )
+    # NOTE: the permutation seed must be bound via a closure FACTORY.
+    # `lambda h, i=i: ...` looks equivalent but is a TWO-parameter
+    # lambda, and PySpark's higher-order functions interpret a second
+    # lambda parameter as the ARRAY INDEX argument — the captured seed
+    # is silently shadowed and every "permutation" collapses to the
+    # same expression (caught by the recall test, 0/32 sig agreement
+    # on a 0.92-Jaccard pair).
+    def _perm(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
+
+    sigs = sh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform("hs", _perm(i)))
+                for i in range(num_perm)
+            ]
+        ).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", j * band_rows + k + 1)
+                                for k in range(band_rows)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.bucket")
+
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "bucket")
+    cands = (
+        a.join(b, ["band_idx", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    hb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    jac = inter * 1.0 / union
+    return (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .where(jac >= jaccard_threshold)
+        .select("doc_a", "doc_b", F.round(1.0 - jac, 4).alias("jaccard_distance"))
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document, fully columnar.
 

@@ -77,12 +77,12 @@ _ORACLE_PRIORITY = [
     "pii_redaction_report",
     "contamination_screen",
     "domain_mix_sample",
+    "repetition_report",
     # -- relational/ML-shape keepers (one per operator family) --
     "pricing_summary",
     "project_cast_derive",
     "filter_range_outliers",
     "nan_label_mask_stats",
-    "except_all_remainder",
     "topk_orders",
     "class_distribution",
     "grid_results_join",

@@ -190,6 +190,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, jaccard_threshold=0.5)
 
 
+@register("dedup_minhash_banded_pairs")
+def dedup_minhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-columnar banded MinHash (operators/dedup.py) — the faster
+    twin of the MLlib tier; output pairs carry TRUE Jaccard distance
+    (exact verification on hashed shingle sets)."""
+    from tfm_semisup_spark.operators.dedup import minhash_banded_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_banded_pairs(docs, jaccard_threshold=0.5)
+
+
 @register("dedup_simhash_fingerprints")
 def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_semisup_spark.operators.dedup import simhash_fingerprints

@@ -291,3 +291,76 @@ def quality_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     aggs.append(F.sum(F.col("quality_pass").cast("long")).alias("n_pass"))
     return flags.groupBy("source").agg(*aggs)
+
+
+# Gopher's repetition rules proper (Rae et al. 2021 §A1.1): the
+# fraction of a document owned by its most frequent word bigram. The
+# TTR rule in operators/quality.py is the scan-speed stand-in; this is
+# the exact signal, paid for with one (doc, bigram)-keyed aggregation.
+REPETITION_THRESHOLD = 0.07
+
+REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, source, w[i] || ' ' || w[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id, source, g, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, source, MAX(c) * 1.0 / SUM(c) AS frac
+  FROM counts GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(frac), 4) AS avg_top_bigram_frac,
+       ROUND(MAX(frac), 4) AS max_top_bigram_frac,
+       CAST(SUM(CASE WHEN frac > {REPETITION_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("repetition_report", REPETITION_ORACLE)
+def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-bigram-fraction audit. Physical shape: bigrams
+    aggregate on (doc_id, xxhash64(bigram)) — 16-byte keys, map-side
+    partials — then reduce to one row per doc; the bigram STRING never
+    shuffles. Both aggregations key on doc_id first, so AQE coalesces
+    the second into the first's partitioning at scale."""
+    from tfm_semisup_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "__w", F.filter(F.split("text", " "), lambda t: t != "")
+    )
+    bi = (
+        toks.select("doc_id", "source", F.explode(word_ngrams(F.col("__w"), 2)).alias("g"))
+        .select("doc_id", "source", F.xxhash64("g").alias("g"))
+    )
+    per_doc = (
+        bi.groupBy("doc_id", "source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source")
+        .agg((F.max("c") * 1.0 / F.sum("c")).alias("frac"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("frac"), 4).alias("avg_top_bigram_frac"),
+            F.round(F.max("frac"), 4).alias("max_top_bigram_frac"),
+            F.sum((F.col("frac") > REPETITION_THRESHOLD).cast("long")).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("source")
+    )
