@@ -78,6 +78,7 @@ _ORACLE_PRIORITY = [
     "contamination_screen",
     "domain_mix_sample",
     "repetition_report",
+    "substring_dup_report",
     # -- relational/ML-shape keepers (one per operator family) --
     "pricing_summary",
     "project_cast_derive",
@@ -88,7 +89,6 @@ _ORACLE_PRIORITY = [
     "grid_results_join",
     "window_rank_top_order",
     "rollup_status_priority",
-    "moving_avg_lag",
     "categorical_index_freq",
     "range_join_event_pairs",
     "asof_join_latest_order",

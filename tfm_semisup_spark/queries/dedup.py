@@ -351,3 +351,94 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard_capped(spark, sf_dir)
     comp = connected_components(pairs)
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+# Cross-document substring duplication (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better": long verbatim spans
+# shared across documents degrade models even when full-doc Jaccard is
+# low). Exact suffix-array dedup is a single-machine algorithm; the
+# distributed equivalent is positional long-n-gram analysis: a token
+# position is DUPLICATED if the 15-token gram starting there also
+# occurs in another document. The per-doc duplicated-position fraction
+# approximates the fraction of text inside cross-doc duplicated spans.
+SUBSTRING_GRAM = 15
+
+SUBSTRING_DUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(w, i, i + {SUBSTRING_GRAM - 1}), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {SUBSTRING_GRAM - 1})) AS t(i)
+  WHERE len(w) >= {SUBSTRING_GRAM}
+),
+shared AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+),
+per_doc AS (
+  SELECT gr.doc_id, gr.source,
+         COUNT(*) AS n_pos,
+         SUM(CASE WHEN s.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM grams gr LEFT JOIN shared s ON gr.g = s.g
+  GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup_spans,
+       ROUND(AVG(n_dup * 1.0 / n_pos), 4) AS avg_dup_frac,
+       ROUND(MAX(n_dup * 1.0 / n_pos), 4) AS max_dup_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("substring_dup_report", SUBSTRING_DUP_ORACLE)
+def substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of cross-document duplicated {SUBSTRING_GRAM}-token
+    spans. Physical shape: positional gram index on xxhash64 longs (the
+    gram STRING never shuffles); shared-gram set via groupBy + HAVING
+    (map-side partials); per-position membership via left-semi-style
+    count join keyed on the 8-byte hash. All aggregates decomposable —
+    scan-bound at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(word_ngrams(F.col("__w"), SUBSTRING_GRAM)).alias("g"),
+        )
+        .select("doc_id", "source", F.xxhash64("g").alias("g"))
+        .persist()
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        grams.join(shared, "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup"),
+        )
+    )
+    frac = F.col("n_dup") * 1.0 / F.col("n_pos")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_dup") > 0).cast("long")).alias("docs_with_dup_spans"),
+            F.round(F.avg(frac), 4).alias("avg_dup_frac"),
+            F.round(F.max(frac), 4).alias("max_dup_frac"),
+        )
+        .orderBy("source")
+    )
