@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
-from tfm_semisup_spark.queries.dedup import shingled_docs
+from tfm_semisup_spark.queries.dedup import hashed_shingles
 
 CONTAMINATION_ORACLE = """
 WITH planted AS (
@@ -86,10 +86,13 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # hashed-shingle index (longs, primitive distinct — see
+    # hashed_shingles); persisted because both the benchmark branch
+    # and the corpus probe read it
     grams = (
-        shingled_docs(planted, n=8)
-        .select("doc_id", F.explode("shingles").alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("gram"))
+        hashed_shingles(planted, 8)
+        .select("doc_id", F.explode("hs").alias("gram"))
+        .persist()
     )
     is_bench = F.col("doc_id") % 97 == 0
     bench = grams.where(is_bench).select("gram").distinct()

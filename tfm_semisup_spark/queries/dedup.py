@@ -75,13 +75,41 @@ def shingled_docs(docs: DataFrame, n: int = 3) -> DataFrame:
     index. Tokens are bound to a column before n-gramming: passing the
     split expression directly would be re-evaluated per n-gram by
     Catalyst lambda inlining (O(tokens²), measured 33.6s -> 4.4s in
-    SCALE.md)."""
+    SCALE.md).
+
+    PERFORMANCE: only use this form when the shingle STRINGS are
+    needed. ``array_distinct`` on string arrays is the non-primitive
+    O(n²) fallback, and overlapping n-grams share long prefixes so
+    each equality compare scans ~n words before differing — measured
+    3.4s vs 0.4s at sf0.1 for n=8. ``hashed_shingles`` below dedups on
+    8-byte longs (primitive hash-set path) and is the default for
+    every similarity/dedup consumer."""
     tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
     return (
         tokens.select(
             "doc_id", F.array_distinct(word_ngrams(F.col("__w"), n)).alias("shingles")
         )
         .where(F.size("shingles") > 0)
+    )
+
+
+def hashed_shingles(docs: DataFrame, n: int = 3, *carry: str) -> DataFrame:
+    """(doc_id, *carry, hs: array<bigint>) — distinct xxhash64'd word
+    n-grams per doc. Hash-THEN-distinct: the distinct runs on primitive
+    longs (hash-set path) instead of the O(n²) string fallback, and
+    everything downstream (joins, aggregates, broadcasts) moves 8-byte
+    keys. Cross-doc collisions (2^-64/pair) are noise for every
+    similarity decision made on these sets."""
+    tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        tokens.select(
+            "doc_id",
+            *carry,
+            F.array_distinct(
+                F.transform(word_ngrams(F.col("__w"), n), lambda s: F.xxhash64(s))
+            ).alias("hs"),
+        )
+        .where(F.size("hs") > 0)
     )
 
 
@@ -163,15 +191,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    shingled = shingled_docs(docs).persist()  # reused: self-join + sizes
-    # join/shuffle on the 8-byte xxhash64 of the shingle, not the ~25B
-    # string: halves shuffle bytes and makes join compares cheap. A
-    # cross-doc hash collision (2^-64/pair) would add a phantom shared
-    # shingle — negligible against the 0.5 Jaccard band.
-    tri = shingled.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("shingle")
-    )
-    sizes = shingled.select("doc_id", F.size("shingles").alias("n"))
+    # hashed index: dedup + join + shuffle all on 8-byte longs, never
+    # the ~25B shingle strings (see hashed_shingles)
+    shingled = hashed_shingles(docs).persist()  # reused: self-join + sizes
+    tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
+    sizes = shingled.select("doc_id", F.size("hs").alias("n"))
     return jaccard_pairs_from_index(tri, sizes, 0.5)
 
 
@@ -282,11 +306,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # hashed-shingle index: see dedup_ngram_jaccard_pairs
-    tri = (
-        shingled_docs(docs)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
+    # hashed-shingle index: see hashed_shingles
+    tri = hashed_shingles(docs).select(
+        "doc_id", F.explode("hs").alias("shingle")
     )
     kept = df_capped_index(tri).persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
