@@ -69,3 +69,36 @@ def test_hot_shingle_dropped_but_near_dup_still_found(spark):
     assert (0, 1) in found  # the true near-dup survives the cap
     # and nothing else pairs up: all other docs share only the hot shingle
     assert found == {(0, 1)}
+
+
+def test_substring_cut_list_planted_span(spark):
+    """A 20-token span planted verbatim in two documents is emitted as
+    one maximal cut span in EACH doc at the right offsets; unique-text
+    docs emit nothing; apply_cut_list removes exactly the spans."""
+    from tfm_semisup_spark.queries.dedup import apply_cut_list, substring_cut_spans
+
+    span = " ".join(f"dup{j}" for j in range(20))
+    docs = spark.createDataFrame(
+        [
+            # doc 0: 5 unique tokens, then the span (positions 6..25)
+            (0, " ".join(f"a{j}" for j in range(5)) + " " + span),
+            # doc 1: span first (positions 1..20), then 10 unique tokens
+            (1, span + " " + " ".join(f"b{j}" for j in range(10))),
+            # doc 2: all unique, long enough to gram
+            (2, " ".join(f"c{j}" for j in range(30))),
+        ],
+        "doc_id int, text string",
+    )
+    cuts = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in substring_cut_spans(docs).collect()
+    }
+    assert cuts == {(0, 6, 25, 20), (1, 1, 20, 20)}
+
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in apply_cut_list(docs, substring_cut_spans(docs)).collect()
+    }
+    assert cleaned[0] == " ".join(f"a{j}" for j in range(5))
+    assert cleaned[1] == " ".join(f"b{j}" for j in range(10))
+    assert cleaned[2] == " ".join(f"c{j}" for j in range(30))

@@ -435,3 +435,55 @@ def test_ivf_batch_topk_recall_and_determinism(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"IVF batch recall {recall:.2f} (n_probe=4/16 buckets)"
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """Product-quantization ANN (third tier next to LSH/IVF):
+    deterministic (seeded codebooks + hash sample), codes are valid
+    [0, codes) ints, and ADC shortlist + exact re-rank reaches good
+    recall vs exact euclidean top-k (0.9 measured; bound left slack)."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.similarity import build_pq_index, pq_top_k
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    codebooks, encoded = build_pq_index(emb)
+    assert len(codebooks) == 16 and all(cb.shape == (32, 4) for cb in codebooks)
+
+    code_bounds = encoded.agg(
+        F.min(F.array_min("pq_codes")).alias("lo"),
+        F.max(F.array_max("pq_codes")).alias("hi"),
+        F.min(F.size("pq_codes")).alias("sz"),
+    ).head()
+    assert code_bounds["lo"] >= 0 and code_bounds["hi"] < 32
+    assert code_bounds["sz"] == 16
+
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    corpus = encoded.where(F.col("vec_id") != 0)
+    got = pq_top_k(codebooks, corpus, q, k=10).collect()
+    assert got == pq_top_k(codebooks, corpus, q, k=10).collect()
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qlit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") != 0)
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.6, f"PQ recall {recall:.2f} vs exact top-10"

@@ -125,6 +125,175 @@ def ivf_top_k(
     )
 
 
+def _lloyd(points, k: int, seed: int, iters: int = 25):
+    """Seeded deterministic Lloyd's k-means on a driver-side numpy
+    sample (the standard way PQ codebooks are trained — e.g. faiss
+    trains on a bounded in-memory sample, never the full corpus).
+    Empty clusters keep their previous centroid."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = points.shape[0]
+    centroids = points[rng.choice(n, size=min(k, n), replace=False)].copy()
+    if centroids.shape[0] < k:  # degenerate tiny sample: pad by repeat
+        centroids = np.vstack([centroids] * (k // centroids.shape[0] + 1))[:k]
+    for _ in range(iters):
+        d2 = ((points[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                centroids[c] = points[mask].mean(axis=0)
+    return centroids
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    array_col: str = "embedding",
+    m: int = 16,
+    codes: int = 32,
+    seed: int = 42,
+    train_mod: int = 1,
+    id_col: str = "vec_id",
+):
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split the D-dim vector into ``m``
+    subspaces, k-means each subspace into ``codes`` centroids, encode
+    every vector as ``m`` small integer codes.
+
+    The third ANN tier next to LSH (hyperplane buckets) and IVF (coarse
+    quantizer): PQ compresses the CORPUS itself — 64 float32 dims
+    (256 B) become m code bytes, so a 100 TB embedding corpus scans as
+    a few TB of codes, and query scoring is table lookups instead of
+    float dot products.
+
+    Scale shape:
+    - codebooks are trained DRIVER-SIDE on a bounded deterministic
+      sample (rows where ``xxhash64(id) % train_mod == 0`` — the
+      repo's hash-based sampling pattern; pick train_mod so the sample
+      is ~100k rows whatever the corpus size). This mirrors production
+      PQ practice (faiss): k-means on a sample, broadcast the tiny
+      m×codes codebook. The FULL corpus is never collected.
+    - encoding is ONE columnar projection: per subspace, squared
+      distances to the (broadcast-literal) codebook via
+      ``F.transform`` + argmin via ``array_position``/``array_min`` —
+      all inside whole-stage codegen, no Python workers, no shuffle.
+
+    Returns ``(codebooks, encoded)``: codebooks as a list of m numpy
+    arrays [codes × dsub]; ``encoded`` = input plus ``pq_codes``
+    (array<int>, 0-based). Deterministic: seeded numpy k-means +
+    hash-based sample (partitioning-independent).
+    """
+    import numpy as np
+
+    train = embeddings
+    if train_mod > 1:
+        train = train.where(F.abs(F.xxhash64(F.col(id_col))) % train_mod == 0)
+    train = train.select(F.col(array_col).cast("array<double>").alias("__v"))
+    sample = np.asarray([r["__v"] for r in train.collect()])
+
+    dim = sample.shape[1]
+    bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+    codebooks = [
+        _lloyd(np.ascontiguousarray(sample[:, lo:hi]), codes, seed + j)
+        for j, (lo, hi) in enumerate(bounds)
+    ]
+
+    arr = F.col(array_col).cast("array<double>")
+    code_cols = []
+    for (lo, hi), cb in zip(bounds, codebooks):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in cb]
+        )
+        sub = F.slice(arr, lo + 1, hi - lo)
+        # NOTE: a second lambda param would be parsed by pyspark as the
+        # (element, index) arity — capture `sub` by closure instead
+        # (safe: F.transform builds the expression eagerly).
+        dists = F.transform(
+            cb_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    encoded = embeddings.withColumn("pq_codes", F.array(*code_cols))
+    return codebooks, encoded
+
+
+def pq_top_k(
+    codebooks,
+    encoded: DataFrame,
+    query_vector,
+    k: int = 10,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    array_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k with exact re-rank.
+
+    1. driver computes the tiny m×codes lookup table (squared distance
+       of each query SUBvector to each codebook centroid) — broadcast
+       as literals;
+    2. ADC score per corpus row = sum of m table lookups on its codes
+       (``F.get`` — pure codegen, no float math per dimension);
+    3. the ``k·refine`` ADC shortlist is re-ranked by EXACT distance on
+       the original vectors, so quantization error only costs recall,
+       never returns a wrong distance.
+
+    At 100 TB the ADC pass scans codes only (~32× narrower than the
+    raw vectors); the exact re-rank touches ``k·refine`` rows.
+    Deterministic: seeded codebooks, (distance, id) tie-breaks.
+    """
+    import numpy as np
+
+    q = np.asarray(
+        query_vector.toArray() if hasattr(query_vector, "toArray") else query_vector,
+        dtype=float,
+    )
+    m = len(codebooks)
+    dim = len(q)
+    bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
+
+    adc_terms = []
+    for j, ((lo, hi), cb) in enumerate(zip(bounds, codebooks)):
+        tbl = F.array(
+            *[
+                F.lit(float(np.sum((q[lo:hi] - cb[c]) ** 2)))
+                for c in range(cb.shape[0])
+            ]
+        )
+        adc_terms.append(F.get(tbl, F.get("pq_codes", F.lit(j))))
+    adc = sum(adc_terms[1:], adc_terms[0])
+
+    shortlist = (
+        encoded.select(id_col, array_col, adc.alias("__adc"))
+        .orderBy("__adc", id_col)
+        .limit(k * refine)
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(array_col).cast("array<double>"),
+                qlit,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        shortlist.select(id_col, exact.alias("__d"))
+        .orderBy("__d", id_col)
+        .limit(k)
+        .select(id_col, F.round("__d", 4).alias("euclidean"))
+    )
+
+
 def ann_top_k_batch(
     model,
     corpus: DataFrame,

@@ -79,10 +79,12 @@ _ORACLE_PRIORITY = [
     "domain_mix_sample",
     "repetition_report",
     "substring_dup_report",
+    "substring_dup_cut_list",  # r3: per-span offsets — needs its first row
     # -- relational/ML-shape keepers (one per operator family) --
     "pricing_summary",
     "project_cast_derive",
-    "filter_range_outliers",
+    # filter_range_outliers: r01 driver-green; yielded its window slot
+    # to substring_dup_cut_list (still oracled + locally verified).
     "nan_label_mask_stats",
     "topk_orders",
     "class_distribution",

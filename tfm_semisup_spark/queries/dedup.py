@@ -385,6 +385,143 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximates the fraction of text inside cross-doc duplicated spans.
 SUBSTRING_GRAM = 15
 
+SUBSTRING_CUT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(w, i, i + {SUBSTRING_GRAM - 1}), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(w) - {SUBSTRING_GRAM - 1})) AS t(i)
+  WHERE len(w) >= {SUBSTRING_GRAM}
+),
+shared AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1
+),
+dup_pos AS (
+  SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM shared)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {SUBSTRING_GRAM} THEN 0 ELSE 1 END AS brk
+  FROM dup_pos
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + {SUBSTRING_GRAM - 1})::BIGINT AS span_end,
+       (MAX(pos) + {SUBSTRING_GRAM - 1} - MIN(pos) + 1)::BIGINT AS span_tokens
+FROM grp
+GROUP BY doc_id, island
+"""
+
+
+@register("substring_dup_cut_list", SUBSTRING_CUT_ORACLE)
+def substring_dup_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-span CUT LIST for cross-document substring dedup (the
+    surgical-removal companion to ``substring_dup_report``): one row
+    per maximal duplicated token span — (doc_id, span_start, span_end,
+    span_tokens), 1-based inclusive token offsets.
+
+    A token position is duplicated when the {SUBSTRING_GRAM}-gram
+    starting there also occurs in another document; overlapping /
+    adjacent duplicated grams merge into maximal spans via
+    gaps-and-islands (positions <= {SUBSTRING_GRAM} apart chain into
+    one island). Physical shape: the positional gram index moves
+    xxhash64 longs only; the island window is PARTITIONED by doc_id
+    (per-doc sort, never a global sort). Following Lee et al. 2021,
+    the list marks EVERY occurrence of a duplicated span — keeping one
+    canonical copy is a policy layered on top (e.g. keep min doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return substring_cut_spans(docs)
+
+
+def substring_cut_spans(docs: DataFrame, gram: int = SUBSTRING_GRAM) -> DataFrame:
+    """Core of ``substring_dup_cut_list`` over any (doc_id, text)
+    DataFrame — see that query's docstring for semantics and the
+    physical-shape rationale."""
+    from pyspark.sql.window import Window
+
+    toks = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("__w"), SUBSTRING_GRAM)).alias("__p", "g"),
+        )
+        .select("doc_id", (F.col("__p") + 1).alias("pos"), F.xxhash64("g").alias("g"))
+        .persist()
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("g")
+    )
+    dup_pos = grams.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= SUBSTRING_GRAM, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        dup_pos.withColumn("__brk", brk)
+        .withColumn("__island", F.sum("__brk").over(w))
+        .groupBy("doc_id", "__island")
+        .agg(F.min("pos").alias("__lo"), F.max("pos").alias("__hi"))
+    )
+    return spans.select(
+        "doc_id",
+        F.col("__lo").cast("long").alias("span_start"),
+        (F.col("__hi") + SUBSTRING_GRAM - 1).cast("long").alias("span_end"),
+        (F.col("__hi") + SUBSTRING_GRAM - 1 - F.col("__lo") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+    )
+
+
+def apply_cut_list(docs: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Remove the cut-list spans from each document's text — the apply
+    step of substring dedup. Columnar: spans are collected PER DOC
+    (bounded: spans per doc <= tokens / gram), attached by a doc_id
+    equi-join, and tokens are dropped by position with
+    ``F.filter(..., (tok, i) -> !exists(span contains i))`` — all
+    codegen, no Python. Docs with no spans pass through unchanged.
+
+    Note this removes every occurrence of a duplicated span (both
+    sides of each duplicate pair), matching the cut list itself; a
+    keep-one-copy policy should pre-filter ``cuts``.
+    """
+    per_doc = cuts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(F.col("__spans").isNull(), F.col("text")).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+        .drop("__spans")
+    )
+
+
 SUBSTRING_DUP_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, source,

@@ -147,6 +147,23 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("similarity_pq_topk")
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (rows-only: k-means codebooks are
+    engine-side). Third tier next to LSH/IVF — compresses the corpus to
+    m code bytes per vector (~32x narrower scan at 100 TB), ADC lookup
+    scoring, exact re-rank of the shortlist. Recall vs exact top-k
+    asserted in tests/test_extension_operators.py."""
+    from tfm_semisup_spark.operators.similarity import build_pq_index, pq_top_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks, encoded = build_pq_index(emb)
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return pq_top_k(
+        codebooks, encoded.where(F.col("vec_id") != 0), q, k=10
+    )
+
+
 # Batch top-k: the SAME broadcast-small-side + per-query PARTITIONED
 # rank pattern that serves a production retrieval batch. Ranking uses
 # round-6 similarity (+vec_id) so the k-th boundary is decided
