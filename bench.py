@@ -70,6 +70,12 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    # Same isolation as between timed queries: without this the FIRST
+    # timed query absorbs cache/GC debt from the whole warmup phase
+    # (flagship measured 8.9s vs ~1s steady-state).
+    spark.catalog.clearCache()
+    gc.collect()
+    spark._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -83,3 +83,49 @@ def test_text_pipeline_bigrams(spark):
     model = build_text_pipeline(ngram=2).fit(docs)
     out = model.transform(docs)
     assert out.head()["tfidf"].numNonzeros() > 0
+
+
+def test_count_vectorizer_vocab_determinism_audit(spark):
+    """ROADMAP audit: CountVectorizer's fitted vocabulary, across
+    different input partitionings —
+    - the vocab SET is stable when vocabSize does not truncate (and
+      term indices are stable wherever counts are distinct);
+    - truncation inside a tied-frequency band is NOT guaranteed stable,
+      which is why every corpus path here uses stateless HashingTF and
+      an explicit-vocab consumer must pre-aggregate + sort (count,
+      term) itself.
+    The test pins down the safe contract only."""
+    from pyspark.ml.feature import CountVectorizer
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    cv = CountVectorizer(inputCol="toks", outputCol="tf", vocabSize=1 << 18)
+    vocab_by_partitioning = [
+        cv.fit(docs.repartition(n, "doc_id")).vocabulary for n in (1, 7, 32)
+    ]
+    assert all(
+        set(v) == set(vocab_by_partitioning[0]) for v in vocab_by_partitioning
+    )
+    # indices agree wherever the frequency is unique: compare the
+    # (term -> index) maps restricted to distinct-count terms
+    counts = (
+        docs.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup_counts = {
+        r["c"]
+        for r in counts.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .collect()
+    }
+    unique_terms = {
+        r["t"] for r in counts.where(~F.col("c").isin(dup_counts)).collect()
+    }
+    maps = [
+        {t: i for i, t in enumerate(v) if t in unique_terms}
+        for v in vocab_by_partitioning
+    ]
+    assert maps[0] == maps[1] == maps[2]

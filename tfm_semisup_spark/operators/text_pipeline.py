@@ -6,6 +6,19 @@ over CountVectorizer for the scale path: it is stateless (no vocabulary
 fit/broadcast, no ordering nondeterminism) and a 100 TB corpus never
 builds a driver-side vocab. CountVectorizer remains available via
 ``use_count_vectorizer=True`` for when an explicit vocabulary matters.
+
+CountVectorizer determinism audit (ROADMAP): the fitted vocabulary is
+ordered by descending term frequency with ties broken by the order
+terms arrive at the driver — which is PARTITIONING-SENSITIVE. Two
+consequences, proven in tests/test_sources.py:
+- the vocabulary SET (and each term's index, given distinct counts) is
+  stable across repartitionings when ``vocabSize`` >= distinct terms;
+- when ``vocabSize`` TRUNCATES inside a tied-frequency band, which
+  tied terms survive can differ between partitionings — so any
+  rows-only query built on an explicit vocab must either avoid
+  truncation or pre-aggregate counts and pick the vocab itself with a
+  (count, term) sort. The corpus path sidesteps all of this:
+  HashingTF has no fitted state at all.
 """
 
 from __future__ import annotations
