@@ -145,5 +145,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import corpus_prep  # noqa: F401
     from tfm_semisup_spark.queries import pii  # noqa: F401
     from tfm_semisup_spark.queries import contamination  # noqa: F401
+    from tfm_semisup_spark.queries import sketches  # noqa: F401
 
     _reorder_registries()

@@ -132,3 +132,36 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_qty_raw", 2).alias("sum_qty"),
         )
     )
+
+
+# Q17-style: correlated scalar subquery — revenue from small-quantity
+# line items, "small" defined PER PART as 20% of that part's average
+# quantity. Exercises Catalyst's subquery decorrelation: the optimizer
+# rewrites the per-row subquery into a partkey-grouped aggregate joined
+# back (exactly the plan you would hand-write), so the SQL stays
+# declarative and the physical plan is one extra shuffle on l_partkey
+# plus a broadcast of the filtered part dim — 100x-safe.
+Q17_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+Q17_ORACLE = Q17_SQL
+
+
+@register("q17_small_quantity_revenue", Q17_ORACLE)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical correlated-subquery text on both engines: Spark's
+    Catalyst decorrelates it (RewriteCorrelatedScalarSubquery -> agg +
+    join); DuckDB runs its own unnesting. Plan checked in PLANS.md."""
+    from tfm_semisup_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q17_SQL)
