@@ -1,0 +1,77 @@
+"""Layout operators: compaction file sizing and min/max skipping.
+
+The skipping assertion reads actual parquet row-group statistics via
+pyarrow: after write_range_sorted, the fraction of files whose
+[min, max] intersects a selective range predicate must be small,
+while the unsorted layout intersects nearly all files (values spread
+everywhere) — the measurable fact Spark's row-group pruning runs on.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.layout import (
+    compact_parquet,
+    parquet_bytes,
+    write_range_sorted,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _file_ranges(path: str, col: str):
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(col)
+        lo = min(meta.row_group(i).column(idx).statistics.min for i in range(meta.num_row_groups))
+        hi = max(meta.row_group(i).column(idx).statistics.max for i in range(meta.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def test_compact_parquet_hits_target_file_size(spark, tmp_path):
+    # fragment the table into many tiny files first
+    frag = str(tmp_path / "frag")
+    load_table(spark, SF, "orders").repartition(64).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    target = max(1, parquet_bytes(frag) // 4)
+    n = compact_parquet(spark, frag, out, target_file_bytes=target)
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n <= 6  # ceil(bytes/ (bytes/4)) with re-encoding slack
+    # content preserved
+    assert spark.read.parquet(out).count() == load_table(spark, SF, "orders").count()
+
+
+def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
+    ev = load_table(spark, SF, "events").withColumn(
+        "value_d", F.col("value").cast("double")
+    )
+    unsorted = str(tmp_path / "unsorted")
+    ev.repartition(16).write.parquet(unsorted)
+    sorted_p = str(tmp_path / "sorted")
+    write_range_sorted(ev, sorted_p, "value_d", n_files=16)
+
+    lo, hi = ev.agg(F.min("value_d"), F.max("value_d")).head()
+    a = lo + 0.45 * (hi - lo)
+    b = lo + 0.55 * (hi - lo)  # selective 10%-of-keyspace range
+
+    def overlap_frac(path):
+        ranges = _file_ranges(path, "value_d")
+        n_hit = sum(1 for flo, fhi in ranges if fhi >= a and flo <= b)
+        return n_hit / len(ranges)
+
+    assert overlap_frac(unsorted) >= 0.9  # every file spans ~everything
+    assert overlap_frac(sorted_p) <= 0.25  # only the files owning the slice
+    # rows answered identically from both layouts
+    q = lambda p: (
+        spark.read.parquet(p).where((F.col("value_d") >= a) & (F.col("value_d") <= b)).count()
+    )
+    assert q(unsorted) == q(sorted_p)

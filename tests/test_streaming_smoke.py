@@ -84,3 +84,52 @@ def test_session_stream_equals_batch_sessionization(spark):
         for r in session_window_30m(spark, SF).collect()
     }
     assert per_user == batch
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join (clicks ⨝ errors per user within 10
+    minutes): append-mode matches across micro-batch boundaries — the
+    buffered-state path — must equal the static range join."""
+    from tfm_semisup_spark.streaming.events import interval_join_stream
+
+    events = load_table(spark, SF, "events")
+    cutoff = "2024-01-15"
+    src = str(tmp_path / "src")
+    events.where(F.col("ts") < cutoff).coalesce(1).write.parquet(f"{src}/part1")
+    events.where(F.col("ts") >= cutoff).coalesce(1).write.parquet(f"{src}/part2")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+    )
+    joined = interval_join_stream(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "error"),
+    )
+    q = run_available_now(joined, "smoke_interval_join", output_mode="append")
+    assert len(q.recentProgress) >= 2
+    streamed = {
+        (r["l_event"], r["r_event"]) for r in spark.table("smoke_interval_join").collect()
+    }
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = {
+        (r["l_event"], r["r_event"])
+        for r in clicks.join(
+            errors,
+            F.expr(
+                "l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval 10 minutes"
+            ),
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0

@@ -1,0 +1,87 @@
+"""Physical table layout: compaction and sort-for-data-skipping.
+
+At 100 TB the dominant cost of many pipelines is not the query plan
+but the FILE LAYOUT it scans:
+
+- the small-files problem: a streaming sink or over-parallel writer
+  leaves thousands of KB-sized files; every scan then pays per-file
+  open/footer costs and the scheduler drowns in splits.
+  ``compact_parquet`` rewrites a table to ~target-sized files, sizing
+  the shuffle from the ACTUAL input bytes (no guessed constants).
+- min/max skipping: parquet stores per-row-group column min/max;
+  Spark prunes row groups whose range can't match a pushed filter.
+  That only bites when the layout puts similar values together —
+  ``write_range_sorted`` range-partitions + sorts so each file owns a
+  tight, near-disjoint range of the sort key (the poor man's
+  Z-order for single-key locality, which is the common case:
+  time-range scans over event data).
+
+Both are metadata-level rewrites: one shuffle (or none for coalesce
+compaction), no Python, schema untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parquet_bytes(path: str) -> int:
+    """Total bytes of parquet data under path (local filesystems; on a
+    cluster store you'd ask the FileSystem API the same question)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``in_path`` as ~``target_file_bytes`` parquet files at
+    ``out_path``; returns the chosen file count.
+
+    File count = ceil(input_bytes / target) from the measured input —
+    compaction jobs that hard-code partition counts drift as tables
+    grow. Uses ``repartition`` (round-robin, one shuffle) rather than
+    ``coalesce``: coalesce(n) would chain tasks to at most the current
+    file count and skews output sizes when input files are uneven;
+    the shuffle is the price of even, parallel-written output.
+    """
+    n_bytes = parquet_bytes(in_path)
+    n_files = max(1, -(-n_bytes // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
+def write_range_sorted(
+    df: DataFrame,
+    out_path: str,
+    sort_col: str,
+    n_files: int,
+) -> None:
+    """Write ``df`` range-partitioned and sorted by ``sort_col`` so
+    every output file (and every row group inside it) covers a tight
+    slice of the key space — selective range predicates then skip
+    whole files/row groups via parquet min/max stats instead of
+    scanning and discarding.
+
+    ``repartitionByRange`` samples the key distribution for balanced
+    cuts (skew-safe); ``sortWithinPartitions`` orders inside each file
+    so row-group stats are tight too. Ranges of adjacent files can
+    overlap only at sampled boundary keys."""
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -106,6 +106,45 @@ def running_user_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    interval: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: pair each left event with right
+    events of the SAME USER within ``interval`` after it (the batch
+    twin is the range-join shape of `range_join_event_pairs`).
+
+    Scale design: watermarks on BOTH inputs plus the two-sided time
+    bound are what let Spark evict buffered rows — without them a
+    stream-stream join must keep every row forever. State is
+    O(events inside the watermark horizon), keyed by user so it
+    shards across executors; matches emit append-mode once the
+    watermark passes their window.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l_user = r_user AND
+            r_ts > l_ts AND
+            r_ts <= l_ts + interval {interval}
+            """
+        ),
+    ).select("l_user", "l_event", "r_event", "l_ts", "r_ts")
+
+
 def run_available_now(result: DataFrame, table_name: str, output_mode: str = "complete"):
     """Drain the stream deterministically into an in-memory table
     (tests/backfills); returns the finished StreamingQuery."""
