@@ -7,6 +7,12 @@ Prints exactly ONE JSON line:
 
 Execution sink is the noop writer so timings measure plan execution,
 not driver-side row transfer.
+
+$SPARK_GRAFT_BENCH_RUNS (default 3) full passes are run and the
+PER-QUERY MEDIAN reported — single runs showed GC/ordering variance
+up to 2x on individual entries (SCALE.md "bench variance"); the
+median makes round-over-round regressions attributable. Set it to 1
+for quick local iteration.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ import gc
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -37,7 +44,11 @@ HEADLINE = [
     "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs",
     "dedup_cluster_components",
-    "dedup_minhash_lsh_pairs",
+    # MinHash headline tier = the pure-columnar banded variant: emits
+    # the IDENTICAL verified pair set as the MLlib approxSimilarityJoin
+    # tier (equality-asserted at sf0.01/0.1 in tests/test_dedup_skew.py)
+    # at ~2x the speed (r2 bench: 5.4s vs 11.5s). The MLlib path stays
+    # registered as a cross-check query but is no longer benched.
     "dedup_minhash_banded_pairs",
     "dedup_simhash_pairs",
     "similarity_cosine_topk",
@@ -77,22 +88,28 @@ def main() -> None:
     gc.collect()
     spark._jvm.System.gc()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        # Isolate queries from each other: drop cached plans, then force
-        # a py->JVM GC so the ContextCleaner frees persist()/checkpoint
-        # blocks whose handles just went out of scope. Without this,
-        # storageFraction-protected leftovers steal execution memory
-        # from the next query (measured: MinHash 6s -> 65s when run
-        # after the components query on a 24g heap that never GC'd).
-        spark.catalog.clearCache()
-        gc.collect()
-        spark._jvm.System.gc()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - start)
+            # Isolate queries from each other: drop cached plans, then
+            # force a py->JVM GC so the ContextCleaner frees persist()/
+            # checkpoint blocks whose handles just went out of scope.
+            # Without this, storageFraction-protected leftovers steal
+            # execution memory from the next query (measured: MinHash
+            # 6s -> 65s when run after the components query on a 24g
+            # heap that never GC'd).
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
 
+    timings = {
+        name: round(statistics.median(samples[name]), 3) for name in HEADLINE
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -487,3 +487,60 @@ def test_pq_topk_recall_and_determinism(spark):
     }
     recall = len({r["vec_id"] for r in got} & exact) / 10
     assert recall >= 0.6, f"PQ recall {recall:.2f} vs exact top-10"
+
+
+def test_pq_sampled_training_path(spark):
+    """The bounded-sample codebook path (the 100 TB default): with
+    max_train_rows below the corpus size, train_mod is derived > 1,
+    the driver sample is hard-capped, output codes stay valid, the
+    encoding is deterministic under repartitioning, and recall vs
+    exact top-k stays useful. This is the path the registered
+    similarity_pq_topk query exercises (max_train_rows=256)."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.similarity import build_pq_index, pq_top_k
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")  # 500 rows > 256 cap
+
+    codebooks, encoded = build_pq_index(emb, max_train_rows=256)
+    assert len(codebooks) == 16 and all(cb.shape == (32, 4) for cb in codebooks)
+    bounds = encoded.agg(
+        F.min(F.array_min("pq_codes")).alias("lo"),
+        F.max(F.array_max("pq_codes")).alias("hi"),
+        F.min(F.size("pq_codes")).alias("sz"),
+    ).head()
+    assert bounds["lo"] >= 0 and bounds["hi"] < 32 and bounds["sz"] == 16
+
+    # deterministic under a different partitioning (hash-ordered sample)
+    cb2, _ = build_pq_index(emb.repartition(7), max_train_rows=256)
+    import numpy as np
+
+    for a, b in zip(codebooks, cb2):
+        assert np.allclose(a, b)
+
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    got = pq_top_k(codebooks, encoded.where(F.col("vec_id") != 0), q, k=10)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qlit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") != 0)
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    recall = len({r["vec_id"] for r in got.collect()} & exact) / 10
+    assert recall >= 0.5, f"sampled-path PQ recall {recall:.2f} vs exact top-10"

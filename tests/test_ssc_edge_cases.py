@@ -133,3 +133,28 @@ def test_self_training_model_persistence(spark, masked, tmp_path):
         (r["vec_id"], r["prediction"]) for r in loaded.transform(masked).collect()
     )
     assert orig == back
+
+
+def test_co_training_model_persistence(spark, masked, tmp_path):
+    """CoTraining's fitted model (a SelfTrainingModel over the final
+    union-fit base model) round-trips through save/load with identical
+    transform output — the 100 TB grid user checkpoints fitted models
+    between stages instead of refitting (VERDICT r2 item 6)."""
+    ct = CoTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5), threshold=0.75, maxIter=2
+    )
+    model = ct.fit(masked)
+    path = str(tmp_path / "ct_model")
+    model.save(path)
+
+    from tfm_semisup_spark.operators.self_training import SelfTrainingModel
+
+    loaded = SelfTrainingModel.load(path)
+    assert loaded.ss_summary == model.ss_summary
+    orig = sorted(
+        (r["vec_id"], r["prediction"]) for r in model.transform(masked).collect()
+    )
+    back = sorted(
+        (r["vec_id"], r["prediction"]) for r in loaded.transform(masked).collect()
+    )
+    assert orig == back

@@ -38,15 +38,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read it as a long (legacy conf) and truncate to
-    microseconds — the same ns->us truncation DuckDB applies, so oracle
-    comparisons see identical instants."""
+    """events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — read as long via the legacy
+    conf, then truncate ns->us, matching DuckDB's truncation) or plain
+    TIMESTAMP(MICROS) (reads natively). Detect which from the loaded
+    dtype so the loader survives testdata regeneration either way."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # normalize to TIMESTAMP (LTZ): same instant under the UTC
+        # session tz, keeps watermarks legal and matches what
+        # timestamp_micros produced for the nanos encoding
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -38,7 +38,6 @@ def train_quality_model(
     id_col: str = "doc_id",
     train_mod: int = 2,
     num_features: int = 1 << 15,
-    seed: int = 42,
     **rule_overrides,
 ) -> PipelineModel:
     """Fit the distilled quality classifier on the hash-selected seed

@@ -153,8 +153,9 @@ def build_pq_index(
     m: int = 16,
     codes: int = 32,
     seed: int = 42,
-    train_mod: int = 1,
+    train_mod: int = None,
     id_col: str = "vec_id",
+    max_train_rows: int = 100_000,
 ):
     """Product quantization (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search"): split the D-dim vector into ``m``
@@ -169,11 +170,15 @@ def build_pq_index(
 
     Scale shape:
     - codebooks are trained DRIVER-SIDE on a bounded deterministic
-      sample (rows where ``xxhash64(id) % train_mod == 0`` — the
-      repo's hash-based sampling pattern; pick train_mod so the sample
-      is ~100k rows whatever the corpus size). This mirrors production
+      sample: ``train_mod`` defaults to None and is then DERIVED from
+      ``approx_count_distinct(id)`` so the hash sample
+      (``xxhash64(id) % train_mod == 0``) targets ``max_train_rows``
+      rows whatever the corpus size; the collected sample is then
+      HARD-capped at ``max_train_rows`` by (xxhash64, id) order —
+      deterministic under any partitioning. This mirrors production
       PQ practice (faiss): k-means on a sample, broadcast the tiny
-      m×codes codebook. The FULL corpus is never collected.
+      m×codes codebook. The FULL corpus is never collected — at 100 TB
+      the driver sees ≤ max_train_rows vectors, period.
     - encoding is ONE columnar projection: per subspace, squared
       distances to the (broadcast-literal) codebook via
       ``F.transform`` + argmin via ``array_position``/``array_min`` —
@@ -186,11 +191,21 @@ def build_pq_index(
     """
     import numpy as np
 
+    if train_mod is None:
+        approx_n = embeddings.agg(
+            F.approx_count_distinct(id_col).alias("n")
+        ).head()["n"]
+        train_mod = max(1, -(-int(approx_n) // max_train_rows))
     train = embeddings
     if train_mod > 1:
         train = train.where(F.abs(F.xxhash64(F.col(id_col))) % train_mod == 0)
-    train = train.select(F.col(array_col).cast("array<double>").alias("__v"))
-    sample = np.asarray([r["__v"] for r in train.collect()])
+    train = train.select(
+        F.abs(F.xxhash64(F.col(id_col))).alias("__h"),
+        F.col(id_col).alias("__id"),
+        F.col(array_col).cast("array<double>").alias("__v"),
+    )
+    rows = sorted(train.collect(), key=lambda r: (r["__h"], r["__id"]))
+    sample = np.asarray([r["__v"] for r in rows[:max_train_rows]])
 
     dim = sample.shape[1]
     bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]

@@ -86,7 +86,9 @@ _ORACLE_PRIORITY = [
     # filter_range_outliers: r01 driver-green; yielded its window slot
     # to substring_dup_cut_list (still oracled + locally verified).
     "nan_label_mask_stats",
-    "topk_orders",
+    # topk_orders: driver-green r1 AND r2; yielded its slot to
+    # q17_small_quantity_revenue (the one oracled plan shape — a
+    # correlated scalar subquery — with zero lifetime driver rows).
     "class_distribution",
     "grid_results_join",
     "window_rank_top_order",
@@ -104,6 +106,7 @@ _ORACLE_PRIORITY = [
     "pack_token_bins",
     "q3_shipping_priority",
     "q14_promo_revenue_share",
+    "q17_small_quantity_revenue",  # r3: first-ever driver row
     "similarity_topk_batch",  # r2 batch retrieval — needs its first row
     "dedup_planted_duplicates",
     "dedup_embedding_cosine_pairs",

@@ -448,14 +448,20 @@ def substring_dup_cut_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 def substring_cut_spans(docs: DataFrame, gram: int = SUBSTRING_GRAM) -> DataFrame:
     """Core of ``substring_dup_cut_list`` over any (doc_id, text)
     DataFrame — see that query's docstring for semantics and the
-    physical-shape rationale."""
+    physical-shape rationale. ``gram`` is honored throughout (gram
+    index, island gap, span-end arithmetic).
+
+    The positional gram index is persisted only for the duration of
+    this plan (it is scanned twice: shared-gram agg + probe) and
+    unpersisted eagerly once the result is materialized — library
+    callers in long-lived sessions don't leak cached blocks."""
     from pyspark.sql.window import Window
 
     toks = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
     grams = (
         toks.select(
             "doc_id",
-            F.posexplode(word_ngrams(F.col("__w"), SUBSTRING_GRAM)).alias("__p", "g"),
+            F.posexplode(word_ngrams(F.col("__w"), gram)).alias("__p", "g"),
         )
         .select("doc_id", (F.col("__p") + 1).alias("pos"), F.xxhash64("g").alias("g"))
         .persist()
@@ -469,7 +475,7 @@ def substring_cut_spans(docs: DataFrame, gram: int = SUBSTRING_GRAM) -> DataFram
     dup_pos = grams.join(shared, "g").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
-        F.col("pos") - F.lag("pos").over(w) <= SUBSTRING_GRAM, F.lit(0)
+        F.col("pos") - F.lag("pos").over(w) <= gram, F.lit(0)
     ).otherwise(F.lit(1))
     spans = (
         dup_pos.withColumn("__brk", brk)
@@ -477,14 +483,22 @@ def substring_cut_spans(docs: DataFrame, gram: int = SUBSTRING_GRAM) -> DataFram
         .groupBy("doc_id", "__island")
         .agg(F.min("pos").alias("__lo"), F.max("pos").alias("__hi"))
     )
-    return spans.select(
+    out = spans.select(
         "doc_id",
         F.col("__lo").cast("long").alias("span_start"),
-        (F.col("__hi") + SUBSTRING_GRAM - 1).cast("long").alias("span_end"),
-        (F.col("__hi") + SUBSTRING_GRAM - 1 - F.col("__lo") + 1)
+        (F.col("__hi") + gram - 1).cast("long").alias("span_end"),
+        (F.col("__hi") + gram - 1 - F.col("__lo") + 1)
         .cast("long")
         .alias("span_tokens"),
     )
+    # Materialize before releasing the gram index: the eager checkpoint
+    # cuts the lineage so the returned DataFrame no longer references
+    # the persisted blocks (non-eager would recompute after unpersist).
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(out)
+    grams.unpersist()
+    return out
 
 
 def apply_cut_list(docs: DataFrame, cuts: DataFrame) -> DataFrame:

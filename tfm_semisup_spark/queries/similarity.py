@@ -153,11 +153,17 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-side). Third tier next to LSH/IVF — compresses the corpus to
     m code bytes per vector (~32x narrower scan at 100 TB), ADC lookup
     scoring, exact re-rank of the shortlist. Recall vs exact top-k
-    asserted in tests/test_extension_operators.py."""
+    asserted in tests/test_extension_operators.py.
+
+    ``max_train_rows=256`` forces the SAMPLED codebook-training path
+    (hash-mod sample + hard driver cap) at every test SF — the same
+    path a 100 TB corpus takes; no full-table collect is reachable
+    from this query. Deterministic: the sample is selected by
+    ``xxhash64(vec_id)`` order, independent of partitioning."""
     from tfm_semisup_spark.operators.similarity import build_pq_index, pq_top_k
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebooks, encoded = build_pq_index(emb)
+    codebooks, encoded = build_pq_index(emb, max_train_rows=256)
     q = emb.where(F.col("vec_id") == 0).head()["embedding"]
     return pq_top_k(
         codebooks, encoded.where(F.col("vec_id") != 0), q, k=10

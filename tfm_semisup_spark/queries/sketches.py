@@ -50,7 +50,15 @@ def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
 def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type p50/p95/p99 of event value via GK summaries
     (`percentile_approx`): bounded-error, mergeable — no per-group
-    sort. Accuracy vs exact percentiles asserted in tests."""
+    sort. Accuracy vs exact percentiles asserted in tests.
+
+    Determinism caveat (rows-only contract): GK summary merges are NOT
+    guaranteed merge-order-independent (unlike HLL union). The rounded
+    output is stable under 1/7/32-way repartition (tested), which
+    covers the driver's fixed local parallelism, but a run with
+    materially different parallelism could land a rounding boundary
+    differently. If the driver ever varies parallelism, demote this
+    entry or coarsen the rounding further."""
     ev = load_table(spark, sf_dir, "events")
     q = F.percentile_approx(
         "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)

@@ -23,15 +23,23 @@ from pyspark.sql.types import (
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet (TIMESTAMP(NANOS) handled
-    the same way as the batch loader: read ns as long, truncate to us)."""
+    """File-source stream over events.parquet. Like the batch loader
+    (io._load_events), handles both ts encodings the testdata has
+    shipped with: TIMESTAMP(NANOS) (read ns as long via the legacy
+    conf, truncate to us) or native TIMESTAMP(MICROS) (pass through)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source rejects a literal single-file path ("basePath must
     # be a directory"); a glob pattern routes through directory-listing
     # semantics and accepts it
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque*")
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); same instant under UTC
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts_stream(
