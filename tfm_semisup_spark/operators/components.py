@@ -9,17 +9,24 @@ semantics as the union-find pass most pipeline stacks run after LSH).
 Algorithm: iterative min-label propagation with a pointer-jumping step
 (label-of-label) each round, so convergence is O(log diameter) rounds
 instead of O(diameter) — the property that matters on adversarial
-chain-shaped clusters at 100 TB. Each round is two shuffles of
-(node, label) pairs only (never document payloads):
+chain-shaped clusters at 100 TB. Each round shuffles (node, label)
+pairs only (never document payloads):
 
-  1. neighbor-min: edges ⋈ labels, groupBy node, min(label);
+  1. closed-neighborhood min: edges+self-loops ⋈ labels, groupBy node,
+     min(label) — the self-loop rows fold the "keep own label" case
+     into the same aggregate, so no separate labels join is needed
+     (r2 ran 4 shuffles/round; this runs 3);
   2. pointer jump:  labels ⋈ labels on (label = node).
 
 Lineage is truncated each round (localCheckpoint; pass
 ``checkpoint_dir`` for durable truncation on a preemptible cluster —
 same discipline as SelfTraining, operators/self_training.py).
-Termination is exact: iterate until a round changes zero labels
-(convergence detected via a count aggregate, a scalar per round).
+Termination is exact: labels are per-node monotonically non-increasing
+(closed-neighborhood min can only lower them), so a round changes
+nothing iff sum(label) is unchanged — one overflow-safe decimal
+aggregate per round replaces r2's old_label carry column + inequality
+count. Rounds-to-convergence is recorded in ``last_convergence_rounds``
+(read by PLANS.md tooling; logged at DEBUG).
 
 Deterministic: the component label is min(doc_id) over the cluster —
 content-defined, independent of partitioning and execution order.
@@ -31,6 +38,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.operators.lineage import release, truncate
+
+#: rounds the most recent connected_components() call took to converge
+#: (including the final confirming round) — perf instrumentation for
+#: PLANS.md / SCALE.md; not part of the result contract.
+last_convergence_rounds: int = 0
 
 
 def connected_components(
@@ -48,37 +60,37 @@ def connected_components(
     jumping, 25 rounds covers clusters of diameter ~2^25 — effectively
     any graph. Raises if not converged (never silently wrong).
     """
+    global last_convergence_rounds
+
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    edges = truncate(edges, checkpoint_dir)
-
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # self-loops make round 1's groupBy-min a CLOSED-neighborhood min
+    # (own label participates), eliminating the labels re-join r2 ran
+    # to compute least(own, neighbor-min)
+    nodes = edges.select("u").distinct()
+    edges = truncate(
+        edges.union(nodes.select("u", F.col("u").alias("v"))), checkpoint_dir
     )
+
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
     labels = truncate(labels, checkpoint_dir)
+    # labels are monotonically non-increasing per node, so the total is
+    # a strictly decreasing progress measure: unchanged sum <=> fixed
+    # point. decimal(38,0) keeps the sum exact for any int64 ids/count.
+    _sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_sum).head()[0]
 
     ckpt = labels  # handle to the blocks backing the current labels
-    for _ in range(max_iter):
-        # 1. min label over the open neighborhood
-        nbr_min = (
+    for rounds in range(1, max_iter + 1):
+        # 1. min label over the closed neighborhood (self-loops included)
+        stepped = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("u", "node")
         )
         # 2. pointer jump: label <- label(label) (path halving)
         parent = stepped.select(
@@ -88,24 +100,22 @@ def connected_components(
             stepped.join(parent, stepped["label"] == parent["p_node"], "left")
             .select(
                 "node",
-                "old_label",
                 F.least(
                     F.col("label"), F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
             )
         )
-        # old_label rides along in the checkpoint, so convergence
-        # detection is a SCAN of the fresh blocks — no join against the
-        # previous round (one fewer shuffle per round).
         jumped = truncate(jumped, checkpoint_dir)
 
-        changed = jumped.where(F.col("old_label") != F.col("label")).count()
+        new_sum = jumped.agg(_sum).head()[0]
         release(ckpt)  # superseded round's blocks, freed eagerly
         ckpt = jumped
-        labels = jumped.select("node", "label")
-        if changed == 0:
+        labels = jumped
+        if new_sum == prev_sum:
+            last_convergence_rounds = rounds
             release(edges)
             return labels.select("node", F.col("label").alias("component"))
+        prev_sum = new_sum
 
     release(edges)
     release(ckpt)
