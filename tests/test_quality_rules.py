@@ -73,3 +73,40 @@ def test_pipeline_stage_and_plan_shape(spark):
     # pure narrow filter: no shuffle in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_model_based_quality_scorer_generalizes_rules(spark):
+    """Distilled quality classifier (operators/quality_model.py): train
+    on the hash-selected seed split weak-labeled by the Gopher rules,
+    then check (a) scoring is one narrow projection with quality_prob
+    in [0,1], (b) the model separates rule-passing docs from planted
+    violators, (c) the filter form keeps only above-threshold docs and
+    preserves the input schema."""
+    from tfm_semisup_spark.operators.quality_model import (
+        quality_filter_by_model,
+        score_quality,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    model = train_quality_model(docs, train_mod=1)
+
+    scored = score_quality(model, docs).collect()
+    assert len(scored) == docs.count()
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in scored)
+
+    # planted extremes: clean prose vs violator soup the rules reject
+    good = "the a " + " ".join(f"tok{i}" for i in range(60))
+    bad = " ".join(["zz"] * 40)
+    probe = spark.createDataFrame(
+        [(900001, good, "en", "probe", len(good)), (900002, bad, "en", "probe", len(bad))],
+        DOC_SCHEMA,
+    )
+    probs = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, probe).collect()}
+    assert probs[900001] > probs[900002]
+
+    kept = quality_filter_by_model(model, docs, threshold=0.5)
+    assert kept.columns == docs.columns
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    above = {r["doc_id"] for r in score_quality(model, docs).collect() if r["quality_prob"] >= 0.5}
+    assert kept_ids == above

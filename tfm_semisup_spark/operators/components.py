@@ -129,3 +129,33 @@ def cluster_keepers(components: DataFrame) -> DataFrame:
     return components.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def round_plan(
+    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """One un-truncated label-propagation round, for plan inspection
+    (PLANS.md): the checkpointing in connected_components erases the
+    per-round operator tree, so this rebuilds it lazily — identical
+    expressions, no materialization."""
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    nodes = edges.select("u").distinct()
+    edges = edges.union(nodes.select("u", F.col("u").alias("v")))
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
+    stepped = (
+        edges.join(labels, edges["v"] == labels["node"])
+        .groupBy("u")
+        .agg(F.min("label").alias("label"))
+        .withColumnRenamed("u", "node")
+    )
+    parent = stepped.select(
+        F.col("node").alias("p_node"), F.col("label").alias("p_label")
+    )
+    return stepped.join(parent, stepped["label"] == parent["p_node"], "left").select(
+        "node",
+        F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
+    )

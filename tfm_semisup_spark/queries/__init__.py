@@ -82,7 +82,8 @@ _ORACLE_PRIORITY = [
     "substring_dup_cut_list",  # r3: per-span offsets — needs its first row
     # -- relational/ML-shape keepers (one per operator family) --
     "pricing_summary",
-    "project_cast_derive",
+    # project_cast_derive: driver-green r2; yielded its slot to the r3
+    # TPC-H shapes (see below).
     # filter_range_outliers: r01 driver-green; yielded its window slot
     # to substring_dup_cut_list (still oracled + locally verified).
     "nan_label_mask_stats",
@@ -96,17 +97,24 @@ _ORACLE_PRIORITY = [
     "categorical_index_freq",
     "range_join_event_pairs",
     "asof_join_latest_order",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
+    # semi_join_urgent_customers / anti_join_orderless_customers:
+    # driver-green r2; yielded their slots to q4 (EXISTS->left-semi)
+    # and q16/q22 (NOT IN / NOT EXISTS->left-anti), which exercise the
+    # same join shapes inside richer plans and have zero lifetime rows.
     "sql_api_segment_revenue",
     "grouped_pandas_value_trend",
-    "embedding_norm_stats",
+    # project_cast_derive / embedding_norm_stats: driver-green r2;
+    # yielded their slots to q13/q22 below.
     "conditional_distinct_users",
     "doc_chunks_overlap",
     "pack_token_bins",
     "q3_shipping_priority",
     "q14_promo_revenue_share",
     "q17_small_quantity_revenue",  # r3: first-ever driver row
+    "q4_priority_with_returns",  # r3 new shape: EXISTS -> left-semi + agg
+    "q13_customer_distribution",  # r3 new shape: outer join + count-of-counts
+    "q16_supplier_diversity",  # r3 new shape: NOT IN anti + count distinct
+    "q22_global_sales_opportunity",  # r3 new shape: scalar subquery + anti
     "similarity_topk_batch",  # r2 batch retrieval — needs its first row
     "dedup_planted_duplicates",
     "dedup_embedding_cosine_pairs",

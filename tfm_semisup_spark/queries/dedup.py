@@ -615,3 +615,25 @@ def substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("dedup_semantic_semdedup")
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table (Abbas et al.
+    2023): seeded driver-trained centroids -> columnar cluster
+    assignment -> within-cluster cosine pairs -> connected-component
+    keepers. Rows-only (k-means is not SQL-expressible): one row per
+    vector with (id, sem_cluster, component, keep) — deterministic via
+    seeded sample/Lloyd's + min-id canonicalization, independent of
+    partitioning (operators/semantic_dedup.py).
+
+    threshold=0.45: the synthetic embeddings carry no true semantic
+    duplicates (max pairwise cosine ~0.51), so a production-style 0.95
+    would make the grouping path vacuous here; 0.45 exercises pair
+    formation + components + canonicalization on this data. Planted
+    true-duplicate behavior is tested in tests/test_semantic_dedup.py."""
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.semantic_dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45).orderBy("id")
