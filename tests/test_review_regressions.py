@@ -84,3 +84,15 @@ def test_multimodal_null_payload_does_not_crash(spark):
     assert feats == {1: 5, 2: 0}
     chunks = sample_chunks(df, chunk_size=2).collect()
     assert {r["doc_id"] for r in chunks} == {1}  # null payload -> no chunks
+
+def test_resize_media_truncates_and_handles_null(spark):
+    from tfm_semisup_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 300)), (2, bytearray(b"short")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in resize_media(df, max_bytes=256).collect()}
+    assert bytes(out[1]["thumb"]) == b"x" * 256 and out[1]["thumb_bytes"] == 256
+    assert bytes(out[2]["thumb"]) == b"short" and out[2]["thumb_bytes"] == 5
+    assert bytes(out[3]["thumb"]) == b"" and out[3]["thumb_bytes"] == 0

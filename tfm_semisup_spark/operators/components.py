@@ -62,21 +62,27 @@ def connected_components(
     """
     global last_convergence_rounds
 
-    edges = (
+    # materialize the (possibly expensive) upstream pair pipeline ONCE;
+    # nodes / self-loops / labels all derive from this checkpoint, not
+    # from the raw plan (deriving them lazily re-ran the whole dedup
+    # pipeline up to 3x inside the setup jobs)
+    base = truncate(
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct()
+        .distinct(),
+        checkpoint_dir,
     )
     # self-loops make round 1's groupBy-min a CLOSED-neighborhood min
     # (own label participates), eliminating the labels re-join r2 ran
     # to compute least(own, neighbor-min)
-    nodes = edges.select("u").distinct()
+    nodes = base.select("u").distinct()
     edges = truncate(
-        edges.union(nodes.select("u", F.col("u").alias("v"))), checkpoint_dir
+        base.union(nodes.select("u", F.col("u").alias("v"))), checkpoint_dir
     )
 
     labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
     labels = truncate(labels, checkpoint_dir)
+    release(base)
     # labels are monotonically non-increasing per node, so the total is
     # a strictly decreasing progress measure: unchanged sum <=> fixed
     # point. decimal(38,0) keeps the sum exact for any int64 ids/count.

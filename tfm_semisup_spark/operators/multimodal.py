@@ -117,3 +117,36 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "image decoding requires PIL/opencv (not in this container); "
         "use extract_media_features for the tested stub path"
     )
+
+
+RESIZE_SCHEMA = "doc_id long, thumb binary, thumb_bytes long"
+
+
+def resize_media(df: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Resize/thumbnail plumbing: per-payload size reduction through
+    the same Arrow mapInPandas boundary a real image resize would use.
+
+    Stub semantics (no image libs in this container): the "thumbnail"
+    is the payload truncated to ``max_bytes`` — deterministic and
+    byte-exact, so the contract (binary out-column, per-row bound
+    ``thumb_bytes = min(n_bytes, max_bytes)``) is testable and even
+    SQL-oracle-checkable on the length. Swap the body for
+    PIL.Image.thumbnail in production; schema and plan shape hold.
+    Narrow op: no shuffle introduced."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            thumbs = batch["payload"].map(
+                lambda b: (b if b is not None else b"")[:max_bytes]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.map(len).astype("int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -72,7 +72,9 @@ _ORACLE_PRIORITY = [
     "session_window_30m",
     "daily_rollup_by_type",
     "multimodal_feature_stub",
-    "multimodal_chunk_sample",
+    # multimodal_chunk_sample: driver-green r2; yielded its slot to the
+    # r3 resize tier (same Arrow plumbing family, zero lifetime rows).
+    "multimodal_resize_stub",
     # -- r2 governance/mixing additions: first driver rows needed --
     "pii_redaction_report",
     "contamination_screen",

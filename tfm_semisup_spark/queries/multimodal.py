@@ -9,6 +9,7 @@ deterministic and schema-stable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.operators.multimodal import extract_media_features, with_binary_payload
@@ -50,3 +51,33 @@ def multimodal_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_chunks(with_binary_payload(docs), chunk_size=100)
+
+
+# Resize/thumbnail plumbing: binary-out mapInPandas; the oracle checks
+# the byte-exact contract on the lengths (the thumb bytes themselves
+# are a prefix of the UTF-8 payload — substring-checkable, but DuckDB
+# BLOB hex formatting differs from the driver's bytes repr, so the
+# oracled columns are the numeric contract).
+RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS thumb_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+@register("multimodal_resize_stub", RESIZE_ORACLE)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pass over the corpus payloads: Arrow mapInPandas
+    truncation stub (operators/multimodal.py::resize_media), joined
+    back to the metadata struct for the original size — the
+    decode-free slice of a real image-resize stage."""
+    from tfm_semisup_spark.operators.multimodal import (
+        resize_media,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    thumbs = resize_media(docs, max_bytes=256)
+    meta = docs.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"))
+    return thumbs.join(meta, "doc_id").select("doc_id", "thumb_bytes", "n_bytes")
