@@ -59,6 +59,11 @@ HEADLINE = [
     "domain_mix_sample",
     "multimodal_feature_stub",
     "ssl_selftrain_threshold",
+    # r3 families: semantic (embedding-space) dedup, deterministic
+    # training-shard shuffle, resize/thumbnail plumbing
+    "dedup_semantic_semdedup",
+    "training_shard_assignment",
+    "multimodal_resize_stub",
 ]
 
 

@@ -96,3 +96,51 @@ def test_two_criteria_grid(spark, points):
     assert set(rows) == {"threshold", "kBest"}
     assert rows["threshold"]["thresholdOrKBest"] == 0.8
     assert rows["kBest"]["thresholdOrKBest"] == 0.5
+
+
+def test_all_results_csv_matches_reference_shape(spark, points, tmp_path):
+    """Golden-shape parity with the reference's AllResults.csv
+    (notebooks/SemiSupervised/Results/AllResults.csv:1): identical
+    header (column names AND order), one data row per grid cell,
+    values parse back under RESULTS_SCHEMA. Row-level value diffing
+    is out of scope by design: seeded split membership differs by
+    engine (SURVEY §5), so value parity is bounded against
+    BASELINE.md anchors in test_baseline_parity.py instead."""
+    import csv
+    import glob
+    import os
+
+    from tfm_semisup_spark.operators.grid import write_all_results_csv
+
+    cells = build_ssl_grid(
+        classifiers={"DT": lambda: DecisionTreeClassifier(seed=5)},
+        percentages=[0.3],
+        thresholds=[0.75],
+        family="selfTraining",
+        max_iter=2,
+    )
+    results = run_experiment_grid(
+        spark, points, "embeddings", [], cells, k=2, id_col="vec_id"
+    )
+    out = str(tmp_path / "all_results")
+    write_all_results_csv(results, out)
+    part = glob.glob(os.path.join(out, "part-*.csv"))
+    assert len(part) == 1
+    with open(part[0]) as f:
+        rows = list(csv.reader(f))
+    ref_header = (
+        "data,classifier,criterion,percentageLabeled,thresholdOrKBest,"
+        "iteration,LabeledInitial,UnLabeledInitial,LabeledFinal,"
+        "UnLabeledFinal,percentageLabeledFinal,accuracy,AUC,PR,F1score"
+    ).split(",")
+    ref_csv = "/root/reference/notebooks/SemiSupervised/Results/AllResults.csv"
+    if os.path.exists(ref_csv):
+        with open(ref_csv) as f:
+            ref_header = next(csv.reader(f))
+    assert rows[0] == ref_header
+    assert len(rows) == 1 + len(cells)
+    # values round-trip: numeric fields parse, label counts consistent
+    rec = dict(zip(rows[0], rows[1]))
+    assert rec["data"] == "embeddings" and rec["criterion"] == "threshold"
+    assert int(rec["LabeledInitial"]) + int(rec["UnLabeledInitial"]) > 0
+    assert 0.0 <= float(rec["accuracy"]) <= 1.0

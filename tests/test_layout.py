@@ -75,3 +75,40 @@ def test_range_sorted_layout_enables_file_skipping(spark, tmp_path):
         spark.read.parquet(p).where((F.col("value_d") >= a) & (F.col("value_d") <= b)).count()
     )
     assert q(unsorted) == q(sorted_p)
+
+
+def test_training_shards_layout_and_order(spark, tmp_path):
+    """write_training_shards: every shard directory exists, rows land
+    in their md5 bucket, within-shard order equals the oracled
+    training_shard_assignment positions, and the layout is identical
+    under a different input partitioning."""
+    import glob
+
+    from tfm_semisup_spark.operators.layout import write_training_shards
+    from tfm_semisup_spark.queries.corpus_prep import training_shard_assignment
+
+    out = str(tmp_path / "shards")
+    docs = load_table(spark, SF, "documents")
+    write_training_shards(docs, out, n_shards=8)
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 8
+
+    expected = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in training_shard_assignment(spark, SF).collect()
+    }
+    back = spark.read.parquet(out)
+    for shard in range(8):
+        ids = [
+            r["doc_id"]
+            for r in back.where(F.col("shard") == shard).collect()
+        ]
+        # parquet preserves within-file row order; single file per shard
+        assert ids == sorted(ids, key=lambda d: expected[d][1])
+        assert all(expected[d][0] == shard for d in ids)
+
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(7), out2, n_shards=8)
+    a = spark.read.parquet(out).orderBy("shard", "doc_id").collect()
+    b = spark.read.parquet(out2).orderBy("shard", "doc_id").collect()
+    assert a == b

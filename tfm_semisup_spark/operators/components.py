@@ -80,13 +80,19 @@ def connected_components(
         base.union(nodes.select("u", F.col("u").alias("v"))), checkpoint_dir
     )
 
-    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
-    labels = truncate(labels, checkpoint_dir)
-    release(base)
     # labels are monotonically non-increasing per node, so the total is
     # a strictly decreasing progress measure: unchanged sum <=> fixed
     # point. decimal(38,0) keeps the sum exact for any int64 ids/count.
+    # NOTE: riding the sum on the checkpoint job via Observation would
+    # save one job per round, but a localCheckpoint of an observed plan
+    # leaks the non-serializable ObservationManager into later jobs'
+    # closures ("Task not serializable" in unrelated MLlib fits) — so
+    # the sum stays a separate tiny aggregate over the fresh blocks.
     _sum = F.sum(F.col("label").cast("decimal(38,0)"))
+
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
+    labels = truncate(labels, checkpoint_dir)
+    release(base)
     prev_sum = labels.agg(_sum).head()[0]
 
     ckpt = labels  # handle to the blocks backing the current labels

@@ -268,3 +268,12 @@ def run_holdout_baselines(
                 )
             )
     return spark.createDataFrame(rows, HOLDOUT_SCHEMA)
+
+
+def write_all_results_csv(results: DataFrame, path: str) -> None:
+    """Emit a grid results table in the reference's AllResults.csv
+    shape (`notebooks/SemiSupervised/Results/AllResults.csv`: exact
+    same 15-column header, comma-separated, header row first). One
+    part file via coalesce(1): the results table is one row per grid
+    cell — always tiny regardless of corpus scale."""
+    results.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

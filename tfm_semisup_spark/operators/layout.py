@@ -85,3 +85,32 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the deterministic training shuffle
+    (queries/corpus_prep.py::training_shard_assignment) as a physical
+    layout: md5-bucket shard column, one hash exchange keyed by shard,
+    rows sorted by (md5, id) WITHIN each shard, written
+    ``partitionBy(shard)`` so a trainer streams shard directories in a
+    reproducible pseudo-random order. Content-keyed: identical files
+    for identical input, any cluster size."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.ascii(F.substring(h, 1, 1)) % n_shards).cast("int")
+    (
+        docs.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .repartition("shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
+    )

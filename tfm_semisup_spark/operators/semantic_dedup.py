@@ -109,15 +109,25 @@ def semantic_dup_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, cos_sim) for same-cluster pairs with cosine ≥
     threshold, a < b. Vectors are L2-normalized in the projection, so
-    the join predicate is one dot product on the pair."""
+    the join predicate is one dot product on the pair.
+
+    The normalized projection is materialized (localCheckpoint) before
+    the self-join: both join sides and every downstream consumer then
+    scan (id, cluster, unit-vector) rows instead of re-evaluating —
+    and re-CODEGENING — the wide centroid-literal assignment
+    expression per side (measured at sf0.1: pairs 12.3s -> ~1s)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
     arr = F.col(array_col).cast("array<double>")
     norm = F.sqrt(
         F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    unit = assigned.select(
-        F.col(id_col).alias("id"),
-        F.col(cluster_col).alias("c"),
-        F.transform(arr, lambda v: v / norm).alias("u"),
+    unit = truncate(
+        assigned.withColumn("__n", norm).select(
+            F.col(id_col).alias("id"),
+            F.col(cluster_col).alias("c"),
+            F.transform(arr, lambda v: v / F.col("__n")).alias("u"),
+        )
     )
     a = unit.select(
         F.col("id").alias("doc_a"), F.col("c"), F.col("u").alias("ua")
@@ -125,10 +135,15 @@ def semantic_dup_pairs(
     b = unit.select(
         F.col("id").alias("doc_b"), F.col("c").alias("cb"), F.col("u").alias("ub")
     )
-    cos = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    # flat element_at sum, NOT zip_with/aggregate: Spark higher-order
+    # functions are interpreted (excluded from whole-stage codegen),
+    # and the dot product runs once per CANDIDATE pair — the hot
+    # expression of the whole operator. A fixed-arity sum of
+    # element_at products stays inside codegen.
+    dim = assigned.select(F.size(F.col(array_col)).alias("d")).head()["d"]
+    cos = sum(
+        (F.element_at("ua", k) * F.element_at("ub", k) for k in range(2, dim + 1)),
+        F.element_at("ua", 1) * F.element_at("ub", 1),
     )
     return (
         a.join(b, (a["c"] == b["cb"]) & (a["doc_a"] < b["doc_b"]))
@@ -151,10 +166,15 @@ def semantic_dedup(
     for every input row — ``keep`` is false exactly for non-canonical
     members of a semantic duplicate group (canonical = min id via
     connected components over the above-threshold pair graph)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
     centroids = train_semantic_centroids(
         embeddings, array_col, id_col, num_clusters, seed, max_train_rows
     )
-    assigned = assign_clusters(embeddings, centroids, array_col)
+    # materialize the assignment once: the centroid-literal projection
+    # is wide (num_clusters x dim literals in codegen) and is consumed
+    # by both the pair tier and the final join
+    assigned = truncate(assign_clusters(embeddings, centroids, array_col))
     pairs = semantic_dup_pairs(assigned, threshold, array_col, id_col)
     comp = connected_components(pairs)  # only nodes WITH a near-dup edge
     return (

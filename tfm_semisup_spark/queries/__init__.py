@@ -78,7 +78,10 @@ _ORACLE_PRIORITY = [
     # -- r2 governance/mixing additions: first driver rows needed --
     "pii_redaction_report",
     "contamination_screen",
-    "domain_mix_sample",
+    # domain_mix_sample: driver-green r2; yielded its slot to the r3
+    # deterministic training-shard shuffle (same md5-portability
+    # family, zero lifetime rows).
+    "training_shard_assignment",
     "repetition_report",
     "substring_dup_report",
     "substring_dup_cut_list",  # r3: per-span offsets — needs its first row

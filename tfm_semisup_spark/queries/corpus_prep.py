@@ -231,3 +231,51 @@ def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# Deterministic global training shuffle -> shard assignment. A real
+# training run needs documents in a reproducible pseudo-random order
+# split into fixed shards; the content-keyed answer is hash ordering:
+# shard = md5-bucket of the id, position = rank of the md5 WITHIN the
+# shard. Same md5-portability trick as domain_mix_sample — bit
+# identical in Spark and DuckDB, so the whole op is oracled.
+SHARD_COUNT = 8
+
+TRAINING_SHARDS_ORACLE = f"""
+SELECT doc_id,
+       CAST(ascii(substring(md5(CAST(doc_id AS STRING)), 1, 1)) % {SHARD_COUNT}
+            AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ascii(substring(md5(CAST(doc_id AS STRING)), 1, 1))
+                        % {SHARD_COUNT}
+         ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@register("training_shard_assignment", TRAINING_SHARDS_ORACLE)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos): reproducible global shuffle of the corpus
+    into SHARD_COUNT training shards — shard by md5 bucket, position by
+    md5 order within the shard (ties impossible past the doc_id
+    tiebreak).
+
+    Scale shape: ONE hash exchange on shard + per-shard sort (the
+    row_number window is PARTITIONED — never a single-partition global
+    sort); at 100 TB this is exactly the write path of
+    `repartition(shard).sortWithinPartitions(hash)` that produces
+    ready-to-stream training shards, expressed as a checkable query.
+    Content-keyed: order is identical across reruns, partitionings and
+    cluster sizes."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.ascii(F.substring(h, 1, 1)) % SHARD_COUNT).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("__h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
