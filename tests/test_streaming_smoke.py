@@ -133,3 +133,24 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_quality_gate_stream_equals_batch(spark):
+    """streaming/quality.py: the ingest quality gate keeps EXACTLY the
+    docs the batch rule chain passes — one rule definition, two
+    execution modes — and appends no streaming state (no watermark
+    needed for append mode)."""
+    from tfm_semisup_spark.operators.quality import filter_quality_gopher
+    from tfm_semisup_spark.streaming.quality import stream_quality_filter
+
+    docs = load_table(spark, SF, "documents")
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        SF + "/documents.parque*"
+    )
+    run_available_now(
+        stream_quality_filter(stream), "q_gate", output_mode="append"
+    )
+    got = {r["doc_id"] for r in spark.table("q_gate").collect()}
+    want = {r["doc_id"] for r in filter_quality_gopher(docs).collect()}
+    assert got == want and len(want) > 0

@@ -6,10 +6,18 @@ The reference computes the max posterior probability with a Scala UDF
 JVM<->Python pickle boundary inside the self-training loop; instead we
 stay in Tungsten codegen with ``vector_to_array`` + ``array_max``.
 
-Embedding similarity uses ``zip_with``/``aggregate`` over
-``array<float>`` columns — also fully JVM-side. At 100 TB these
-expressions vectorize inside whole-stage codegen; the Python process
-only builds the plan.
+Embedding similarity has two forms, both JVM-side:
+
+- ``dot``/``l2_norm``/``cosine_similarity``: higher-order functions
+  (``zip_with``/``aggregate``). CAVEAT: Spark evaluates HOFs in
+  INTERPRETED mode (they are excluded from whole-stage codegen), so
+  per-element lambda dispatch + array allocation sit in the hot loop.
+- ``dot_fixed``/``cosine_similarity_fixed``: when the dimension is
+  known (every embedding table has one), a flat fixed-arity sum of
+  ``element_at`` products — stays inside whole-stage codegen, the
+  right form for the 100 TB scan. Summation order is identical to the
+  fold (left-to-right by index), so results are bit-equal and oracle
+  parity is unaffected.
 """
 
 from __future__ import annotations
@@ -47,3 +55,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     of the similarity-search operator; the scale path is LSH bucketing in
     ``operators/similarity.py``)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-friendly dot product for a KNOWN dimension: flat sum of
+    element_at products (1-indexed), bit-equal to ``dot``'s fold."""
+    total = F.element_at(a, 1) * F.element_at(b, 1)
+    for k in range(2, dim + 1):
+        total = total + F.element_at(a, k) * F.element_at(b, k)
+    return total
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
+def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``cosine_similarity`` in flat fixed-arity form — whole-stage
+    codegen keeps the similarity scan on the fast path at corpus scale."""
+    return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.functions.vector import cosine_similarity
+from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
 
@@ -41,16 +41,20 @@ LIMIT 10
 
 @register("similarity_cosine_topk", COSINE_TOPK_ORACLE)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat fixed-arity cosine (functions/vector.py): the corpus-scan
+    dot product stays inside whole-stage codegen — HOF aggregate/
+    zip_with forms are interpreted, the wrong hot path at 100 TB."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
+    dim = emb.select(F.size("embedding")).head()[0]
     query = emb.where(F.col("vec_id") == 0).select(F.col("emb_d").alias("qv"))
     scored = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            cosine_similarity(F.col("emb_d"), F.col("qv")).alias("sim"),
+            cosine_similarity_fixed(F.col("emb_d"), F.col("qv"), dim).alias("sim"),
         )
     )
     return (
@@ -88,12 +92,13 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_embedding_neardup_lsh in operators/dedup.py) — bucketed
     candidates, never blind all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding")).head()[0]
     sub = emb.where(F.col("vec_id") % 20 == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    sim = cosine_similarity_fixed(F.col("va"), F.col("vb"), dim)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(sim > 0.25)
@@ -208,6 +213,7 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
+    dim = emb.select(F.size("embedding")).head()[0]
     queries = emb.where(F.col("vec_id") % 100 == 1).select(
         F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qv")
     )
@@ -217,7 +223,7 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_similarity(F.col("emb_d"), F.col("qv")).alias("sim"),
+            cosine_similarity_fixed(F.col("emb_d"), F.col("qv"), dim).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
