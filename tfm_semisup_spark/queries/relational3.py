@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.functions.vector import cosine_similarity
+from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
 
@@ -166,9 +166,13 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # fixed-arity cosine: this nested-loop tier evaluates the dot
+    # product O(N^2) times — the interpreted HOF form is the wrong
+    # shape here (functions/vector.py)
+    dim = emb.select(F.size("e")).head()[0]
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    sim = cosine_similarity(F.col("ea"), F.col("eb"))
+    sim = cosine_similarity_fixed(F.col("ea"), F.col("eb"), dim)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(sim > 0.35)
