@@ -95,3 +95,62 @@ def test_model_persistence_roundtrip(spark, tmp_path):
     u.save(p2)
     u2 = UnlabeledTransformer.load(p2)
     assert u2.getOrDefault(u2.percentageLabeled) == 0.4
+
+
+# -- connected components vs a union-find reference ---------------------
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical min-label per node
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """Distributed min-label propagation == sequential union-find on
+    arbitrary graphs (multi-edges, either orientation, any topology).
+    The min-reachable-id canonical label is the contract every dedup
+    keeper decision rests on."""
+    from tfm_semisup_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Adversarial path graph (diameter 40): pointer jumping must
+    converge in O(log diameter) rounds, far under the 25-round bound a
+    plain propagation would blow through."""
+    import tfm_semisup_spark.operators.components as C
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    assert got == {n: 0 for n in range(41)}
+    assert C.last_convergence_rounds <= 8
