@@ -103,7 +103,7 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sources = docs.select("doc_id", "source")
-    return (
+    out = (
         hits.join(sources, "doc_id")
         .groupBy("source")
         .agg(
@@ -112,3 +112,11 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # tiny report: materialize it, then release the gram index so
+    # library callers in long-lived sessions don't leak cached blocks
+    # (same discipline as substring_cut_spans)
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(out)
+    grams.unpersist()
+    return out
