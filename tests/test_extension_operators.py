@@ -544,3 +544,57 @@ def test_pq_sampled_training_path(spark):
     }
     recall = len({r["vec_id"] for r in got.collect()} & exact) / 10
     assert recall >= 0.5, f"sampled-path PQ recall {recall:.2f} vs exact top-10"
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """Composed IVF-PQ: coarse-bucket pruning + ADC + exact re-rank
+    keeps useful recall vs exact top-10, returns exactly k rows, and is
+    deterministic under repartitioning (seeded trainers, hash-capped
+    samples)."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents, books, encoded = build_ivfpq_index(emb, max_train_rows=256)
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    got = ivfpq_top_k(
+        cents, books, encoded.where(F.col("vec_id") != 0), q, k=10, n_probe=6
+    ).collect()
+    assert len(got) == 10
+
+    cents2, books2, encoded2 = build_ivfpq_index(
+        emb.repartition(7), max_train_rows=256
+    )
+    got2 = ivfpq_top_k(
+        cents2, books2, encoded2.where(F.col("vec_id") != 0), q, k=10, n_probe=6
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in got2]
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qlit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    exact = {
+        r["vec_id"]
+        for r in emb.where(F.col("vec_id") != 0)
+        .select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    recall = len({r["vec_id"] for r in got} & exact) / 10
+    assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} vs exact top-10"

@@ -403,3 +403,78 @@ def ivf_top_k_batch(
         .where(F.col("__rn") <= k)
         .select(query_id_col, id_col, F.round("__d", 4).alias("euclidean"))
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    array_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+    m: int = 16,
+    codes: int = 32,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+):
+    """IVF-PQ composition (the faiss IndexIVFPQ shape, Jégou et al.
+    2011): a coarse quantizer prunes the corpus to n_probe buckets,
+    then PQ/ADC scores only the surviving rows — the standard
+    billion-scale ANN layout.
+
+    Both training passes are the repo's bounded driver-side pattern
+    (hash-mod sample, seeded Lloyd's); the corpus-side work is two
+    columnar projections (bucket assignment + PQ encode) that compose
+    into ONE narrow pass over the table. Returns (centroids,
+    codebooks, encoded) where encoded carries ``ivfpq_bucket`` +
+    ``pq_codes``; write it ``partitionBy(ivfpq_bucket)`` and queries
+    touch n_probe/num_centroids of the files (partition pruning)."""
+    from tfm_semisup_spark.operators.semantic_dedup import (
+        assign_clusters,
+        train_semantic_centroids,
+    )
+
+    centroids = train_semantic_centroids(
+        embeddings, array_col, id_col, num_centroids, seed, max_train_rows
+    )
+    assigned = assign_clusters(
+        embeddings, centroids, array_col, out_col="ivfpq_bucket"
+    )
+    codebooks, encoded = build_pq_index(
+        assigned,
+        array_col=array_col,
+        m=m,
+        codes=codes,
+        seed=seed,
+        id_col=id_col,
+        max_train_rows=max_train_rows,
+    )
+    return centroids, codebooks, encoded
+
+
+def ivfpq_top_k(
+    centroids,
+    codebooks,
+    encoded: DataFrame,
+    query_vector,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    array_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest coarse buckets, ADC-score only their
+    rows, exact re-rank (delegates to pq_top_k on the bucket-pruned
+    set). Deterministic: seeded centroids/codebooks, (distance, id)
+    tie-breaks."""
+    import numpy as np
+
+    q = np.asarray(
+        query_vector.toArray() if hasattr(query_vector, "toArray") else query_vector,
+        dtype=float,
+    )
+    order = np.argsort([float(np.linalg.norm(q - c)) for c in np.asarray(centroids)])
+    probe = [int(b) for b in order[:n_probe]]
+    pruned = encoded.where(F.col("ivfpq_bucket").isin(probe))
+    return pq_top_k(
+        codebooks, pruned, query_vector, k=k, refine=refine,
+        id_col=id_col, array_col=array_col,
+    )

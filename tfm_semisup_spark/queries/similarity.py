@@ -276,3 +276,24 @@ def similarity_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = bucketed.where(F.col("vec_id") % 100 != 1)
     return ivf_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K, n_probe=4)
+
+
+@register("similarity_ivfpq_topk")
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ retrieval (rows-only: k-means + PQ are engine-
+    side): coarse buckets prune the corpus, ADC scores the survivors,
+    exact re-rank orders the shortlist — the billion-scale layout.
+    Recall vs exact top-k asserted in tests/test_extension_operators
+    .py. max_train_rows=256 keeps both trainers on the sampled path at
+    every SF (same rationale as similarity_pq_topk)."""
+    from tfm_semisup_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_top_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books, encoded = build_ivfpq_index(emb, max_train_rows=256)
+    q = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    return ivfpq_top_k(
+        cents, books, encoded.where(F.col("vec_id") != 0), q, k=10, n_probe=6
+    )
