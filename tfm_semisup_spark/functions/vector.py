@@ -57,9 +57,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Above this dimension the flat form is NOT generated: a 3*dim-term
+# expression tree eventually exceeds whole-stage-codegen's practical
+# limits (JVM 64KB method bodies / deep Add-chain recursion), at which
+# point Spark SILENTLY falls back to interpreted evaluation of the
+# huge flat tree — strictly worse than the HOF fold (same interpreted
+# mode, far bigger tree, and a seconds-long failed compile first).
+# 256 is conservative: testdata dim 64 compiles fine; real embedding
+# dims (1-4k) take the HOF path. Both forms fold left-to-right by
+# index, so results are bit-equal and oracle parity is unaffected
+# (equality-tested at dim 1024 in tests/test_vector_functions.py).
+CODEGEN_DIM_LIMIT = 256
+
+
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     """Codegen-friendly dot product for a KNOWN dimension: flat sum of
-    element_at products (1-indexed), bit-equal to ``dot``'s fold."""
+    element_at products (1-indexed), bit-equal to ``dot``'s fold.
+    Dimensions past CODEGEN_DIM_LIMIT fall back to the HOF ``dot``
+    (see the constant's rationale)."""
+    if dim > CODEGEN_DIM_LIMIT:
+        return dot(a, b)
+    return _dot_flat(a, b, dim)
+
+
+def _dot_flat(a: Column, b: Column, dim: int) -> Column:
+    """Unguarded flat form (test hook — callers use ``dot_fixed``)."""
     total = F.element_at(a, 1) * F.element_at(b, 1)
     for k in range(2, dim + 1):
         total = total + F.element_at(a, k) * F.element_at(b, k)
@@ -67,10 +89,15 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
 
 
 def l2_norm_fixed(a: Column, dim: int) -> Column:
-    return F.sqrt(dot_fixed(a, a, dim))
+    if dim > CODEGEN_DIM_LIMIT:
+        return l2_norm(a)
+    return F.sqrt(_dot_flat(a, a, dim))
 
 
 def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
     """``cosine_similarity`` in flat fixed-arity form — whole-stage
-    codegen keeps the similarity scan on the fast path at corpus scale."""
+    codegen keeps the similarity scan on the fast path at corpus scale.
+    Past CODEGEN_DIM_LIMIT this delegates to the HOF form (bit-equal)."""
+    if dim > CODEGEN_DIM_LIMIT:
+        return cosine_similarity(a, b)
     return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))

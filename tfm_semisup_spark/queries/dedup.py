@@ -632,8 +632,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make the grouping path vacuous here; 0.45 exercises pair
     formation + components + canonicalization on this data. Planted
     true-duplicate behavior is tested in tests/test_semantic_dedup.py."""
-    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.io import embedding_dim, load_table
     from tfm_semisup_spark.operators.semantic_dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.45).orderBy("id")
+    return semantic_dedup(
+        emb, threshold=0.45, dim=embedding_dim(sf_dir)
+    ).orderBy("id")

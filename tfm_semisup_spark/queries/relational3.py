@@ -168,8 +168,11 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fixed-arity cosine: this nested-loop tier evaluates the dot
     # product O(N^2) times — the interpreted HOF form is the wrong
-    # shape here (functions/vector.py)
-    dim = emb.select(F.size("e")).head()[0]
+    # shape here (functions/vector.py); dim from a driver-side pyarrow
+    # peek (io.embedding_dim) — no per-call Spark probe job
+    from tfm_semisup_spark.io import embedding_dim
+
+    dim = embedding_dim(sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     sim = cosine_similarity_fixed(F.col("ea"), F.col("eb"), dim)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
-from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.io import embedding_dim, load_table
 from tfm_semisup_spark.queries import register
 
 COSINE_TOPK_ORACLE = """
@@ -43,11 +43,15 @@ LIMIT 10
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat fixed-arity cosine (functions/vector.py): the corpus-scan
     dot product stays inside whole-stage codegen — HOF aggregate/
-    zip_with forms are interpreted, the wrong hot path at 100 TB."""
+    zip_with forms are interpreted, the wrong hot path at 100 TB.
+    ``dim`` comes from a driver-side pyarrow footer/first-batch peek
+    (io.embedding_dim, memoized) — the r3 per-call ``F.size().head()``
+    probe cost a full Spark job per invocation (3.4x bench regression,
+    VERDICT r3)."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
-    dim = emb.select(F.size("embedding")).head()[0]
+    dim = embedding_dim(sf_dir)
     query = emb.where(F.col("vec_id") == 0).select(F.col("emb_d").alias("qv"))
     scored = (
         emb.where(F.col("vec_id") != 0)
@@ -92,7 +96,7 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_embedding_neardup_lsh in operators/dedup.py) — bucketed
     candidates, never blind all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding")).head()[0]
+    dim = embedding_dim(sf_dir)
     sub = emb.where(F.col("vec_id") % 20 == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -213,7 +217,7 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.col("embedding").cast("array<double>")
     )
-    dim = emb.select(F.size("embedding")).head()[0]
+    dim = embedding_dim(sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 1).select(
         F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qv")
     )
