@@ -96,3 +96,42 @@ def test_resize_media_truncates_and_handles_null(spark):
     assert bytes(out[1]["thumb"]) == b"x" * 256 and out[1]["thumb_bytes"] == 256
     assert bytes(out[2]["thumb"]) == b"short" and out[2]["thumb_bytes"] == 5
     assert bytes(out[3]["thumb"]) == b"" and out[3]["thumb_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# round 4 (VERDICT r3 #3): library-session cache hygiene — the three
+# dedup queries that persist an intermediate index must release it
+# eagerly once their result materializes. The returned DataFrame itself
+# is a localCheckpoint scan (small pair/report rows); after the caller
+# releases THAT, storage must be back to its pre-query baseline — no
+# pinned shingle/gram index blocks left behind.
+# ---------------------------------------------------------------------------
+
+
+def _cached_rdd_ids(spark):
+    return {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_dedup_queries_leave_no_pinned_blocks(spark):
+    from tfm_semisup_spark.operators.lineage import release
+    from tfm_semisup_spark.queries.dedup import (
+        dedup_ngram_jaccard_capped,
+        dedup_ngram_jaccard_pairs,
+        substring_dup_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (
+        dedup_ngram_jaccard_pairs,
+        dedup_ngram_jaccard_capped,
+        substring_dup_report,
+    ):
+        before = _cached_rdd_ids(spark)
+        df = q(spark, sf)
+        df.collect()
+        release(df)
+        leaked = _cached_rdd_ids(spark) - before
+        assert not leaked, f"{q.__name__} left pinned RDDs: {leaked}"

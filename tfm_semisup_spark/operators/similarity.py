@@ -62,10 +62,24 @@ def ann_top_k(
     )
 
 
+def resolve_num_centroids(approx_n: int) -> int:
+    """IVF coarse-quantizer size for a corpus of ~approx_n vectors:
+    ~sqrt(N) (the classic balance point — expected bucket size then
+    also ~sqrt(N), so probe cost and bucket-scan cost shrink together
+    as N grows; faiss guidance is sqrt(N)..16·sqrt(N)), clamped to
+    [8, 65_536]. The r1-r3 FIXED default (16) kept a constant bucket
+    count, so each bucket grew linearly with the corpus and the
+    pruning ratio decayed (VERDICT r3 #5 — the same
+    latent-fixed-default class as SemDeDup's num_clusters)."""
+    import math
+
+    return max(8, min(65_536, int(round(math.sqrt(max(1, int(approx_n)))))))
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     vector_col: str = "features",
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     seed: int = 42,
 ):
     """IVF coarse quantizer: k-means centroids + bucketed dataset.
@@ -73,10 +87,15 @@ def build_ivf_index(
     The classic ANN scale path next to LSH: fit k centroids (tiny model,
     broadcast), assign every vector to its nearest centroid ONCE at
     index-build time; queries probe only the closest n_probe buckets.
+    ``num_centroids=None`` (default) derives ~sqrt(N) centroids from
+    the corpus size (``resolve_num_centroids``) so the pruning ratio
+    holds as N grows; pass an explicit value to pin it.
     Returns (kmeans_model, bucketed DataFrame with `ivf_bucket`).
     """
     from pyspark.ml.clustering import KMeans
 
+    if num_centroids is None:
+        num_centroids = resolve_num_centroids(embeddings.count())
     km = KMeans(k=num_centroids, seed=seed, featuresCol=vector_col,
                 predictionCol="ivf_bucket")
     model = km.fit(embeddings)
@@ -409,7 +428,7 @@ def build_ivfpq_index(
     embeddings: DataFrame,
     array_col: str = "embedding",
     id_col: str = "vec_id",
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     m: int = 16,
     codes: int = 32,
     seed: int = 42,
@@ -423,21 +442,53 @@ def build_ivfpq_index(
     Both training passes are the repo's bounded driver-side pattern
     (hash-mod sample, seeded Lloyd's); the corpus-side work is two
     columnar projections (bucket assignment + PQ encode) that compose
-    into ONE narrow pass over the table. Returns (centroids,
-    codebooks, encoded) where encoded carries ``ivfpq_bucket`` +
-    ``pq_codes``; write it ``partitionBy(ivfpq_bucket)`` and queries
-    touch n_probe/num_centroids of the files (partition pruning)."""
+    into ONE narrow pass over the table. ``num_centroids=None``
+    derives ~sqrt(N) coarse buckets (``resolve_num_centroids``); past
+    DRIVER_TRAIN_MAX_CLUSTERS the coarse tier trains/assigns with
+    distributed KMeans. Returns (centroids, codebooks, encoded) where
+    encoded carries ``ivfpq_bucket`` + ``pq_codes``; write it
+    ``partitionBy(ivfpq_bucket)`` and queries touch
+    n_probe/num_centroids of the files (partition pruning)."""
+    import numpy as np
+
     from tfm_semisup_spark.operators.semantic_dedup import (
+        DRIVER_TRAIN_MAX_CLUSTERS,
         assign_clusters,
         train_semantic_centroids,
     )
 
-    centroids = train_semantic_centroids(
-        embeddings, array_col, id_col, num_centroids, seed, max_train_rows
-    )
-    assigned = assign_clusters(
-        embeddings, centroids, array_col, out_col="ivfpq_bucket"
-    )
+    if num_centroids is None:
+        approx_n = embeddings.agg(
+            F.approx_count_distinct(id_col).alias("n")
+        ).head()["n"]
+        num_centroids = resolve_num_centroids(approx_n)
+    if num_centroids > DRIVER_TRAIN_MAX_CLUSTERS:
+        # past driver-trainable size (and past what a k×dim literal
+        # projection should codegen): distributed KMeans trains AND
+        # assigns; centroids come off the fitted model for the probe
+        # ordering in ivfpq_top_k
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = embeddings.withColumn(
+            "__features",
+            array_to_vector(F.col(array_col).cast("array<double>")),
+        )
+        km = KMeans(
+            k=num_centroids,
+            seed=seed,
+            featuresCol="__features",
+            predictionCol="ivfpq_bucket",
+        ).fit(feat)
+        centroids = np.asarray([c.toArray() for c in km.clusterCenters()])
+        assigned = km.transform(feat).drop("__features")
+    else:
+        centroids = train_semantic_centroids(
+            embeddings, array_col, id_col, num_centroids, seed, max_train_rows
+        )
+        assigned = assign_clusters(
+            embeddings, centroids, array_col, out_col="ivfpq_bucket"
+        )
     codebooks, encoded = build_pq_index(
         assigned,
         array_col=array_col,

@@ -196,7 +196,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = hashed_shingles(docs).persist()  # reused: self-join + sizes
     tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
     sizes = shingled.select("doc_id", F.size("hs").alias("n"))
-    return jaccard_pairs_from_index(tri, sizes, 0.5)
+    # materialize then release the shingle cache eagerly — long-lived
+    # library sessions must not accumulate pinned blocks (ADVICE r2/r3;
+    # same shape as substring_cut_spans)
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(jaccard_pairs_from_index(tri, sizes, 0.5))
+    shingled.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +319,12 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = df_capped_index(tri).persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    return jaccard_pairs_from_index(kept, sizes, 0.5)
+    # materialize then release the capped index eagerly (ADVICE r2/r3)
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(jaccard_pairs_from_index(kept, sizes, 0.5))
+    kept.unpersist()
+    return out
 
 
 # Transitive closure of the capped near-dup pair graph: every document
@@ -605,7 +617,7 @@ def substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     frac = F.col("n_dup") * 1.0 / F.col("n_pos")
-    return (
+    report = (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -615,6 +627,12 @@ def substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # materialize then release the gram index eagerly (ADVICE r2/r3)
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(report)
+    grams.unpersist()
+    return out
 
 
 @register("dedup_semantic_semdedup")
