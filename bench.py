@@ -52,6 +52,11 @@ HEADLINE = [
     "dedup_minhash_banded_pairs",
     "dedup_simhash_pairs",
     "similarity_cosine_topk",
+    # r4: ANN tier visibility (VERDICT r3 #7) — a regression in the PQ
+    # encode/ADC scan or the composed IVF-PQ probe path was previously
+    # invisible to the bench; recall is covered by tests, latency here.
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
     "text_stats_by_lang",
     "quality_rule_report",
     "pii_redaction_report",

@@ -112,3 +112,36 @@ def test_training_shards_layout_and_order(spark, tmp_path):
     a = spark.read.parquet(out).orderBy("shard", "doc_id").collect()
     b = spark.read.parquet(out2).orderBy("shard", "doc_id").collect()
     assert a == b
+
+
+def test_shard_buckets_are_uniform(spark):
+    """round 4 (ADVICE r3 medium): the r1-r3 raw-ascii formula carried
+    3x shard skew (max/min mass ratio); the 4-hex-char decode must
+    spread synthetic ids near-evenly. Also pin exact formula semantics:
+    Spark and DuckDB evaluate the identical expression text to the
+    identical buckets."""
+    import duckdb
+
+    from tfm_semisup_spark.operators.layout import shard_bucket_sql
+
+    expr = shard_bucket_sql("md5(CAST(id AS STRING))", 8)
+    n = 20_000
+    counts = {
+        r["shard"]: r["c"]
+        for r in spark.range(n)
+        .selectExpr(f"{expr} AS shard")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(counts) == set(range(8))
+    lo, hi = min(counts.values()), max(counts.values())
+    assert hi / lo < 1.2, f"shard skew {hi}/{lo} (old formula: 3x)"
+
+    duck = dict(
+        duckdb.sql(
+            f"SELECT {expr} AS shard, COUNT(*) AS c"
+            " FROM range(20000) t(id) GROUP BY 1"
+        ).fetchall()
+    )
+    assert duck == counts

@@ -87,6 +87,26 @@ def write_range_sorted(
     )
 
 
+def shard_bucket_sql(md5_expr: str, n_shards: int) -> str:
+    """SQL text for a UNIFORM shard bucket from an md5-hex expression —
+    decode the first 4 hex chars to an integer in [0, 65536) and mod.
+    One string, two engines: Spark (``F.expr``) and DuckDB evaluate the
+    IDENTICAL expression, so oracle parity is by construction.
+
+    The r1-r3 formula ``ascii(first hex char) % n`` was 3x-skewed:
+    ascii codes of '0'-'9' (48-57) and 'a'-'f' (97-102) are not
+    contiguous, so their residues mod 8 carry mass {2,3,2,2,2,2,2,1}/16
+    (ADVICE r3). Proper per-char hex decode (ascii - 48, or - 87 for
+    'a'-'f') yields 65536 equiprobable values: exactly uniform for any
+    ``n_shards`` dividing 65536 and within 1/65536 otherwise."""
+    def hv(i: int) -> str:
+        a = f"ascii(substring({md5_expr}, {i}, 1))"
+        return f"({a} - (CASE WHEN {a} >= 97 THEN 87 ELSE 48 END))"
+
+    v = f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
+    return f"CAST({v} % {n_shards} AS INT)"
+
+
 def write_training_shards(
     docs: DataFrame,
     out_path: str,
@@ -95,15 +115,18 @@ def write_training_shards(
 ) -> None:
     """Materialize the deterministic training shuffle
     (queries/corpus_prep.py::training_shard_assignment) as a physical
-    layout: md5-bucket shard column, one hash exchange keyed by shard,
-    rows sorted by (md5, id) WITHIN each shard, written
+    layout: md5-bucket shard column (uniform 4-hex-char decode,
+    ``shard_bucket_sql``), one hash exchange keyed by shard, rows
+    sorted by (md5, id) WITHIN each shard, written
     ``partitionBy(shard)`` so a trainer streams shard directories in a
     reproducible pseudo-random order. Content-keyed: identical files
     for identical input, any cluster size."""
     from pyspark.sql import functions as F
 
     h = F.md5(F.col(id_col).cast("string"))
-    shard = (F.ascii(F.substring(h, 1, 1)) % n_shards).cast("int")
+    shard = F.expr(
+        shard_bucket_sql(f"md5(CAST({id_col} AS STRING))", n_shards)
+    )
     (
         docs.withColumn("__h", h)
         .withColumn("shard", shard)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.layout import shard_bucket_sql
 from tfm_semisup_spark.queries import register
 
 CHUNK_TOKENS = 60
@@ -236,18 +237,22 @@ def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic global training shuffle -> shard assignment. A real
 # training run needs documents in a reproducible pseudo-random order
 # split into fixed shards; the content-keyed answer is hash ordering:
-# shard = md5-bucket of the id, position = rank of the md5 WITHIN the
+# shard = md5-bucket of the id (UNIFORM 4-hex-char decode —
+# operators/layout.py::shard_bucket_sql; the r1-r3 raw-ascii formula
+# was 3x-skewed, ADVICE r3), position = rank of the md5 WITHIN the
 # shard. Same md5-portability trick as domain_mix_sample — bit
-# identical in Spark and DuckDB, so the whole op is oracled.
+# identical in Spark and DuckDB, so the whole op is oracled; Spark,
+# DuckDB and the physical writer all evaluate the IDENTICAL
+# expression text.
 SHARD_COUNT = 8
+
+_SHARD_EXPR = shard_bucket_sql("md5(CAST(doc_id AS STRING))", SHARD_COUNT)
 
 TRAINING_SHARDS_ORACLE = f"""
 SELECT doc_id,
-       CAST(ascii(substring(md5(CAST(doc_id AS STRING)), 1, 1)) % {SHARD_COUNT}
-            AS INT) AS shard,
+       {_SHARD_EXPR} AS shard,
        CAST(ROW_NUMBER() OVER (
-         PARTITION BY ascii(substring(md5(CAST(doc_id AS STRING)), 1, 1))
-                        % {SHARD_COUNT}
+         PARTITION BY {_SHARD_EXPR}
          ORDER BY md5(CAST(doc_id AS STRING)), doc_id
        ) AS BIGINT) AS pos
 FROM documents
@@ -272,7 +277,7 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    shard = (F.ascii(F.substring(h, 1, 1)) % SHARD_COUNT).cast("int")
+    shard = F.expr(_SHARD_EXPR)
     w = Window.partitionBy("shard").orderBy("__h", "doc_id")
     return (
         docs.select("doc_id", h.alias("__h"), shard.alias("shard"))
