@@ -110,3 +110,21 @@ def test_model_based_quality_scorer_generalizes_rules(spark):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     above = {r["doc_id"] for r in score_quality(model, docs).collect() if r["quality_prob"] >= 0.5}
     assert kept_ids == above
+
+
+def test_unknown_rule_override_raises_clearly(spark):
+    """round 4 (ADVICE r3): a typo'd or legacy kwarg (e.g. the removed
+    `seed`) must raise a clear TypeError at the call site, not surface
+    as a confusing error downstream."""
+    import pytest
+
+    from tfm_semisup_spark.operators.quality import with_quality_flags
+    from tfm_semisup_spark.operators.quality_model import train_quality_model
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(TypeError, match="unknown quality rule override.*seed"):
+        with_quality_flags(docs, seed=42)
+    with pytest.raises(TypeError, match="unknown quality rule override"):
+        train_quality_model(docs, seed=42)
+    # valid overrides still work
+    assert "quality_pass" in with_quality_flags(docs, min_words=1).columns

@@ -45,6 +45,47 @@ from tfm_semisup_spark.operators.lineage import release, truncate
 last_convergence_rounds: int = 0
 
 
+def _symmetric_edges(pairs: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected edge list as both orientations, deduped: (u, v)."""
+    return (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+
+
+def _with_self_loops(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Self-loop rows make the per-round groupBy-min a CLOSED-
+    neighborhood min (own label participates), eliminating the labels
+    re-join r2 ran to compute least(own, neighbor-min)."""
+    return edges.union(nodes.select("u", F.col("u").alias("v")))
+
+
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round (the executed loop body AND the
+    round_plan evidence build the plan through this single helper —
+    ADVICE r3: hand-duplicated construction let the documented plan
+    drift from the executed one):
+
+      1. closed-neighborhood min: edges(+self-loops) ⋈ labels,
+         groupBy node, min(label);
+      2. pointer jump: label <- label(label) (path halving).
+    """
+    stepped = (
+        edges.join(labels, edges["v"] == labels["node"])
+        .groupBy("u")
+        .agg(F.min("label").alias("label"))
+        .withColumnRenamed("u", "node")
+    )
+    parent = stepped.select(
+        F.col("node").alias("p_node"), F.col("label").alias("p_label")
+    )
+    return stepped.join(parent, stepped["label"] == parent["p_node"], "left").select(
+        "node",
+        F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -66,19 +107,9 @@ def connected_components(
     # nodes / self-loops / labels all derive from this checkpoint, not
     # from the raw plan (deriving them lazily re-ran the whole dedup
     # pipeline up to 3x inside the setup jobs)
-    base = truncate(
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct(),
-        checkpoint_dir,
-    )
-    # self-loops make round 1's groupBy-min a CLOSED-neighborhood min
-    # (own label participates), eliminating the labels re-join r2 ran
-    # to compute least(own, neighbor-min)
+    base = truncate(_symmetric_edges(pairs, src_col, dst_col), checkpoint_dir)
     nodes = base.select("u").distinct()
-    edges = truncate(
-        base.union(nodes.select("u", F.col("u").alias("v"))), checkpoint_dir
-    )
+    edges = truncate(_with_self_loops(base, nodes), checkpoint_dir)
 
     # labels are monotonically non-increasing per node, so the total is
     # a strictly decreasing progress measure: unchanged sum <=> fixed
@@ -97,27 +128,7 @@ def connected_components(
 
     ckpt = labels  # handle to the blocks backing the current labels
     for rounds in range(1, max_iter + 1):
-        # 1. min label over the closed neighborhood (self-loops included)
-        stepped = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .withColumnRenamed("u", "node")
-        )
-        # 2. pointer jump: label <- label(label) (path halving)
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        jumped = (
-            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("p_label", F.col("label"))
-                ).alias("label"),
-            )
-        )
-        jumped = truncate(jumped, checkpoint_dir)
+        jumped = truncate(_propagation_round(edges, labels), checkpoint_dir)
 
         new_sum = jumped.agg(_sum).head()[0]
         release(ckpt)  # superseded round's blocks, freed eagerly
@@ -148,26 +159,12 @@ def round_plan(
 ) -> DataFrame:
     """One un-truncated label-propagation round, for plan inspection
     (PLANS.md): the checkpointing in connected_components erases the
-    per-round operator tree, so this rebuilds it lazily — identical
-    expressions, no materialization."""
-    edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct()
-    )
+    per-round operator tree, so this rebuilds it lazily through the
+    SAME helpers the executed loop uses (_symmetric_edges /
+    _with_self_loops / _propagation_round) — the evidence cannot drift
+    from the operator."""
+    edges = _symmetric_edges(pairs, src_col, dst_col)
     nodes = edges.select("u").distinct()
-    edges = edges.union(nodes.select("u", F.col("u").alias("v")))
+    edges = _with_self_loops(edges, nodes)
     labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
-    stepped = (
-        edges.join(labels, edges["v"] == labels["node"])
-        .groupBy("u")
-        .agg(F.min("label").alias("label"))
-        .withColumnRenamed("u", "node")
-    )
-    parent = stepped.select(
-        F.col("node").alias("p_node"), F.col("label").alias("p_label")
-    )
-    return stepped.join(parent, stepped["label"] == parent["p_node"], "left").select(
-        "node",
-        F.least(F.col("label"), F.coalesce("p_label", F.col("label"))).alias("label"),
-    )
+    return _propagation_round(edges, labels)

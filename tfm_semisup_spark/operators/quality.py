@@ -46,6 +46,15 @@ def quality_rules(text_col: str = "text", **overrides) -> dict[str, Column]:
     single bound token array (bind-before-use: Catalyst inlines lambda
     arguments, so deriving each rule from `F.split(...)` inline would
     re-split per rule — same trap as SCALE.md's shingling lesson)."""
+    unknown = set(overrides) - set(DEFAULTS)
+    if unknown:
+        # fail loudly at the call site: **kwargs otherwise swallows
+        # typos (and legacy kwargs like the removed `seed`) silently
+        # or surfaces them as a confusing downstream error (ADVICE r3)
+        raise TypeError(
+            f"unknown quality rule override(s) {sorted(unknown)}; "
+            f"valid: {sorted(DEFAULTS)}"
+        )
     p = {**DEFAULTS, **overrides}
     w = F.filter(F.split(text_col, " "), lambda t: t != "")
     n = F.size(w)
