@@ -104,8 +104,10 @@ _ORACLE_PRIORITY = [
     "embedding_norm_stats",
     "domain_mix_sample",
     "multimodal_chunk_sample",
-    # -- high-value r3-green keepers (one per recent family) --
-    "pricing_summary",
+    # -- high-value r3-green keepers (one per recent family) + the r4
+    # day-bounded session rollup (needs its first driver row;
+    # pricing_summary is green r1+r3 and yields the slot) --
+    "session_stats_daily",
     "q17_small_quantity_revenue",
     "pack_token_bins",
     "corpus_pipeline_end_to_end",

@@ -194,16 +194,35 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashed index: dedup + join + shuffle all on 8-byte longs, never
     # the ~25B shingle strings (see hashed_shingles)
     shingled = hashed_shingles(docs).persist()  # reused: self-join + sizes
-    tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
-    sizes = shingled.select("doc_id", F.size("hs").alias("n"))
     # materialize then release the shingle cache eagerly — long-lived
     # library sessions must not accumulate pinned blocks (ADVICE r2/r3;
-    # same shape as substring_cut_spans)
+    # same shape as substring_cut_spans). Plan evidence for PLANS.md
+    # comes from ngram_jaccard_plan (the checkpoint hides this tree).
     from tfm_semisup_spark.operators.lineage import truncate
 
-    out = truncate(jaccard_pairs_from_index(tri, sizes, 0.5))
+    out = truncate(_jaccard_pairs_from_shingled(shingled))
     shingled.unpersist()
     return out
+
+
+def _jaccard_pairs_from_shingled(shingled: DataFrame) -> DataFrame:
+    """Pair dataflow over a (doc_id, hs) shingle index — the single
+    construction behind BOTH the registered query (which persists the
+    index and checkpoints the result) and the lazy plan-evidence form
+    (``ngram_jaccard_plan``), so the documented plan can't drift from
+    the executed one (same discipline as components._propagation_round)."""
+    tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
+    sizes = shingled.select("doc_id", F.size("hs").alias("n"))
+    return jaccard_pairs_from_index(tri, sizes, 0.5)
+
+
+def ngram_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-truncated, un-persisted dataflow of dedup_ngram_jaccard_pairs
+    for plan inspection (PLANS.md) — identical expressions, lazy."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return _jaccard_pairs_from_shingled(hashed_shingles(docs))
 
 
 # ---------------------------------------------------------------------------

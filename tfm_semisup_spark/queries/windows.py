@@ -129,6 +129,75 @@ def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session stats rolled up to the session-START day (ROADMAP r3: the
+# per-user session query's output grows with the user population —
+# 150 rows at sf0.01, 1500 at sf0.1, ~150k at sf10 — while this
+# day-keyed variant is bounded by the TIME SPAN at any corpus size,
+# the right read shape for a driver compare or a dashboard at 100 TB.
+# Tumbling/sliding need no such variant: their cardinality is already
+# time-bounded (720/721 rows at every SF, measured).
+SESSION_DAILY_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', session_start), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_events_per_session
+FROM per_session
+GROUP BY 1
+"""
+
+
+@register("session_stats_daily", SESSION_DAILY_ORACLE)
+def session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bounded session rollup: native session_window per user, then
+    aggregate keyed by the session's start DAY. Output cardinality is
+    the covered time span — independent of corpus size — so the result
+    stays collectable at any SF. Same two-shuffle shape as the per-user
+    query (session state keyed by user, then a tiny day aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    per_session = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.select(
+            F.date_format(
+                F.date_trunc("day", F.col("session_window.start")), "yyyy-MM-dd"
+            ).alias("day"),
+            "user_id",
+            "n_events",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("n_events") * 1.0 / F.count(F.lit(1)), 4).alias(
+                "avg_events_per_session"
+            ),
+        )
+    )
+
+
 # Day-level rollup (the read shape served by the incremental
 # hypertable-style rollup in operators/rollup_table.py; here computed
 # directly so DuckDB can check the aggregation semantics).
