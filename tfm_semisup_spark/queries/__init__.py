@@ -96,22 +96,24 @@ _ORACLE_PRIORITY = [
     "union_append_pools",
     "dedup_exact_stats",
     "dedup_incremental_new_docs",
-    # -- last row is r2: refresh (7 entries) --
-    "topk_orders",
-    "project_cast_derive",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
-    "embedding_norm_stats",
-    "domain_mix_sample",
-    "multimodal_chunk_sample",
-    # -- high-value r3-green keepers (one per recent family) + the r4
-    # day-bounded session rollup (needs its first driver row;
-    # pricing_summary is green r1+r3 and yields the slot) --
+    # -- NEW in r4: first driver rows (11 queries + the day-bounded
+    # session rollup). The 7 entries whose last row is r2 (topk_orders,
+    # project_cast_derive, semi/anti joins, embedding_norm_stats,
+    # domain_mix_sample, multimodal_chunk_sample) and the r3-green
+    # keepers yield their slots this round — they are unchanged,
+    # locally green (test_oracle_parity), and rotate back in r5 --
     "session_stats_daily",
-    "q17_small_quantity_revenue",
-    "pack_token_bins",
-    "corpus_pipeline_end_to_end",
-    "quality_rule_report",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_item_reporting",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "text_bm25_topk",
+    "dedup_editdist_pairs",
 ]
 
 
@@ -135,6 +137,7 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import relational5  # noqa: F401
     from tfm_semisup_spark.queries import relational6  # noqa: F401
     from tfm_semisup_spark.queries import tpch_shapes  # noqa: F401
+    from tfm_semisup_spark.queries import tpch_shapes2  # noqa: F401
     from tfm_semisup_spark.queries import dedup  # noqa: F401
     from tfm_semisup_spark.queries import similarity  # noqa: F401
     from tfm_semisup_spark.queries import text_analysis  # noqa: F401
@@ -145,5 +148,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import pii  # noqa: F401
     from tfm_semisup_spark.queries import contamination  # noqa: F401
     from tfm_semisup_spark.queries import sketches  # noqa: F401
+    from tfm_semisup_spark.queries import retrieval  # noqa: F401
 
     _reorder_registries()

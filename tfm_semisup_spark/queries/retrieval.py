@@ -1,0 +1,173 @@
+"""Lexical retrieval + string-metric dedup verification.
+
+Two operators a training-data pipeline needs beyond embedding search
+(SURVEY.md §2.3 text-analysis family):
+
+- ``text_bm25_topk``: Okapi BM25 scoring of the corpus against a fixed
+  query term set, top-k docs. Fully SQL-expressible, so it carries a
+  DuckDB oracle — unlike the ANN tiers this is an EXACT lexical
+  ranking both engines can agree on bit-for-bit after rounding.
+- ``dedup_editdist_pairs``: near-duplicate pairs found by cheap
+  blocking (lang + character-length bucket) and VERIFIED by
+  Levenshtein distance on a bounded prefix. Both Spark and DuckDB
+  implement standard Levenshtein, so the verification itself is
+  oracled — the one near-dup tier in the suite where the distance
+  metric (not just the pair membership) is driver-checked.
+
+100 TB design notes:
+- BM25 against a FIXED query never materializes full posting lists:
+  tokens are exploded and immediately filtered to the (broadcast-sized)
+  query vocabulary, so the shuffled volume is O(matching tokens), not
+  O(corpus tokens). Document length and the corpus avgdl are one
+  columnar projection + one scalar aggregate. For query WORKLOADS
+  (many queries) you would precompute dl/df into a side table once —
+  the per-query plan here is the ad-hoc shape.
+- Edit-distance verification is quadratic PER BLOCK, so the blocking
+  key bounds the damage: (lang, floor(n_chars/10)) keeps blocks at a
+  few dozen docs; the Levenshtein operand is capped at a 120-char
+  prefix so each comparison is O(120^2) regardless of document size.
+  At corpus scale the candidate generator would be the banded-MinHash
+  tier (operators/dedup.py) with this same verify step; the blocked
+  variant is the oracle-able demonstration of the verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+# Query vocabulary for the BM25 demo (drawn from the synthetic corpus'
+# vocabulary, TESTDATA.md).
+_BM25_TERMS = ("spark", "join", "hash")
+_K1 = 1.2
+_B = 0.75
+
+BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM toks
+), tf AS (
+  SELECT d.doc_id, d.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  ) d
+  WHERE d.term IN ('spark', 'join', 'hash')
+  GROUP BY d.doc_id, d.term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, bm25 FROM (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * toks.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN toks ON tf.doc_id = toks.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+@register("text_bm25_topk", BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for the fixed query {spark, join, hash}
+    (k1=1.2, b=0.75, the Robertson/Sparck-Jones '+1' idf). The final
+    sort keys on the ROUNDED score + doc_id so engine-level summation
+    ULP cannot flip the cutoff row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    dl_df = docs.select("doc_id", F.size(toks).alias("dl"))
+    stats = dl_df.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    weight = (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(dl_df, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(weight), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+EDITDIST_ORACLE = """
+SELECT id1, id2, edit_dist FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(levenshtein(substring(a.text, 1, 120),
+                          substring(b.text, 1, 120)) AS BIGINT) AS edit_dist
+  FROM documents a
+  JOIN documents b
+    ON a.lang = b.lang
+   AND CAST(floor(a.n_chars / 10) AS BIGINT) = CAST(floor(b.n_chars / 10) AS BIGINT)
+   AND a.doc_id < b.doc_id
+)
+WHERE edit_dist <= 50
+ORDER BY edit_dist, id1, id2
+"""
+
+
+@register("dedup_editdist_pairs", EDITDIST_ORACLE)
+def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked + Levenshtein-verified near-dup pairs. Blocking:
+    (lang, floor(n_chars/10)); verify: edit distance of the 120-char
+    prefixes <= 50. The equi-join on the block key is an ordinary
+    shuffle join — no cross join appears in the plan; the id1 < id2
+    condition dedups the symmetric pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    block = F.floor(F.col("n_chars") / 10).cast("bigint")
+    a = docs.select(
+        F.col("doc_id").alias("id1"),
+        F.col("lang").alias("lang_a"),
+        block.alias("block_a"),
+        F.substring("text", 1, 120).alias("prefix_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id2"),
+        F.col("lang").alias("lang_b"),
+        block.alias("block_b"),
+        F.substring("text", 1, 120).alias("prefix_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("block_a") == F.col("block_b"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select(
+            "id1",
+            "id2",
+            F.levenshtein("prefix_a", "prefix_b").cast("bigint").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 50)
+        .orderBy("edit_dist", "id1", "id2")
+    )

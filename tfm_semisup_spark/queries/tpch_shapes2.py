@@ -1,0 +1,534 @@
+"""Second batch of TPC-H query shapes (Q5/Q6/Q7/Q8/Q10/Q12/Q15/Q19/Q21
+analogs) — the join-topology battery the first batch doesn't cover:
+
+- Q5: 6-way snowflake join with a co-location condition
+  (c_nationkey = s_nationkey) folded into the join graph;
+- Q6: the canonical scan-pushdown probe (filter-only aggregate — the
+  whole query should collapse to one parquet scan with PushedFilters);
+- Q7: nation-pair volume with a symmetric OR join condition and a
+  derived year key;
+- Q8: market-share ratio (conditional aggregation over a 6-way join,
+  two independent nation lookups);
+- Q10: returned-revenue top-k after a 4-way join (TakeOrderedAndProject
+  on an agg over fact-fact join);
+- Q12 analog: late-shipment priority counts (non-equi date predicate
+  between two fact tables, CASE-WHEN double count);
+- Q15: scalar MAX over a named aggregate subquery joined back;
+- Q19: disjunction of conjunctive range predicates across a join
+  (Catalyst must push the common partkey equi-condition and keep the
+  OR as a post-join filter without exploding the plan);
+- Q21 analog: "uniquely late supplier in a multi-supplier order" —
+  the EXISTS / NOT-EXISTS pair re-expressed as one per-order
+  distinct-count aggregate (the scalable formulation: two shuffles on
+  l_orderkey instead of two correlated self-joins).
+
+The synthetic schema (TESTDATA.md) has no partsupp table and lineitem
+carries no shipmode/commitdate/receiptdate, so Q12's shipmode becomes
+l_linestatus and the lateness predicate is l_shipdate vs
+o_orderdate + INTERVAL (documented per query). Reference parity:
+these shapes cover the join/subquery surface exercised by the
+reference's notebook SQL experiments (see SURVEY.md §2.2); provenance
+for the adapted predicates is noted inline.
+
+100 TB notes: every dimension join below (nation, region, supplier,
+part at 2k rows/SF-0.01 growing ~linearly but still dim-sized) is
+broadcast; the only shuffles are fact-side group-bys on their natural
+keys. Q21's formulation deliberately avoids the textbook correlated
+NOT EXISTS, which would plan as two extra fact-fact joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------
+# Q5: local-supplier volume inside one region, one order-year.
+Q5_ORACLE = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name
+"""
+
+
+@register("q5_local_supplier_volume", Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog. The c_nationkey = s_nationkey condition rides
+    on the supplier join, so the plan is: fact-fact shuffle join
+    (orders x lineitem on orderkey), customer joined on custkey, then
+    three broadcast dims. Revenue agg keys on n_name (25 groups)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------
+# Q6: forecast revenue change — filter-only aggregate; the pushdown
+# probe (the whole plan must be scan -> partial agg -> final agg).
+Q6_ORACLE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", Q6_ORACLE)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6. All three predicates are scan-pushable; `.explain`
+    shows them in PushedFilters and ReadSchema is 4 columns. The
+    discount bounds land exactly on the data's 0.01-step double grid,
+    identical literals on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Q7: volume shipping between a nation pair, by ship-year.
+Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", Q7_ORACLE)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog (synthetic nation names). The symmetric OR on
+    the two nation names stays a post-join filter over two broadcast
+    nation lookups; the fact-side work is one orderkey shuffle join."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            _rev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------
+# Q8: market share of one supplier nation inside one region market.
+Q8_ORACLE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", Q8_ORACLE)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: the customer-side nation->region chain picks
+    the market, the independent supplier-side nation lookup labels the
+    numerator. All five dims broadcast; one conditional-sum ratio per
+    year."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    n_cust = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------
+# Q10: returned-item reporting — top 20 customers by lost revenue.
+Q10_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(c.c_acctbal, 2) AS c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_item_reporting", Q10_ORACLE)
+def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (address/phone/comment columns dropped — the synthetic
+    customer doesn't carry them). Deterministic top-k: c_custkey
+    tie-break, TakeOrderedAndProject after the revenue agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# Q12 analog: late-shipment priority counts per line status.
+# The synthetic lineitem has no shipmode/commitdate/receiptdate
+# (TESTDATA.md), so "mode" -> l_linestatus and "late" ->
+# l_shipdate > o_orderdate + 90 days. Shape preserved: non-equi date
+# predicate between two fact tables + CASE-WHEN split counts.
+Q12_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+@register("q12_late_shipment_priority", Q12_ORACLE)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# Q15: top supplier by quarterly revenue (scalar MAX over a named
+# aggregate subquery, joined back to the dim).
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q15_top_supplier", Q15_ORACLE)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15. The revenue aggregate is computed once and reused
+    for both the MAX scalar and the equality filter (Catalyst reuses
+    the exchange); the winner row joins to the broadcast supplier dim.
+    Engines tie-break identically because the max is compared within
+    each engine's own unrounded sums."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue_raw")
+    )
+    max_rev = revenue.agg(F.max("total_revenue_raw").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue_raw") == F.col("m"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue_raw", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------
+# Q19: disjunction of conjunctive brand/size/quantity bands across a
+# part join (shipmode/shipinstruct legs dropped — columns absent).
+Q19_ORACLE = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@register("q19_disjunctive_revenue", Q19_ORACLE)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog. Catalyst extracts the common p_partkey
+    equi-join and keeps the OR-of-ANDs as a single post-join filter;
+    part-side brand/size predicates are also OR-folded into the scan
+    (infer-filters-from-constraints), so the broadcast build side is
+    pre-shrunk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    leg = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= smax)
+        & (q >= qlo)
+        & (q <= qhi)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(
+            leg("Brand#12", 5, 1, 11) | leg("Brand#23", 10, 10, 20) | leg("Brand#3", 15, 20, 30)
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------
+# Q21 analog: suppliers uniquely late inside multi-supplier orders.
+# Textbook Q21 is EXISTS + NOT-EXISTS self-joins on lineitem; at scale
+# that is two extra fact-fact joins. This formulation computes one
+# per-order aggregate (distinct suppliers, distinct LATE suppliers)
+# and filters — identical result set, two orderkey shuffles total.
+# "Late" = l_shipdate > o_orderdate + 60 days (no commit/receipt
+# dates in the synthetic schema).
+Q21_ORACLE = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+  FROM li GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late = 1) w
+JOIN per_order p ON p.l_orderkey = w.l_orderkey
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register("q21_waiting_suppliers", Q21_ORACLE)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    tagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+    )
+    per_order = tagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waiters = (
+        tagged.where(F.col("is_late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waiters.join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), waiters.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
