@@ -69,6 +69,11 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "training_shard_assignment",
     "multimodal_resize_stub",
+    # r4 families: the deepest join tree in the suite (6-way snowflake),
+    # lexical BM25 retrieval, and the Levenshtein-verified dedup tier
+    "q5_local_supplier_volume",
+    "text_bm25_topk",
+    "dedup_editdist_pairs",
 ]
 
 

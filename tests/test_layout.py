@@ -145,3 +145,58 @@ def test_shard_buckets_are_uniform(spark):
         ).fetchall()
     )
     assert duck == counts
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    from tfm_semisup_spark.operators.layout import write_zorder
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    events.repartition(16).write.parquet(plain)
+    write_zorder(events, zord, ["user_id", "value"], n_files=16)
+
+    # round-trip equality: layout rewrite, not a transformation
+    a = sorted(r["event_id"] for r in spark.read.parquet(zord).collect())
+    b = sorted(r["event_id"] for r in events.collect())
+    assert a == b
+
+    def hit_fraction(path, col, lo, hi):
+        ranges = _file_ranges(path, col)
+        return sum(1 for (mn, mx) in ranges if not (mx < lo or mn > hi)) / len(ranges)
+
+    # a selective slab on EACH dimension must intersect far fewer
+    # z-ordered files than round-robin files (which span everything).
+    # With 16 files the file id is the top 4 z bits (u7 v7 u6 v6), so a
+    # slab pinning the top two bucket bits of either dim hits ~4/16.
+    u_lo, u_hi = 0, 9  # bottom ~7% of user ids -> u7=u6=0
+    v = events.agg(
+        F.expr("percentile(value, 0.05)"), F.expr("percentile(value, 0.15)")
+    ).head()
+    for col, lo, hi in [("user_id", u_lo, u_hi), ("value", v[0], v[1])]:
+        f_plain = hit_fraction(plain, col, lo, hi)
+        f_z = hit_fraction(zord, col, lo, hi)
+        assert f_plain == 1.0, f"{col}: round-robin layout should span all files"
+        assert f_z <= 0.5, f"{col}: z-order hit fraction {f_z} (plain {f_plain})"
+
+
+def test_zorder_key_is_deterministic(spark):
+    # uniform mode: the key is a pure function of the row values (the
+    # quantile default is sample-dependent, like repartitionByRange)
+    from tfm_semisup_spark.operators.layout import zorder_column
+
+    events = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    z1 = {
+        r["event_id"]: r["z"]
+        for r in events.withColumn("z", zorder_column(events, ["user_id", "value"], mode="uniform"))
+        .select("event_id", "z")
+        .collect()
+    }
+    z2 = {
+        r["event_id"]: r["z"]
+        for r in events.repartition(13)
+        .withColumn("z", zorder_column(events, ["user_id", "value"], mode="uniform"))
+        .select("event_id", "z")
+        .collect()
+    }
+    assert z1 == z2

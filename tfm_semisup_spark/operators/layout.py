@@ -12,9 +12,10 @@ but the FILE LAYOUT it scans:
   Spark prunes row groups whose range can't match a pushed filter.
   That only bites when the layout puts similar values together —
   ``write_range_sorted`` range-partitions + sorts so each file owns a
-  tight, near-disjoint range of the sort key (the poor man's
-  Z-order for single-key locality, which is the common case:
-  time-range scans over event data).
+  tight, near-disjoint range of the sort key (single-key locality,
+  the common case: time-range scans over event data), and
+  ``write_zorder`` interleaves several keys' bucket bits (Morton
+  order) so predicates on ANY participating column skip.
 
 Both are metadata-level rewrites: one shuffle (or none for coalesce
 compaction), no Python, schema untouched.
@@ -82,6 +83,104 @@ def write_range_sorted(
     (
         df.repartitionByRange(n_files, sort_col)
         .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 6, mode: str = "quantile"
+):
+    """Column expression: the Z-order (Morton) key interleaving the
+    ``bits``-bit bucket ids of ``cols``.
+
+    Bucketing modes (both bounded driver-side work, both codegen on
+    the executors — no UDF anywhere):
+
+    - ``"quantile"`` (default, the Delta/Iceberg OPTIMIZE ZORDER
+      shape): boundaries from ``approxQuantile`` (one pass, 2^bits - 1
+      scalars on the driver); the bucket id is a flat sum of
+      ``value >= boundary`` terms — equal-MASS buckets, so skewed
+      columns keep their full bit budget. Like ``repartitionByRange``,
+      the sampled boundaries make the key sample-dependent, not a
+      pure function of the row.
+    - ``"uniform"``: ``width_bucket`` over the measured min/max (two
+      scalars per column). Stateless and exactly reproducible from the
+      row values, but a skewed column collapses into few buckets and
+      loses skipping power on that dimension.
+
+    The bucket bits are then interleaved columnar: bit i of column j
+    lands at position i * n_cols + j — an unrolled expression of
+    bits x n_cols shift/or terms (12 at the 6-bit / 2-column default),
+    entirely inside whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    n = 2**bits
+    bucketed = []
+    if mode == "quantile":
+        probs = [i / n for i in range(1, n)]
+        all_bounds = df.stat.approxQuantile(
+            [c for c in cols], probs, 0.25 / n
+        )
+        for c, bounds in zip(cols, all_bounds):
+            distinct = sorted(set(bounds))
+            if not distinct:
+                bucketed.append(F.lit(0).cast("long"))
+                continue
+            b = F.lit(0).cast("long")
+            for bound in distinct:  # flat Add chain, codegen-friendly
+                b = b + (F.col(c).cast("double") >= F.lit(bound)).cast("long")
+            bucketed.append(F.least(b, F.lit(n - 1)))
+    elif mode == "uniform":
+        row = df.select(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        ).head()
+        for c in cols:
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mx <= mn:  # constant column: single bucket
+                bucketed.append(F.lit(0).cast("long"))
+                continue
+            b = F.width_bucket(
+                F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n)
+            )
+            # width_bucket is 1-based and returns n+1 at the upper bound
+            bucketed.append(F.least(b - 1, F.lit(n - 1)).cast("long"))
+    else:
+        raise ValueError(f"unknown zorder mode {mode!r}")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bucketed):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(bucketed) + j))
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    out_path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = 6,
+    mode: str = "quantile",
+) -> None:
+    """Write ``df`` Z-ordered on ``cols``: range-partition + sort by
+    the interleaved Morton key so every file and row group covers a
+    tight HYPER-RECTANGLE of the key space — selective predicates on
+    ANY of the participating columns (not just the first, as with
+    ``write_range_sorted``) skip row groups via parquet min/max stats.
+
+    This is the multi-column companion to ``write_range_sorted``: one
+    extra projection (the codegen'd interleave) on top of the same
+    single repartitionByRange shuffle. The Z column itself is dropped
+    before writing — the layout, not the schema, carries the order."""
+    z = zorder_column(df, cols, bits=bits, mode=mode)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(out_path)
     )

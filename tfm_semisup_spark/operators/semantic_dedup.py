@@ -254,7 +254,7 @@ def semantic_dup_pairs(
     # CANDIDATE pair — the hot expression of the whole operator — and
     # stays inside whole-stage codegen at testdata dims while falling
     # back to the HOF fold past codegen's limits at real embedding dims.
-    cos = dot_fixed(F.col("ua"), F.col("ub"), dim)
+    cos = dot_fixed("ua", "ub", dim)
     return (
         a.join(b, (a["cell"] == b["cell_b"]) & (a["doc_a"] < b["doc_b"]))
         .withColumn("cos_sim", cos)

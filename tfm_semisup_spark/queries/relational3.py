@@ -175,7 +175,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = embedding_dim(sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    sim = cosine_similarity_fixed(F.col("ea"), F.col("eb"), dim)
+    sim = cosine_similarity_fixed("ea", "eb", dim)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(sim > 0.35)

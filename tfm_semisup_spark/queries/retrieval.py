@@ -144,7 +144,15 @@ def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition dedups the symmetric pair."""
     docs = load_table(spark, sf_dir, "documents")
     block = F.floor(F.col("n_chars") / 10).cast("bigint")
-    a = docs.select(
+    # The corpus parquet is a single split at test SFs and the rows are
+    # tiny, so AQE coalesces a column-only repartition back to ~1
+    # partition — and ALL the Levenshtein DP (the real cost here; the
+    # bytes are irrelevant) runs in ONE task. An EXPLICIT partition
+    # count is exempt from AQE coalescing and keeps the CPU-bound
+    # verify spread across the cluster: the partitioning rule for
+    # heavy-expression-over-small-data stages is "size by CPU, not by
+    # bytes".
+    a = docs.repartition(64, F.col("lang"), block).select(
         F.col("doc_id").alias("id1"),
         F.col("lang").alias("lang_a"),
         block.alias("block_a"),
@@ -166,8 +174,18 @@ def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id1",
             "id2",
-            F.levenshtein("prefix_a", "prefix_b").cast("bigint").alias("edit_dist"),
+            # threshold form: banded DP, O(len * threshold) per pair
+            # instead of O(len^2); returns -1 past the threshold and
+            # the exact distance within it, so filtering >= 0 keeps
+            # the identical pair set and values as DuckDB's full
+            # levenshtein <= 50. ONE filter reference on purpose:
+            # Catalyst collapses the projection into the join's
+            # residual condition, so every comparison in this filter
+            # re-evaluates the levenshtein per candidate pair.
+            F.levenshtein("prefix_a", "prefix_b", 50)
+            .cast("bigint")
+            .alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= 50)
+        .where(F.col("edit_dist") >= 0)
         .orderBy("edit_dist", "id1", "id2")
     )

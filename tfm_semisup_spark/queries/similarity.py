@@ -58,7 +58,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(query))
         .select(
             "vec_id",
-            cosine_similarity_fixed(F.col("emb_d"), F.col("qv"), dim).alias("sim"),
+            cosine_similarity_fixed("emb_d", "qv", dim).alias("sim"),
         )
     )
     return (
@@ -102,7 +102,7 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sub.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine_similarity_fixed(F.col("va"), F.col("vb"), dim)
+    sim = cosine_similarity_fixed("va", "vb", dim)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(sim > 0.25)
@@ -227,7 +227,7 @@ def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            cosine_similarity_fixed(F.col("emb_d"), F.col("qv"), dim).alias("sim"),
+            cosine_similarity_fixed("emb_d", "qv", dim).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
