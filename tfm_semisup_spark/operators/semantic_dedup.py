@@ -138,25 +138,34 @@ def assign_clusters(
     array_col: str = "embedding",
     out_col: str = "sem_cluster",
 ) -> DataFrame:
-    """Nearest-centroid assignment as one codegen projection: the
-    centroid matrix rides along as array literals (tiny broadcast),
-    distance per centroid via transform/zip_with, argmin via
-    array_position(array_min). No shuffle."""
-    arr = F.col(array_col).cast("array<double>")
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in centroids]
-    )
-    dists = F.transform(
-        cent_lit,
-        lambda c: F.aggregate(
-            F.zip_with(arr, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
-    return embeddings.withColumn(
-        out_col, (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    """Nearest-centroid assignment as one vectorized Arrow pass
+    (mapInPandas): numpy broadcasts the (batch x k x dim) distance
+    tensor and argmins it — the same sanctioned kernel boundary as
+    build_pq_index's encode, and for the same measured reason: the
+    previous literal-array + transform/zip_with projection evaluated
+    INTERPRETED (HOFs are excluded from whole-stage codegen) and
+    re-evaluated the array cast once per centroid reference, ~k*dim*2
+    interpreted ops per row. Narrow op: no shuffle, parallelism =
+    input partitions; the centroid matrix ships inside the closure
+    (tiny). Deterministic: numpy argmin takes the first minimum,
+    matching the old fold's first-occurrence semantics."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    fields = embeddings.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += f", {out_col} int"
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(**{out_col: pdf.index.astype("int32")})
+                continue
+            V = np.stack(pdf[array_col].to_numpy()).astype(np.float64)
+            d2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            yield pdf.assign(**{out_col: d2.argmin(axis=1).astype("int32")})
+
+    return embeddings.mapInPandas(assign_batches, schema=out_schema)
 
 
 def with_salted_cells(

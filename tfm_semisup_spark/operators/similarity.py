@@ -125,7 +125,7 @@ def ivf_top_k(
     probe = [int(b) for b in order[:n_probe]]
 
     arr = vector_to_array(F.col(vector_col))
-    q_lit = F.array(*[F.lit(float(v)) for v in q])
+    q_lit = F.expr(_sql_array1d(q))
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(arr, q_lit, lambda x, y: (x - y) * (x - y)),
@@ -233,29 +233,61 @@ def build_pq_index(
         for j, (lo, hi) in enumerate(bounds)
     ]
 
-    arr = F.col(array_col).cast("array<double>")
-    code_cols = []
-    for (lo, hi), cb in zip(bounds, codebooks):
-        cb_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in row]) for row in cb]
-        )
-        sub = F.slice(arr, lo + 1, hi - lo)
-        # NOTE: a second lambda param would be parsed by pyspark as the
-        # (element, index) arity — capture `sub` by closure instead
-        # (safe: F.transform builds the expression eagerly).
-        dists = F.transform(
-            cb_lit,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        )
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    encoded = embeddings.withColumn("pq_codes", F.array(*code_cols))
+    # The whole encode is ONE SQL string parsed JVM-side: building the
+    # m x codes x dsub codebook literals as Column objects costs
+    # thousands of Py4J round trips per index build (the same
+    # plan-construction tax as the flat cosine — SCALE.md r4). The
+    # parsed tree is identical: same slice/zip_with/aggregate fold,
+    # same left-to-right order, bit-equal codes.
+    # Encoding kernel: one vectorized Arrow pass (mapInPandas), numpy
+    # broadcasting the (batch x codes x dsub) distance tensor per
+    # subspace — the faiss kernel shape. This is a sanctioned Arrow
+    # boundary, not a convenience: the Catalyst alternatives both
+    # fail at this arithmetic density (m*codes = 512 distance folds
+    # per row). HOF forms (transform/aggregate/zip_with) evaluate
+    # INTERPRETED and re-evaluate the array<float>->array<double> cast
+    # per lambda reference (measured ~1.5 ms/row at dim 64 — 3 s for
+    # 2000 rows); the flat codegen form is a 4096-term expression,
+    # past whole-stage-codegen's limits (functions/vector.py
+    # CODEGEN_DIM_LIMIT rationale). Narrow op: no shuffle, parallelism
+    # = input partitions. Deterministic: numpy argmin takes the first
+    # minimum, matching the previous fold's strict '<'.
+    import pandas as pd
+
+    fields = embeddings.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += ", pq_codes array<int>"
+
+    def encode_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                pdf = pdf.assign(pq_codes=pd.Series([], dtype=object))
+                yield pdf
+                continue
+            V = np.stack(pdf[array_col].to_numpy()).astype(np.float64)
+            out = np.empty((n, m), dtype=np.int32)
+            for j, ((lo, hi), cb) in enumerate(zip(bounds, codebooks)):
+                d2 = ((V[:, None, lo:hi] - cb[None, :, :]) ** 2).sum(axis=2)
+                out[:, j] = d2.argmin(axis=1)
+            yield pdf.assign(pq_codes=list(out))
+
+    encoded = embeddings.mapInPandas(encode_batches, schema=out_schema)
     return codebooks, encoded
+
+
+def _sql_double(x) -> str:
+    """Shortest-roundtrip double literal with Spark SQL's D suffix
+    (bare decimals parse as DECIMAL, not DOUBLE)."""
+    return f"{float(x)!r}D"
+
+
+def _sql_array1d(vals) -> str:
+    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+
+
+def _sql_array2d(rows) -> str:
+    return "array(" + ", ".join(_sql_array1d(r) for r in rows) + ")"
 
 
 def pq_top_k(
@@ -292,33 +324,26 @@ def pq_top_k(
     dim = len(q)
     bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]
 
+    # Single-parse SQL forms (see build_pq_index): the m ADC lookup
+    # tables and the dim-length query literal would otherwise cost
+    # ~m*codes + dim Py4J calls per query.
     adc_terms = []
     for j, ((lo, hi), cb) in enumerate(zip(bounds, codebooks)):
-        tbl = F.array(
-            *[
-                F.lit(float(np.sum((q[lo:hi] - cb[c]) ** 2)))
-                for c in range(cb.shape[0])
-            ]
+        tbl = _sql_array1d(
+            float(np.sum((q[lo:hi] - cb[c]) ** 2)) for c in range(cb.shape[0])
         )
-        adc_terms.append(F.get(tbl, F.get("pq_codes", F.lit(j))))
-    adc = sum(adc_terms[1:], adc_terms[0])
+        adc_terms.append(f"get({tbl}, get(pq_codes, {j}))")
+    adc = F.expr(" + ".join(adc_terms))
 
     shortlist = (
         encoded.select(id_col, array_col, adc.alias("__adc"))
         .orderBy("__adc", id_col)
         .limit(k * refine)
     )
-    qlit = F.array(*[F.lit(float(v)) for v in q])
-    exact = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col(array_col).cast("array<double>"),
-                qlit,
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    exact = F.expr(
+        f"sqrt(aggregate(zip_with(cast({array_col} as array<double>), "
+        f"{_sql_array1d(q)}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, v) -> acc + v))"
     )
     return (
         shortlist.select(id_col, exact.alias("__d"))
