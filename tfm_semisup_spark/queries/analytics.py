@@ -1,0 +1,181 @@
+"""Behavioral-analytics shapes over the events table, plus the TPC-H
+Q9 profit analog: the three classic product-analytics queries a
+warehouse serves daily (funnel conversion, cohort retention,
+profit-by-origin), each fully oracled.
+
+These add plan shapes the windows/rollup family doesn't cover:
+sequence-dependent conversion (MIN-over-conditional after a
+self-referential time join), a cohort matrix (two aggregation
+granularities of the same fact joined), and Q9's five-way join with a
+computed measure spanning two tables' columns.
+
+100 TB notes: the funnel's "purchase within 1h of first view" join is
+a RANGE join keyed on user_id — shuffles on user_id, each user's rows
+meet in one partition, the time predicate filters in place; no
+cross-join of events with events. Retention aggregates the fact twice
+(per-user first day, distinct user-days) — both shuffle on user_id,
+and the cohort matrix join is per-user, not per-event. Q9's dims are
+broadcast like the rest of the tpch_shapes2 battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), conv AS (
+  SELECT v.user_id
+  FROM v
+  JOIN events e
+    ON e.user_id = v.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > v.first_view
+   AND e.ts <= v.first_view + INTERVAL 1 HOUR
+  GROUP BY v.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+       ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 4) AS conv_rate
+"""
+
+
+@register("funnel_view_purchase", FUNNEL_ORACLE)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View -> purchase funnel: users whose FIRST view is followed by a
+    purchase within one hour. The conversion probe is a user-keyed
+    range join (one row per viewer against that user's purchases), so
+    the shuffle key is user_id and the time window filters in-place."""
+    events = load_table(spark, sf_dir, "events")
+    first_view = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_view.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("first_view"))
+            & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_v = first_view.agg(F.count(F.lit(1)).alias("n_viewers"))
+    n_c = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        n_v.crossJoin(n_c)
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_viewers"), 4
+            ).alias("conv_rate"),
+        )
+    )
+
+
+RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(datediff('day', f.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+WHERE datediff('day', f.cohort_day, a.active_day) IN (0, 1, 7)
+GROUP BY f.cohort_day, day_offset
+ORDER BY cohort, day_offset
+"""
+
+
+@register("retention_cohort_daily", RETENTION_ORACLE)
+def retention_cohort_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0/1/7 cohort retention: users grouped by their first active
+    day, counted again on the checkpoint offsets. Both inputs aggregate
+    the fact per user/user-day BEFORE the join, so the matrix join is
+    user-sized, not event-sized."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day.alias("active_day")).distinct()
+    offset = F.datediff("active_day", "cohort_day").cast("bigint")
+    return (
+        firsts.join(activity, "user_id")
+        .withColumn("day_offset", offset)
+        .where(F.col("day_offset").isin(0, 1, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+            "n_users",
+        )
+        .orderBy("cohort", "day_offset")
+    )
+
+
+# TPC-H Q9 analog: the synthetic schema has no partsupp/ps_supplycost
+# (TESTDATA.md), so cost is imputed as 0.5 * p_retailprice * quantity —
+# the shape (five-way join, measure mixing lineitem and part columns,
+# nation/year rollup) is what the query exercises, not the constant.
+Q9_ORACLE = """
+SELECT nation, o_year,
+       ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - 0.5 * p.p_retailprice * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
