@@ -179,3 +179,85 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+GAP_FILL_ORACLE = """
+WITH hours AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                TIMESTAMP '2024-01-05 23:00:00',
+                                INTERVAL 1 HOUR)) AS hour
+), counts AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS c
+  FROM events
+  WHERE event_type = 'purchase'
+    AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+  GROUP BY 1
+)
+SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_events
+FROM hours h LEFT JOIN counts c ON c.hour = h.hour
+ORDER BY hour
+"""
+
+
+@register("timeseries_gap_fill", GAP_FILL_ORACLE)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with zero-filled gaps: the scaffold (24
+    rows/day regardless of data volume) is generated with
+    ``sequence`` + explode — a one-row driver expression, never a scan
+    — and the sparse counts LEFT-join onto it. The dashboard shape
+    every event store needs; at 100 TB the scaffold stays O(hours)
+    while the counts aggregate prunes to the day's partition."""
+    events = load_table(spark, sf_dir, "events")
+    hours = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-05 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour")
+    )
+    counts = (
+        events.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-06").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("c_hour"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        hours.join(counts, hours["hour"] == counts["c_hour"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("hour")
+    )
+
+
+# Explicit GROUPING SETS — a NON-hierarchical set list ((status),
+# (priority), ()) that neither ROLLUP nor CUBE expresses; identical
+# SQL text on both engines (the q17/sql_api pattern).
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+GROUPING_SETS_ORACLE = GROUPING_SETS_SQL
+
+
+@register("grouping_sets_status_priority", GROUPING_SETS_ORACLE)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS with disjoint single-key sets + grand
+    total: one Expand + one aggregate in Spark's plan (no union of
+    scans). Same SQL text on both engines."""
+    from tfm_semisup_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
