@@ -198,12 +198,19 @@ def shard_bucket_sql(md5_expr: str, n_shards: int) -> str:
     (ADVICE r3). Proper per-char hex decode (ascii - 48, or - 87 for
     'a'-'f') yields 65536 equiprobable values: exactly uniform for any
     ``n_shards`` dividing 65536 and within 1/65536 otherwise."""
+    return f"CAST({md5_uniform16_sql(md5_expr)} % {n_shards} AS INT)"
+
+
+def md5_uniform16_sql(md5_expr: str) -> str:
+    """SQL text decoding the first 4 hex chars of an md5-hex expression
+    to a uniform integer in [0, 65536) — the shared primitive behind
+    ``shard_bucket_sql`` (mod for buckets) and the stratified sampler
+    (threshold compare for keep rates). One string, two engines."""
     def hv(i: int) -> str:
         a = f"ascii(substring({md5_expr}, {i}, 1))"
         return f"({a} - (CASE WHEN {a} >= 97 THEN 87 ELSE 48 END))"
 
-    v = f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
-    return f"CAST({v} % {n_shards} AS INT)"
+    return f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
 
 
 def write_training_shards(

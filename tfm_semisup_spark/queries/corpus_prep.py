@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tfm_semisup_spark.io import load_table
-from tfm_semisup_spark.operators.layout import shard_bucket_sql
+from tfm_semisup_spark.operators.layout import md5_uniform16_sql, shard_bucket_sql
 from tfm_semisup_spark.queries import register
 
 CHUNK_TOKENS = 60
@@ -130,35 +130,54 @@ def pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-language sampling rates: downsample the high-resource languages,
 # keep everything else (the standard corpus-mixing move).
 SAMPLE_RATES = {"en": 0.5, "zh": 0.7}
-SAMPLE_SEED = 17
-_RATE_DENOM = 10_000
+# keep thresholds over the uniform [0, 65536) md5 decode
+_SAMPLE_THRESHOLDS = {lang: int(r * 65536) for lang, r in SAMPLE_RATES.items()}
 
 
-@register("corpus_stratified_sample")
+def _stratified_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {thr}" for lang, thr in _SAMPLE_THRESHOLDS.items()
+    )
+    return f"CASE lang {cases} ELSE 65536 END"
+
+
+_STRAT_H_SQL = md5_uniform16_sql("md5(CAST(doc_id AS STRING))")
+
+STRATIFIED_ORACLE = f"""
+WITH scored AS (
+  SELECT lang,
+         {_STRAT_H_SQL} AS h,
+         {_stratified_threshold_sql()} AS thr
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM scored
+GROUP BY lang
+"""
+
+
+@register("corpus_stratified_sample", STRATIFIED_ORACLE)
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified corpus sampling: doc kept iff
-    pmod(xxhash64(doc_id, seed), 10000) < rate(lang) * 10000 — a
-    content-keyed hash filter, so membership is stable across reruns,
-    partitionings and cluster sizes (no RNG state). Rows-only check:
-    xxhash64 has no DuckDB equivalent. Returns per-language kept/total
-    so the check pins exact counts."""
+    """Deterministic stratified corpus sampling: doc kept iff the
+    uniform [0, 65536) decode of md5(doc_id) falls under the
+    language's threshold — a content-keyed hash filter, so membership
+    is stable across reruns, partitionings and cluster sizes (no RNG
+    state). FULLY ORACLED since r4: the sampler key moved from
+    xxhash64 (no DuckDB equivalent — it was the suite's only
+    rows-only sampler) to the shared md5 4-hex decode
+    (operators/layout.py::md5_uniform16_sql), the same expression text
+    both engines evaluate. Returns per-language kept/total pinning
+    exact counts."""
     docs = load_table(spark, sf_dir, "documents")
-    rate = F.coalesce(
-        *[
-            F.when(F.col("lang") == lang, F.lit(r))
-            for lang, r in SAMPLE_RATES.items()
-        ],
-        F.lit(1.0),
-    )
-    kept = (
-        F.pmod(F.xxhash64(F.col("doc_id"), F.lit(SAMPLE_SEED)), F.lit(_RATE_DENOM))
-        < rate * _RATE_DENOM
-    )
+    h = F.expr(_STRAT_H_SQL)
+    thr = F.expr(_stratified_threshold_sql())
     return (
-        docs.select("lang", kept.alias("kept"))
+        docs.select("lang", (h < thr).alias("kept"))
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
             F.sum(F.col("kept").cast("long")).alias("n_kept"),
         )
     )
@@ -166,7 +185,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Domain-mix resampling: per-source keep rates in sixteenths, keyed by
 # a hex digit of md5(doc_id) — md5 is bit-identical in Spark and DuckDB,
-# so unlike the xxhash64 sampler above this one is FULLY ORACLED.
+# so like the stratified sampler above this one is FULLY ORACLED.
 # rate16(srcK) = 16 - 4*(K % 4)  ->  {16, 12, 8, 4}/16 keep rates.
 DOMAIN_MIX_ORACLE = """
 WITH scored AS (
