@@ -113,10 +113,12 @@ def minhash_banded_pairs(
     Pipeline (all whole-stage-codegen expressions):
       1. doc -> distinct hashed shingles ``array<long>`` (one xxhash64
          per shingle; strings never leave the scan stage);
-      2. signature_i = array_min(xxhash64(h, i)) for i < num_perm —
-         the i-th permutation is a reseeded hash of the 8-byte shingle
-         hash, so each extra permutation costs a long-array traversal,
-         not a re-tokenize;
+      2. signature_i = min(xxhash64(h, i)) for i < num_perm over the
+         EXPLODED shingles — the i-th permutation is a reseeded hash
+         of the 8-byte shingle hash, all num_perm hashes are one
+         codegen projection, and the min is a partial (map-side)
+         aggregate, so each extra permutation costs one long column in
+         the combine, never an interpreted array traversal;
       3. bands of ``band_rows`` signature components hash to one
          64-bit bucket key; candidates = equi-self-join on
          (band_idx, bucket) — shuffle carries (doc_id, 2 longs);
@@ -147,24 +149,21 @@ def minhash_banded_pairs(
         .where(F.size("hs") > 0)
         .persist()
     )
-    # NOTE: the permutation seed must be bound via a closure FACTORY.
-    # `lambda h, i=i: ...` looks equivalent but is a TWO-parameter
-    # lambda, and PySpark's higher-order functions interpret a second
-    # lambda parameter as the ARRAY INDEX argument — the captured seed
-    # is silently shadowed and every "permutation" collapses to the
-    # same expression (caught by the recall test, 0/32 sig agreement
-    # on a 0.92-Jaccard pair).
-    def _perm(seed: int):
-        return lambda h: F.xxhash64(h, F.lit(seed))
-
-    sigs = sh.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform("hs", _perm(i)))
-                for i in range(num_perm)
-            ]
-        ).alias("sig"),
+    # Signatures via explode + groupBy-min instead of num_perm
+    # array_min(transform(...)) folds: higher-order functions run
+    # INTERPRETED (one lambda dispatch per shingle per permutation —
+    # num_perm full interpreted traversals of every shingle array per
+    # row), while the exploded shape evaluates all num_perm reseeded
+    # hashes as ONE whole-stage-codegen projection and the partial
+    # (map-side) min aggregate means the shuffle carries one
+    # num_perm-long row per doc per partition — identical values
+    # (min over the same reseeded-hash multiset), strictly codegen.
+    ex = sh.select("doc_id", F.explode("hs").alias("h"))
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(i))).alias(f"s{i}")
+            for i in range(num_perm)
+        ]
     )
     bands = sigs.select(
         "doc_id",
@@ -175,7 +174,7 @@ def minhash_banded_pairs(
                         F.lit(j).alias("band_idx"),
                         F.xxhash64(
                             *[
-                                F.element_at("sig", j * band_rows + k + 1)
+                                F.col(f"s{j * band_rows + k}")
                                 for k in range(band_rows)
                             ]
                         ).alias("bucket"),
