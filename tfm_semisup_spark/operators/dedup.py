@@ -29,7 +29,7 @@ from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLS
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.functions.text import whitespace_tokens, word_ngrams
+from tfm_semisup_spark.functions.text import hashed_word_ngrams, whitespace_tokens, word_ngrams
 
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16-bit bands; pigeonhole guarantee for hamming <= 3
@@ -141,9 +141,7 @@ def minhash_banded_pairs(
         tokens.select(
             "doc_id",
             F.array_distinct(
-                F.transform(
-                    word_ngrams(F.col("__w"), shingle_n), lambda s: F.xxhash64(s)
-                )
+                hashed_word_ngrams(F.col("__w"), shingle_n)
             ).alias("hs"),
         )
         .where(F.size("hs") > 0)
@@ -198,12 +196,21 @@ def minhash_banded_pairs(
     inter = F.size(F.array_intersect("ha", "hb"))
     union = F.size("ha") + F.size("hb") - inter
     jac = inter * 1.0 / union
-    return (
+    # materialize then RELEASE the shingle cache eagerly (the r2/r3
+    # leaked-persist class: before this, every call in a long-lived
+    # session left the shingle index pinned, and a stale cache from a
+    # prior call could silently serve the next one's timings). Same
+    # truncate-then-unpersist shape as dedup_ngram_jaccard_pairs.
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(
         cands.join(ha, "doc_a")
         .join(hb, "doc_b")
         .where(jac >= jaccard_threshold)
         .select("doc_a", "doc_b", F.round(1.0 - jac, 4).alias("jaccard_distance"))
     )
+    sh.unpersist()
+    return out
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:

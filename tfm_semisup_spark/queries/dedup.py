@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.functions.text import word_ngrams
+from tfm_semisup_spark.functions.text import hashed_word_ngrams, word_ngrams
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
 
@@ -105,9 +105,7 @@ def hashed_shingles(docs: DataFrame, n: int = 3, *carry: str) -> DataFrame:
         tokens.select(
             "doc_id",
             *carry,
-            F.array_distinct(
-                F.transform(word_ngrams(F.col("__w"), n), lambda s: F.xxhash64(s))
-            ).alias("hs"),
+            F.array_distinct(hashed_word_ngrams(F.col("__w"), n)).alias("hs"),
         )
         .where(F.size("hs") > 0)
     )
@@ -492,9 +490,9 @@ def substring_cut_spans(docs: DataFrame, gram: int = SUBSTRING_GRAM) -> DataFram
     grams = (
         toks.select(
             "doc_id",
-            F.posexplode(word_ngrams(F.col("__w"), gram)).alias("__p", "g"),
+            F.posexplode(hashed_word_ngrams(F.col("__w"), gram)).alias("__p", "g"),
         )
-        .select("doc_id", (F.col("__p") + 1).alias("pos"), F.xxhash64("g").alias("g"))
+        .select("doc_id", (F.col("__p") + 1).alias("pos"), F.col("g"))
         .persist()
     )
     shared = (
@@ -616,9 +614,9 @@ def substring_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(
             "doc_id",
             "source",
-            F.explode(word_ngrams(F.col("__w"), SUBSTRING_GRAM)).alias("g"),
+            F.explode(hashed_word_ngrams(F.col("__w"), SUBSTRING_GRAM)).alias("g"),
         )
-        .select("doc_id", "source", F.xxhash64("g").alias("g"))
+        .select("doc_id", "source", F.col("g"))
         .persist()
     )
     shared = (
