@@ -117,21 +117,28 @@ def _cached_rdd_ids(spark):
 
 def test_dedup_queries_leave_no_pinned_blocks(spark):
     from tfm_semisup_spark.operators.lineage import release
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
     from tfm_semisup_spark.queries.dedup import (
         dedup_ngram_jaccard_capped,
         dedup_ngram_jaccard_pairs,
         substring_dup_report,
     )
 
+    load_all_queries()
     sf = "/root/testdata/sf0.001"
     for q in (
         dedup_ngram_jaccard_pairs,
         dedup_ngram_jaccard_capped,
         substring_dup_report,
+        # r4: the two MinHash tiers persisted their shingle/feature
+        # index without release — same class, caught late in r4
+        QUERIES["dedup_minhash_banded_pairs"],
+        QUERIES["dedup_minhash_lsh_pairs"],
     ):
         before = _cached_rdd_ids(spark)
         df = q(spark, sf)
         df.collect()
         release(df)
         leaked = _cached_rdd_ids(spark) - before
-        assert not leaked, f"{q.__name__} left pinned RDDs: {leaked}"
+        name = getattr(q, "__name__", str(q))
+        assert not leaked, f"{name} left pinned RDDs: {leaked}"

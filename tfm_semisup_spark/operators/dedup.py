@@ -79,7 +79,13 @@ def minhash_near_dup_pairs(
     joined = model.approxSimilarityJoin(
         feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_distance"
     )
-    return (
+    # checkpoint the (small) pair result, then release the persisted
+    # feature frame eagerly — same leaked-persist fix as the banded
+    # tier below; without it every call pinned a sparse-vector cache
+    # for the session's lifetime.
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(
         joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -87,6 +93,8 @@ def minhash_near_dup_pairs(
             F.round("jaccard_distance", 4).alias("jaccard_distance"),
         )
     )
+    feats.unpersist()
+    return out
 
 
 MINHASH_PERMS = 32
