@@ -128,7 +128,13 @@ def connected_components(
 
     ckpt = labels  # handle to the blocks backing the current labels
     for rounds in range(1, max_iter + 1):
-        jumped = truncate(_propagation_round(edges, labels), checkpoint_dir)
+        # LAZY checkpoint: the convergence-sum aggregate below is this
+        # round's guaranteed first action, so it materializes the
+        # checkpoint blocks as it runs — one job per round instead of
+        # the eager checkpoint job + a separate sum job.
+        jumped = truncate(
+            _propagation_round(edges, labels), checkpoint_dir, eager=False
+        )
 
         new_sum = jumped.agg(_sum).head()[0]
         release(ckpt)  # superseded round's blocks, freed eagerly

@@ -34,18 +34,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def truncate(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def truncate(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
     """Materialize ``df`` and truncate its lineage (eager checkpoint).
 
     ``checkpoint_dir`` -> durable ``checkpoint`` (survives executor
     loss); otherwise ``localCheckpoint`` (fast, executor-pinned).
+
+    ``eager=False`` defers materialization to the CALLER'S next action
+    — use when that action is guaranteed and cheap (e.g. the
+    convergence-sum aggregate an iterative round runs anyway), saving
+    one full job per round. The caller owns the guarantee: a lazy
+    checkpoint that is unpersisted before any action would recompute.
     """
     if checkpoint_dir:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def release(df: DataFrame | None) -> None:
