@@ -136,11 +136,14 @@ def test_connected_components_equals_union_find(spark, edges):
     from tfm_semisup_spark.operators.components import connected_components
 
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df).collect()
-    }
-    assert got == _union_find_components(edges)
+    ref = _union_find_components(edges)
+    for forced in (None, 0):  # driver fast path AND distributed rounds
+        kw = {} if forced is None else {"small_graph_max_edges": forced}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, **kw).collect()
+        }
+        assert got == ref, f"path small_graph_max_edges={forced}"
 
 
 def test_connected_components_chain_converges_logarithmically(spark):
@@ -151,6 +154,9 @@ def test_connected_components_chain_converges_logarithmically(spark):
 
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r["node"]: r["component"] for r in C.connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in C.connected_components(df, small_graph_max_edges=0).collect()
+    }
     assert got == {n: 0 for n in range(41)}
     assert C.last_convergence_rounds <= 8

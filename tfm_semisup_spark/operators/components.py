@@ -86,20 +86,64 @@ def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+#: edge-count bound under which the graph is solved driver-side with
+#: union-find instead of distributed label rounds. A near-dup pair
+#: graph is SPARSE relative to its corpus (pairs survive banding +
+#: verification), so real invocations usually land far under this;
+#: 2M edges collect as ~32 MB of longs — trivially driver-safe. The
+#: distributed path is unchanged above the bound, and every property
+#: test runs BOTH paths (small_graph_max_edges=0 forces distributed).
+SMALL_GRAPH_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(edge_rows) -> list[tuple[int, int]]:
+    """Min-label union-find over a collected edge list: the same
+    (node, min reachable id) contract as the distributed rounds.
+    Path-halving + union-by-label keeps it near-linear."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN id so the root IS the component label
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    small_graph_max_edges: int = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge in
     ``pairs``; component = min node id reachable.
 
     ``pairs`` is an undirected edge list (one row per pair, either
-    orientation). max_iter bounds the driver loop; with pointer
-    jumping, 25 rounds covers clusters of diameter ~2^25 — effectively
-    any graph. Raises if not converged (never silently wrong).
+    orientation). Graphs at or under ``small_graph_max_edges`` edges
+    (counted AFTER dedup/symmetrization, on the materialized edge set)
+    are solved driver-side with union-find — the shortcut every
+    production graph engine takes, since a verified near-dup pair list
+    is orders of magnitude smaller than its corpus; label-propagation
+    rounds each cost jobs + shuffles that dwarf a bounded collect.
+    Larger graphs run the distributed min-label + pointer-jumping
+    rounds: O(log diameter) rounds, max_iter bounds the loop (25
+    covers diameter ~2^25), raises if not converged (never silently
+    wrong). Both paths produce identical labels (min id reachable) —
+    property-tested against each other.
     """
     global last_convergence_rounds
 
@@ -108,6 +152,23 @@ def connected_components(
     # from the raw plan (deriving them lazily re-ran the whole dedup
     # pipeline up to 3x inside the setup jobs)
     base = truncate(_symmetric_edges(pairs, src_col, dst_col), checkpoint_dir)
+
+    # count on the checkpointed blocks (cheap) to pick the path; the
+    # symmetric edge set has 2 rows/pair, so compare against 2x
+    n_sym = base.count()
+    if n_sym <= 2 * small_graph_max_edges:
+        # u <= v keeps self-loop nodes (every node incident to an edge
+        # must appear in the output, component = itself)
+        rows = _driver_union_find(
+            (r["u"], r["v"]) for r in base.where(F.col("u") <= F.col("v")).collect()
+        )
+        last_convergence_rounds = 0
+        out = pairs.sparkSession.createDataFrame(
+            rows, "node long, component long"
+        )
+        release(base)
+        return out
+
     nodes = base.select("u").distinct()
     edges = truncate(_with_self_loops(base, nodes), checkpoint_dir)
 
