@@ -72,7 +72,12 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source count of corpus docs sharing an 8-gram with the
     benchmark slice. Plan: benchmark gram set (tiny) -> broadcast ->
     left-semi probe from the corpus gram scan -> partial-agg groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-file parquet arrives as ONE split — without this the
+    # whole 8-gram shingling (the query's dominant cost) runs in one
+    # task (same gotcha as the jaccard/editdist tiers)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     bench0 = F.broadcast(
         docs.where(F.col("doc_id") == 0).select(F.col("text").alias("bench_text"))
     )
