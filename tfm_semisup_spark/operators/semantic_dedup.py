@@ -298,6 +298,12 @@ def semantic_dedup(
     io.embedding_dim — zero Spark jobs)."""
     from tfm_semisup_spark.operators.lineage import truncate
 
+    # single-file scans arrive as one split: spread the Arrow
+    # assignment kernel, the checkpoint blocks and the pair join's
+    # build across the cluster (same gotcha as the shingle tiers)
+    embeddings = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     approx_n = embeddings.agg(
         F.approx_count_distinct(id_col).alias("n")
     ).head()["n"]
