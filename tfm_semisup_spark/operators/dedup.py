@@ -145,6 +145,9 @@ def minhash_banded_pairs(
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     tokens = docs.withColumn("__w", whitespace_tokens(F.col("text")))
+    # no size>0 filter: it would push into the single-split scan with
+    # the whole shingle pipeline inlined (see queries/dedup.py
+    # hashed_shingles); empty arrays explode to zero rows anyway
     sh = (
         tokens.select(
             "doc_id",
@@ -152,7 +155,6 @@ def minhash_banded_pairs(
                 hashed_word_ngrams(F.col("__w"), shingle_n)
             ).alias("hs"),
         )
-        .where(F.size("hs") > 0)
         .persist()
     )
     # Signatures via explode + groupBy-min instead of num_perm

@@ -101,13 +101,17 @@ def hashed_shingles(docs: DataFrame, n: int = 3, *carry: str) -> DataFrame:
     keys. Cross-doc collisions (2^-64/pair) are noise for every
     similarity decision made on these sets."""
     tokens = docs.withColumn("__w", F.filter(F.split("text", " "), lambda t: t != ""))
-    return (
-        tokens.select(
-            "doc_id",
-            *carry,
-            F.array_distinct(hashed_word_ngrams(F.col("__w"), n)).alias("hs"),
-        )
-        .where(F.size("hs") > 0)
+    # NO size>0 filter here: a filter on the computed array pushes
+    # below the repartition into the (single-split) scan with the
+    # WHOLE shingle pipeline inlined — the entire tokenize/shingle
+    # work then runs once single-threaded in the scan's DataFilter and
+    # again in the real projection (measured: 3.5s of a 5.5s query).
+    # Every consumer explodes ``hs``, and explode of an empty array
+    # emits no rows, so the filter was semantics-free anyway.
+    return tokens.select(
+        "doc_id",
+        *carry,
+        F.array_distinct(hashed_word_ngrams(F.col("__w"), n)).alias("hs"),
     )
 
 
@@ -330,17 +334,23 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # hashed-shingle index: see hashed_shingles
-    tri = hashed_shingles(docs).select(
-        "doc_id", F.explode("hs").alias("shingle")
-    )
-    kept = df_capped_index(tri).persist()
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # materialize then release the capped index eagerly (ADVICE r2/r3)
     from tfm_semisup_spark.operators.lineage import truncate
 
+    # cache the ARRAY-form shingles (one small row per doc — the
+    # expensive text->shingle computation), NOT the exploded index:
+    # df_capped_index reads the index twice (hot-shingle aggregate +
+    # anti-join probe) and re-exploding cached long arrays is a cheap
+    # columnar Generate, while checkpointing/caching the exploded rows
+    # re-ran or materialized the whole pipeline at 260k-row width
+    # (measured ~3.7s of a 5.5s query).
+    shingled = hashed_shingles(docs).persist()
+    tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
+    kept = df_capped_index(tri).persist()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # materialize then release the caches eagerly (ADVICE r2/r3)
     out = truncate(jaccard_pairs_from_index(kept, sizes, 0.5))
     kept.unpersist()
+    shingled.unpersist()
     return out
 
 
