@@ -254,7 +254,13 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded candidate join on 16-bit fingerprint quarters, exact
     Hamming verification with bit_count(xor). max_hamming <= 3 keeps
     the pigeonhole guarantee with 4 bands."""
-    fps = simhash_fingerprints(docs)
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    # checkpoint the narrow (doc_id, simhash) frame: the banded
+    # self-join consumes it on both sides, which would re-run the
+    # explode + 64-vote aggregation per side (narrow-cache rule,
+    # SCALE.md r4); released eagerly once the pair result materializes
+    fps = truncate(simhash_fingerprints(docs))
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -280,13 +286,15 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band_idx", "band_val"
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
+    out = truncate(
         a.join(b, ["band_idx", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .distinct()  # a pair can share multiple bands
         .where(F.col("hamming") <= max_hamming)
     )
+    release(fps)
+    return out
 
 
 def embedding_near_dup_pairs(
