@@ -74,6 +74,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "text_bm25_topk",
     "dedup_editdist_pairs",
+    # r4 behavioral analytics: sequence-dependent conversion (user-keyed
+    # range join) and the per-order distinct-count Q21 formulation
+    "funnel_view_purchase",
+    "q21_waiting_suppliers",
 ]
 
 
