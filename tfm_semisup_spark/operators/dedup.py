@@ -109,9 +109,9 @@ def minhash_banded_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Banded MinHash near-dup pairs, PURE COLUMNAR — no MLlib models,
-    no sparse vectors, no UDFs. Matches the MLlib tier's wall-clock at
-    sf0.1 (~4s; both are stage-overhead-bound there) but wins
-    structurally at corpus scale: no fit() job, no 262k-dim sparse
+    no sparse vectors, no UDFs. ~1.7s at sf0.1 (r4: codegen
+    signatures + narrow-form caching) vs the MLlib tier's ~4s, and
+    wins structurally at corpus scale: no fit() job, no 262k-dim sparse
     vectors in the shuffle (signatures are 32 longs/doc, band keys 2
     longs/row), and — unlike ``approxSimilarityJoin`` — FULL recall at
     the threshold on the test corpus (256/256 pairs vs MLlib's
