@@ -69,3 +69,19 @@ def test_all_queries_have_callables(spark):
     assert QUERIES, "no queries registered"
     for name in ORACLES:
         assert name in QUERIES
+
+
+def test_driver_window_priority_names_all_resolve():
+    """Every name in the driver-window priority list must be a
+    registered ORACLED query — a typo or a rename would silently drop
+    the slot (the driver just takes the next dict entry) and the
+    intended re-confirmation would never run."""
+    from tfm_semisup_spark.queries import _ORACLE_PRIORITY
+
+    missing = [n for n in _ORACLE_PRIORITY if n not in ORACLES]
+    assert not missing, f"priority names not registered/oracled: {missing}"
+    assert len(set(_ORACLE_PRIORITY)) == len(_ORACLE_PRIORITY), "duplicates"
+    # the driver checks the FIRST 50 oracled entries in dict order:
+    # the window must be exactly the priority list (in order)
+    window = list(ORACLES)[: len(_ORACLE_PRIORITY)]
+    assert window == list(_ORACLE_PRIORITY)
