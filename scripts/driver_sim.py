@@ -60,8 +60,13 @@ def main() -> int:
         return con.execute(sql).fetchdf()
 
     oracles = e.oracle_sql()
+    registry = e.queries()
+    unknown = only - set(registry)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     bad, n_ok, n_rows_only = [], 0, 0
-    for name, fn in sorted(e.queries().items()):
+    for name, fn in sorted(registry.items()):
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)

@@ -633,7 +633,15 @@ def test_ivf_derived_centroids_recall_two_corpus_sizes(spark):
         ).withColumn("features", array_to_vector("embedding"))
         model, bucketed = build_ivf_index(df)  # derived num_centroids
         k_cent = len(model.clusterCenters())
-        assert k_cent == resolve_num_centroids(n)
+        # r4: the corpus-size probe is approx_count_distinct (the scale
+        # answer — an exact count() was the one remaining full-count
+        # probe), so the derived k lands within HLL error of the
+        # exact-N resolve, not equal to it
+        expected = resolve_num_centroids(n)
+        assert abs(k_cent - expected) <= max(2, int(0.1 * expected)), (
+            k_cent,
+            expected,
+        )
         q = rows[0][1]
         n_probe = max(4, k_cent // 4)
         got = {

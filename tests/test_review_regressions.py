@@ -134,6 +134,9 @@ def test_dedup_queries_leave_no_pinned_blocks(spark):
         # index without release — same class, caught late in r4
         QUERIES["dedup_minhash_banded_pairs"],
         QUERIES["dedup_minhash_lsh_pairs"],
+        # r4 review: semantic dedup checkpointed assignment/unit/pairs
+        # without release
+        QUERIES["dedup_semantic_semdedup"],
     ):
         before = _cached_rdd_ids(spark)
         df = q(spark, sf)

@@ -156,7 +156,11 @@ def connected_components(
     # count on the checkpointed blocks (cheap) to pick the path; the
     # symmetric edge set has 2 rows/pair, so compare against 2x
     n_sym = base.count()
-    if n_sym <= 2 * small_graph_max_edges:
+    # small_graph_max_edges <= 0 DISABLES the fast path entirely (the
+    # property tests use it to force the distributed rounds — without
+    # the guard an empty graph satisfied n_sym <= 0 and the
+    # distributed path's empty-input handling went untested)
+    if small_graph_max_edges > 0 and n_sym <= 2 * small_graph_max_edges:
         # u <= v keeps self-loop nodes (every node incident to an edge
         # must appear in the output, component = itself)
         rows = _driver_union_find(

@@ -65,7 +65,15 @@ def release(df: DataFrame | None) -> None:
         return
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+        # unpersist every checkpoint-scan LEAF, not just a bare
+        # LogicalRDD root — a caller wrapping the checkpointed result
+        # (orderBy, select, ...) otherwise silently leaks it (r4
+        # review: dedup_semantic_semdedup's final truncate survived
+        # release because the registered query adds an orderBy)
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
     except Exception:
         pass

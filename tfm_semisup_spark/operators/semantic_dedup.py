@@ -75,7 +75,8 @@ def assign_clusters_mllib(
     num_clusters: int = 16,
     seed: int = 42,
     out_col: str = "sem_cluster",
-) -> DataFrame:
+    return_model: bool = False,
+):
     """DISTRIBUTED train+assign for cluster counts past
     DRIVER_TRAIN_MAX_CLUSTERS: pyspark.ml KMeans (map-side partial
     aggregation per iteration — the corpus never concentrates
@@ -94,7 +95,8 @@ def assign_clusters_mllib(
     model = KMeans(
         k=num_clusters, seed=seed, featuresCol="__features", predictionCol=out_col
     ).fit(feat)
-    return model.transform(feat).drop("__features")
+    assigned = model.transform(feat).drop("__features")
+    return (assigned, model) if return_model else assigned
 
 
 def train_semantic_centroids(
@@ -104,16 +106,23 @@ def train_semantic_centroids(
     num_clusters: int | None = None,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    approx_n: int | None = None,
 ):
     """Driver-side seeded Lloyd's on a hash-mod bounded sample (the
     faiss-style training shape shared with build_pq_index); returns a
     numpy (num_clusters, dim) array. ``num_clusters=None`` derives the
-    cluster count from the corpus size (``resolve_num_clusters``)."""
+    cluster count from the corpus size (``resolve_num_clusters``).
+    Pass ``approx_n`` when the caller already aggregated it — the
+    corpus-size probe is a full scan job, and semantic_dedup was
+    paying it twice per call."""
     import numpy as np
 
     from tfm_semisup_spark.operators.similarity import _lloyd
 
-    approx_n = embeddings.agg(F.approx_count_distinct(id_col).alias("n")).head()["n"]
+    if approx_n is None:
+        approx_n = embeddings.agg(
+            F.approx_count_distinct(id_col).alias("n")
+        ).head()["n"]
     if num_clusters is None:
         num_clusters = resolve_num_clusters(approx_n)
     train_mod = max(1, -(-int(approx_n) // max_train_rows))
@@ -264,12 +273,20 @@ def semantic_dup_pairs(
     # stays inside whole-stage codegen at testdata dims while falling
     # back to the HOF fold past codegen's limits at real embedding dims.
     cos = dot_fixed("ua", "ub", dim)
-    return (
+    # checkpoint the (small) pair result and RELEASE the unit-vector
+    # checkpoint eagerly — the leaked-checkpoint class every other
+    # dedup tier already fixed (a long-lived session otherwise pins
+    # the normalized projection per call)
+    from tfm_semisup_spark.operators.lineage import release
+
+    out = truncate(
         a.join(b, (a["cell"] == b["cell_b"]) & (a["doc_a"] < b["doc_b"]))
         .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+    release(unit)
+    return out
 
 
 def semantic_dedup(
@@ -318,7 +335,8 @@ def semantic_dedup(
         )
     else:
         centroids = train_semantic_centroids(
-            embeddings, array_col, id_col, num_clusters, seed, max_train_rows
+            embeddings, array_col, id_col, num_clusters, seed, max_train_rows,
+            approx_n=approx_n,
         )
         assigned = truncate(assign_clusters(embeddings, centroids, array_col))
     pairs = semantic_dup_pairs(
@@ -330,7 +348,11 @@ def semantic_dedup(
         max_pair_cluster_size=max_pair_cluster_size,
     )
     comp = connected_components(pairs)  # only nodes WITH a near-dup edge
-    return (
+    # materialize the final per-row verdicts, then release every
+    # intermediate checkpoint (assignment, pair list) eagerly
+    from tfm_semisup_spark.operators.lineage import release
+
+    out = truncate(
         assigned.select(F.col(id_col).alias("id"), "sem_cluster")
         .join(comp, F.col("id") == comp["node"], "left")
         .select(
@@ -340,3 +362,6 @@ def semantic_dedup(
             (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
         )
     )
+    release(assigned)
+    release(pairs)
+    return out

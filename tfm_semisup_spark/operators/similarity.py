@@ -81,6 +81,7 @@ def build_ivf_index(
     vector_col: str = "features",
     num_centroids: int | None = None,
     seed: int = 42,
+    id_col: str = "vec_id",
 ):
     """IVF coarse quantizer: k-means centroids + bucketed dataset.
 
@@ -95,11 +96,29 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
 
     if num_centroids is None:
-        num_centroids = resolve_num_centroids(embeddings.count())
+        # approx over the id column, like every sibling index builder
+        # (a full count() was the one remaining exact-count probe; HLL
+        # over the Vector column itself is not supported)
+        num_centroids = resolve_num_centroids(
+            embeddings.agg(
+                F.approx_count_distinct(id_col).alias("n")
+            ).head()["n"]
+        )
     km = KMeans(k=num_centroids, seed=seed, featuresCol=vector_col,
                 predictionCol="ivf_bucket")
     model = km.fit(embeddings)
     return model, model.transform(embeddings)
+
+
+def resolve_n_probe(num_centroids: int) -> int:
+    """Default probe count for a coarse quantizer of ``num_centroids``
+    buckets: ~sqrt(num_centroids), min 3 (faiss guidance: nprobe grows
+    sublinearly with nlist). With num_centroids itself derived as
+    ~sqrt(N), a FIXED n_probe would shrink the probed fraction — and
+    recall — as the corpus grows (r4 review finding)."""
+    import math
+
+    return max(3, int(round(math.sqrt(max(1, num_centroids)))))
 
 
 def ivf_top_k(
@@ -107,7 +126,7 @@ def ivf_top_k(
     bucketed: DataFrame,
     query_vector,
     k: int = 10,
-    n_probe: int = 3,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vector_col: str = "features",
 ) -> DataFrame:
@@ -120,6 +139,8 @@ def ivf_top_k(
     from pyspark.sql import functions as F
 
     centers = kmeans_model.clusterCenters()
+    if n_probe is None:
+        n_probe = resolve_n_probe(len(centers))
     q = np.asarray(query_vector.toArray() if hasattr(query_vector, "toArray") else query_vector)
     order = np.argsort([float(np.linalg.norm(q - c)) for c in centers])
     probe = [int(b) for b in order[:n_probe]]
@@ -198,10 +219,13 @@ def build_pq_index(
       PQ practice (faiss): k-means on a sample, broadcast the tiny
       m×codes codebook. The FULL corpus is never collected — at 100 TB
       the driver sees ≤ max_train_rows vectors, period.
-    - encoding is ONE columnar projection: per subspace, squared
-      distances to the (broadcast-literal) codebook via
-      ``F.transform`` + argmin via ``array_position``/``array_min`` —
-      all inside whole-stage codegen, no Python workers, no shuffle.
+    - encoding is ONE narrow vectorized-Arrow pass (mapInPandas):
+      numpy broadcasts the (batch × codes × dsub) distance tensor per
+      subspace and argmins it — no shuffle, parallelism = input
+      partitions. The Catalyst alternatives both fail at this
+      arithmetic density: HOF forms evaluate interpreted (~1.5 ms/row
+      measured at dim 64), and the flat codegen form is a 4096-term
+      expression past whole-stage-codegen's limits (SCALE.md r4).
 
     Returns ``(codebooks, encoded)``: codebooks as a list of m numpy
     arrays [codes × dsub]; ``encoded`` = input plus ``pq_codes``
@@ -233,12 +257,6 @@ def build_pq_index(
         for j, (lo, hi) in enumerate(bounds)
     ]
 
-    # The whole encode is ONE SQL string parsed JVM-side: building the
-    # m x codes x dsub codebook literals as Column objects costs
-    # thousands of Py4J round trips per index build (the same
-    # plan-construction tax as the flat cosine — SCALE.md r4). The
-    # parsed tree is identical: same slice/zip_with/aggregate fold,
-    # same left-to-right order, bit-equal codes.
     # Encoding kernel: one vectorized Arrow pass (mapInPandas), numpy
     # broadcasting the (batch x codes x dsub) distance tensor per
     # subspace — the faiss kernel shape. This is a sanctioned Arrow
@@ -284,10 +302,6 @@ def _sql_double(x) -> str:
 
 def _sql_array1d(vals) -> str:
     return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
-
-
-def _sql_array2d(rows) -> str:
-    return "array(" + ", ".join(_sql_array1d(r) for r in rows) + ")"
 
 
 def pq_top_k(
@@ -390,7 +404,7 @@ def ivf_top_k_batch(
     bucketed: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_probe: int = 3,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     vector_col: str = "features",
@@ -410,6 +424,8 @@ def ivf_top_k_batch(
     from pyspark.ml.functions import vector_to_array
     from pyspark.sql.window import Window
 
+    if n_probe is None:
+        n_probe = resolve_n_probe(len(kmeans_model.clusterCenters()))
     spark = bucketed.sparkSession
     centers_df = spark.createDataFrame(
         [
@@ -492,21 +508,19 @@ def build_ivfpq_index(
         # projection should codegen): distributed KMeans trains AND
         # assigns; centroids come off the fitted model for the probe
         # ordering in ivfpq_top_k
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        feat = embeddings.withColumn(
-            "__features",
-            array_to_vector(F.col(array_col).cast("array<double>")),
+        from tfm_semisup_spark.operators.semantic_dedup import (
+            assign_clusters_mllib,
         )
-        km = KMeans(
-            k=num_centroids,
-            seed=seed,
-            featuresCol="__features",
-            predictionCol="ivfpq_bucket",
-        ).fit(feat)
+
+        assigned, km = assign_clusters_mllib(
+            embeddings,
+            array_col,
+            num_centroids,
+            seed,
+            out_col="ivfpq_bucket",
+            return_model=True,
+        )
         centroids = np.asarray([c.toArray() for c in km.clusterCenters()])
-        assigned = km.transform(feat).drop("__features")
     else:
         centroids = train_semantic_centroids(
             embeddings, array_col, id_col, num_centroids, seed, max_train_rows
@@ -532,7 +546,7 @@ def ivfpq_top_k(
     encoded: DataFrame,
     query_vector,
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     refine: int = 8,
     id_col: str = "vec_id",
     array_col: str = "embedding",
@@ -543,6 +557,8 @@ def ivfpq_top_k(
     tie-breaks."""
     import numpy as np
 
+    if n_probe is None:
+        n_probe = resolve_n_probe(len(centroids))
     q = np.asarray(
         query_vector.toArray() if hasattr(query_vector, "toArray") else query_vector,
         dtype=float,

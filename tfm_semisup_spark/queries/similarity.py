@@ -279,7 +279,9 @@ def similarity_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "features"
     )
     corpus = bucketed.where(F.col("vec_id") % 100 != 1)
-    return ivf_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K, n_probe=4)
+    # n_probe derives ~sqrt(num_centroids) so the probed fraction
+    # tracks the derived coarse-quantizer size (r4 review finding)
+    return ivf_top_k_batch(model, corpus, queries, k=BATCH_TOPK_K)
 
 
 @register("similarity_ivfpq_topk")
@@ -299,5 +301,5 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, books, encoded = build_ivfpq_index(emb, max_train_rows=256)
     q = emb.where(F.col("vec_id") == 0).head()["embedding"]
     return ivfpq_top_k(
-        cents, books, encoded.where(F.col("vec_id") != 0), q, k=10, n_probe=6
+        cents, books, encoded.where(F.col("vec_id") != 0), q, k=10
     )

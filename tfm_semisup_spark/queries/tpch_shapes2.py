@@ -13,7 +13,8 @@ analogs) — the join-topology battery the first batch doesn't cover:
   on an agg over fact-fact join);
 - Q12 analog: late-shipment priority counts (non-equi date predicate
   between two fact tables, CASE-WHEN double count);
-- Q15: scalar MAX over a named aggregate subquery joined back;
+- Q15: top-revenue supplier via dense_rank over the aggregate
+  (engine-internal float-sum consistency by construction);
 - Q19: disjunction of conjunctive range predicates across a join
   (Catalyst must push the common partkey equi-condition and keep the
   OR as a post-join filter without exploding the plan);
@@ -395,11 +396,16 @@ ORDER BY s.s_suppkey
 
 @register("q15_top_supplier", Q15_ORACLE)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15. The revenue aggregate is computed once and reused
-    for both the MAX scalar and the equality filter (Catalyst reuses
-    the exchange); the winner row joins to the broadcast supplier dim.
-    Engines tie-break identically because the max is compared within
-    each engine's own unrounded sums."""
+    """TPC-H Q15. The winner is selected with dense_rank over ONE
+    evaluation of the revenue aggregate — an equality join against a
+    separately computed MAX would compare two float-sum subtrees and
+    silently return zero rows if a replan (AQE, a future refactor)
+    ever stopped the exchange being reused and reduce-order ULP crept
+    in (r4 review finding). The rank window is global but its input is
+    the per-supplier aggregate — dimension-sized, not fact-sized.
+    Engines tie-break identically because each ranks its own sums."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -407,10 +413,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev()).alias("total_revenue_raw")
     )
-    max_rev = revenue.agg(F.max("total_revenue_raw").alias("m"))
+    w = Window.orderBy(F.desc("total_revenue_raw"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue_raw") == F.col("m"))
+        revenue.withColumn("__rk", F.dense_rank().over(w))
+        .where(F.col("__rk") == 1)
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
