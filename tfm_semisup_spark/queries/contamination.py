@@ -125,3 +125,179 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = truncate(out)
     grams.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership tier
+# ---------------------------------------------------------------------------
+#
+# The exact screen above broadcasts the DISTINCT benchmark gram set
+# (8-byte hashes). At 100 TB the benchmark side stays small, but the
+# classic constant-memory alternative is a BLOOM FILTER: an m-bit
+# bitset with k salted hash positions per gram — fixed 8 KiB here
+# (m = 65536, k = 2) no matter how many grams go in, probed by a pure
+# codegen bit test on the corpus scan (no join at all on the probe
+# side; candidate docs then verify against the exact gram set, which
+# also measures the filter's realized false-positive rate).
+#
+# Portability makes it oracle-able: bit positions derive from
+# md5(gram || '#salt') through the shared 4-hex uniform decode
+# (operators/layout.py::md5_uniform16_sql) — bit-identical in Spark
+# and DuckDB, so both engines agree on every bloom-positive doc,
+# INCLUDING the false positives.
+
+BLOOM_M = 65536  # bits (8 KiB) -> positions are exactly the uniform16 decode
+BLOOM_WORDS = BLOOM_M // 64
+
+from tfm_semisup_spark.operators.layout import md5_uniform16_sql  # noqa: E402
+
+
+def _bloom_pos_sql(j: int) -> str:
+    """Portable SQL for the j-th salted bloom position of column
+    ``gram`` — uniform in [0, 65536), same text both engines."""
+    return md5_uniform16_sql(f"md5(gram || '#{j}')")
+
+
+BLOOM_ORACLE = f"""
+WITH planted AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.doc_id % 37 = 5 AND d.doc_id % 97 <> 0
+              THEN d.text || ' ' || b.bench_text ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN (SELECT text AS bench_text FROM documents WHERE doc_id = 0) b
+),
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM planted
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+bpos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql(0)} AS pos FROM bench
+    UNION ALL
+    SELECT {_bloom_pos_sql(1)} AS pos FROM bench
+  )
+),
+corpus AS (SELECT doc_id, source, gram FROM grams WHERE doc_id % 97 <> 0),
+positive AS (
+  SELECT DISTINCT doc_id, source FROM corpus
+  WHERE {_bloom_pos_sql(0)} IN (SELECT pos FROM bpos)
+    AND {_bloom_pos_sql(1)} IN (SELECT pos FROM bpos)
+),
+verified AS (
+  SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.gram = b.gram
+)
+SELECT p.source,
+       COUNT(*)::BIGINT AS n_candidate,
+       SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_verified
+FROM positive p LEFT JOIN verified v ON p.doc_id = v.doc_id
+GROUP BY p.source
+ORDER BY p.source
+"""
+
+
+@register("bloom_contamination_screen", BLOOM_ORACLE)
+def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (n_candidate, n_verified) of the bloom screen: docs
+    whose 8-grams hit all k salted bloom bits built from the benchmark
+    slice, and how many of those share a REAL benchmark gram. Plan:
+    tiny bitset aggregate (<= 1024 rows) -> driver -> literal-array
+    codegen bit test on the corpus gram scan -> exact verify join."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bench0 = F.broadcast(
+        docs.where(F.col("doc_id") == 0).select(F.col("text").alias("bench_text"))
+    )
+    planted = docs.crossJoin(bench0).select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("doc_id") % 37 == 5) & (F.col("doc_id") % 97 != 0),
+            F.concat_ws(" ", "text", "bench_text"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 7),
+            lambda s: F.array_join(F.slice(F.col("__w"), s, 8), " "),
+        )
+    )
+    grams = (
+        planted.withColumn("__w", words)
+        .where(F.size("__w") >= 8)
+        .select("doc_id", "source", F.explode(gram_arr).alias("gram"))
+        .persist()
+    )
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    # build the bitset: positions -> 64-bit words via bit_or, <= 1024
+    # tiny rows collected (bounded by construction, not by data)
+    pos = (
+        bench.select(F.expr(_bloom_pos_sql(0)).alias("pos"))
+        .union(bench.select(F.expr(_bloom_pos_sql(1)).alias("pos")))
+        .distinct()
+    )
+    word_rows = (
+        pos.groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("widx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bloom = [0] * BLOOM_WORDS
+    for r in word_rows:
+        bloom[r["widx"]] = r["bits"]
+    # ONE SQL string per bit test (single parse — plan-construction
+    # lesson in SCALE.md); the 8 KiB bitset rides along as an array
+    # literal, so the probe is scan + codegen, no join
+    arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in bloom) + ")"
+
+    def bit_test(j: int) -> str:
+        p = _bloom_pos_sql(j)
+        return (
+            f"(element_at({arr}, CAST(({p}) DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) <> 0"
+        )
+
+    corpus = grams.where(~is_bench)
+    positive = (
+        corpus.where(F.expr(f"{bit_test(0)} AND {bit_test(1)}"))
+        .select("doc_id", "source")
+        .distinct()
+    )
+    verified = (
+        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__v", F.lit(1))
+    )
+    out = (
+        positive.join(verified, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate"),
+            F.sum(F.when(F.col("__v").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_verified"),
+        )
+        .orderBy("source")
+    )
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    out = truncate(out)
+    grams.unpersist()
+    return out
