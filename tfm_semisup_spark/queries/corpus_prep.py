@@ -303,3 +303,56 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted reservoir sample (A-Res)
+# ---------------------------------------------------------------------------
+#
+# Efraimidis & Spirakis (2006) reservoir sampling: each item draws
+# u ~ Uniform(0,1] and the k items with the LARGEST u^(1/w) form an
+# exact weighted-without-replacement sample. Ordering by u^(1/w) is
+# ordering by ln(u)/w, which avoids the pow() call; u derives from the
+# shared portable md5 4-hex decode so both engines draw the SAME
+# uniforms and select the SAME sample — a seeded, partitioning-
+# independent weighted sampler (Spark's own df.sample has no weights
+# and rdd-level samplers are partitioning-sensitive).
+#
+# Scale shape: the key is one narrow projection; top-k by key is
+# TakeOrderedAndProject — per-partition heaps then a k-row driver
+# merge, no global sort, no shuffle of the corpus. The key is rounded
+# (9 dp, far below any real key gap) on BOTH engines before ordering
+# so libm's last-ulp ln() differences cannot reorder the boundary;
+# doc_id breaks exact ties deterministically.
+
+WRS_K = 25
+_WRS_H = md5_uniform16_sql("md5(CAST(doc_id AS STRING) || '#wrs')")
+# weight = n_chars: longer documents proportionally likelier.
+_WRS_KEY = f"round(ln((({_WRS_H}) + 1) / 65537.0) / n_chars, 9)"
+
+WEIGHTED_RESERVOIR_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       {_WRS_KEY} AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT {WRS_K}
+"""
+
+
+@register("weighted_reservoir_sample", WEIGHTED_RESERVOIR_ORACLE)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-WRS_K weighted sample of documents by n_chars via A-Res
+    keys. Plan: narrow key projection -> TakeOrderedAndProject (local
+    heaps + k-row merge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.expr(_WRS_KEY).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(WRS_K)
+    )
