@@ -364,3 +364,90 @@ def repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language
+# ---------------------------------------------------------------------------
+#
+# Corpus-level vocabulary profiling: for each language, the terms with
+# the highest aggregate tf-idf (smoothed idf over the WHOLE corpus,
+# term frequency within the language). The scale shape is wordcount-
+# class: two map-side-combined aggregates on the term key (tf per
+# (lang, term); document frequency per term), one scalar corpus count
+# broadcast in, and a per-lang window rank over the (small) vocabulary.
+# Scores are rounded on BOTH engines BEFORE the rank so last-ulp ln()
+# differences cannot reorder the cut; term breaks ties.
+
+TFIDF_TOP_N = 5
+_TFIDF_SCORE = "round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)"
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT lang, term, COUNT(*)::BIGINT AS tf
+  FROM toks GROUP BY lang, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT lang, term, tf, df,
+         {_TFIDF_SCORE} AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_TFIDF_SCORE} DESC, term
+         ) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT lang, term, tf, df, tfidf, rk
+FROM scored WHERE rk <= {TFIDF_TOP_N}
+ORDER BY lang, rk
+"""
+
+
+@register("tfidf_top_terms", TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_TOP_N terms per language by aggregate smoothed
+    tf-idf: (lang, term, tf, df, tfidf, rk)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(n)
+        .withColumn("tfidf", F.expr(_TFIDF_SCORE))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.expr(_TFIDF_SCORE).desc(), "term"
+                )
+            ),
+        )
+    )
+    return (
+        scored.where(F.col("rk") <= TFIDF_TOP_N)
+        .select("lang", "term", "tf", "df", "tfidf", "rk")
+        .orderBy("lang", "rk")
+    )
