@@ -451,3 +451,100 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tf", "df", "tfidf", "rk")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: per-source Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+#
+# Pipeline monitoring: how far each source's token distribution sits
+# from the corpus-wide distribution (JSD — symmetric, bounded by
+# ln 2, zero iff identical). Detects a source going off-distribution
+# between ingestion batches. Scale shape: two wordcount aggregates
+# (per-source and corpus), a sources x vocabulary grid built with a
+# left join so absent terms contribute p = 0, one final per-source
+# sum. Everything is map-side-combinable aggregation on term keys; the
+# grid is |sources| x |vocab| — at web scale ~100 x ~1M rows, far
+# smaller than the corpus itself.
+
+JSD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+stf AS (
+  SELECT source, term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY source, term
+),
+stot AS (SELECT source, SUM(tf) AS tot FROM stf GROUP BY source),
+ctf AS (SELECT term, COUNT(*)::DOUBLE AS tf FROM toks GROUP BY term),
+ctot AS (SELECT SUM(tf) AS tot FROM ctf),
+grid AS (
+  SELECT s.source, c.term,
+         COALESCE(st.tf, 0) / so.tot AS p,
+         c.tf / ct.tot AS q
+  FROM (SELECT DISTINCT source FROM stf) s
+  CROSS JOIN ctf c
+  CROSS JOIN ctot ct
+  JOIN stot so ON so.source = s.source
+  LEFT JOIN stf st ON st.source = s.source AND st.term = c.term
+),
+contribs AS (
+  SELECT source,
+         CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+         + 0.5 * q * ln(q / ((p + q) / 2)) AS contrib
+  FROM grid
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_terms,
+       round(SUM(contrib), 6) AS jsd
+FROM contribs
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("source_drift_jsd", JSD_ORACLE)
+def source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (n_terms, jsd) vs the corpus token distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    stf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    stot = stf.groupBy("source").agg(F.sum("tf").alias("tot"))
+    ctf = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    ctot = F.broadcast(ctf.agg(F.sum("tf").alias("ctot")))
+    grid = (
+        stf.select("source").distinct()
+        .crossJoin(ctf.select("term", F.col("tf").alias("c_tf")))
+        .crossJoin(ctot)
+        .join(stot, "source")
+        .join(stf.select("source", "term", F.col("tf").alias("s_tf")),
+              ["source", "term"], "left")
+        .select(
+            "source",
+            (F.coalesce("s_tf", F.lit(0.0)) / F.col("tot")).alias("p"),
+            (F.col("c_tf") / F.col("ctot")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + 0.5 * F.col("q") * F.log(F.col("q") / m)
+    )
+    return (
+        grid.select("source", contrib.alias("contrib"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("contrib"), 6).alias("jsd"),
+        )
+        .orderBy("source")
+    )
