@@ -261,3 +261,155 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_views(spark, sf_dir)
     return spark.sql(GROUPING_SETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+#
+# Marketing-analytics staple: attribute each purchase to the user's
+# most recent PRECEDING non-purchase event. One pass: a per-user
+# window carrying the last non-purchase (ts, type) struct with IGNORE
+# NULLS over ROWS UNBOUNDED PRECEDING..1 PRECEDING — no self-join, no
+# re-scan; shuffle keys are user ids, the natural sessionization
+# partitioning. Timestamps cross the compare as wall-clock strings and
+# the gap as a microsecond DIFFERENCE (timezone offsets cancel), per
+# the repo's ts-portability conventions.
+
+ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(
+           CASE WHEN event_type <> 'purchase'
+                THEN struct_pack(ats := ts, atype := event_type) END
+           IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS attr
+  FROM events
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       attr.atype AS attr_type,
+       (epoch_us(ts) - epoch_us(attr.ats))::BIGINT AS attr_gap_us
+FROM seq
+WHERE event_type = 'purchase' AND attr IS NOT NULL
+ORDER BY event_id
+"""
+
+
+@register("attribution_last_touch", ATTRIBUTION_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase with its most recent preceding non-purchase event:
+    (event_id, user_id, purchase_ts, attr_type, attr_gap_us)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("ats"), F.col("event_type").alias("atype")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("attr", attr)
+        .where((F.col("event_type") == "purchase") & F.col("attr").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.col("attr.atype").alias("attr_type"),
+            (F.unix_micros("ts") - F.unix_micros("attr.ats")).alias("attr_gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence (co-visitation)
+# ---------------------------------------------------------------------------
+#
+# Recommender/corpus-curation staple: item pairs engaged by the same
+# user. The quadratic hazard is per-user: a power-user with 10k items
+# contributes 50M pairs — so each user's item set is CAPPED to its
+# top-COOC_CAP items by engagement count first (deterministic
+# (count DESC, item) rank), the same bounded-candidate trade as every
+# LSH/banding tier. After the cap the self-join is per-user bounded:
+# candidates <= |users| * COOC_CAP², linear in users.
+
+COOC_CAP = 20
+COOC_TOP = 15
+
+COOC_ORACLE = f"""
+WITH engaged AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*)::BIGINT AS cnt
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item
+           ) AS rk
+    FROM engaged
+  ) WHERE rk <= {COOC_CAP}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS n_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT item_a, item_b, n_users
+FROM pairs
+ORDER BY n_users DESC, item_a, item_b
+LIMIT {COOC_TOP}
+"""
+
+
+@register("item_cooccurrence_topk", COOC_ORACLE)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-visited item pairs: (item_a, item_b, n_users), capped at
+    COOC_CAP items per user before pairing."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    engaged = (
+        events.where(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    capped = (
+        engaged.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "item")
+            ),
+        )
+        .where(F.col("rk") <= COOC_CAP)
+        .select("user_id", "item")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "item_a", "item_b")
+        .limit(COOC_TOP)
+    )
