@@ -138,6 +138,7 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import relational6  # noqa: F401
     from tfm_semisup_spark.queries import tpch_shapes  # noqa: F401
     from tfm_semisup_spark.queries import tpch_shapes2  # noqa: F401
+    from tfm_semisup_spark.queries import tpch_shapes3  # noqa: F401
     from tfm_semisup_spark.queries import dedup  # noqa: F401
     from tfm_semisup_spark.queries import similarity  # noqa: F401
     from tfm_semisup_spark.queries import text_analysis  # noqa: F401
