@@ -377,10 +377,9 @@ LIMIT {COOC_TOP}
 """
 
 
-@register("item_cooccurrence_topk", COOC_ORACLE)
-def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top co-visited item pairs: (item_a, item_b, n_users), capped at
-    COOC_CAP items per user before pairing."""
+def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_a, item_b, n_users) over the per-user capped engagement
+    sets — shared by the co-occurrence top-k and the PageRank graph."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events")
@@ -410,6 +409,111 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register("item_cooccurrence_topk", COOC_ORACLE)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-visited item pairs: (item_a, item_b, n_users), capped at
+    COOC_CAP items per user before pairing."""
+    return (
+        _cooc_pairs(spark, sf_dir)
         .orderBy(F.col("n_users").desc(), "item_a", "item_b")
         .limit(COOC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-engagement graph
+# ---------------------------------------------------------------------------
+#
+# Corpus-curation signal: rank items/domains by graph centrality (the
+# CommonCrawl-style crawl-priority rank). Edges are the capped
+# co-visitation pairs above with >= PR_MIN_USERS users, symmetrized;
+# the operator (operators/pagerank.py) runs PR_ITERS checkpointed
+# power iterations — two long-key shuffles per round, O(1) lineage.
+# The oracle UNROLLS the same fixed iteration count as a chained CTE
+# (standard SQL forbids aggregation inside a recursive term), so both
+# engines execute the identical dataflow. Ranks are rounded (8 dp,
+# values ~1e-2) before the top-k cut; item breaks ties.
+
+PR_ITERS = 5
+PR_MIN_USERS = 2
+PR_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH engaged AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*)::BIGINT AS cnt
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item
+           ) AS rk
+    FROM engaged
+  ) WHERE rk <= {COOC_CAP}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS n_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+e AS (
+  SELECT item_a AS src, item_b AS dst FROM pairs WHERE n_users >= {PR_MIN_USERS}
+  UNION ALL
+  SELECT item_b AS src, item_a AS dst FROM pairs WHERE n_users >= {PR_MIN_USERS}
+),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank, nn.n AS n FROM nodes CROSS JOIN nn)"""
+    rounds = "".join(
+        f""",
+r{k} AS (
+  SELECT e.dst AS node, 0.15 / r.n + 0.85 * SUM(r.rank / d.deg) AS rank, r.n AS n
+  FROM e JOIN r{k - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst, r.n
+)"""
+        for k in range(1, PR_ITERS + 1)
+    )
+    tail = f"""
+SELECT node AS item, round(rank, 8) AS rank
+FROM r{PR_ITERS}
+ORDER BY round(rank, 8) DESC, node
+LIMIT {PR_TOP}
+"""
+    return head + rounds + tail
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
+@register("item_pagerank", PAGERANK_ORACLE)
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP items by PageRank over the symmetric co-engagement
+    graph: (item, rank)."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+    from tfm_semisup_spark.operators.pagerank import pagerank
+
+    pairs = _cooc_pairs(spark, sf_dir).where(F.col("n_users") >= PR_MIN_USERS)
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    pr = pagerank(edges, damping=0.85, iters=PR_ITERS)
+    out = truncate(
+        pr.select(F.col("node").alias("item"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "item")
+        .limit(PR_TOP)
+    )
+    release(pr)
+    return out
