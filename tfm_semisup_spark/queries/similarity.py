@@ -303,3 +303,65 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_top_k(
         cents, books, encoded.where(F.col("vec_id") != 0), q, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid statistics (flat-aggregation shape)
+# ---------------------------------------------------------------------------
+#
+# Embedding-space diagnostics: per-label vector count, within-label
+# inertia (mean squared distance to the label centroid), and centroid
+# norm. The scale-defining trick: inertia NEVER joins centroids back
+# to vectors — E||x - c||² = E||x||² - ||c||² when c is the label
+# mean, so one pass of flat (label, dim) partial sums (sum v, sum v²,
+# count — all map-side combinable; shuffle volume is |labels| x dim
+# rows of three doubles, independent of corpus size) yields
+# everything. posexplode is 0-based, generate_subscripts 1-based; the
+# index is only a grouping key, never output.
+
+CENTROID_STATS_ORACLE = """
+WITH flat AS (
+  SELECT label, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+per_dim AS (
+  SELECT label, pos, SUM(v) AS s1, SUM(v * v) AS s2, COUNT(*)::BIGINT AS n
+  FROM flat GROUP BY label, pos
+)
+SELECT label,
+       MAX(n) AS n_vecs,
+       round(SUM(s2) / MAX(n) - SUM((s1 / n) * (s1 / n)), 6) AS inertia,
+       round(sqrt(SUM((s1 / n) * (s1 / n))), 6) AS centroid_norm
+FROM per_dim
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("label_centroid_stats", CENTROID_STATS_ORACLE)
+def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, inertia, centroid_norm) in one flat-sum pass —
+    no centroid-to-vector join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    per_dim = flat.groupBy("label", "pos").agg(
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cmean_sq = (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.round(
+                F.sum("s2") / F.max("n") - F.sum(cmean_sq), 6
+            ).alias("inertia"),
+            F.round(F.sqrt(F.sum(cmean_sq)), 6).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
