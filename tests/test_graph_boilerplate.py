@@ -1,0 +1,133 @@
+"""Unit tests for the round-4 extension operators beyond oracle
+parity: boilerplate line removal, PageRank, the bloom screen's
+containment property, and weighted-reservoir determinism."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.operators.boilerplate import (
+    boilerplate_line_set,
+    remove_boilerplate_lines,
+    segment_word_lines,
+)
+from tfm_semisup_spark.operators.pagerank import pagerank
+from tests.conftest import SF_DIR
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_removes_exactly_the_planted_line(spark):
+    footer = "one two three four five six seven eight nine ten"
+    bodies = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        3: "red green blue cyan magenta yellow black white gray pink",
+    }
+    rows = [(i, f"{footer} {body}") for i, body in bodies.items()]
+    rows.append((4, "solo document with no shared lines at all here yes"))
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(
+            _mkdocs(spark, rows), line_tokens=10, min_docs=3
+        ).collect()
+    }
+    for i, body in bodies.items():
+        assert out[i]["n_boilerplate"] == 1
+        assert out[i]["clean_text"] == body
+    assert out[4]["n_boilerplate"] == 0
+    assert out[4]["clean_text"] == "solo document with no shared lines at all here yes"
+
+
+def test_boilerplate_all_lines_removed_yields_empty_text(spark):
+    line = "a b c d e"
+    docs = _mkdocs(spark, [(i, line) for i in range(4)])
+    out = remove_boilerplate_lines(docs, line_tokens=5, min_docs=4).collect()
+    assert all(r["clean_text"] == "" and r["n_boilerplate"] == 1 for r in out)
+
+
+def test_segmenting_is_non_overlapping_and_ordered(spark):
+    docs = _mkdocs(spark, [(1, "w1 w2 w3 w4 w5 w6 w7")])
+    segs = sorted(
+        segment_word_lines(docs, line_tokens=3).collect(), key=lambda r: r["pos"]
+    )
+    assert [(r["pos"], r["line"]) for r in segs] == [
+        (1, "w1 w2 w3"),
+        (4, "w4 w5 w6"),
+        (7, "w7"),
+    ]
+
+
+def test_boilerplate_set_threshold(spark):
+    docs = _mkdocs(spark, [(1, "x y"), (2, "x y"), (3, "p q")])
+    lines = segment_word_lines(docs, line_tokens=2)
+    assert boilerplate_line_set(lines, min_docs=2).count() == 1
+    assert boilerplate_line_set(lines, min_docs=3).count() == 0
+
+
+def test_pagerank_uniform_on_a_cycle(spark):
+    # symmetric ring: regular graph -> stationary distribution uniform
+    n = 6
+    edges = []
+    for i in range(n):
+        j = (i + 1) % n
+        edges += [(i, j), (j, i)]
+    ranks = pagerank(
+        spark.createDataFrame(edges, "src long, dst long"), iters=5
+    ).collect()
+    assert len(ranks) == n
+    for r in ranks:
+        assert math.isclose(r["rank"], 1.0 / n, rel_tol=1e-9)
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    # star with a hub 0 joined to 1..4, symmetric
+    edges = []
+    for i in range(1, 5):
+        edges += [(0, i), (i, 0)]
+    ranks = {r["node"]: r["rank"] for r in pagerank(
+        spark.createDataFrame(edges, "src long, dst long"), iters=8
+    ).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, rel_tol=1e-9)
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    # leaves are symmetric -> identical ranks
+    leaf = ranks[1]
+    assert all(math.isclose(ranks[i], leaf, rel_tol=1e-12) for i in range(2, 5))
+
+
+def test_bloom_candidates_contain_all_exact_hits(spark):
+    from tfm_semisup_spark.queries.contamination import (
+        bloom_contamination_screen,
+        contamination_screen,
+    )
+
+    bloom = {
+        r["source"]: r for r in bloom_contamination_screen(spark, SF_DIR).collect()
+    }
+    exact = {r["source"]: r for r in contamination_screen(spark, SF_DIR).collect()}
+    # no false negatives: every exact-contaminated doc count is covered
+    for src, row in exact.items():
+        assert src in bloom
+        assert bloom[src]["n_verified"] == row["n_contaminated"]
+        assert bloom[src]["n_candidate"] >= row["n_contaminated"]
+
+
+def test_weighted_reservoir_partitioning_independent(spark):
+    from tfm_semisup_spark.queries.corpus_prep import weighted_reservoir_sample
+
+    from tfm_semisup_spark.io import load_table
+
+    base = weighted_reservoir_sample(spark, SF_DIR).collect()
+    # deterministic: a second run selects the identical ordered sample
+    again = weighted_reservoir_sample(spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in base] == [r["doc_id"] for r in again]
+    # weights bias the sample: mean sampled length exceeds corpus mean
+    corpus_mean = load_table(spark, SF_DIR, "documents").agg(
+        F.avg("n_chars")
+    ).head()[0]
+    sample_mean = sum(r["n_chars"] for r in base) / len(base)
+    assert sample_mean > corpus_mean
