@@ -1,0 +1,76 @@
+"""Physical-plan assertions for the late-round-4 surface (boilerplate /
+bloom / sampling / graph / TPC-H Q2-Q11-Q20 battery): pins the scale
+properties the design docstrings claim, so refactors can't silently
+regress them."""
+
+from __future__ import annotations
+
+from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+SF = "/root/testdata/sf0.001"
+
+load_all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_reservoir_is_one_stage_topk(spark):
+    """A-Res sampling must be TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge) with ZERO exchanges — no global sort,
+    no shuffle of the corpus."""
+    plan = _plan(QUERIES["weighted_reservoir_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "Sort " not in plan
+
+
+def test_label_centroid_stats_runs_joinless(spark):
+    """The E||x-c||^2 = E||x||^2 - ||c||^2 identity: pure aggregation,
+    no centroid-to-vector join anywhere in the plan."""
+    plan = _plan(QUERIES["label_centroid_stats"](spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_partsupp_battery_join_shapes(spark):
+    """Q2/Q11/Q20 analogs: hash joins only — no cartesian products or
+    nested-loop fallbacks from the decorrelated subqueries."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q20_excess_availability",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # Q11's scalar-total HAVING is a ONE-ROW broadcast cross join —
+        # BroadcastNestedLoopJoin over a single-row build side is the
+        # correct plan for it (the probe side streams once past one
+        # row). Anything beyond that one is a regression.
+        limit = 1 if name == "q11_important_stock" else 0
+        assert plan.count("BroadcastNestedLoopJoin") <= limit, name
+
+
+def test_new_corpus_queries_stay_jvm_side(spark):
+    """No row-at-a-time Python anywhere in the new corpus surface."""
+    for name in (
+        "boilerplate_line_removal",
+        "bloom_contamination_screen",
+        "tfidf_top_terms",
+        "source_drift_jsd",
+        "attribution_last_touch",
+        "item_cooccurrence_topk",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_attribution_is_single_window_pass(spark):
+    """Last-touch attribution: one window over user_id, no self-join —
+    exactly one exchange ahead of the window sort."""
+    plan = _plan(QUERIES["attribution_last_touch"](spark, SF))
+    assert "Window" in plan
+    assert "Join" not in plan
