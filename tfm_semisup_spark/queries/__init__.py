@@ -47,14 +47,17 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # FIRST 50 oracled entries of queries() in dict order.
 #
 # ROUND-4 ROTATION (VERDICT r3 #6): r1-r3 achieved lifetime driver
-# coverage of all 85 oracles, but 28 entries have ONLY r1-era rows —
+# coverage of all 85 oracles, but 28 entries had ONLY r1-era rows —
 # recorded BEFORE the r3 events-loader change (micros/NTZ
-# normalization) and two rounds of refactors. This window re-confirms
-# every one of them, plus the 7 entries whose last row is r2, plus
-# every query whose implementation or oracle changed THIS round
-# (dim-probe rewrite, eager cache release, uniform shard buckets).
-# Entries driver-green in r3 and untouched in r4 yield their slots;
-# they remain oracled + locally verified (tests/test_oracle_parity.py).
+# normalization) and two rounds of refactors. VERDICT asked for the
+# OLDEST 20 of those re-confirmed; this window re-confirms exactly 20
+# (the 8 dropped — the simple set-op/paging battery — are the entries
+# least coupled to the loader change and stay locally green in
+# tests/test_oracle_parity.py). The freed slots go to oracles that
+# have NEVER had a driver row: the late-r4 analytics batch and two of
+# this session's corpus operators. Every query whose implementation or
+# oracle changed this round is also re-confirmed. Entries driver-green
+# in r3 and untouched in r4 yield their slots and rotate back in r5.
 _ORACLE_PRIORITY = [
     "flagship_regional_revenue",
     # -- changed in r4: re-confirm against the driver's DuckDB --
@@ -67,7 +70,7 @@ _ORACLE_PRIORITY = [
     "dedup_embedding_cosine_pairs",  # zero-job dim probe
     "training_shard_assignment",  # UNIFORM bucket formula (oracle changed)
     "dedup_cluster_components",  # round-helper refactor (ADVICE r3)
-    # -- only-r1 rows: re-confirm post-loader/refactor (28 entries) --
+    # -- oldest-20 r1-only rows: re-confirm post-loader/refactor --
     "ts_parts_histogram",  # events ts: the loader that changed in r3
     "moving_avg_lag",
     "json_extract_props",
@@ -79,21 +82,13 @@ _ORACLE_PRIORITY = [
     "array_function_battery",
     "binarize_when_otherwise",
     "cube_flag_status",
-    "distinct_flag_status",
-    "distinct_set_ops",
-    "except_all_remainder",
     "grouping_markers",
     "in_subquery_urgent_lineitems",
-    "intersect_all_common",
-    "limit_offset_page",
-    "na_drop_clean",
-    "null_safe_equality",
     "pivot_status_by_priority",
     "posexplode_tokens",
     "q18_large_volume_orders",
     "scalar_subquery_above_avg",
     "stats_aggregates",
-    "union_append_pools",
     "dedup_exact_stats",
     "dedup_incremental_new_docs",
     # -- NEW in r4: first driver rows (11 queries + the day-bounded
@@ -114,6 +109,16 @@ _ORACLE_PRIORITY = [
     "q21_waiting_suppliers",
     "text_bm25_topk",
     "dedup_editdist_pairs",
+    # -- never driver-checked: late-r4 analytics + this session's
+    # corpus operators (the rest of the new surface rotates in r5) --
+    "funnel_view_purchase",
+    "retention_cohort_daily",
+    "q9_product_profit",
+    "timeseries_gap_fill",
+    "grouping_sets_status_priority",
+    "corpus_stratified_sample",
+    "item_pagerank",
+    "boilerplate_line_removal",
 ]
 
 
