@@ -78,6 +78,12 @@ HEADLINE = [
     # range join) and the per-order distinct-count Q21 formulation
     "funnel_view_purchase",
     "q21_waiting_suppliers",
+    # late-r4 families: line-level boilerplate removal (one corpus
+    # reassembly shuffle), the bloom membership screen (codegen bit
+    # probe), and iterative graph propagation (5 PageRank rounds)
+    "boilerplate_line_removal",
+    "bloom_contamination_screen",
+    "item_pagerank",
 ]
 
 
