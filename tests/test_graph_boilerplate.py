@@ -99,6 +99,21 @@ def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
     assert all(math.isclose(ranks[i], leaf, rel_tol=1e-12) for i in range(2, 5))
 
 
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    # lollipop: triangle 0-1-2 plus a tail 2-3-4, symmetric
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=5, small_graph_max_edges=0).collect()
+    }
+    assert set(fast) == set(dist)
+    for node in fast:
+        assert math.isclose(fast[node], dist[node], rel_tol=1e-12), node
+
+
 def test_bloom_candidates_contain_all_exact_hits(spark):
     from tfm_semisup_spark.queries.contamination import (
         bloom_contamination_screen,

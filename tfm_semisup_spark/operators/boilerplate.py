@@ -84,10 +84,16 @@ def boilerplate_line_set(
 ) -> DataFrame:
     """(line_h, n_docs) for every line occurring in >= ``min_docs``
     distinct documents. Two-stage distinct-then-count keeps the
-    per-key state a counter (no count_distinct hash sets at scale)."""
+    per-key state a counter (no count_distinct hash sets at scale).
+    Reuses a precomputed ``line_h`` column when the input carries one
+    (the single-hash-pass shape of ``remove_boilerplate_lines``)."""
+    hashed = (
+        lines.select("line_h", F.col(id_col))
+        if "line_h" in lines.columns
+        else lines.select(F.xxhash64(line_col).alias("line_h"), F.col(id_col))
+    )
     return (
-        lines.select(F.xxhash64(line_col).alias("line_h"), F.col(id_col))
-        .distinct()
+        hashed.distinct()
         .groupBy("line_h")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
@@ -100,17 +106,29 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     line_tokens: int = 10,
     min_docs: int = 30,
+    cache_lines: bool = True,
 ) -> DataFrame:
     """Per-document removal summary: (non-text input columns,
     n_segments, n_boilerplate, clean_text). ``clean_text`` is the
     document re-assembled from its non-boilerplate lines in order
-    (empty string when every line was boilerplate)."""
-    lines = segment_word_lines(docs, text_col, id_col, line_tokens)
+    (empty string when every line was boilerplate).
+
+    ``cache_lines`` persists the segmented+hashed line table — it has
+    TWO consumers (the frequency count and the mark join), and without
+    the cache the tokenize/window/explode pass (the operator's
+    dominant cost) runs twice; the cache is released as soon as the
+    summary materializes (measured at sf0.1: 15.4s -> ~half)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    lines = segment_word_lines(docs, text_col, id_col, line_tokens).withColumn(
+        "line_h", F.xxhash64("line")
+    )
+    if cache_lines:
+        lines = lines.persist()
     bp = boilerplate_line_set(lines, min_docs, id_col)
     keep = [c for c in docs.columns if c != text_col]
     marked = (
-        lines.withColumn("line_h", F.xxhash64("line"))
-        .join(bp, "line_h", "left")
+        lines.join(bp, "line_h", "left")
         .select(
             *keep,
             "pos",
@@ -118,7 +136,7 @@ def remove_boilerplate_lines(
             F.col("n_docs").isNotNull().alias("bp"),
         )
     )
-    return (
+    out = (
         marked.groupBy(*keep)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
@@ -141,3 +159,9 @@ def remove_boilerplate_lines(
             ).alias("clean_text"),
         )
     )
+    if cache_lines:
+        # materialize the summary, then free the line cache — a
+        # long-lived session must not keep the exploded corpus pinned
+        out = truncate(out)
+        lines.unpersist()
+    return out

@@ -201,16 +201,22 @@ def shard_bucket_sql(md5_expr: str, n_shards: int) -> str:
     return f"CAST({md5_uniform16_sql(md5_expr)} % {n_shards} AS INT)"
 
 
-def md5_uniform16_sql(md5_expr: str) -> str:
-    """SQL text decoding the first 4 hex chars of an md5-hex expression
-    to a uniform integer in [0, 65536) — the shared primitive behind
-    ``shard_bucket_sql`` (mod for buckets) and the stratified sampler
-    (threshold compare for keep rates). One string, two engines."""
+def md5_uniform16_sql(md5_expr: str, start: int = 1) -> str:
+    """SQL text decoding 4 hex chars of an md5-hex expression (chars
+    ``start``..``start+3``, 1-based) to a uniform integer in
+    [0, 65536) — the shared primitive behind ``shard_bucket_sql`` (mod
+    for buckets), the stratified sampler (threshold compare for keep
+    rates), and the bloom screen (which slices TWO independent
+    positions out of ONE digest — start=1 and start=5 — instead of
+    hashing twice). One string, two engines."""
     def hv(i: int) -> str:
         a = f"ascii(substring({md5_expr}, {i}, 1))"
         return f"({a} - (CASE WHEN {a} >= 97 THEN 87 ELSE 48 END))"
 
-    return f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
+    s = start
+    return (
+        f"((({hv(s)} * 16 + {hv(s + 1)}) * 16 + {hv(s + 2)}) * 16 + {hv(s + 3)})"
+    )
 
 
 def write_training_shards(

@@ -134,29 +134,36 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The exact screen above broadcasts the DISTINCT benchmark gram set
 # (8-byte hashes). At 100 TB the benchmark side stays small, but the
 # classic constant-memory alternative is a BLOOM FILTER: an m-bit
-# bitset with k salted hash positions per gram — fixed 8 KiB here
-# (m = 65536, k = 2) no matter how many grams go in, probed by a pure
-# codegen bit test on the corpus scan (no join at all on the probe
-# side; candidate docs then verify against the exact gram set, which
-# also measures the filter's realized false-positive rate).
+# bitset with k hash positions per gram — fixed 8 KiB here (m = 65536,
+# k = 2) no matter how many grams go in, probed by a pure codegen bit
+# test on the corpus scan (no join at all on the probe side; candidate
+# docs then verify against the exact gram set, which also measures the
+# filter's realized false-positive rate).
 #
-# Portability makes it oracle-able: bit positions derive from
-# md5(gram || '#salt') through the shared 4-hex uniform decode
-# (operators/layout.py::md5_uniform16_sql) — bit-identical in Spark
-# and DuckDB, so both engines agree on every bloom-positive doc,
-# INCLUDING the false positives.
+# Portability makes it oracle-able: both bit positions are 4-hex-char
+# slices of ONE md5(gram) digest through the shared uniform decode
+# (operators/layout.py::md5_uniform16_sql at start=1 and start=5) —
+# bit-identical in Spark and DuckDB, so both engines agree on every
+# bloom-positive doc, INCLUDING the false positives.
+#
+# Perf shape (first cut measured 30.8s at sf0.1 — 12x the exact
+# screen): the gram STRING must exist to md5 it (the portability
+# price), but it must be hashed ONCE. The corpus gram scan computes
+# (xxhash64(gram), p0, p1) in a single projection and persists ONLY
+# those three longs/ints — every downstream stage (bitset build, bit
+# probe, exact verify join) then touches primitive columns, never the
+# strings again. One digest, two position slices (not two salted
+# digests); the verify join runs on the 8-byte hashes like the exact
+# screen (same astronomically-unlikely-collision trade as
+# hashed_shingles).
 
 BLOOM_M = 65536  # bits (8 KiB) -> positions are exactly the uniform16 decode
 BLOOM_WORDS = BLOOM_M // 64
 
 from tfm_semisup_spark.operators.layout import md5_uniform16_sql  # noqa: E402
 
-
-def _bloom_pos_sql(j: int) -> str:
-    """Portable SQL for the j-th salted bloom position of column
-    ``gram`` — uniform in [0, 65536), same text both engines."""
-    return md5_uniform16_sql(f"md5(gram || '#{j}')")
-
+# position j (j = 0, 1) of column ``gram``: hex chars 1-4 / 5-8 of one digest
+_BLOOM_POS = [md5_uniform16_sql("md5(gram)", start=1 + 4 * j) for j in (0, 1)]
 
 BLOOM_ORACLE = f"""
 WITH planted AS (
@@ -172,28 +179,36 @@ toks AS (
   FROM planted
 ),
 grams AS (
-  SELECT DISTINCT doc_id, source,
+  SELECT doc_id, source,
          w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
          w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
   FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
   WHERE len(w) >= 8
 ),
-bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hashed AS (
+  SELECT doc_id, source, gram,
+         {_BLOOM_POS[0]} AS p0, {_BLOOM_POS[1]} AS p1
+  FROM grams
+),
 bpos AS (
   SELECT DISTINCT pos FROM (
-    SELECT {_bloom_pos_sql(0)} AS pos FROM bench
+    SELECT p0 AS pos FROM hashed WHERE doc_id % 97 = 0
     UNION ALL
-    SELECT {_bloom_pos_sql(1)} AS pos FROM bench
+    SELECT p1 AS pos FROM hashed WHERE doc_id % 97 = 0
   )
 ),
-corpus AS (SELECT doc_id, source, gram FROM grams WHERE doc_id % 97 <> 0),
 positive AS (
-  SELECT DISTINCT doc_id, source FROM corpus
-  WHERE {_bloom_pos_sql(0)} IN (SELECT pos FROM bpos)
-    AND {_bloom_pos_sql(1)} IN (SELECT pos FROM bpos)
+  SELECT DISTINCT doc_id, source FROM hashed
+  WHERE doc_id % 97 <> 0
+    AND p0 IN (SELECT pos FROM bpos)
+    AND p1 IN (SELECT pos FROM bpos)
 ),
 verified AS (
-  SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.gram = b.gram
+  SELECT DISTINCT c.doc_id
+  FROM hashed c
+  JOIN (SELECT DISTINCT gram FROM hashed WHERE doc_id % 97 = 0) b
+    ON c.gram = b.gram
+  WHERE c.doc_id % 97 <> 0
 )
 SELECT p.source,
        COUNT(*)::BIGINT AS n_candidate,
@@ -207,10 +222,11 @@ ORDER BY p.source
 @register("bloom_contamination_screen", BLOOM_ORACLE)
 def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (n_candidate, n_verified) of the bloom screen: docs
-    whose 8-grams hit all k salted bloom bits built from the benchmark
-    slice, and how many of those share a REAL benchmark gram. Plan:
-    tiny bitset aggregate (<= 1024 rows) -> driver -> literal-array
-    codegen bit test on the corpus gram scan -> exact verify join."""
+    whose 8-grams hit both bloom bits built from the benchmark slice,
+    and how many of those share a REAL benchmark gram. Plan: one
+    string-hashing projection persisted as (gram_h, p0, p1) primitives
+    -> tiny bitset aggregate (<= 1024 rows) -> driver -> literal-array
+    codegen bit test on int columns -> hash-key verify join."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -228,25 +244,31 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     words = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
-    gram_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size("__w") - 7),
-            lambda s: F.array_join(F.slice(F.col("__w"), s, 8), " "),
-        )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - 7),
+        lambda s: F.array_join(F.slice(F.col("__w"), s, 8), " "),
     )
-    grams = (
+    # the ONLY pass that touches gram strings: hash them all at once
+    hashed = (
         planted.withColumn("__w", words)
         .where(F.size("__w") >= 8)
         .select("doc_id", "source", F.explode(gram_arr).alias("gram"))
+        .select(
+            "doc_id",
+            "source",
+            F.xxhash64("gram").alias("gram_h"),
+            F.expr(_BLOOM_POS[0]).alias("p0"),
+            F.expr(_BLOOM_POS[1]).alias("p1"),
+        )
         .persist()
     )
     is_bench = F.col("doc_id") % 97 == 0
-    bench = grams.where(is_bench).select("gram").distinct()
+    bench = hashed.where(is_bench)
     # build the bitset: positions -> 64-bit words via bit_or, <= 1024
     # tiny rows collected (bounded by construction, not by data)
     pos = (
-        bench.select(F.expr(_bloom_pos_sql(0)).alias("pos"))
-        .union(bench.select(F.expr(_bloom_pos_sql(1)).alias("pos")))
+        bench.select(F.col("p0").alias("pos"))
+        .union(bench.select(F.col("p1").alias("pos")))
         .distinct()
     )
     word_rows = (
@@ -261,26 +283,27 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = [0] * BLOOM_WORDS
     for r in word_rows:
         bloom[r["widx"]] = r["bits"]
-    # ONE SQL string per bit test (single parse — plan-construction
+    # ONE SQL string for the probe (single parse — plan-construction
     # lesson in SCALE.md); the 8 KiB bitset rides along as an array
-    # literal, so the probe is scan + codegen, no join
+    # literal, so the probe is scan + codegen over two int columns
     arr = "array(" + ",".join(f"CAST({w} AS BIGINT)" for w in bloom) + ")"
 
-    def bit_test(j: int) -> str:
-        p = _bloom_pos_sql(j)
+    def bit_test(col: str) -> str:
         return (
-            f"(element_at({arr}, CAST(({p}) DIV 64 AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) <> 0"
+            f"(element_at({arr}, CAST({col} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({col} % 64 AS INT))) <> 0"
         )
 
-    corpus = grams.where(~is_bench)
+    corpus = hashed.where(~is_bench)
     positive = (
-        corpus.where(F.expr(f"{bit_test(0)} AND {bit_test(1)}"))
+        corpus.where(F.expr(f"{bit_test('p0')} AND {bit_test('p1')}"))
         .select("doc_id", "source")
         .distinct()
     )
     verified = (
-        corpus.join(F.broadcast(bench), "gram", "left_semi")
+        corpus.join(
+            F.broadcast(bench.select("gram_h").distinct()), "gram_h", "left_semi"
+        )
         .select("doc_id")
         .distinct()
         .withColumn("__v", F.lit(1))
@@ -299,5 +322,5 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_semisup_spark.operators.lineage import truncate
 
     out = truncate(out)
-    grams.unpersist()
+    hashed.unpersist()
     return out
