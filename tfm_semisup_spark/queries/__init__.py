@@ -157,5 +157,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import retrieval  # noqa: F401
     from tfm_semisup_spark.queries import analytics  # noqa: F401
     from tfm_semisup_spark.queries import boilerplate  # noqa: F401
+    from tfm_semisup_spark.queries import expectations  # noqa: F401
 
     _reorder_registries()

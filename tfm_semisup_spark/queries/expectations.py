@@ -1,0 +1,142 @@
+"""Data-quality expectation suite (Deequ/Great-Expectations shape).
+
+Production pipelines gate every ingestion batch on declarative
+constraints — completeness, uniqueness, domain membership, bounds,
+volume anomalies. The Spark-first property that matters at 100 TB:
+ALL scalar metrics compute in ONE aggregate pass over the table (one
+scan, map-side partial aggregation), then unpivot to the one-row-per-
+constraint report with ``stack`` — never one scan per constraint,
+which is how naive expectation suites go quadratic in practice.
+
+Two queries:
+- ``constraint_audit_orders``: five constraint families over orders
+  in a single scan.
+- ``partition_anomaly_days``: daily volume z-scores over events (the
+  freshness/volume check) — per-day counts vs the table's own
+  mean/stddev, one aggregate plus a one-row broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+CONSTRAINT_ORACLE = """
+WITH m AS (
+  SELECT COUNT(*)::DOUBLE AS row_count,
+         AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           AS completeness_custkey,
+         COUNT(DISTINCT o_orderkey)::DOUBLE / COUNT(*) AS uniqueness_orderkey,
+         MIN(o_totalprice) AS min_totalprice,
+         AVG(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1.0 ELSE 0.0 END)
+           AS status_in_domain
+  FROM orders
+)
+SELECT c.constraint, c.metric, c.passed FROM (
+  SELECT 'completeness_custkey' AS constraint,
+         round(completeness_custkey, 6) AS metric,
+         completeness_custkey = 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'min_totalprice_nonneg', round(min_totalprice, 6),
+         min_totalprice >= 0.0 FROM m
+  UNION ALL
+  SELECT 'row_count_nonempty', round(row_count, 6), row_count > 0 FROM m
+  UNION ALL
+  SELECT 'status_in_domain', round(status_in_domain, 6),
+         status_in_domain = 1.0 FROM m
+  UNION ALL
+  SELECT 'uniqueness_orderkey', round(uniqueness_orderkey, 6),
+         uniqueness_orderkey = 1.0 FROM m
+) c
+ORDER BY c.constraint
+"""
+
+
+@register("constraint_audit_orders", CONSTRAINT_ORACLE)
+def constraint_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(constraint, metric, passed) — five expectation families over
+    orders computed in ONE scan, unpivoted with stack."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        F.avg(
+            F.when(F.col("o_custkey").isNotNull(), 1.0).otherwise(0.0)
+        ).alias("completeness_custkey"),
+        (
+            F.count_distinct(F.col("o_orderkey")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("uniqueness_orderkey"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.avg(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1.0).otherwise(0.0)
+        ).alias("status_in_domain"),
+    )
+    return (
+        m.selectExpr(
+            """stack(5,
+              'completeness_custkey', round(completeness_custkey, 6),
+                  completeness_custkey = 1.0D,
+              'min_totalprice_nonneg', round(min_totalprice, 6),
+                  min_totalprice >= 0.0D,
+              'row_count_nonempty', round(row_count, 6), row_count > 0.0D,
+              'status_in_domain', round(status_in_domain, 6),
+                  status_in_domain = 1.0D,
+              'uniqueness_orderkey', round(uniqueness_orderkey, 6),
+                  uniqueness_orderkey = 1.0D
+            ) AS (constraint, metric, passed)"""
+        )
+        .orderBy("constraint")
+    )
+
+
+ANOMALY_Z = 2.0
+
+PARTITION_ANOMALY_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT AVG(n_events) AS mu, STDDEV_SAMP(n_events) AS sigma FROM daily
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.n_events,
+       round((d.n_events - s.mu) / s.sigma, 4) AS z,
+       abs(d.n_events - s.mu) > {ANOMALY_Z} * s.sigma AS anomalous
+FROM daily d CROSS JOIN stats s
+ORDER BY day
+"""
+
+
+@register("partition_anomaly_days", PARTITION_ANOMALY_ORACLE)
+def partition_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event volume with z-score vs the table's own mean/std:
+    (day, n_events, z, anomalous). One aggregate + a one-row join."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = F.broadcast(
+        daily.agg(
+            F.avg("n_events").alias("mu"),
+            F.stddev_samp("n_events").alias("sigma"),
+        )
+    )
+    return (
+        daily.crossJoin(stats)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "z"
+            ),
+            (
+                F.abs(F.col("n_events") - F.col("mu"))
+                > ANOMALY_Z * F.col("sigma")
+            ).alias("anomalous"),
+        )
+        .orderBy("day")
+    )
