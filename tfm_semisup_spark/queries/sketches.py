@@ -99,3 +99,117 @@ def sketch_incremental_distinct_users(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+#
+# The frequency member of the sketch tier (HLL = distinct, GK =
+# quantiles, bloom = membership, CMS = counts): d x w counters, term
+# increments one counter per row at position h_j(term), estimate =
+# min_j counter[j][h_j(term)] — always an OVERestimate, within
+# eps * total with probability 1 - delta. Mergeable by cell-wise sum,
+# which is the whole 100 TB point: per-partition sketches union by
+# addition, never shipping term strings.
+#
+# Portable like the bloom screen: the d = 3 row positions are three
+# 4-hex slices of ONE md5(term) digest (w = 65536), so both engines
+# build bit-identical sketches and agree on every estimate, including
+# the collision overestimates. Verified against exact counts for the
+# top exact terms.
+
+CMS_D = 3  # hash rows: md5 hex chars 1-4 / 5-8 / 9-12
+CMS_TOP = 10
+
+from tfm_semisup_spark.operators.layout import md5_uniform16_sql  # noqa: E402
+
+_CMS_POS = [md5_uniform16_sql("md5(term)", start=1 + 4 * j) for j in range(CMS_D)]
+
+CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT term, {_CMS_POS[0]} AS p0, {_CMS_POS[1]} AS p1, {_CMS_POS[2]} AS p2
+  FROM toks
+),
+c0 AS (SELECT p0 AS p, COUNT(*)::BIGINT AS c FROM hashed GROUP BY p0),
+c1 AS (SELECT p1 AS p, COUNT(*)::BIGINT AS c FROM hashed GROUP BY p1),
+c2 AS (SELECT p2 AS p, COUNT(*)::BIGINT AS c FROM hashed GROUP BY p2),
+exact AS (
+  SELECT term, MIN(p0) AS p0, MIN(p1) AS p1, MIN(p2) AS p2,
+         COUNT(*)::BIGINT AS exact_count
+  FROM hashed GROUP BY term
+  ORDER BY COUNT(*) DESC, term LIMIT {CMS_TOP}
+)
+SELECT e.term, e.exact_count,
+       LEAST(c0.c, c1.c, c2.c) AS est_count,
+       (LEAST(c0.c, c1.c, c2.c) - e.exact_count)::BIGINT AS overestimate
+FROM exact e
+JOIN c0 ON c0.p = e.p0
+JOIN c1 ON c1.p = e.p1
+JOIN c2 ON c2.p = e.p2
+ORDER BY e.exact_count DESC, e.term
+"""
+
+
+@register("cms_heavy_hitters", CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top exact terms with their count-min estimates:
+    (term, exact_count, est_count, overestimate >= 0). One hashing
+    pass persisted as primitives; d counter aggregates; broadcast
+    estimate joins."""
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("term")
+    )
+    # hash once: term + three positions from one digest (cheap ints
+    # everywhere downstream); persisted for the d+1 consumers
+    hashed = toks.select(
+        "term",
+        F.expr(_CMS_POS[0]).alias("p0"),
+        F.expr(_CMS_POS[1]).alias("p1"),
+        F.expr(_CMS_POS[2]).alias("p2"),
+    ).persist()
+    counters = [
+        hashed.groupBy(F.col(f"p{j}").alias("p")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        for j in range(CMS_D)
+    ]
+    exact = (
+        hashed.groupBy("term")
+        .agg(
+            F.min("p0").alias("p0"),
+            F.min("p1").alias("p1"),
+            F.min("p2").alias("p2"),
+            F.count(F.lit(1)).alias("exact_count"),
+        )
+        .orderBy(F.col("exact_count").desc(), "term")
+        .limit(CMS_TOP)
+    )
+    est = exact
+    for j, cdf in enumerate(counters):
+        est = est.join(
+            F.broadcast(cdf.withColumnRenamed("c", f"c{j}")),
+            est[f"p{j}"] == cdf["p"],
+        ).drop("p")
+    out = truncate(
+        est.select(
+            "term",
+            "exact_count",
+            F.least("c0", "c1", "c2").alias("est_count"),
+            (F.least("c0", "c1", "c2") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        ).orderBy(F.col("exact_count").desc(), "term")
+    )
+    hashed.unpersist()
+    return out
