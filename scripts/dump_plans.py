@@ -108,6 +108,30 @@ PICKS = {
         "dense scaffold from sequence+explode (O(hours), no scan) "
         "LEFT-joined with the pruned day's counts"
     ),
+    "weighted_reservoir_sample": (
+        "A-Res weighted sampling: zero exchanges — one codegen key "
+        "projection into TakeOrderedAndProject"
+    ),
+    "boilerplate_line_removal": (
+        "line frequency on 8-byte hashes over the persisted segment "
+        "table; one document-reassembly shuffle"
+    ),
+    "bloom_contamination_screen": (
+        "one string-hashing pass persisted as primitives; bitset "
+        "probe is scan + codegen bit tests, no join"
+    ),
+    "label_centroid_stats": (
+        "joinless inertia identity: flat (label, dim) partial sums, "
+        "no centroid-to-vector join in the plan"
+    ),
+    "constraint_audit_orders": (
+        "five expectation families in ONE scan (single aggregate), "
+        "stack unpivot"
+    ),
+    "cms_heavy_hitters": (
+        "count-min: one digest three position slices, persisted "
+        "primitives, d counter aggregates + broadcast estimate joins"
+    ),
 }
 
 
