@@ -146,3 +146,55 @@ def test_weighted_reservoir_partitioning_independent(spark):
     ).head()[0]
     sample_mean = sum(r["n_chars"] for r in base) / len(base)
     assert sample_mean > corpus_mean
+
+
+def test_prefix_jaccard_equals_inverted_index_tier(spark):
+    """Prefix filtering is lossless: identical verified pair set (and
+    values) as the full inverted-index exact tier."""
+    from tfm_semisup_spark.queries.dedup import (
+        dedup_ngram_jaccard_pairs,
+        dedup_prefix_jaccard_pairs,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_prefix_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert full == pref
+
+
+def test_prefix_filter_prunes_planted_hot_shingle(spark):
+    """Skew robustness: a shingle shared by every doc gives the full
+    inverted index C(D,2) candidates, but sorts LAST in every doc's
+    rarest-first order and falls outside the prefixes — the prefix
+    tier generates (near) zero candidates and stays exact."""
+    from tfm_semisup_spark.queries.dedup import (
+        hashed_shingles,
+        prefix_filter_candidates,
+    )
+
+    d = 40
+    rows = [
+        (
+            i,
+            " ".join(f"u{i}w{j}" for j in range(12)) + " common hot shingle",
+        )
+        for i in range(d)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = hashed_shingles(docs)
+    full_candidates = (
+        shingled.select("doc_id", F.explode("hs").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("vol"))
+        .head()["vol"]
+    )
+    prefix_candidates = prefix_filter_candidates(shingled, 0.5).count()
+    # hot 3-grams around the shared trailer give the full index >= C(40,2)
+    assert full_candidates >= d * (d - 1) / 2
+    assert prefix_candidates == 0

@@ -684,3 +684,91 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, threshold=0.45, dim=embedding_dim(sf_dir)
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard (PPJoin-style candidate generation)
+# ---------------------------------------------------------------------------
+#
+# A THIRD candidate-generation strategy next to the full inverted-index
+# join (exact, quadratic per hot shingle) and the DF-cap / LSH tiers
+# (bounded, approximate): PREFIX FILTERING (Chaudhuri et al. 2006 SSJoin,
+# Xiao et al. 2008 PPJoin). Order every document's shingles by one
+# global order (rarest-first by document frequency); for Jaccard >= t
+# two qualifying sets MUST share a shingle within their first
+# n - ceil(t*n) + 1 shingles — so only PREFIXES are indexed and
+# self-joined. Exactness is free (no recall loss), and the candidate
+# volume drops to the prefix collisions: hot (frequent) shingles sort
+# LAST and mostly fall outside every prefix, which is precisely where
+# the full index goes quadratic.
+#
+# The global order is internal (df, then hash) — it only shapes the
+# candidate set, never the verified result, so the oracle is the SAME
+# naive exact join the inverted-index tier matches: the driver compare
+# itself proves the pruning lossless. A cross-tier equality test pins
+# pair-set identity with dedup_ngram_jaccard_pairs.
+
+def prefix_filter_candidates(shingled: DataFrame, t: float) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from prefix collisions: per-doc
+    rarest-first (df, hash) order, prefix length n - ceil(t*n) + 1,
+    self-join on prefix shingles only. Lossless for Jaccard >= t."""
+    ex = shingled.select("doc_id", F.explode("hs").alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ex.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("sorted"))
+    )
+    n = F.size("sorted")
+    plen = (n - F.ceil(F.lit(t) * n) + 1).cast("int")
+    prefix_ex = per_doc.select(
+        "doc_id", F.explode(F.slice("sorted", 1, plen)).alias("ps")
+    ).select("doc_id", F.col("ps.sh").alias("sh"))
+    a = prefix_ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = prefix_ex.select(F.col("doc_id").alias("doc_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register("dedup_prefix_jaccard_pairs", NGRAM_JACCARD_ORACLE)
+def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 pairs via prefix filtering:
+    (doc_a, doc_b, jaccard). Plan: shingle index persisted once ->
+    df-rank sort per doc (one groupBy) -> prefix-only self-join ->
+    array_intersect verification on the full hashed sets.
+
+    Measured honestly (sf0.1, local[32]): ~5.9s vs ~1.5s for the full
+    inverted-index tier — the synthetic corpus has NEAR-UNIFORM shingle
+    document frequencies, so the full join generates almost no excess
+    candidates and the prefix tier's extra df-join + per-doc sort is
+    pure overhead. The tier earns its keep on SKEWED corpora: a hot
+    shingle shared by D docs costs the full index C(D,2) candidates
+    while sorting last in every document's order and falling OUTSIDE
+    the prefixes (planted-skew candidate-count test in
+    tests/test_graph_boilerplate.py). It is the exact strategy whose
+    candidate volume is robust to skew without the DF-cap tier's
+    recall trade."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    t = 0.5
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = hashed_shingles(docs).persist()  # arrays reused by verify
+    cand = prefix_filter_candidates(shingled, t)
+    ha = shingled.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    hb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter * 1.0 / (F.size("ha") + F.size("hb") - inter)
+    out = truncate(
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .where(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+    shingled.unpersist()
+    return out
