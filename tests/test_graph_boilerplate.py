@@ -198,3 +198,57 @@ def test_prefix_filter_prunes_planted_hot_shingle(spark):
     # hot 3-grams around the shared trailer give the full index >= C(40,2)
     assert full_candidates >= d * (d - 1) / 2
     assert prefix_candidates == 0
+
+
+def test_pagerank_empty_edges_returns_empty_both_paths(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    assert pagerank(empty, small_graph_max_edges=0).count() == 0
+
+
+def test_pagerank_directed_graph_same_results_both_paths(spark):
+    # non-symmetric input: node universe and formula must not depend
+    # on the strategy threshold (review regression: distributed path
+    # derived nodes from src only)
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long")
+    fast = {r["node"]: r["rank"] for r in pagerank(df, iters=4).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=4, small_graph_max_edges=0).collect()
+    }
+    assert set(fast) == set(dist) == {1, 2, 3}
+    for node in fast:
+        assert math.isclose(fast[node], dist[node], rel_tol=1e-12), node
+
+
+def test_boilerplate_keeps_wordless_documents(spark):
+    docs = _mkdocs(
+        spark,
+        [(1, "alpha beta gamma"), (2, ""), (3, "   "), (4, "alpha beta gamma")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, line_tokens=3, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for wordless in (2, 3):
+        assert out[wordless]["n_segments"] == 0
+        assert out[wordless]["n_boilerplate"] == 0
+        assert out[wordless]["clean_text"] == ""
+    assert out[1]["n_boilerplate"] == 1  # shared line across docs 1 and 4
+
+
+def test_segment_word_lines_no_scan_side_filter(spark):
+    """The empty-doc guard must live inside the projection, not a
+    Filter that Catalyst pushes into the scan with the tokenize
+    pipeline inlined (SCALE.md hashed_shingles lesson)."""
+    from tfm_semisup_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").repartition(4, "doc_id")
+    plan = (
+        segment_word_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Filter (size(" not in plan

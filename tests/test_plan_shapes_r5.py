@@ -6,8 +6,7 @@ regress them."""
 from __future__ import annotations
 
 from tfm_semisup_spark.queries import QUERIES, load_all_queries
-
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR as SF
 
 load_all_queries()
 

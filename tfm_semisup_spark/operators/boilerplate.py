@@ -69,9 +69,17 @@ def segment_word_lines(
         ),
     )
     keep = [c for c in docs.columns if c != text_col]
+    # NO where() on the computed array: a filter referencing the heavy
+    # tokenize expression gets pushed below any caller repartition into
+    # the (single-split) scan's DataFilter with the whole pipeline
+    # inlined, running it once single-threaded and again in the real
+    # projection (the hashed_shingles lesson, SCALE.md). The empty-doc
+    # guard lives INSIDE the expression: If evaluates lazily (so
+    # sequence(1, 0, …) never runs) and explode of the NULL branch
+    # emits zero rows — same semantics, no Filter node.
+    guarded = F.when(F.size(words) >= 1, segs)
     return (
-        docs.where(F.size(words) >= 1)
-        .select(*keep, F.explode(segs).alias("__seg"))
+        docs.select(*keep, F.explode(guarded).alias("__seg"))
         .select(*keep, F.col("__seg.pos").alias("pos"), F.col("__seg.line").alias("line"))
     )
 
@@ -111,7 +119,10 @@ def remove_boilerplate_lines(
     """Per-document removal summary: (non-text input columns,
     n_segments, n_boilerplate, clean_text). ``clean_text`` is the
     document re-assembled from its non-boilerplate lines in order
-    (empty string when every line was boilerplate).
+    (empty string when every line was boilerplate). Documents with no
+    words are KEPT, with n_segments = 0 and clean_text = '' (the
+    summary left-joins back onto the input, so removal never changes
+    the corpus row count).
 
     ``cache_lines`` persists the segmented+hashed line table — it has
     TWO consumers (the frequency count and the mark join), and without
@@ -130,14 +141,14 @@ def remove_boilerplate_lines(
     marked = (
         lines.join(bp, "line_h", "left")
         .select(
-            *keep,
+            id_col,
             "pos",
             "line",
             F.col("n_docs").isNotNull().alias("bp"),
         )
     )
-    out = (
-        marked.groupBy(*keep)
+    summary = (
+        marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
             F.sum(F.when(F.col("bp"), 1).otherwise(0)).cast("long").alias(
@@ -158,6 +169,14 @@ def remove_boilerplate_lines(
                 " ",
             ).alias("clean_text"),
         )
+    )
+    # left join back onto the input so wordless documents survive with
+    # an empty summary instead of silently vanishing from the corpus
+    out = docs.select(*keep).join(summary, id_col, "left").select(
+        *keep,
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
     if cache_lines:
         # materialize the summary, then free the line cache — a

@@ -503,7 +503,13 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_semisup_spark.operators.lineage import release, truncate
     from tfm_semisup_spark.operators.pagerank import pagerank
 
-    pairs = _cooc_pairs(spark, sf_dir).where(F.col("n_users") >= PR_MIN_USERS)
+    # materialize the pair list once: it appears on BOTH sides of the
+    # symmetrizing union, and the whole co-occurrence pipeline (events
+    # scan, two aggregates, per-user window, self-join) would otherwise
+    # execute twice per downstream action
+    pairs = truncate(
+        _cooc_pairs(spark, sf_dir).where(F.col("n_users") >= PR_MIN_USERS)
+    )
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionAll(
@@ -515,5 +521,6 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "item")
         .limit(PR_TOP)
     )
+    release(pairs)
     release(pr)
     return out

@@ -47,17 +47,24 @@ freq AS (
   FROM segs GROUP BY line HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}
 ),
 marked AS (
-  SELECT s.doc_id, s.source, s.pos, s.line, (f.line IS NOT NULL) AS bp
+  SELECT s.doc_id, s.pos, s.line, (f.line IS NOT NULL) AS bp
   FROM segs s LEFT JOIN freq f ON s.line = f.line
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_segments,
+         SUM(CASE WHEN bp THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate,
+         md5(COALESCE(string_agg(CASE WHEN NOT bp THEN line END, ' ' ORDER BY pos), ''))
+           AS clean_fp
+  FROM marked
+  GROUP BY doc_id
 )
-SELECT doc_id, source,
-       COUNT(*)::BIGINT AS n_segments,
-       SUM(CASE WHEN bp THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate,
-       md5(COALESCE(string_agg(CASE WHEN NOT bp THEN line END, ' ' ORDER BY pos), ''))
-         AS clean_fp
-FROM marked
-GROUP BY doc_id, source
-ORDER BY doc_id
+SELECT p.doc_id, p.source,
+       COALESCE(a.n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(a.n_boilerplate, 0)::BIGINT AS n_boilerplate,
+       COALESCE(a.clean_fp, md5('')) AS clean_fp
+FROM planted p LEFT JOIN agg a ON p.doc_id = a.doc_id
+ORDER BY p.doc_id
 """
 
 

@@ -150,13 +150,13 @@ regional AS (
   WHERE r.r_name = 'ASIA'
 ),
 byval AS (
-  SELECT ps_partkey, SUM(part_value) AS value
+  SELECT ps_partkey, round(SUM(part_value), 2) AS value
   FROM regional GROUP BY ps_partkey
 ),
-total AS (SELECT SUM(part_value) AS tot FROM regional)
-SELECT ps_partkey, round(value, 2) AS value
+total AS (SELECT round(SUM(part_value) * {Q11_FRACTION}, 2) AS cutoff FROM regional)
+SELECT ps_partkey, value
 FROM byval CROSS JOIN total
-WHERE value > tot * {Q11_FRACTION}
+WHERE value > cutoff
 ORDER BY value DESC, ps_partkey
 """
 
@@ -164,7 +164,10 @@ ORDER BY value DESC, ps_partkey
 @register("q11_important_stock", Q11_ORACLE)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analog: ASIA-supplied parts whose stock value exceeds
-    Q11_FRACTION of the regional total (scalar-subquery HAVING)."""
+    Q11_FRACTION of the regional total (scalar-subquery HAVING). Both
+    the per-part value and the cutoff are ROUNDED (2 dp) before the
+    comparison on both engines — row MEMBERSHIP must not race
+    summation-order ulps (the repo's round-before-compare rule)."""
     supply = _supply(spark, sf_dir)
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -182,12 +185,18 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty")).alias("part_value"),
     )
-    byval = regional.groupBy("ps_partkey").agg(F.sum("part_value").alias("value"))
-    total = F.broadcast(regional.agg(F.sum("part_value").alias("tot")))
+    byval = regional.groupBy("ps_partkey").agg(
+        F.round(F.sum("part_value"), 2).alias("value")
+    )
+    total = F.broadcast(
+        regional.agg(
+            F.round(F.sum("part_value") * Q11_FRACTION, 2).alias("cutoff")
+        )
+    )
     return (
         byval.crossJoin(total)
-        .where(F.col("value") > F.col("tot") * Q11_FRACTION)
-        .select("ps_partkey", F.round("value", 2).alias("value"))
+        .where(F.col("value") > F.col("cutoff"))
+        .select("ps_partkey", "value")
         .orderBy(F.col("value").desc(), "ps_partkey")
     )
 
