@@ -80,3 +80,23 @@ def write_partitioned_parquet(
 
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the second columnar lake format Spark supports
+    natively. Same engine benefits as parquet (column pruning,
+    predicate pushdown to row-group stripes, vectorized reader via
+    ``spark.sql.orc.impl=native``); useful when the upstream lake is
+    Hive-era ORC rather than parquet."""
+    return spark.read.orc(path)
+
+
+def write_partitioned_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned ORC sink, mirroring ``write_partitioned_parquet``'s
+    directory-pruning layout discipline."""
+    df.write.partitionBy(*partition_cols).mode(mode).orc(path)
