@@ -1,0 +1,85 @@
+"""Streaming CMS maintenance: split the feed, merge twice, counters
+must equal one full recompute (mergeability); a true readStream pass
+agrees with batch; estimates upper-bound exact counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.streaming.sketch import (
+    batch_counter_deltas,
+    cms_estimate,
+    cms_refresh,
+    stream_cms_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _counters(spark, path):
+    return sorted(
+        (r["row"], r["p"], r["c"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_two_batch_merge_equals_full_recompute(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    cutoff = "2024-01-20"
+    path = str(tmp_path / "cms")
+    cms_refresh(spark, events.where(F.col("ts") < cutoff), path)
+    cms_refresh(spark, events.where(F.col("ts") >= cutoff), path)
+
+    full_path = str(tmp_path / "cms_full")
+    cms_refresh(spark, events, full_path)
+    assert _counters(spark, path) == _counters(spark, full_path)
+
+
+def test_stream_drain_matches_batch(spark, tmp_path):
+    from tfm_semisup_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, SF)
+    path = str(tmp_path / "cms_stream")
+    q = stream_cms_sink(stream, path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    batch_path = str(tmp_path / "cms_batch")
+    cms_refresh(spark, load_table(spark, SF, "events"), batch_path)
+    assert _counters(spark, path) == _counters(spark, batch_path)
+
+
+def test_estimates_upper_bound_exact_counts(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "cms")
+    cms_refresh(spark, events, path)
+
+    term = F.get_json_object("props", "$.k")
+    exact = (
+        events.where(term.isNotNull())
+        .groupBy(term.alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    est = cms_estimate(spark, path, exact.select("term"))
+    joined = exact.join(est, "term").collect()
+    assert len(joined) > 0
+    assert all(r["est_count"] >= r["exact"] for r in joined)
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    events = load_table(spark, SF, "events")
+    path = str(tmp_path / "cms")
+    cms_refresh(spark, events, path)
+    before = _counters(spark, path)
+    cms_refresh(spark, events.where(F.lit(False)), path)
+    assert _counters(spark, path) == before
+
+
+def test_delta_shape(spark):
+    events = load_table(spark, SF, "events")
+    delta = batch_counter_deltas(events)
+    rows = delta.groupBy("row").agg(F.sum("c").alias("total")).collect()
+    n = events.where(F.get_json_object("props", "$.k").isNotNull()).count()
+    # every hash row receives exactly one increment per event
+    assert sorted(r["row"] for r in rows) == [0, 1, 2]
+    assert all(r["total"] == n for r in rows)
