@@ -100,3 +100,57 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+# FULL OUTER join — the one join type the battery didn't yet pin.
+# Per-nation customer vs supplier presence: the synthetic schema has
+# ~25 nations but far fewer suppliers, so one side of the join is
+# genuinely NULL for most rows (the shape's whole point). COALESCE on
+# the join key recovers the nation for name lookup; missing sides
+# surface as 0 counts.
+FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*)::BIGINT AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*)::BIGINT AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT n.n_name,
+       COALESCE(c.n_customers, 0)::BIGINT AS n_customers,
+       COALESCE(s.n_suppliers, 0)::BIGINT AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+ORDER BY n.n_name
+"""
+
+
+@register("nation_presence_full_outer", FULL_OUTER_ORACLE)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation (n_customers, n_suppliers) via FULL OUTER join of the
+    two per-nation aggregates."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    both = cust.join(sup, cust["nk_c"] == sup["nk_s"], "full_outer")
+    return (
+        both.join(
+            nat,
+            nat["n_nationkey"] == F.coalesce(F.col("nk_c"), F.col("nk_s")),
+        )
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
