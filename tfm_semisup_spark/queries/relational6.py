@@ -154,3 +154,45 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# RANGE window frame — value-based (not row-count) framing, the shape
+# behind "rolling 30-day revenue". Portable ordering key: days since
+# epoch date, so Spark's long-typed rangeBetween and DuckDB's RANGE
+# BETWEEN use the identical integer axis.
+RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+       ), 2) AS revenue_30d
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("running_revenue_30d_range", RANGE_FRAME_ORACLE)
+def running_revenue_30d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer rolling 30-day revenue via a RANGE frame over a
+    day-number ordering key: (o_custkey, o_orderkey, order_date,
+    revenue_30d)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day_key = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_key)
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
