@@ -145,3 +145,28 @@ def test_dedup_queries_leave_no_pinned_blocks(spark):
         leaked = _cached_rdd_ids(spark) - before
         name = getattr(q, "__name__", str(q))
         assert not leaked, f"{name} left pinned RDDs: {leaked}"
+
+
+def test_session2_queries_leave_no_pinned_blocks(spark):
+    """Same cache-hygiene contract for the second-session operators
+    that persist/checkpoint intermediates: bloom gram hashes, CMS
+    position hashes, boilerplate line table, prefix-Jaccard shingles,
+    PageRank edge/rank rounds and the co-occurrence pair checkpoint."""
+    from tfm_semisup_spark.operators.lineage import release
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "bloom_contamination_screen",
+        "cms_heavy_hitters",
+        "boilerplate_line_removal",
+        "dedup_prefix_jaccard_pairs",
+        "item_pagerank",
+    ):
+        before = _cached_rdd_ids(spark)
+        df = QUERIES[name](spark, sf)
+        df.collect()
+        release(df)
+        leaked = _cached_rdd_ids(spark) - before
+        assert not leaked, f"{name} left pinned RDDs: {leaked}"
