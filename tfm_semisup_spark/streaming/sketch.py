@@ -3,18 +3,24 @@
 The batch CMS (queries/sketches.py::cms_heavy_hitters) exists because
 counters at fixed positions are MERGEABLE BY ADDITION — and this
 module is that property made operational: micro-batches stream their
-per-batch counter deltas into a materialized d x w counter table via
-``foreachBatch``, exactly the continuous-aggregate discipline of
+per-batch counter deltas into a materialized counter table via
+``foreachBatch``, the continuous-aggregate discipline of
 ``stream_rollup_sink``. The sketch converges to the full-recompute
 counters regardless of how the stream is split into batches (sum is
 associative/commutative), giving approximate heavy-hitter counts over
-an unbounded stream in O(d x w) state — no per-term state at all,
-which is the whole point at 100 TB/day ingest.
+an unbounded stream with NO per-term state — the whole point at
+100 TB/day ingest.
 
-Counter layout: (row, p, c) partitioned by ``row`` (d partitions);
-refresh touches all d partitions but the table is tiny (d x 65536
-upper bound), so dynamic partition overwrite is cosmetic here — the
-pattern is kept identical to rollup_table for consistency.
+Exactly-once without transactions: the counter table stores PER-BATCH
+DELTAS partitioned by ``batch_id``; applying a batch is a dynamic
+partition overwrite of ITS OWN partition, so foreachBatch's
+at-least-once replay (crash after the parquet commit, before the
+streaming checkpoint records the batch) rewrites the same partition
+with the same content instead of double-counting — refresh is
+IDEMPOTENT per batch id, with no meta-file ordering window. Reads sum
+across partitions (cell-wise sum IS the CMS merge); each partition is
+bounded by d x 65536 cells, and a periodic ``compact_counters`` folds
+history into one partition (itself idempotent to re-run).
 """
 
 from __future__ import annotations
@@ -24,51 +30,83 @@ from pyspark.sql import functions as F
 
 from tfm_semisup_spark.queries.sketches import CMS_D, _CMS_POS
 
+#: reserved batch_id partition that compaction folds history into;
+#: real stream batch ids are >= 0
+COMPACTED_BATCH_ID = -1
+
 
 def batch_counter_deltas(batch: DataFrame) -> DataFrame:
     """(row, p, c) counter increments for one batch of events: term =
     the engaged item id (props.k), positions = the same md5 slices as
-    the batch CMS."""
+    the batch CMS. ONE hashing pass: the d (row, position) pairs are
+    exploded from a single projection, not re-derived per row index."""
     term = F.get_json_object("props", "$.k")
-    hashed = batch.where(term.isNotNull()).select(
-        term.alias("term")
-    ).select(
-        *[F.expr(_CMS_POS[j]).alias(f"p{j}") for j in range(CMS_D)]
+    hashed = batch.where(term.isNotNull()).select(term.alias("term")).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.expr(_CMS_POS[j]).alias("p"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rp")
     )
-    long_form = None
-    for j in range(CMS_D):
-        part = hashed.select(
-            F.lit(j).alias("row"), F.col(f"p{j}").alias("p")
-        )
-        long_form = part if long_form is None else long_form.unionAll(part)
-    return long_form.groupBy("row", "p").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        hashed.select(F.col("rp.row").alias("row"), F.col("rp.p").alias("p"))
+        .groupBy("row", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
-def cms_refresh(spark: SparkSession, batch: DataFrame, counters_path: str) -> None:
-    """Merge one batch's deltas into the materialized counter table
-    (cell-wise sum — the CMS merge operation)."""
-    delta = batch_counter_deltas(batch)
-    try:
-        existing = spark.read.parquet(counters_path).select("row", "p", "c")
-        merged_input = existing.unionAll(delta)
-    except Exception:  # first refresh: nothing materialized yet
-        merged_input = delta
-    merged = merged_input.groupBy("row", "p").agg(F.sum("c").alias("c"))
+def cms_refresh(
+    spark: SparkSession, batch: DataFrame, counters_path: str, batch_id: int = 0
+) -> None:
+    """Apply one batch's deltas as partition ``batch_id`` of the
+    counter table. Idempotent: re-running the same (batch, batch_id)
+    overwrites that partition with identical content."""
+    delta = batch_counter_deltas(batch).withColumn("batch_id", F.lit(int(batch_id)))
     old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        merged.write.mode("overwrite").partitionBy("row").parquet(counters_path)
+        delta.write.mode("overwrite").partitionBy("batch_id").parquet(counters_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
 
+def read_counters(spark: SparkSession, counters_path: str) -> DataFrame:
+    """Merged (row, p, c) counters — cell-wise sum over every stored
+    batch partition (the CMS merge operation)."""
+    return (
+        spark.read.parquet(counters_path)
+        .groupBy("row", "p")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def compact_counters(spark: SparkSession, counters_path: str) -> None:
+    """Fold all stored partitions into the single COMPACTED_BATCH_ID
+    partition, bounding table size at d x 65536 rows + one partition
+    per batch since the last compaction. Static overwrite of the whole
+    table with the (materialized) merged counters — idempotent."""
+    merged = read_counters(spark, counters_path).withColumn(
+        "batch_id", F.lit(COMPACTED_BATCH_ID)
+    )
+    rows = merged.collect()  # bounded: <= d x 65536 cells
+    out = spark.createDataFrame(rows, merged.schema)
+    out.write.mode("overwrite").partitionBy("batch_id").parquet(counters_path)
+
+
 def stream_cms_sink(events: DataFrame, counters_path: str, checkpoint_dir: str):
     """Maintain the CMS counter table from a stream: foreachBatch ->
-    cms_refresh, availableNow trigger (drains present data then
-    stops; call awaitTermination())."""
+    cms_refresh keyed by the micro-batch id (replay-idempotent),
+    availableNow trigger (drains present data then stops; call
+    awaitTermination())."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        cms_refresh(batch_df.sparkSession, batch_df, counters_path)
+        cms_refresh(batch_df.sparkSession, batch_df, counters_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -81,9 +119,9 @@ def stream_cms_sink(events: DataFrame, counters_path: str, checkpoint_dir: str):
 def cms_estimate(spark: SparkSession, counters_path: str, terms: DataFrame) -> DataFrame:
     """(term, est_count) for a DataFrame of candidate ``term`` strings:
     min over the d counters at the term's positions (0 when a position
-    was never incremented). The counter table is broadcast — it is
-    bounded by d x 65536 cells regardless of stream volume."""
-    counters = spark.read.parquet(counters_path)
+    was never incremented). The merged counter table is broadcast — it
+    is bounded by d x 65536 cells regardless of stream volume."""
+    counters = read_counters(spark, counters_path)
     est = terms.select(
         "term",
         *[F.expr(_CMS_POS[j]).alias(f"p{j}") for j in range(CMS_D)],
