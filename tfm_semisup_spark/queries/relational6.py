@@ -196,3 +196,87 @@ def running_revenue_30d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# Correlated LATERAL join — per-driving-row subquery with its own
+# ORDER BY + LIMIT ("top-2 orders per customer"). Spark decorrelates
+# the lateral into a ranked join under the hood; the textual shape is
+# the SQL-standard one and runs IDENTICALLY on DuckDB, so the oracle
+# is the same string.
+LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+ORDER BY c.c_custkey, o_totalprice DESC, o.o_orderkey
+"""
+
+
+@register("lateral_top2_orders", LATERAL_SQL)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL subquery —
+    same SQL text on both engines."""
+    from tfm_semisup_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_SQL)
+
+
+# NTILE / PERCENT_RANK / CUME_DIST — the rank-statistics window family
+# the battery didn't yet pin. Partitioned by order status (never a
+# single global window), aggregated to a bounded quartile summary.
+NTILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_orderstatus,
+         o_totalprice,
+         NTILE(4) OVER w AS quartile,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_orderstatus, quartile,
+       COUNT(*)::BIGINT AS n_orders,
+       round(MIN(o_totalprice), 2) AS min_price,
+       round(MAX(o_totalprice), 2) AS max_price,
+       round(MAX(pr), 6) AS max_percent_rank,
+       round(MAX(cd), 6) AS max_cume_dist
+FROM ranked
+GROUP BY o_orderstatus, quartile
+ORDER BY o_orderstatus, quartile
+"""
+
+
+@register("ntile_price_quartiles", NTILE_ORACLE)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status price quartiles with rank statistics:
+    (o_orderstatus, quartile, n_orders, min_price, max_price,
+    max_percent_rank, max_cume_dist)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.max("pr"), 6).alias("max_percent_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("o_orderstatus", "quartile")
+    )
