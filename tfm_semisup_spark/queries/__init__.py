@@ -141,6 +141,7 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import relational4  # noqa: F401
     from tfm_semisup_spark.queries import relational5  # noqa: F401
     from tfm_semisup_spark.queries import relational6  # noqa: F401
+    from tfm_semisup_spark.queries import relational7  # noqa: F401
     from tfm_semisup_spark.queries import tpch_shapes  # noqa: F401
     from tfm_semisup_spark.queries import tpch_shapes2  # noqa: F401
     from tfm_semisup_spark.queries import tpch_shapes3  # noqa: F401

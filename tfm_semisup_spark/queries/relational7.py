@@ -1,0 +1,149 @@
+"""Seventh relational coverage block: warehouse maintenance shapes —
+SCD2 validity-interval construction and RFM customer segmentation.
+
+Reference parity: the reference's relational surface (DataFrame
+select/filter/groupBy/window over the cleaned datasets,
+``FunctionsSemiSupervised.scala:32-330``) never materializes history
+tables, but both shapes here are pure compositions of primitives it
+does exercise (window lead/row_number, groupBy agg, broadcast join)
+applied to the classic warehouse-maintenance topologies a pipeline on
+this engine would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+# SCD2 (slowly-changing-dimension type 2) validity intervals: each
+# customer's order stream becomes a history of [valid_from, valid_to)
+# rows, the last one open-ended (is_current=1). One shuffle on
+# o_custkey; the window is evaluated within partitions, so the plan is
+# Exchange(custkey) -> Sort -> Window — linear at any corpus size.
+# The `% 100` keeper filter bounds the DEMO output (the driver
+# collects results); it is pushed into the parquet scan, and the
+# operator itself is the unfiltered window expression.
+#
+# Parity notes (see queries/__init__ conventions): timestamps are
+# formatted to strings on both sides; the open interval's NULL
+# valid_to is coalesced to a sentinel so the hash never sees NULL/NaN;
+# is_current is cast to BIGINT (bool dtypes differ across engines).
+SCD2_ORACLE = """
+SELECT o_custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'),
+                '9999-12-31') AS valid_to,
+       CAST(CASE WHEN LEAD(o_orderdate) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       ROUND(o_totalprice, 2) AS price
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("order_history_scd2", SCD2_ORACLE)
+def order_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: (o_custkey, seq, valid_from, valid_to,
+    is_current, price) — open interval gets the 9999-12-31 sentinel."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") % 100 == 0
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        nxt.isNull().cast("bigint").alias("is_current"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+
+
+# RFM segmentation: per-customer recency/frequency/monetary, bucketed
+# into quartiles WITHIN each market segment (partitioned NTILE — never
+# a single global window; at 100 TB the ordered domain is already one
+# row per customer, and each segment's window sorts independently).
+# Monetary is summed in integer CENTS (floor(price*100) per row, both
+# engines) so quartile boundaries never depend on float summation
+# order — a ULP flip near a boundary would otherwise swap NTILE
+# assignments between engines.
+RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o.o_custkey,
+         c.c_mktsegment,
+         MAX(o.o_orderdate) AS last_ts,
+         COUNT(*) AS freq,
+         SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+), scored AS (
+  SELECT c_mktsegment, cents,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY last_ts, o_custkey) AS r_q,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY freq, o_custkey) AS f_q,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY cents, o_custkey) AS m_q
+  FROM rfm
+)
+SELECT c_mktsegment,
+       r_q || '-' || f_q || '-' || m_q AS rfm_segment,
+       COUNT(*)::BIGINT AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM scored
+GROUP BY c_mktsegment, rfm_segment
+"""
+
+
+@register("rfm_segments", RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mktsegment RFM quartile segmentation:
+    (c_mktsegment, rfm_segment, n_customers, total_cents)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rfm = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(
+            F.max("o_orderdate").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+
+    def _q(order_col: str) -> F.Column:
+        w = Window.partitionBy("c_mktsegment").orderBy(order_col, "o_custkey")
+        return F.ntile(4).over(w)
+
+    scored = rfm.select(
+        "c_mktsegment",
+        "cents",
+        _q("last_ts").alias("r_q"),
+        _q("freq").alias("f_q"),
+        _q("cents").alias("m_q"),
+    )
+    return scored.groupBy(
+        "c_mktsegment",
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("rfm_segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
