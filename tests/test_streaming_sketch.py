@@ -112,3 +112,26 @@ def test_delta_shape_single_pass(spark):
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
     assert plan.count("Scan parquet") == 1
+
+def test_never_created_table_reads_as_empty_sketch(spark, tmp_path):
+    """A counter table no batch ever wrote (or whose batches all had
+    zero matching terms — dynamic overwrite writes NO partitions then)
+    is an empty sketch: every estimate 0, compaction a no-op. A read
+    failure on an EXISTING path must still raise (FS existence probe,
+    not a blanket except)."""
+    import os
+
+    path = str(tmp_path / "cms_never")
+    assert read_counters(spark, path).count() == 0
+    compact_counters(spark, path)  # no-op, must not create the path
+    assert not os.path.exists(path)
+
+    terms = spark.createDataFrame([("a",), ("b",)], "term STRING")
+    est = {r["term"]: r["est_count"] for r in cms_estimate(spark, path, terms).collect()}
+    assert est == {"a": 0, "b": 0}
+
+    # the zero-matching-terms refresh itself leaves the table absent
+    events = load_table(spark, SF, "events")
+    none = events.where(F.get_json_object("props", "$.k").isNull()).limit(0)
+    cms_refresh(spark, none, path, batch_id=0)
+    assert read_counters(spark, path).count() == 0

@@ -76,11 +76,31 @@ def cms_refresh(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
 
 
+def _counters_exist(spark: SparkSession, counters_path: str) -> bool:
+    """Hadoop FS existence probe (the rollup_table discipline): a table
+    that was NEVER created — e.g. every batch so far had no matching
+    terms, so dynamic partition overwrite wrote no partitions — must
+    read as an empty sketch, while a read failure on an EXISTING table
+    must still propagate."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(counters_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def read_counters(spark: SparkSession, counters_path: str) -> DataFrame:
     """Merged (row, p, c) counters — cell-wise sum over every stored
-    batch partition (the CMS merge operation)."""
+    batch partition (the CMS merge operation). A never-created table is
+    an empty sketch (every estimate 0), not an error."""
+    if not _counters_exist(spark, counters_path):
+        return spark.createDataFrame([], "row INT, p INT, c BIGINT")
+    # explicit schema: an all-empty-batch table is a directory with no
+    # data files, on which schema INFERENCE would fail; partition
+    # discovery still supplies batch_id values where files exist
     return (
-        spark.read.parquet(counters_path)
+        spark.read.schema("row INT, p INT, c BIGINT, batch_id INT")
+        .parquet(counters_path)
+        .drop("batch_id")
         .groupBy("row", "p")
         .agg(F.sum("c").alias("c"))
     )
@@ -90,7 +110,14 @@ def compact_counters(spark: SparkSession, counters_path: str) -> None:
     """Fold all stored partitions into the single COMPACTED_BATCH_ID
     partition, bounding table size at d x 65536 rows + one partition
     per batch since the last compaction. Static overwrite of the whole
-    table with the (materialized) merged counters — idempotent."""
+    table with the (materialized) merged counters — idempotent to
+    re-run, but NOT crash-atomic (overwrite deletes before it commits);
+    schedule it from ONE maintenance job and rely on the per-batch
+    deltas staying replayable if it ever has to be rebuilt."""
+    if not _counters_exist(spark, counters_path):
+        # nothing to fold; writing an empty table would leave an
+        # existing-but-schemaless path behind
+        return
     merged = read_counters(spark, counters_path).withColumn(
         "batch_id", F.lit(COMPACTED_BATCH_ID)
     )
