@@ -132,6 +132,16 @@ PICKS = {
         "count-min: one digest three position slices, persisted "
         "primitives, d counter aggregates + broadcast estimate joins"
     ),
+    "order_history_scd2": (
+        "SCD2 build: keeper filter pushed to the scan, ONE custkey "
+        "exchange + per-key sort feeding row_number AND lead in a "
+        "single Window node"
+    ),
+    "rfm_segments": (
+        "RFM: broadcast dim join, partial agg per customer, three "
+        "NTILE windows share ONE mktsegment exchange (re-sort only "
+        "between them), final partial agg"
+    ),
 }
 
 
