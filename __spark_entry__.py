@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (151 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (152 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (125 entries).
+equivalent DuckDB SQL (126 entries).
 
 The 26 rows-only entries (no oracle) are each non-SQL-expressible for
 one of four reasons, and all are deterministic under fixed seeds and

@@ -147,3 +147,68 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+# Ratio-to-report ("percent of total") — the one classic reporting
+# window topology the battery didn't pin: a windowed SUM over an
+# ALREADY-AGGREGATED tiny relation (25 nation rows), so the window
+# exchange moves group totals, never fact rows. Revenue is summed as
+# integer cents (same quantize-then-rank rationale as rfm_segments);
+# the share division is then BIGINT/BIGINT -> double, bit-identical in
+# both engines, rounded finer than the data.
+SHARE_ORACLE = """
+WITH nat AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS nation_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name,
+       CAST(nation_cents AS BIGINT) AS nation_cents,
+       ROUND(CAST(nation_cents AS DOUBLE)
+             / SUM(nation_cents) OVER (PARTITION BY r_name) * 100,
+             4) AS share_pct
+FROM nat
+"""
+
+
+@register("nation_revenue_share", SHARE_ORACLE)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: (r_name, n_name, nation_cents, share_pct) —
+    each nation's percentage of its region's order revenue."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("nation_cents")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "nation_cents",
+        F.round(
+            F.col("nation_cents").cast("double")
+            / F.sum("nation_cents").over(w)
+            * 100,
+            4,
+        ).alias("share_pct"),
+    )
