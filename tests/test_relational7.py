@@ -69,6 +69,7 @@ def test_rfm_segments_partition_invariance_and_bounds(spark):
     # order (metric, o_custkey) is partition-independent by design
     from tfm_semisup_spark.queries.relational7 import rfm_segments
 
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "3")
     try:
         again = {
@@ -79,5 +80,40 @@ def test_rfm_segments_partition_invariance_and_bounds(spark):
             for r in rfm_segments(spark, SF_DIR).collect()
         }
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     assert again == rows
+
+
+def test_rfm_segments_survives_no_broadcast(spark):
+    """Broadcast-policy rehearsal (VERDICT r4 #3): with auto-broadcast
+    disabled — the planner's stand-in for "customer no longer fits" —
+    the shape must still complete via a shuffle join with identical
+    results, i.e. nothing in the plan FORCES a broadcast of an
+    SF-linear table."""
+    from tfm_semisup_spark.queries.relational7 import rfm_segments
+
+    baseline = {
+        (r["c_mktsegment"], r["rfm_segment"]): (r["n_customers"], r["total_cents"])
+        for r in rfm_segments(spark, SF_DIR).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = rfm_segments(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan, (
+            "a join still forces broadcast with the threshold disabled:\n"
+            + plan
+        )
+        nohint = {
+            (r["c_mktsegment"], r["rfm_segment"]): (
+                r["n_customers"],
+                r["total_cents"],
+            )
+            for r in df.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert nohint == baseline

@@ -46,79 +46,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Driver-verification priority: the correctness driver evaluates the
 # FIRST 50 oracled entries of queries() in dict order.
 #
-# ROUND-4 ROTATION (VERDICT r3 #6): r1-r3 achieved lifetime driver
-# coverage of all 85 oracles, but 28 entries had ONLY r1-era rows —
-# recorded BEFORE the r3 events-loader change (micros/NTZ
-# normalization) and two rounds of refactors. VERDICT asked for the
-# OLDEST 20 of those re-confirmed; this window re-confirms exactly 20
-# (the 8 dropped — the simple set-op/paging battery — are the entries
-# least coupled to the loader change and stay locally green in
-# tests/test_oracle_parity.py). The freed slots go to oracles that
-# have NEVER had a driver row: the late-r4 analytics batch and two of
-# this session's corpus operators. Every query whose implementation or
-# oracle changed this round is also re-confirmed. Entries driver-green
-# in r3 and untouched in r4 yield their slots and rotate back in r5.
+# ROUND-5 ROTATION (VERDICT r4 #2): the 21 oracles that were
+# judge-verified at sf0.01 in r4 but have NEVER had a driver
+# CORRECTNESS row come first; then every query whose implementation
+# changed this round (the broadcast-hint policy removal — results are
+# hint-invariant but the plans changed, so re-confirm); then the
+# entries with the OLDEST driver rows (the 8 r1-last set-op/paging
+# battery and the 7 r2-last), which yielded slots in r4 and rotate
+# back now; then this round's brand-new oracles. Everything else is
+# driver-green r3/r4 and unchanged — covered locally by
+# tests/test_oracle_parity.py until its next rotation.
 _ORACLE_PRIORITY = [
-    "flagship_regional_revenue",
-    # -- changed in r4: re-confirm against the driver's DuckDB --
-    "dedup_ngram_jaccard_pairs",  # eager cache release
-    "dedup_ngram_jaccard_capped",  # eager cache release
-    "substring_dup_report",  # eager cache release
-    "similarity_cosine_topk",  # zero-job dim probe
-    "similarity_pairs_above",  # zero-job dim probe
-    "similarity_topk_batch",  # zero-job dim probe
-    "dedup_embedding_cosine_pairs",  # zero-job dim probe
-    "training_shard_assignment",  # UNIFORM bucket formula (oracle changed)
-    "dedup_cluster_components",  # round-helper refactor (ADVICE r3)
-    # -- oldest-20 r1-only rows: re-confirm post-loader/refactor --
-    "ts_parts_histogram",  # events ts: the loader that changed in r3
-    "moving_avg_lag",
-    "json_extract_props",
-    "haversine_distance",
-    "date_arithmetic",
-    "filter_range_outliers",
-    "string_function_battery",
-    "percentiles_extendedprice",
-    "array_function_battery",
-    "binarize_when_otherwise",
-    "cube_flag_status",
-    "grouping_markers",
-    "in_subquery_urgent_lineitems",
-    "pivot_status_by_priority",
-    "posexplode_tokens",
-    "q18_large_volume_orders",
-    "scalar_subquery_above_avg",
-    "stats_aggregates",
-    "dedup_exact_stats",
-    "dedup_incremental_new_docs",
-    # -- NEW in r4: first driver rows (11 queries + the day-bounded
-    # session rollup). The 7 entries whose last row is r2 (topk_orders,
-    # project_cast_derive, semi/anti joins, embedding_norm_stats,
-    # domain_mix_sample, multimodal_chunk_sample) and the r3-green
-    # keepers yield their slots this round — they are unchanged,
-    # locally green (test_oracle_parity), and rotate back in r5 --
-    "session_stats_daily",
+    "flagship_regional_revenue",  # changed r5: customer-dim hint dropped
+    # -- never driver-checked (judge-verified r4): land their rows --
+    "nation_presence_full_outer",
+    "running_revenue_30d_range",
+    "lateral_top2_orders",
+    "ntile_price_quartiles",
+    "order_history_scd2",
+    "rfm_segments",  # also changed r5: customer hint dropped
+    "nation_revenue_share",  # also changed r5: customer hint dropped
+    "q2_min_cost_supplier",  # also changed r5: part hint dropped
+    "q11_important_stock",  # also changed r5: supplier-set hint dropped
+    "q20_excess_availability",  # also changed r5: part hint dropped
+    "dedup_prefix_jaccard_pairs",
+    "label_centroid_stats",
+    "tfidf_top_terms",
+    "source_drift_jsd",
+    "weighted_reservoir_sample",
+    "bloom_contamination_screen",
+    "cms_heavy_hitters",
+    "attribution_last_touch",
+    "item_cooccurrence_topk",
+    "constraint_audit_orders",
+    "partition_anomaly_days",
+    # -- changed in r5 (broadcast-hint policy): re-confirm --
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
     "q8_market_share",
-    "q10_returned_item_reporting",
-    "q12_late_shipment_priority",
+    "q9_product_profit",
+    "q14_promo_revenue_share",
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "q21_waiting_suppliers",
-    "text_bm25_topk",
-    "dedup_editdist_pairs",
-    # -- never driver-checked: late-r4 analytics + this session's
-    # corpus operators (the rest of the new surface rotates in r5) --
-    "funnel_view_purchase",
-    "retention_cohort_daily",
-    "q9_product_profit",
-    "timeseries_gap_fill",
-    "grouping_sets_status_priority",
-    "corpus_stratified_sample",
-    "item_pagerank",
-    "boilerplate_line_removal",
+    # -- oldest driver rows rotate back: 8 r1-last + 7 r2-last --
+    "union_append_pools",
+    "except_all_remainder",
+    "distinct_flag_status",
+    "na_drop_clean",
+    "intersect_all_common",
+    "null_safe_equality",
+    "distinct_set_ops",
+    "limit_offset_page",
+    "project_cast_derive",
+    "topk_orders",
+    "semi_join_urgent_customers",
+    "anti_join_orderless_customers",
+    "embedding_norm_stats",
+    "multimodal_chunk_sample",
+    "domain_mix_sample",
+    # -- NEW in r5: first driver rows (slots reserved up to 50) --
+    "text_bm25_workload_topk",
+    "streaming_session_rollup_batch",
 ]
 
 

@@ -166,8 +166,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier are SF-linear — no hints (AQE decides); the
+        # 25-row nation keeps its hint.
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select(

@@ -66,7 +66,10 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == orders.o_orderkey,
         )
-        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        # dims is region-filtered CUSTOMER — SF-linear, so no broadcast
+        # hint; AQE broadcasts it while it fits and shuffle-joins past
+        # that (a hard hint would be a job failure at 100 TB).
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),

@@ -115,10 +115,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # No broadcast hint on customer: it grows linearly with SF (the
+    # largest TPC-H dim). AQE broadcasts it while it fits the threshold
+    # and falls back to shuffle join when it doesn't — a hard hint
+    # would force a >8 GB broadcast failure at the 100 TB design point.
     rfm = (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("o_custkey", "c_mktsegment")
         .agg(
             F.max("o_orderdate").alias("last_ts"),
@@ -187,10 +189,10 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # customer is SF-linear: no hint (AQE decides); nation/region are
+    # schema-bounded (25/5 rows) and keep theirs.
     nat = (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -83,7 +83,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-linear — no broadcast hint, AQE decides.
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0

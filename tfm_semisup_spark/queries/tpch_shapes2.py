@@ -31,11 +31,17 @@ these shapes cover the join/subquery surface exercised by the
 reference's notebook SQL experiments (see SURVEY.md §2.2); provenance
 for the adapted predicates is noted inline.
 
-100 TB notes: every dimension join below (nation, region, supplier,
-part at 2k rows/SF-0.01 growing ~linearly but still dim-sized) is
-broadcast; the only shuffles are fact-side group-bys on their natural
-keys. Q21's formulation deliberately avoids the textbook correlated
-NOT EXISTS, which would plan as two extra fact-fact joins.
+100 TB notes — broadcast-hint policy: ``F.broadcast`` is hinted ONLY
+on relations bounded by SCHEMA (nation=25, region=5, their join,
+single-row aggregates), never on tables that grow with the scale
+factor (customer/part/supplier and anything derived from them — a
+selective filter keeps them SF-linear). A hard hint overrides both
+autoBroadcastJoinThreshold and the planner's size estimate, so at the
+100 TB design point it is a guaranteed 8 GB-broadcast-limit job
+failure; with no hint AQE broadcasts those sides while they fit and
+degrades to shuffle join past that, which is the wanted behavior at
+every scale. Q21's formulation deliberately avoids the textbook
+correlated NOT EXISTS, which would plan as two extra fact-fact joins.
 """
 
 from __future__ import annotations
@@ -88,8 +94,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
+        # supplier is SF-linear — no broadcast hint, AQE decides.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -253,8 +260,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # part/supplier are SF-linear — no hints; nation/region keep
+        # theirs (schema-bounded).
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n_cust), cust.c_nationkey == F.col("nc_key"))
@@ -418,7 +427,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.withColumn("__rk", F.dense_rank().over(w))
         .where(F.col("__rk") == 1)
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        # The rank==1 side is the bounded one; with no hint AQE
+        # broadcasts IT into SF-linear supplier instead of vice versa.
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -462,7 +473,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (q <= qhi)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-linear — no broadcast hint, AQE decides.
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(
             leg("Brand#12", 5, 1, 11) | leg("Brand#23", 10, 10, 20) | leg("Brand#3", 15, 20, 30)
         )
@@ -534,7 +546,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         waiters.join(per_order, "l_orderkey")
         .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(supp), waiters.l_suppkey == supp.s_suppkey)
+        # supplier is SF-linear — no broadcast hint, AQE decides.
+        .join(supp, waiters.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -117,9 +117,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mincost = cand.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("min_cost")
     )
-    part = F.broadcast(
-        load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
-    )
+    # Filtered part is STILL SF-linear (p_type is ~constant
+    # selectivity) — no broadcast hint, AQE decides.
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     return (
         cand.join(mincost, "ps_partkey")
         .where(F.col("ps_supplycost") == F.col("min_cost"))
@@ -179,8 +179,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    # sup is region-filtered SUPPLIER — SF-linear, no hint (AQE).
     regional = supply.join(
-        F.broadcast(sup), supply["ps_suppkey"] == sup["s_suppkey"]
+        sup, supply["ps_suppkey"] == sup["s_suppkey"]
     ).select(
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty")).alias("part_value"),
@@ -243,9 +244,8 @@ def q20_excess_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_total = shipped.groupBy("l_partkey").agg(
         F.sum("qty").alias("total_qty")
     )
-    small = F.broadcast(
-        load_table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
-    )
+    # Filtered part is still SF-linear — no broadcast hint, AQE decides.
+    small = load_table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
     dominant = (
         shipped.join(part_total, "l_partkey")
         .join(small, F.col("l_partkey") == F.col("p_partkey"))
