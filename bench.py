@@ -73,6 +73,9 @@ HEADLINE = [
     # lexical BM25 retrieval, and the Levenshtein-verified dedup tier
     "q5_local_supplier_volume",
     "text_bm25_topk",
+    # r5: the workload shape — batch scoring against precomputed
+    # index stats (build_bm25_stats)
+    "text_bm25_workload_topk",
     "dedup_editdist_pairs",
     # r4 behavioral analytics: sequence-dependent conversion (user-keyed
     # range join) and the per-order distinct-count Q21 formulation

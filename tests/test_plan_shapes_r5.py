@@ -67,6 +67,44 @@ def test_new_corpus_queries_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_bm25_workload_shape_and_ranks(spark):
+    """Workload BM25 (r5): stays JVM-side; the only nested-loop join is
+    the single-row stats cross join; output is a dense 1..5 ranking
+    per query with scores non-increasing."""
+    df = QUERIES["text_bm25_workload_topk"](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["bm25"]))
+    assert set(by_q) == {"q1", "q2", "q3"}
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [r for r, _ in ranked] == list(range(1, len(ranked) + 1))
+        scores = [s for _, s in ranked]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_workload_matches_adhoc_single_query(spark):
+    """The precomputed-stats path must score identically to the ad-hoc
+    plan: q1 uses the exact term set of text_bm25_topk, so its top-5
+    (doc_id, bm25) must equal the ad-hoc query's first 5 rows."""
+    adhoc = [
+        (r["doc_id"], r["bm25"])
+        for r in QUERIES["text_bm25_topk"](spark, SF).collect()[:5]
+    ]
+    wl = sorted(
+        (r["rank"], r["doc_id"], r["bm25"])
+        for r in QUERIES["text_bm25_workload_topk"](spark, SF)
+        .where("query_id = 'q1'")
+        .collect()
+    )
+    assert [(d, s) for _, d, s in wl] == adhoc
+
+
 def test_attribution_is_single_window_pass(spark):
     """Last-touch attribution: one window over user_id, no self-join —
     exactly one exchange ahead of the window sort."""
