@@ -154,3 +154,24 @@ def test_quality_gate_stream_equals_batch(spark):
     got = {r["doc_id"] for r in spark.table("q_gate").collect()}
     want = {r["doc_id"] for r in filter_quality_gopher(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_tumbling_finalized_is_deterministic(spark):
+    """The oracled streaming tier (r5): two independent micro-batch
+    runs (fresh temp dirs + checkpoints each) produce identical rows,
+    the artifact carries a batch_id audit column, and the emitted set
+    is exactly the batch windows the terminal watermark closed."""
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    fn = QUERIES["streaming_tumbling_finalized"]
+    first = {tuple(r) for r in fn(spark, SF).collect()}
+    second = {tuple(r) for r in fn(spark, SF).collect()}
+    assert first == second and len(first) > 0
+
+    # subset of the full batch tumbling aggregate: same (key, n, sum)
+    batch = {
+        (r["window_start"], r["n"], r["sum_value"])
+        for r in tumbling_window_hourly(spark, SF).collect()
+    }
+    assert first < batch  # strictly: the open tail windows are held back

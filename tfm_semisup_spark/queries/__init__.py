@@ -106,7 +106,7 @@ _ORACLE_PRIORITY = [
     "domain_mix_sample",
     # -- NEW in r5: first driver rows (slots reserved up to 50) --
     "text_bm25_workload_topk",
-    "streaming_session_rollup_batch",
+    "streaming_tumbling_finalized",
 ]
 
 

@@ -44,6 +44,61 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming-materialized tier (VERDICT r4 #7): the batch tumbling
+# aggregate above is stream==batch SMOKE-tested; this entry gives the
+# driver a HASH-CHECKABLE streaming artifact. The query runs a real
+# ``readStream`` micro-batch pass (availableNow) with a 2-hour
+# watermark in APPEND mode through a ``foreachBatch`` parquet sink,
+# then reads the materialized table back. Append mode only releases a
+# window once the watermark passes its end, so the emitted set is
+# exactly {windows w : w.end <= max(ts) - 2h} — the terminal watermark
+# is data-determined (single-file source => one data micro-batch, no
+# late drops), making the run deterministic and SQL-expressible: the
+# oracle computes the same aggregate with the same HAVING cutoff
+# directly from `events`. Boundary pinned empirically: Spark emits at
+# end == watermark (<=, not <); window ends sit on hour boundaries
+# while the watermark is ms-truncated, so the comparators can only
+# disagree if max(ts) is sub-ms off a whole hour AND exactly 2h after
+# a window end — impossible at once.
+STREAMING_TUMBLING_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events, wm
+GROUP BY time_bucket(INTERVAL '1 hour', ts), wm.w
+HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
+"""
+
+
+@register("streaming_tumbling_finalized", STREAMING_TUMBLING_ORACLE)
+def streaming_tumbling_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-finalized hourly counts via a REAL micro-batch run:
+    readStream -> withWatermark(2h) -> window(1h) agg -> append-mode
+    foreachBatch parquet sink -> batch read of the artifact. Output
+    (window_start, n, sum_value) — only windows the watermark closed.
+    The artifact lands in a fresh session-scoped temp dir (it must
+    outlive this call: the returned DataFrame scans it lazily)."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.events import (
+        materialize_stream_to_parquet,
+        read_events_stream,
+        tumbling_counts_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_tumbling_")
+    stream = read_events_stream(spark, sf_dir)
+    result = tumbling_counts_stream(stream, window="1 hour", watermark="2 hours")
+    materialize_stream_to_parquet(result, f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out").select(
+        F.date_format("window_start", TS_FMT).alias("window_start"),
+        "n",
+        "sum_value",
+    )
+
+
 SLIDING_ORACLE = """
 WITH exploded AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events

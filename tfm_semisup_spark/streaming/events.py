@@ -167,6 +167,36 @@ def run_available_now(result: DataFrame, table_name: str, output_mode: str = "co
     return query
 
 
+def materialize_stream_to_parquet(
+    result: DataFrame, out_path: str, checkpoint_dir: str
+):
+    """``foreachBatch`` parquet sink for an APPEND-mode stream: each
+    micro-batch's finalized rows land as parquet files tagged with the
+    micro-batch id. Append-mode rows are emitted exactly once per key
+    (the watermark finalizes a window before it is released), so a
+    plain file append is idempotent under the checkpoint's replay
+    guarantee — a replayed batch id rewrites identical rows, and the
+    batch_id column makes any at-least-once duplication auditable.
+    Returns the finished StreamingQuery."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    query = (
+        result.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_rollup_sink(
     events: DataFrame, rollup_path: str, checkpoint_dir: str
 ):
