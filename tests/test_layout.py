@@ -200,3 +200,26 @@ def test_zorder_key_is_deterministic(spark):
         .collect()
     }
     assert z1 == z2
+
+
+def test_conv_decode_equals_case_chain_decode(spark):
+    """The Spark-side conv() decode and the portable CASE-chain decode
+    (oracle form) must agree on every value — including both hex
+    alphabets in every position and non-start slices (bloom/CMS use
+    start=5/9)."""
+    from tfm_semisup_spark.operators.layout import (
+        md5_uniform16_spark_sql,
+        md5_uniform16_sql,
+    )
+
+    df = spark.range(20000).selectExpr("CAST(id AS STRING) AS s")
+    checks = [
+        (md5_uniform16_sql("md5(s)", start=st),
+         md5_uniform16_spark_sql("md5(s)", start=st))
+        for st in (1, 5, 9, 13, 29)
+    ]
+    agg = df.selectExpr(
+        *[f"CASE WHEN ({a}) = ({b}) THEN 0 ELSE 1 END AS m{i}"
+          for i, (a, b) in enumerate(checks)]
+    ).groupBy().sum()
+    assert all(v == 0 for v in agg.collect()[0])

@@ -160,10 +160,17 @@ def contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_M = 65536  # bits (8 KiB) -> positions are exactly the uniform16 decode
 BLOOM_WORDS = BLOOM_M // 64
 
-from tfm_semisup_spark.operators.layout import md5_uniform16_sql  # noqa: E402
+from tfm_semisup_spark.operators.layout import (  # noqa: E402
+    md5_uniform16_spark_sql,
+    md5_uniform16_sql,
+)
 
 # position j (j = 0, 1) of column ``gram``: hex chars 1-4 / 5-8 of one digest
 _BLOOM_POS = [md5_uniform16_sql("md5(gram)", start=1 + 4 * j) for j in (0, 1)]
+# Spark-side: value-identical single-reference conv decode
+_BLOOM_POS_SPARK = [
+    md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j) for j in (0, 1)
+]
 
 BLOOM_ORACLE = f"""
 WITH planted AS (
@@ -257,8 +264,8 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.xxhash64("gram").alias("gram_h"),
-            F.expr(_BLOOM_POS[0]).alias("p0"),
-            F.expr(_BLOOM_POS[1]).alias("p1"),
+            F.expr(_BLOOM_POS_SPARK[0]).alias("p0"),
+            F.expr(_BLOOM_POS_SPARK[1]).alias("p1"),
         )
         .persist()
     )

@@ -122,9 +122,16 @@ def sketch_incremental_distinct_users(spark: SparkSession, sf_dir: str) -> DataF
 CMS_D = 3  # hash rows: md5 hex chars 1-4 / 5-8 / 9-12
 CMS_TOP = 10
 
-from tfm_semisup_spark.operators.layout import md5_uniform16_sql  # noqa: E402
+from tfm_semisup_spark.operators.layout import (  # noqa: E402
+    md5_uniform16_spark_sql,
+    md5_uniform16_sql,
+)
 
 _CMS_POS = [md5_uniform16_sql("md5(term)", start=1 + 4 * j) for j in range(CMS_D)]
+# Spark-side: value-identical single-reference conv decode
+_CMS_POS_SPARK = [
+    md5_uniform16_spark_sql("md5(term)", start=1 + 4 * j) for j in range(CMS_D)
+]
 
 CMS_ORACLE = f"""
 WITH toks AS (
@@ -174,9 +181,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everywhere downstream); persisted for the d+1 consumers
     hashed = toks.select(
         "term",
-        F.expr(_CMS_POS[0]).alias("p0"),
-        F.expr(_CMS_POS[1]).alias("p1"),
-        F.expr(_CMS_POS[2]).alias("p2"),
+        F.expr(_CMS_POS_SPARK[0]).alias("p0"),
+        F.expr(_CMS_POS_SPARK[1]).alias("p1"),
+        F.expr(_CMS_POS_SPARK[2]).alias("p2"),
     ).persist()
     counters = [
         hashed.groupBy(F.col(f"p{j}").alias("p")).agg(

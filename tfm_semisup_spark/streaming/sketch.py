@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.queries.sketches import CMS_D, _CMS_POS
+from tfm_semisup_spark.queries.sketches import CMS_D, _CMS_POS_SPARK
 
 #: reserved batch_id partition that compaction folds history into;
 #: real stream batch ids are >= 0
@@ -47,7 +47,7 @@ def batch_counter_deltas(batch: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("row"),
-                        F.expr(_CMS_POS[j]).alias("p"),
+                        F.expr(_CMS_POS_SPARK[j]).alias("p"),
                     )
                     for j in range(CMS_D)
                 ]
@@ -151,7 +151,7 @@ def cms_estimate(spark: SparkSession, counters_path: str, terms: DataFrame) -> D
     counters = read_counters(spark, counters_path)
     est = terms.select(
         "term",
-        *[F.expr(_CMS_POS[j]).alias(f"p{j}") for j in range(CMS_D)],
+        *[F.expr(_CMS_POS_SPARK[j]).alias(f"p{j}") for j in range(CMS_D)],
     )
     for j in range(CMS_D):
         cj = counters.where(F.col("row") == j).select(
