@@ -111,3 +111,48 @@ def test_attribution_is_single_window_pass(spark):
     plan = _plan(QUERIES["attribution_last_touch"](spark, SF))
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_portable_minhash_estimates_track_exact_jaccard(spark):
+    """Every >= 6/8-coordinate pair must be a genuine near-dup: its
+    exact word-3-gram Jaccard should be high (planted dups), and the
+    estimate is a valid fraction. Also: no Python, no cartesian."""
+    df = QUERIES["dedup_minhash_portable_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows, "expected planted near-dup pairs at sf0.001"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, SF).collect()
+    }
+    for r in rows:
+        assert 0.75 <= r["est_sim"] <= 1.0
+        # banding recalls a pair only if some band matches exactly; at
+        # >=6/8 agreement the underlying Jaccard is high — planted
+        # dups in the synthetic corpus sit near 1.0
+        assert exact.get((r["id1"], r["id2"]), 0.0) >= 0.5
+
+
+def test_q15_no_global_sort_window(spark):
+    """The Q15 winner selection must not plan an unpartitioned window
+    sort (SF-linear input at scale): checkpointed aggregate + scalar
+    max broadcast instead."""
+    df = QUERIES["q15_top_supplier"](spark, SF)
+    plan = _plan(df)
+    assert "Window" not in plan
+    rows = df.collect()
+    assert len(rows) >= 1
+
+
+def test_yoy_growth_first_year_sentinel(spark):
+    rows = QUERIES["nation_yoy_revenue_growth"](spark, SF).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], []).append((r["o_year"], r["yoy_growth"]))
+    for series in by_nation.values():
+        series.sort()
+        assert series[0][1] == -999.0  # first year has no prior
+        assert all(g != -999.0 for _, g in series[1:])

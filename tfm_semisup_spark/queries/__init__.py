@@ -104,9 +104,16 @@ _ORACLE_PRIORITY = [
     "embedding_norm_stats",
     "multimodal_chunk_sample",
     "domain_mix_sample",
-    # -- NEW in r5: first driver rows (slots reserved up to 50) --
+    # -- NEW in r5: first driver rows --
     "text_bm25_workload_topk",
     "streaming_tumbling_finalized",
+    "dedup_minhash_portable_pairs",
+    "nation_yoy_revenue_growth",
+    "stats_correlation_battery",
+    # -- 50th slot: q15 was rewritten late in r5 (global-rank window ->
+    # checkpointed max-equality join); pricing_summary is the oldest
+    # r3-green keeper and re-confirms the loader path --
+    "pricing_summary",
 ]
 
 

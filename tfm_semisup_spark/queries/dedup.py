@@ -772,3 +772,153 @@ def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# PORTABLE MinHash: the one near-dup tier where the SIGNATURE ITSELF is
+# oracled. The production banded-MinHash tier (operators/dedup.py) keys
+# on xxhash64 (no DuckDB equivalent — rows-only); here each word-3-gram
+# is md5'd ONCE and its 32 hex chars sliced into 8 independent 16-bit
+# values (the same one-digest-many-slices trick as the bloom screen),
+# so both engines compute bit-identical signatures: sig_j(doc) =
+# min over grams of slice_j(md5(gram)). Banding: 4 bands x 2 rows —
+# candidates share a band key; verification counts matching
+# coordinates (>= 6 of 8 ~ Jaccard >= 0.75 estimate).
+#
+# 100 TB: one narrow gram explode (no string-array materialization
+# downstream of the md5), one groupBy(doc) for signatures, band join on
+# 32-bit keys whose collisions are near-dups by construction. This
+# tier exists for ORACLE coverage of the minhash math; the xxhash64
+# banded tier stays the throughput default.
+_MH_SLICES = 8
+_MH_MIN_MATCH = 6
+
+from tfm_semisup_spark.operators.layout import (  # noqa: E402
+    md5_uniform16_spark_sql,
+    md5_uniform16_sql,
+)
+
+
+def _mh_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN({md5_uniform16_sql('md5(gram)', start=1 + 4 * j)}) AS m{j}"
+        for j in range(_MH_SLICES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" CAST(m{2 * b} AS BIGINT) * 65536 + m{2 * b + 1} AS k FROM sig"
+        for b in range(_MH_SLICES // 2)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(_MH_SLICES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(n_match AS BIGINT) AS n_match,
+       ROUND(n_match / 8.0, 4) AS est_sim
+FROM (
+  SELECT c.id1, c.id2, ({matches}) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id1
+  JOIN sig sb ON sb.doc_id = c.id2
+)
+WHERE n_match >= {_MH_MIN_MATCH}
+"""
+
+
+@register("dedup_minhash_portable_pairs", _mh_oracle())
+def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled MinHash near-dup pairs: (id1, id2, n_match, est_sim).
+    8 md5-slice minima per doc, 4x2 banding, >= 6/8 coordinate
+    agreement. Signatures are bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = (
+        docs.withColumn("w", toks)
+        .select("doc_id", F.explode(word_ngrams(F.col("w"), 3)).alias("gram"))
+    )
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
+            ).alias(f"m{j}")
+            for j in range(_MH_SLICES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"m{2 * b}").cast("long") * 65536
+                            + F.col(f"m{2 * b + 1}")
+                        ).alias("k"),
+                    )
+                    for b in range(_MH_SLICES // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id1"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MH_SLICES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id2"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MH_SLICES)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_MH_SLICES)
+    )
+    return (
+        cand.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            n_match.cast("bigint").alias("n_match"),
+        )
+        .where(F.col("n_match") >= _MH_MIN_MATCH)
+        .select(
+            "id1",
+            "id2",
+            "n_match",
+            F.round(F.col("n_match") / 8.0, 4).alias("est_sim"),
+        )
+    )

@@ -214,3 +214,103 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share_pct"),
     )
+
+
+# Year-over-year growth: LAG over a two-level aggregate (nation x year
+# revenue), the classic reporting topology the battery hadn't pinned.
+# Revenue is integer cents (quantize-then-rank rule — here
+# quantize-then-DIVIDE: the growth ratio is BIGINT/BIGINT -> double,
+# bit-identical across engines); the first year's NULL growth is
+# coalesced to a sentinel so the hash never compares None vs NaN.
+# Scale: the window input is |nations| x |years| rows (schema-bounded
+# x time-bounded), never fact rows.
+YOY_ORACLE = """
+WITH yearly AS (
+  SELECT n.n_name,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate)
+)
+SELECT n_name, o_year,
+       CAST(cents AS BIGINT) AS cents,
+       COALESCE(
+         ROUND(CAST(cents AS DOUBLE)
+               / LAG(cents) OVER (PARTITION BY n_name ORDER BY o_year)
+               - 1, 4),
+         -999.0) AS yoy_growth
+FROM yearly
+"""
+
+
+@register("nation_yoy_revenue_growth", YOY_ORACLE)
+def nation_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation:
+    (n_name, o_year, cents, yoy_growth) — first year gets -999.0."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    return yearly.select(
+        "n_name",
+        "o_year",
+        "cents",
+        F.coalesce(
+            F.round(
+                F.col("cents").cast("double") / F.lag("cents").over(w) - 1, 4
+            ),
+            F.lit(-999.0),
+        ).alias("yoy_growth"),
+    )
+
+
+# Bivariate statistics battery: corr / covar_samp / stddev_samp share
+# the SAME sample definitions in Spark and DuckDB; rounding is coarse
+# relative to summation-order ULP noise (relative ~1e-12 over these
+# row counts) and fine relative to the values.
+CORR_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("stats_correlation_battery", CORR_ORACLE)
+def stats_correlation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag bivariate stats: (l_returnflag, n, corr_qty_price,
+    covar_qty_price, sd_qty, sd_price) — one aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )

@@ -405,28 +405,34 @@ ORDER BY s.s_suppkey
 
 @register("q15_top_supplier", Q15_ORACLE)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15. The winner is selected with dense_rank over ONE
-    evaluation of the revenue aggregate — an equality join against a
-    separately computed MAX would compare two float-sum subtrees and
-    silently return zero rows if a replan (AQE, a future refactor)
-    ever stopped the exchange being reused and reduce-order ULP crept
-    in (r4 review finding). The rank window is global but its input is
-    the per-supplier aggregate — dimension-sized, not fact-sized.
-    Engines tie-break identically because each ranks its own sums."""
-    from pyspark.sql.window import Window
-
+    """TPC-H Q15. The winner selection must satisfy two constraints at
+    once: (a) no GLOBAL window — the per-supplier revenue aggregate is
+    SF-linear, and an unpartitioned dense_rank funnels all of it
+    through ONE task's sort at 100 TB (r5; same defect class as the
+    r4 broadcast-hint finding); (b) ONE evaluation of the float sums —
+    an equality join against a MAX computed from a re-executed subtree
+    can disagree by reduce-order ULPs and silently return zero rows
+    (r4 review finding). ``localCheckpoint(eager=True)`` gives both:
+    the aggregate materializes once (distributed), and the scalar max
+    + the equality filter both read those exact doubles, so ties are
+    preserved and the comparison is bit-safe. Engines agree because
+    each compares its own sums."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev()).alias("total_revenue_raw")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).alias("total_revenue_raw"))
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy(F.desc("total_revenue_raw"))
+    best = F.broadcast(
+        revenue.agg(F.max("total_revenue_raw").alias("__best"))
+    )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        revenue.withColumn("__rk", F.dense_rank().over(w))
-        .where(F.col("__rk") == 1)
+        revenue.crossJoin(best)
+        .where(F.col("total_revenue_raw") == F.col("__best"))
         # The rank==1 side is the bounded one; with no hint AQE
         # broadcasts IT into SF-linear supplier instead of vice versa.
         .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
