@@ -138,9 +138,38 @@ PICKS = {
         "single Window node"
     ),
     "rfm_segments": (
-        "RFM: broadcast dim join, partial agg per customer, three "
-        "NTILE windows share ONE mktsegment exchange (re-sort only "
-        "between them), final partial agg"
+        "RFM: UNHINTED customer join (AQE broadcasts at bench SF, "
+        "degrades to shuffle past the threshold — r5 hint policy), "
+        "partial agg per customer, three NTILE windows share ONE "
+        "mktsegment exchange (re-sort only between them), final agg"
+    ),
+    "nation_revenue_share": (
+        "ratio-to-report: unhinted customer join (r5 hint policy) + "
+        "broadcast nation/region; windowed SUM runs over the 25-row "
+        "aggregate, never fact rows"
+    ),
+    "q9_product_profit": (
+        "5-way profit join: part/supplier UNHINTED (AQE decides — r5 "
+        "hint policy), nation broadcast, one fact-keyed agg exchange"
+    ),
+    "q15_top_supplier": (
+        "windowless winner selection (r5): checkpointed revenue "
+        "aggregate + single-row MAX broadcast + equality filter — no "
+        "unpartitioned sort anywhere"
+    ),
+    "text_bm25_workload_topk": (
+        "BM25 workload: postings filtered by the broadcast query set, "
+        "per-query partitioned rank over precomputed dl/df/avgdl"
+    ),
+    "dedup_minhash_portable_pairs": (
+        "oracled MinHash: gram explode -> 8 min aggregates in one "
+        "groupBy, band self-join on 32-bit keys, coordinate-match "
+        "verify — all JVM-side"
+    ),
+    "nation_yoy_revenue_growth": (
+        "YoY: fact agg exchange, then LAG over the nation x year "
+        "aggregate (schema x time bounded) — window input never "
+        "fact-sized"
     ),
 }
 
