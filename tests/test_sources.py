@@ -151,3 +151,22 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert pruned.count() == orders.where(F.col("o_orderstatus") == "F").count()
+
+
+def test_binary_file_source_reads_opaque_media(spark, tmp_path):
+    """binaryFile ingest: one row per file, glob pruning at listing
+    time, length cap without reading content, bytes round-trip."""
+    from tfm_semisup_spark.sources import read_binary_files
+
+    payloads = {"a.img": b"\x89FAKE" * 10, "b.img": b"\x00" * 2048, "c.txt": b"skip"}
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"]["content"]) == payloads["a.img"]
+    assert rows["b.img"]["length"] == 2048
+
+    capped = read_binary_files(spark, str(tmp_path), glob="*.img", max_bytes=100)
+    assert [r["path"].rsplit("/", 1)[-1] for r in capped.collect()] == ["a.img"]

@@ -110,10 +110,7 @@ _ORACLE_PRIORITY = [
     "dedup_minhash_portable_pairs",
     "nation_yoy_revenue_growth",
     "stats_correlation_battery",
-    # -- 50th slot: q15 was rewritten late in r5 (global-rank window ->
-    # checkpointed max-equality join); pricing_summary is the oldest
-    # r3-green keeper and re-confirms the loader path --
-    "pricing_summary",
+    "weighted_reservoir_per_lang",
 ]
 
 

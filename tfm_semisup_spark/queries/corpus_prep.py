@@ -375,3 +375,45 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), "doc_id")
         .limit(WRS_K)
     )
+
+
+# Per-GROUP weighted reservoir (balanced eval-set construction): the
+# same A-Res keys as weighted_reservoir_sample, but top-k WITHIN each
+# language — the shape that builds a per-language-balanced eval or
+# annotation batch from a skewed corpus. Plan: one narrow key
+# projection, ONE lang exchange, per-group rank (never a global sort);
+# at 100 TB each group's top-k is a partitioned window over its own
+# rows.
+WRS_GROUP_K = 5
+
+WRS_PER_LANG_ORACLE = f"""
+SELECT lang, doc_id, n_chars, sample_key, CAST(rnk AS BIGINT) AS rank
+FROM (
+  SELECT lang, doc_id, n_chars,
+         {_WRS_KEY} AS sample_key,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_WRS_KEY} DESC, doc_id) AS rnk
+  FROM documents
+)
+WHERE rnk <= {WRS_GROUP_K}
+"""
+
+
+@register("weighted_reservoir_per_lang", WRS_PER_LANG_ORACLE)
+def weighted_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-WRS_GROUP_K weighted sample per language:
+    (lang, doc_id, n_chars, sample_key, rank)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(_WRS_KEY_SPARK).alias("sample_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= WRS_GROUP_K)
+    )

@@ -100,3 +100,32 @@ def write_partitioned_orc(
     """Partitioned ORC sink, mirroring ``write_partitioned_parquet``'s
     directory-pruning layout discipline."""
     df.write.partitionBy(*partition_cols).mode(mode).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Opaque-media source (``binaryFile`` format): one row per file
+    with (path, modificationTime, length, content binary) — the
+    ingest half of the multimodal family (operators/multimodal.py
+    processes the ``content`` column with Arrow ``mapInPandas``
+    kernels; decode itself is stubbed, container has no media libs).
+
+    100 TB notes: the format computes per-file splits up front, so a
+    directory of millions of images parallelizes by file;
+    ``pathGlobFilter`` prunes non-media files at listing time (never
+    reads them), and ``spark.sql.files.maxPartitionBytes`` groups
+    small files per task. ``max_bytes`` guards executor memory: each
+    row materializes a whole file, so cap and filter upstream of any
+    wide transformation (a length predicate is served by the file
+    LISTING, not by reading content)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
