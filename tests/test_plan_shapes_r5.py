@@ -156,3 +156,21 @@ def test_yoy_growth_first_year_sentinel(spark):
         series.sort()
         assert series[0][1] == -999.0  # first year has no prior
         assert all(g != -999.0 for _, g in series[1:])
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    """profile_columns: nulls excluded from n_nonnull/n_distinct, one
+    row per profiled column, extrema rendered as strings."""
+    from tfm_semisup_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.505), (3, "a", None), (4, "b", 2.505)],
+        "id bigint, cat string, val double",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["cat", "val"]).collect()}
+    assert set(rows) == {"cat", "val"}
+    c, v = rows["cat"], rows["val"]
+    assert (c["n_rows"], c["n_nonnull"], c["n_distinct"]) == (4, 3, 2)
+    assert (c["min_value"], c["max_value"]) == ("a", "b")
+    assert (v["n_nonnull"], v["n_distinct"]) == (3, 2)
+    assert v["min_value"] == "1.5000" and v["max_value"] == "2.5050"

@@ -140,3 +140,48 @@ def partition_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Column profiling (the authoring half of the expectations workflow):
+# completeness, exact cardinality, and portable-string extrema for a
+# fixed column set, one row per column, ONE scan (the k-way
+# count_distinct plans as an Expand ahead of a single exchange —
+# operators/profiling.py docstring has the scale notes).
+_PROFILE_COLS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderdate",
+]
+
+
+def _profile_oracle() -> str:
+    def leg(c: str) -> str:
+        if c == "o_totalprice":
+            mn, mx = f"printf('%.4f', MIN({c}))", f"printf('%.4f', MAX({c}))"
+        elif c == "o_orderdate":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST(MIN({c}) AS VARCHAR)", f"CAST(MAX({c}) AS VARCHAR)"
+        return (
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT({c}) AS BIGINT) AS n_nonnull,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM orders"
+        )
+
+    return "\nUNION ALL\n".join(leg(c) for c in _PROFILE_COLS)
+
+
+@register("profile_orders_columns", _profile_oracle())
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of orders: (col_name, n_rows, n_nonnull,
+    n_distinct, min_value, max_value) — one aggregation pass via
+    operators/profiling.py."""
+    from tfm_semisup_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
