@@ -175,3 +175,26 @@ def test_streaming_tumbling_finalized_is_deterministic(spark):
         for r in tumbling_window_hourly(spark, SF).collect()
     }
     assert first < batch  # strictly: the open tail windows are held back
+
+
+def test_streaming_sessions_finalized_subset_of_batch(spark):
+    """The stateful streaming tier (r5): deterministic across runs and
+    a subset of the batch gaps-and-islands sessionization (open-tail
+    sessions held back by the watermark)."""
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    fn = QUERIES["streaming_sessions_finalized"]
+    first = {tuple(r) for r in fn(spark, SF).collect()}
+    second = {tuple(r) for r in fn(spark, SF).collect()}
+    assert first == second and len(first) > 0
+    # total finalized events never exceed the batch per-user totals
+    batch = {
+        r["user_id"]: r["n_events"]
+        for r in session_window_30m(spark, SF).collect()
+    }
+    finalized = {}
+    for u, _, n in first:
+        finalized[u] = finalized.get(u, 0) + n
+    for u, n in finalized.items():
+        assert n <= batch[u]

@@ -111,6 +111,11 @@ _ORACLE_PRIORITY = [
     "nation_yoy_revenue_growth",
     "stats_correlation_battery",
     "weighted_reservoir_per_lang",
+    # -- positions 51+: outside the 50-slot window this round (locally
+    # green in test_oracle_parity + judge-verifiable via driver_sim);
+    # first in line for the r6 rotation --
+    "streaming_sessions_finalized",
+    "profile_orders_columns",
 ]
 
 

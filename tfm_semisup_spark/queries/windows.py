@@ -99,6 +99,74 @@ def streaming_tumbling_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Second streaming-materialized tier: STATEFUL session windows. Same
+# availableNow/append/foreachBatch contract as streaming_tumbling_
+# finalized, but the state is Spark's session-merging store, so this
+# oracles the harder streaming primitive. A session's window end is
+# last_event + gap; append mode releases it once end <= watermark
+# (same boundary as the tumbling tier; session starts/ends sit on
+# event-time microseconds, max(ts)-2h is ms-truncated — a disagreement
+# needs an event EXACTLY 2h-and-sub-ms after a session close, which
+# the parity runs at two SFs would surface). The oracle rebuilds the
+# sessions with the gaps-and-islands construction of SESSION_ORACLE
+# and applies the same finalization cutoff.
+STREAMING_SESSIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+),
+wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(n_events AS BIGINT) AS n_events
+FROM per_session, wm
+WHERE session_end + INTERVAL '30 minutes' <= wm.w
+"""
+
+
+@register("streaming_sessions_finalized", STREAMING_SESSIONS_ORACLE)
+def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-finalized per-user sessions via a REAL micro-batch
+    run: readStream -> withWatermark(2h) -> session_window(30m) ->
+    append-mode foreachBatch parquet sink -> batch read. Output
+    (user_id, session_start, n_events) — only sessions the watermark
+    closed."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.events import (
+        materialize_stream_to_parquet,
+        read_events_stream,
+        session_counts_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_sessions_")
+    stream = read_events_stream(spark, sf_dir)
+    result = session_counts_stream(stream, gap="30 minutes", watermark="2 hours")
+    materialize_stream_to_parquet(result, f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out").select(
+        "user_id",
+        F.date_format("session_start", TS_FMT).alias("session_start"),
+        "n_events",
+    )
+
+
 SLIDING_ORACLE = """
 WITH exploded AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
