@@ -174,3 +174,27 @@ def test_profile_columns_counts_nulls_and_distincts(spark):
     assert (c["min_value"], c["max_value"]) == ("a", "b")
     assert (v["n_nonnull"], v["n_distinct"]) == (3, 2)
     assert v["min_value"] == "1.5000" and v["max_value"] == "2.5050"
+
+
+def test_tpch_shapes_survive_no_broadcast(spark):
+    """Broadcast-policy rehearsal over the deepest join trees: with
+    auto-broadcast disabled entirely (every table 'too big'), the
+    hint-free shapes must still plan (no forced broadcast anywhere)
+    and return identical results via shuffle joins."""
+    # allowed = the schema-bounded hints that SHOULD stay broadcast at
+    # any scale: q5 hints nation+region, q9 hints nation only.
+    names = {"q5_local_supplier_volume": 2, "q9_product_profit": 1}
+    baseline = {
+        n: sorted(map(tuple, QUERIES[n](spark, SF).collect())) for n in names
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n, allowed in names.items():
+            df = QUERIES[n](spark, SF)
+            plan = _plan(df)
+            assert plan.count("BroadcastHashJoin") <= allowed, (n, plan)
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, n
+            assert sorted(map(tuple, df.collect())) == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
