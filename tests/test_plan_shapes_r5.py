@@ -198,3 +198,17 @@ def test_tpch_shapes_survive_no_broadcast(spark):
             assert sorted(map(tuple, df.collect())) == baseline[n], n
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_portable_simhash_pairs_nonempty_and_sane(spark):
+    """Portable SimHash: JVM-side plan; planted exact dups give
+    hamming 0 rows; every emitted pair is within the pigeonhole
+    threshold."""
+    df = QUERIES["dedup_simhash_portable_pairs"](spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows, "expected planted dup pairs at sf0.001"
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+    assert any(r["hamming"] == 0 for r in rows)  # exact dups collide fully

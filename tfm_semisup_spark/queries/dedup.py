@@ -922,3 +922,159 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_match") / 8.0, 4).alias("est_sim"),
         )
     )
+
+
+# PORTABLE SimHash: the simhash MATH oracled (sibling of the portable
+# MinHash above; the xxhash64 tier in operators/dedup.py stays the
+# throughput default). Per token the md5 digest's first 4 16-bit
+# slices give 64 vote bits; fingerprint = 4x16-bit parts (never a
+# signed-64 wraparound to disagree on); banded candidates on part
+# equality (4 bands ⇒ pigeonhole-complete for hamming <= 3); verify =
+# bit_count(xor) summed over parts — both engines implement both.
+_SH_PARTS = 4
+_SH_MAX_HAMMING = 3
+
+
+def _sh_oracle() -> str:
+    def slice_sql(s: int) -> str:
+        return md5_uniform16_sql("md5(token)", start=1 + 4 * s)
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (sl{s} & {1 << i}) > 0 THEN 1 ELSE -1 END) AS v{s}_{i}"
+        for s in range(_SH_PARTS)
+        for i in range(16)
+    )
+    fps = ",\n       ".join(
+        "("
+        + " + ".join(f"CASE WHEN v{s}_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+        + f") AS fp{s}"
+        for s in range(_SH_PARTS)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(CAST(a.fp{s} AS BIGINT), CAST(b.fp{s} AS BIGINT)))"
+        for s in range(_SH_PARTS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {s} AS band, fp{s} AS k FROM fp" for s in range(_SH_PARTS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+sliced AS (
+  SELECT doc_id,
+         {', '.join(f'{slice_sql(s)} AS sl{s}' for s in range(_SH_PARTS))}
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM sliced GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+       {fps}
+  FROM votes
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming
+FROM (
+  SELECT c.id1, c.id2, ({hamming}) AS hamming
+  FROM cand c JOIN fp a ON a.doc_id = c.id1 JOIN fp b ON b.doc_id = c.id2
+)
+WHERE hamming <= {_SH_MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash_portable_pairs", _sh_oracle())
+def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled SimHash near-dup pairs: (id1, id2, hamming <= 3).
+    md5-slice vote bits, 4x16-bit fingerprint parts, banded candidates
+    + bit_count(xor) verify — bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    sliced = toks.select(
+        "doc_id",
+        *[
+            F.expr(md5_uniform16_spark_sql("md5(token)", start=1 + 4 * s)).alias(
+                f"sl{s}"
+            )
+            for s in range(_SH_PARTS)
+        ],
+    )
+    votes = sliced.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col(f"sl{s}").bitwiseAND(1 << i) > 0, 1).otherwise(-1)
+            ).alias(f"v{s}_{i}")
+            for s in range(_SH_PARTS)
+            for i in range(16)
+        ]
+    )
+    fp_cols = [
+        sum(
+            F.when(F.col(f"v{s}_{i}") > 0, 1 << i).otherwise(0)
+            for i in range(16)
+        ).alias(f"fp{s}")
+        for s in range(_SH_PARTS)
+    ]
+    fp = votes.select("doc_id", *fp_cols)
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("band"), F.col(f"fp{s}").alias("k")
+                    )
+                    for s in range(_SH_PARTS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"fp{s}").alias(f"a{s}") for s in range(_SH_PARTS)],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"fp{s}").alias(f"b{s}") for s in range(_SH_PARTS)],
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a{s}").cast("long").bitwiseXOR(F.col(f"b{s}").cast("long"))
+        )
+        for s in range(_SH_PARTS)
+    )
+    return (
+        cand.join(fa, "id1")
+        .join(fb, "id2")
+        .select("id1", "id2", hamming.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= _SH_MAX_HAMMING)
+    )
