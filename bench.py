@@ -51,6 +51,9 @@ HEADLINE = [
     # registered as a cross-check query but is no longer benched.
     "dedup_minhash_banded_pairs",
     "dedup_simhash_pairs",
+    # r5: the fully-oracled portable minhash tier (md5-slice
+    # signatures) — visibility for the cross-engine dedup math path
+    "dedup_minhash_portable_pairs",
     "similarity_cosine_topk",
     # r4: ANN tier visibility (VERDICT r3 #7) — a regression in the PQ
     # encode/ADC scan or the composed IVF-PQ probe path was previously

@@ -212,3 +212,27 @@ def test_portable_simhash_pairs_nonempty_and_sane(spark):
     assert rows, "expected planted dup pairs at sf0.001"
     assert all(0 <= r["hamming"] <= 3 for r in rows)
     assert any(r["hamming"] == 0 for r in rows)  # exact dups collide fully
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert: inserts/updates/unchanged classified correctly,
+    update values win, pass-through columns survive, null-safe change
+    detection (NULL -> value is a change)."""
+    from tfm_semisup_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "id bigint, tag string, val double",
+    )
+    updates = spark.createDataFrame(
+        [(2, 20.0), (3, 30.0), (4, 40.0)], "id bigint, val double"
+    )
+    rows = {
+        r["id"]: r
+        for r in merge_upsert(target, updates, ["id"], ["val"]).collect()
+    }
+    assert rows[1]["__merge_action"] == "unchanged" and rows[1]["val"] == 10.0
+    assert rows[2]["__merge_action"] == "updated" and rows[2]["val"] == 20.0
+    assert rows[2]["tag"] == "b"  # pass-through column survives update
+    assert rows[3]["__merge_action"] == "unchanged"  # equal value
+    assert rows[4]["__merge_action"] == "inserted" and rows[4]["tag"] is None

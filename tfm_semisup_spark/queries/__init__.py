@@ -116,6 +116,8 @@ _ORACLE_PRIORITY = [
     # first in line for the r6 rotation --
     "streaming_sessions_finalized",
     "profile_orders_columns",
+    "dedup_simhash_portable_pairs",
+    "merge_upsert_orders",
 ]
 
 

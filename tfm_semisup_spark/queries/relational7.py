@@ -314,3 +314,62 @@ def stats_correlation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
     )
+
+
+# SCD1 merge/upsert (operators/merge.py): apply a deterministic change
+# set derived from orders itself — keys %1000==0 get a 10% price bump
+# (updates), keys %1000==1 are re-keyed out of range (inserts) — then
+# audit the merged relation per action. double*1.1 is one IEEE
+# multiply, bit-identical across engines; cents are floored AFTER it.
+MERGE_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice
+  FROM orders WHERE o_orderkey % 1000 = 1
+),
+merged AS (
+  SELECT CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+              WHEN u.o_orderkey IS NOT NULL
+                   AND u.o_totalprice IS DISTINCT FROM t.o_totalprice
+                   THEN 'updated'
+              ELSE 'unchanged' END AS merge_action,
+         CASE WHEN u.o_orderkey IS NOT NULL
+              THEN u.o_totalprice ELSE t.o_totalprice END AS price
+  FROM orders t FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+)
+SELECT merge_action,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(price * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM merged GROUP BY merge_action
+"""
+
+
+@register("merge_upsert_orders", MERGE_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge audit: (merge_action, n, cents) after upserting a
+    derived change set into orders via operators/merge.py (one
+    full-outer key shuffle, no window, no driver state)."""
+    from tfm_semisup_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    bumped = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice")
+    )
+    fresh = orders.where(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    merged = merge_upsert(
+        orders, bumped.unionByName(fresh), ["o_orderkey"], ["o_totalprice"]
+    )
+    return (
+        merged.groupBy(F.col("__merge_action").alias("merge_action"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            ).cast("bigint").alias("cents"),
+        )
+    )
