@@ -118,6 +118,8 @@ _ORACLE_PRIORITY = [
     "profile_orders_columns",
     "dedup_simhash_portable_pairs",
     "merge_upsert_orders",
+    "event_path_bigrams",
+    "rolling_7d_active_users",
 ]
 
 

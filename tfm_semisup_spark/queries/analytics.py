@@ -526,3 +526,105 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     release(pairs)
     release(pr)
     return out
+
+
+# Event-path bigrams: the sequence-mining primitive (what do users do
+# NEXT) — per-user event stream ordered by time, adjacent
+# (step, next_step) pairs counted corpus-wide. One user-keyed window
+# (LEAD), one pair aggregate; the final top-k is
+# TakeOrderedAndProject. Ties broken by the pair itself so the cutoff
+# row is deterministic in both engines.
+PATH_BIGRAMS_ORACLE = """
+SELECT step, next_step, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type AS step,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_step
+  FROM events
+)
+WHERE next_step IS NOT NULL
+GROUP BY step, next_step
+ORDER BY n DESC, step, next_step
+LIMIT 20
+"""
+
+
+@register("event_path_bigrams", PATH_BIGRAMS_ORACLE)
+def event_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent event-type transitions: (step, next_step, n)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("step"),
+            F.lead("event_type").over(w).alias("next_step"),
+        )
+        .where(F.col("next_step").isNotNull())
+        .groupBy("step", "next_step")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step", "next_step")
+        .limit(20)
+    )
+
+
+# Rolling 7-day distinct actives: COUNT(DISTINCT) over a sliding
+# window has no distributed window form — the scale-correct
+# re-expression EXPLODES each (user, activity-day) into the 7 window
+# end-days it contributes to, then runs an ordinary distinct +
+# groupBy. Shuffle volume is 7x the per-day distinct user set (tiny
+# vs events), every stage is a plain hash aggregate, and the same
+# construction runs verbatim in DuckDB. Window end-days past the data
+# edge are filtered so every reported day has a full observation
+# window of real data behind it.
+ROLLING_ACTIVES_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+contrib AS (
+  SELECT DISTINCT user_id, day + CAST(o AS INT) AS wday
+  FROM user_days, UNNEST(generate_series(0, 6)) AS t(o)
+)
+SELECT strftime(wday, '%Y-%m-%d') AS window_end_day,
+       CAST(COUNT(*) AS BIGINT) AS active_users_7d
+FROM contrib, bounds
+WHERE wday <= max_day
+GROUP BY wday
+"""
+
+
+@register("rolling_7d_active_users", ROLLING_ACTIVES_ORACLE)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the 7 days ending each day:
+    (window_end_day, active_users_7d) — sliding-distinct via the
+    explode re-expression (no distinct-over-window exists)."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    max_day = F.broadcast(
+        events.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    )
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("o"),
+            "day",
+        )
+        .select("user_id", F.date_add("day", F.col("o")).alias("wday"))
+        .distinct()
+    )
+    return (
+        contrib.crossJoin(max_day)
+        .where(F.col("wday") <= F.col("max_day"))
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users_7d"))
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("window_end_day"),
+            "active_users_7d",
+        )
+    )
