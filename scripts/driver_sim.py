@@ -38,9 +38,15 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    import os
+
+    # $DRIVER_SIM_SHUFFLE overrides the partition count — a cheap
+    # partitioning-sensitivity sweep (every oracle must hash-match at
+    # ANY parallelism, or it would be driver-environment-dependent).
+    shuffle = os.environ.get("DRIVER_SIM_SHUFFLE", "32")
     spark = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .appName("driver-sim")
         .getOrCreate()
