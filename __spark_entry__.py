@@ -2,13 +2,15 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (152 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (164 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (126 entries).
+equivalent DuckDB SQL (138 entries — all verified hash-matching at
+sf0.01 AND at an alternate shuffle-partition count, so no oracle is
+driver-environment-dependent).
 
 The 26 rows-only entries (no oracle) are each non-SQL-expressible for
 one of four reasons, and all are deterministic under fixed seeds and
-independent of partitioning (locally verified by the 250+ test suite):
+independent of partitioning (locally verified by the 340+ test suite):
 
 - ``ssl_*`` (9): MLlib training loops (DT/RF/NB/LR fits, CV folds) —
   model fitting is not SQL; checked against BASELINE.md quality
@@ -18,8 +20,11 @@ independent of partitioning (locally verified by the 250+ test suite):
   quantizers) — engine-side models; recall-vs-exact >= 0.9 tested.
 - ``dedup_minhash_* / _simhash_* / _semantic_*`` (5): keyed on
   xxhash64 (no DuckDB equivalent) or k-means; the banded MinHash pair
-  set is equality-tested against the ORACLED exact-Jaccard tier, and
-  SemDeDup has planted-duplicate + exact-cosine tests.
+  set is equality-tested against the ORACLED exact-Jaccard tier,
+  SemDeDup has planted-duplicate + exact-cosine tests, and BOTH
+  signature families also have fully-oracled md5-keyed siblings
+  (``dedup_minhash_portable_pairs``, ``dedup_simhash_portable_pairs``)
+  that drive the same math through DuckDB.
 - ``sketch_*`` (3), ``pack_first_fit_bins``, ``text_tfidf_norms``:
   approximate sketches (HLL/GK — engine-specific estimates),
   inherently sequential per-bucket packing, and hashed TF-IDF —
