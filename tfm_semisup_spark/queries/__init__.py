@@ -120,6 +120,7 @@ _ORACLE_PRIORITY = [
     "merge_upsert_orders",
     "event_path_bigrams",
     "rolling_7d_active_users",
+    "referential_integrity_audit",
 ]
 
 

@@ -185,3 +185,57 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         load_table(spark, sf_dir, "orders"), _PROFILE_COLS
     )
+
+
+# Referential-integrity audit (the Deequ check family the constraint
+# suite didn't cover): orphan counts for every foreign key in the
+# star schema, one row per FK edge. Each leg is an ANTI join keyed on
+# the FK — shuffles on the key (or broadcasts the schema-bounded
+# side), no fact-fact products; the synthetic data is intact, so the
+# expected counts are zero, which is exactly what the audit asserts
+# in production too.
+RI_ORACLE = """
+SELECT 'orders.o_custkey->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_partkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_suppkey IS NULL
+UNION ALL
+SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL
+"""
+
+
+@register("referential_integrity_audit", RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts per FK edge: (fk, n_orphans) — five anti-join
+    legs unioned; all zero on intact data."""
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for fk, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(ck)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        leg = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(fk).alias("fk"), "n_orphans")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
