@@ -170,3 +170,30 @@ def test_binary_file_source_reads_opaque_media(spark, tmp_path):
 
     capped = read_binary_files(spark, str(tmp_path), glob="*.img", max_bytes=100)
     assert [r["path"].rsplit("/", 1)[-1] for r in capped.collect()] == ["a.img"]
+
+
+def test_binary_source_feeds_multimodal_feature_kernel(spark, tmp_path):
+    """Integration: the binaryFile source's (path, content) rows flow
+    through the Arrow mapInPandas feature extractor — the real ingest
+    half of the multimodal family (stand-in payloads elsewhere come
+    from encoded text)."""
+    from tfm_semisup_spark.operators.multimodal import extract_media_features
+    from tfm_semisup_spark.sources import read_binary_files
+
+    blobs = {f"m{i}.img": bytes([i]) * (100 + i) for i in range(4)}
+    for name, blob in blobs.items():
+        (tmp_path / name).write_bytes(blob)
+
+    from pyspark.sql import functions as F
+
+    media = read_binary_files(spark, str(tmp_path), glob="*.img").select(
+        F.regexp_extract(
+            F.col("path"), r"m(\d+)\.img$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    rows = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for i in range(4):
+        assert rows[i]["n_bytes"] == 100 + i
+        assert rows[i]["checksum_mod"] == (i * 64) % 997
