@@ -855,18 +855,25 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     grams = (
         docs.withColumn("w", toks)
         .select("doc_id", F.explode(word_ngrams(F.col("w"), 3)).alias("gram"))
     )
-    sig = grams.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
-            ).alias(f"m{j}")
-            for j in range(_MH_SLICES)
-        ]
+    # narrow-cache rule: the signature table feeds THREE consumers
+    # (bands + both verify sides) — checkpoint it once, release after
+    # the pair result materializes
+    sig = truncate(
+        grams.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
+                ).alias(f"m{j}")
+                for j in range(_MH_SLICES)
+            ]
+        )
     )
     bands = sig.select(
         "doc_id",
@@ -906,7 +913,7 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         for j in range(_MH_SLICES)
     )
-    return (
+    out = truncate(
         cand.join(sa, "id1")
         .join(sb, "id2")
         .select(
@@ -922,6 +929,8 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_match") / 8.0, 4).alias("est_sim"),
         )
     )
+    release(sig)
+    return out
 
 
 # PORTABLE SimHash: the simhash MATH oracled (sibling of the portable
@@ -1017,6 +1026,8 @@ def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_SH_PARTS)
         ],
     )
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
     votes = sliced.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -1033,7 +1044,8 @@ def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"fp{s}")
         for s in range(_SH_PARTS)
     ]
-    fp = votes.select("doc_id", *fp_cols)
+    # narrow-cache rule: fp feeds bands + both verify sides
+    fp = truncate(votes.select("doc_id", *fp_cols))
     bands = fp.select(
         "doc_id",
         F.explode(
@@ -1072,9 +1084,11 @@ def dedup_simhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in range(_SH_PARTS)
     )
-    return (
+    out = truncate(
         cand.join(fa, "id1")
         .join(fb, "id2")
         .select("id1", "id2", hamming.cast("bigint").alias("hamming"))
         .where(F.col("hamming") <= _SH_MAX_HAMMING)
     )
+    release(fp)
+    return out
