@@ -232,8 +232,18 @@ def text_bm25_workload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order ULPs can't swap ranks across engines."""
     from pyspark.sql import Window
 
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
     docs = load_table(spark, sf_dir, "documents")
     postings, doc_len, term_df, stats = build_bm25_stats(docs)
+    # Materialize postings ONCE: df derives from it and the score join
+    # consumes it again — unchecked, that is two full corpus explodes
+    # (the inline stand-in for the bucketed postings TABLE a real
+    # deployment writes; measured 1.45 -> 1.13s at sf0.1, r5).
+    postings = truncate(postings)
+    term_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
     qdf = spark.createDataFrame(
         list(_WORKLOAD_QUERIES), "query_id string, term string"
     )
@@ -259,11 +269,13 @@ def text_bm25_workload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(weight), 4).alias("bm25"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
-    return (
+    out = truncate(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 5)
         .select("query_id", "doc_id", "bm25", "rank")
     )
+    release(postings)
+    return out
 
 
 EDITDIST_ORACLE = """
