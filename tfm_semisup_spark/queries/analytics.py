@@ -600,13 +600,19 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users active in the 7 days ending each day:
     (window_end_day, active_users_7d) — sliding-distinct via the
     explode re-expression (no distinct-over-window exists)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
     events = load_table(spark, sf_dir, "events")
-    user_days = events.select(
-        "user_id", F.col("ts").cast("date").alias("day")
-    ).distinct()
-    max_day = F.broadcast(
-        events.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    # ONE corpus scan: the data edge (max day) derives from the same
+    # distinct (user, day) relation the explode consumes — checkpointed
+    # so the two consumers read one materialization, never a second
+    # events pass. max(day of distinct user-days) == max(date(ts)).
+    user_days = truncate(
+        events.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct()
     )
+    max_day = F.broadcast(user_days.agg(F.max("day").alias("max_day")))
     contrib = (
         user_days.select(
             "user_id",
