@@ -171,6 +171,28 @@ PICKS = {
         "aggregate (schema x time bounded) — window input never "
         "fact-sized"
     ),
+    "dedup_minhash_portable_pairs": (
+        "oracled MinHash: checkpointed signature table feeds bands + "
+        "both verify sides (one corpus explode), band join on 32-bit "
+        "keys"
+    ),
+    "merge_upsert_orders": (
+        "SCD1 merge: ONE full-outer key shuffle, action classification "
+        "in the projection — no window, no driver state"
+    ),
+    "rolling_7d_active_users": (
+        "sliding COUNT DISTINCT: checkpointed (user, day) distinct "
+        "exploded into 7 contribution days — shuffle is 7x the "
+        "per-day distinct set, never events"
+    ),
+    "referential_integrity_audit": (
+        "five FK anti-join legs unioned; nation-sized parents "
+        "broadcast, fact-sized legs shuffle on the key"
+    ),
+    "weighted_reservoir_per_lang": (
+        "per-group A-Res: one lang exchange + per-group rank — "
+        "never a global sort"
+    ),
 }
 
 
