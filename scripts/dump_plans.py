@@ -161,11 +161,6 @@ PICKS = {
         "BM25 workload: postings filtered by the broadcast query set, "
         "per-query partitioned rank over precomputed dl/df/avgdl"
     ),
-    "dedup_minhash_portable_pairs": (
-        "oracled MinHash: gram explode -> 8 min aggregates in one "
-        "groupBy, band self-join on 32-bit keys, coordinate-match "
-        "verify — all JVM-side"
-    ),
     "nation_yoy_revenue_growth": (
         "YoY: fact agg exchange, then LAG over the nation x year "
         "aggregate (schema x time bounded) — window input never "

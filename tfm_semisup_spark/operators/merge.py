@@ -29,11 +29,30 @@ def merge_upsert(
     """Merged relation with a ``__merge_action`` column in
     {'inserted', 'updated', 'unchanged'}. Update rows win column-wise
     on key match; ``compare_cols`` (default: all non-key columns the
-    sides share) decide updated-vs-unchanged for matched keys."""
+    sides share) decide updated-vs-unchanged for matched keys.
+
+    Preconditions (ADVICE r5): the merge key must be UNIQUE within
+    ``updates`` (a duplicate update key fans target rows out through
+    the full-outer join — classic MERGE engines reject this as a
+    cardinality violation) and NON-NULL on both sides (the presence
+    probes below classify a row by ``isNotNull`` of its first key
+    part). ``compare_cols`` must be a subset of the value columns both
+    sides share — that is validated eagerly here; key uniqueness/
+    non-nullness are data properties the caller owns (checking them
+    would cost an extra full pass per merge at 100 TB — run
+    ``queries/expectations.py`` constraint audits upstream instead).
+    """
     value_cols = [c for c in target.columns if c not in key_cols]
     shared = [c for c in value_cols if c in updates.columns]
     if compare_cols is None:
         compare_cols = shared
+    else:
+        bad = [c for c in compare_cols if c not in shared]
+        if bad:
+            raise ValueError(
+                f"compare_cols {bad} not value columns shared by both "
+                f"sides (shared: {shared})"
+            )
 
     t = target.select(
         *[F.col(k).alias(f"__tk_{k}") for k in key_cols],

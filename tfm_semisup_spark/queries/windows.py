@@ -104,10 +104,12 @@ def streaming_tumbling_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # finalized, but the state is Spark's session-merging store, so this
 # oracles the harder streaming primitive. A session's window end is
 # last_event + gap; append mode releases it once end <= watermark
-# (same boundary as the tumbling tier; session starts/ends sit on
-# event-time microseconds, max(ts)-2h is ms-truncated — a disagreement
-# needs an event EXACTLY 2h-and-sub-ms after a session close, which
-# the parity runs at two SFs would surface). The oracle rebuilds the
+# (same boundary as the tumbling tier). Spark's event-time watermark
+# is MILLISECOND-truncated (event times are tracked in ms) while
+# session ends sit on event-time microseconds, so the oracle truncates
+# max(ts) to ms BEFORE subtracting the delay — parity holds by
+# construction instead of relying on no session closing in the sub-ms
+# band (ADVICE r5). The oracle rebuilds the
 # sessions with the gaps-and-islands construction of SESSION_ORACLE
 # and applies the same finalization cutoff.
 STREAMING_SESSIONS_ORACLE = """
@@ -132,7 +134,8 @@ per_session AS (
          COUNT(*) AS n_events
   FROM sessions GROUP BY 1, 2
 ),
-wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events)
+wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '2 hours' AS w
+       FROM events)
 SELECT user_id,
        strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
        CAST(n_events AS BIGINT) AS n_events
