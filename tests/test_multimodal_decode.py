@@ -1,0 +1,123 @@
+"""Real image decode (operators/multimodal.py::decode_images): pure
+numpy BMP/PPM parsing inside the Arrow kernel — roundtrip pixel
+equality, format-signature rejection for compressed formats, and the
+end-to-end binaryFile -> payload -> pixels -> stats path with planted
+fixture bytes (VERDICT r5 #5)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tfm_semisup_spark.operators.multimodal import (
+    decode_payload,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _pixels(h: int, w: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact_pixels_with_row_padding():
+    # width 5 -> 15-byte rows padded to 16: the 4-byte-stride branch
+    arr = _pixels(3, 5, seed=1)
+    fmt, out = decode_payload(encode_bmp(arr))
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_bmp_roundtrip_aligned_width():
+    arr = _pixels(4, 8, seed=2)  # 24-byte rows, no padding
+    fmt, out = decode_payload(encode_bmp(arr))
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_bmp_top_down_negative_height():
+    # hand-flip an encoded BMP into top-down form: negate the height
+    # field and reverse the stored row order; decode must agree
+    arr = _pixels(3, 4, seed=3)
+    data = bytearray(encode_bmp(arr))
+    (h,) = struct.unpack_from("<i", data, 22)
+    struct.pack_into("<i", data, 22, -h)
+    stride = (4 * 3 + 3) // 4 * 4
+    rows = [bytes(data[54 + y * stride : 54 + (y + 1) * stride]) for y in range(h)]
+    data[54:] = b"".join(reversed(rows))
+    fmt, out = decode_payload(bytes(data))
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    arr = _pixels(2, 3, seed=4)
+    fmt, out = decode_payload(encode_ppm(arr))
+    assert fmt == "ppm"
+    np.testing.assert_array_equal(out, arr)
+    # comments between header tokens are legal PPM
+    commented = b"P6\n# planted comment\n3 2\n# another\n255\n" + arr.tobytes()
+    fmt2, out2 = decode_payload(commented)
+    assert fmt2 == "ppm"
+    np.testing.assert_array_equal(out2, arr)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 32,
+        b"\xff\xd8\xff\xe0" + b"\x00" * 32,
+        b"GIF89a" + b"\x00" * 32,
+        b"RIFF\x00\x00\x00\x00WEBP",
+        b"????" + b"\x00" * 32,  # unknown signature
+    ],
+)
+def test_compressed_or_unknown_signatures_raise(payload):
+    with pytest.raises(NotImplementedError):
+        decode_payload(payload)
+
+
+def test_bmp_8bit_raises():
+    # patch bpp to 8 in a valid header: unsupported depth must be loud
+    data = bytearray(encode_bmp(_pixels(2, 2)))
+    struct.pack_into("<H", data, 28, 8)
+    with pytest.raises(NotImplementedError):
+        decode_payload(bytes(data))
+
+
+def test_binaryfile_to_pixel_stats_end_to_end(spark, tmp_path):
+    """binaryFile source -> decode_images -> per-channel means, with
+    planted bytes whose means are known in closed form."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.operators.multimodal import decode_images
+    from tfm_semisup_spark.sources import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    flat = np.zeros((2, 2, 3), dtype=np.uint8)
+    flat[:, :, 0] = 10  # mean_r = 10
+    flat[:, :, 1] = 20
+    flat[:, :, 2] = 40
+    (media / "img0.bmp").write_bytes(encode_bmp(flat))
+    grad = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    (media / "img1.ppm").write_bytes(encode_ppm(grad))
+    (media / "notes.txt").write_text("not an image")
+
+    files = read_binary_files(spark, str(media), glob="img*.*")
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"img(\d+)\.", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    rows = {r["doc_id"]: r for r in decode_images(payloads).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["format"], rows[0]["width"], rows[0]["height"]) == ("bmp", 2, 2)
+    assert (rows[0]["mean_r"], rows[0]["mean_g"], rows[0]["mean_b"]) == (10.0, 20.0, 40.0)
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("ppm", 3, 2)
+    expected = grad.reshape(-1, 3).mean(axis=0)
+    assert rows[1]["mean_r"] == pytest.approx(expected[0])
+    assert rows[1]["mean_g"] == pytest.approx(expected[1])
+    assert rows[1]["mean_b"] == pytest.approx(expected[2])

@@ -7,12 +7,14 @@ feature-extract, frame-sample) runs through Arrow-batched
 so a 100 TB media table streams through Python in columnar batches
 instead of row-at-a-time pickling.
 
-The decode step itself is stubbed (no image/audio libs in this
-container): ``decode_stub`` computes deterministic per-payload features
-(byte length, a checksum-derived pseudo-dimension) so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested. Swap
-``_extract_features`` for a real decoder (PIL/torchaudio/ffmpeg) in
-production; the UDF signature and plan shape do not change.
+Decode tiers: UNCOMPRESSED image formats (24-bit BMP, P6 PPM) are
+decoded for real — pure-numpy header+pixel parsing inside the Arrow
+kernel (``decode_images``), no media libs needed. Compressed formats
+(PNG/JPEG/GIF) raise NotImplementedError by signature: entropy coding
+needs a codec library this container lacks; swap ``decode_payload``
+for PIL/ffmpeg in production — the mapInPandas signature, schema, and
+plan shape do not change. ``extract_media_features`` remains the
+format-agnostic checksum stub for payloads that are not images at all.
 """
 
 from __future__ import annotations
@@ -109,14 +111,150 @@ def sample_chunks(df: DataFrame, chunk_size: int = 100) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=CHUNK_SCHEMA)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Placeholder for a real image decode — the container has no image
-    libs. Kept as an explicit NotImplementedError so callers fail loudly
-    rather than silently skipping the decode."""
+# ---------------------------------------------------------------------------
+# Real image decode for UNCOMPRESSED formats (VERDICT r5 #5): BMP
+# (24-bit BI_RGB) and PPM (P6) are parsed in pure numpy inside the same
+# Arrow mapInPandas boundary — no media libs needed. Compressed formats
+# (PNG/JPEG/GIF/WebP) still raise NotImplementedError loudly: entropy
+# decoding genuinely needs a codec library this container lacks.
+# Encoders are provided for fixture/test generation so the full path
+# binaryFile -> payload -> pixels -> feature stats is testable
+# end-to-end with planted bytes.
+# ---------------------------------------------------------------------------
+
+_COMPRESSED_SIGNATURES = {
+    b"\x89PNG": "png",
+    b"\xff\xd8": "jpeg",
+    b"GIF8": "gif",
+    b"RIFF": "webp/riff",
+}
+
+
+def encode_bmp(pixels) -> bytes:
+    """24-bit uncompressed (BI_RGB) BMP from an (h, w, 3) uint8 RGB
+    array — bottom-up row order, 4-byte-padded rows, BGR channel order,
+    exactly the layout the decoder must undo."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    pixel_bytes = bytes(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + pixel_bytes
+
+
+def encode_ppm(pixels) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h, w, 3) uint8 RGB array."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_payload(data: bytes):
+    """Parse one image payload -> (format, (h, w, 3) uint8 RGB array).
+
+    Supports the two uncompressed formats a pure-numpy parser can
+    handle: BMP (24-bit BI_RGB, top-down or bottom-up) and PPM (P6).
+    Compressed formats raise NotImplementedError by signature so a
+    misrouted JPEG fails loudly, never as a garbage pixel array."""
+    import struct
+
+    import numpy as np
+
+    for sig, fmt in _COMPRESSED_SIGNATURES.items():
+        if data[: len(sig)] == sig:
+            raise NotImplementedError(
+                f"{fmt} is entropy-coded; decoding needs a codec library "
+                "not present in this container (PIL/opencv/ffmpeg)"
+            )
+    if data[:2] == b"BM":
+        if len(data) < 54:
+            raise ValueError("truncated BMP header")
+        (offset,) = struct.unpack_from("<I", data, 10)
+        _dib_size, w, h_signed = struct.unpack_from("<Iii", data, 14)
+        (bpp,) = struct.unpack_from("<H", data, 28)
+        (compression,) = struct.unpack_from("<I", data, 30)
+        if compression != 0 or bpp != 24:
+            raise NotImplementedError(
+                f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        h = abs(h_signed)
+        stride = (w * 3 + 3) // 4 * 4
+        raw = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        if h_signed > 0:  # bottom-up (the default) -> flip to top-down
+            rows = rows[::-1]
+        return "bmp", np.ascontiguousarray(rows)
+    if data[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>,
+        # with '#' comments allowed between tokens
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        raw = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
+        return "ppm", raw.reshape(h, w, 3).copy()
     raise NotImplementedError(
-        "image decoding requires PIL/opencv (not in this container); "
-        "use extract_media_features for the tested stub path"
+        f"unrecognized image signature {data[:4]!r}; supported "
+        "uncompressed formats: BMP (24-bit), PPM (P6)"
     )
+
+
+DECODE_SCHEMA = (
+    "doc_id long, format string, width long, height long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_images(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode (doc_id, payload) image bytes -> per-image pixel stats
+    via the standard Arrow mapInPandas boundary (real decode, not the
+    stub): format, dimensions, per-channel means. Narrow op — no
+    shuffle; parallelism comes from input splits, same contract as
+    extract_media_features."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "format", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                fmt, arr = decode_payload(bytes(payload))
+                means = arr.reshape(-1, 3).mean(axis=0)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id long, thumb binary, thumb_bytes long"
