@@ -170,6 +170,110 @@ def streaming_sessions_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Third streaming-materialized tier (VERDICT r5 #4): INGEST DEDUP via
+# dropDuplicatesWithinWatermark — the last major streaming primitive
+# that was stream==batch smoke-only. Same availableNow/append/
+# foreachBatch artifact contract as the window tiers. Determinism: the
+# single-file source yields ONE data micro-batch whose starting
+# watermark is the epoch, so no row is late-dropped and no state is
+# evicted mid-batch — each distinct fingerprint is emitted exactly
+# once. WHICH physical row survives per fingerprint is
+# partitioning-dependent, so the artifact projects only columns that
+# are functions of the fingerprint itself (fp, event_type); the batch
+# read then aggregates to per-type unique-key counts, which the oracle
+# states directly as COUNT(DISTINCT user_id) — an inflated count would
+# expose any duplicate emission, a deflated one any wrong late-drop.
+STREAMING_DEDUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("streaming_dedup_finalized", STREAMING_DEDUP_ORACLE)
+def streaming_dedup_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded ingest dedup via a REAL micro-batch run:
+    readStream -> fingerprint (md5 of user_id|event_type) ->
+    dropDuplicatesWithinWatermark -> append-mode foreachBatch parquet
+    sink -> batch read + per-type rollup. State is bounded by the
+    2-hour watermark horizon (the property that matters on an
+    unbounded feed); output (event_type, n_unique_users)."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.dedup import stream_exact_dedup
+    from tfm_semisup_spark.streaming.events import (
+        materialize_stream_to_parquet,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_dedup_")
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "__key", F.concat_ws("|", F.col("user_id"), F.col("event_type"))
+    )
+    deduped = stream_exact_dedup(
+        stream, ts_col="ts", text_col="__key", watermark="2 hours"
+    ).select("fp", "event_type")
+    materialize_stream_to_parquet(deduped, f"{base}/out", f"{base}/ckpt")
+    return (
+        spark.read.parquet(f"{base}/out")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )
+
+
+# Fourth streaming-materialized tier: STREAM-STREAM interval join.
+# Inner-join matches are final the moment both sides are present, so
+# append mode emits every pair inside the single availableNow data
+# micro-batch; the watermarks + two-sided time bound are what let
+# Spark evict buffered state (the 100 TB property), not an emission
+# gate here. The emitted PAIR SET (l_event, r_event) is deterministic
+# regardless of partitioning; the artifact is rolled up per user so
+# the compare stays small, and the oracle is the batch range-join SQL
+# (the batch twin of streaming/events.py::interval_join_stream).
+STREAMING_INTERVAL_JOIN_ORACLE = """
+SELECT a.user_id, COUNT(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '5 minutes'
+GROUP BY a.user_id
+"""
+
+
+@register("streaming_interval_join_finalized", STREAMING_INTERVAL_JOIN_ORACLE)
+def streaming_interval_join_finalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream interval join via a REAL micro-batch run: two
+    readStream legs over events, watermarked user-keyed join pairing
+    each event with same-user events in the following 5 minutes,
+    append-mode foreachBatch parquet sink, batch read + per-user pair
+    count. Output (user_id, n_pairs) — must equal the batch range
+    join."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.events import (
+        interval_join_stream,
+        materialize_stream_to_parquet,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_ivjoin_")
+    pairs = interval_join_stream(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        interval="5 minutes",
+        watermark="2 hours",
+    ).select("l_user", "l_event", "r_event")
+    materialize_stream_to_parquet(pairs, f"{base}/out", f"{base}/ckpt")
+    return (
+        spark.read.parquet(f"{base}/out")
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 SLIDING_ORACLE = """
 WITH exploded AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
