@@ -33,16 +33,31 @@ def _fmt(col: Column, dtype: str) -> Column:
     return col.cast("string")
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: list[str], approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """Long-form profile: one row per column —
     (col_name, n_rows, n_nonnull, n_distinct, min_value, max_value),
-    min/max rendered as portable strings. Single aggregation pass."""
+    min/max rendered as portable strings. Single aggregation pass.
+
+    ``approx=True`` swaps exact ``count_distinct`` for
+    ``approx_count_distinct`` (HyperLogLog++, relative sd ``rsd``) —
+    same single scan but WITHOUT the k-way Expand the exact form plans,
+    so at extreme cardinalities the map-side row blowup disappears. The
+    HLL sketch merge is commutative/associative, so the estimate is
+    deterministic and partitioning-insensitive (rows-only registry
+    contract)."""
     dtypes = dict(df.dtypes)
+    nd = (
+        (lambda c: F.approx_count_distinct(c, rsd))
+        if approx
+        else F.count_distinct
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"__nn_{c}"),
-            F.count_distinct(c).alias(f"__nd_{c}"),
+            nd(c).alias(f"__nd_{c}"),
             _fmt(F.min(c), dtypes[c]).alias(f"__min_{c}"),
             _fmt(F.max(c), dtypes[c]).alias(f"__max_{c}"),
         ]

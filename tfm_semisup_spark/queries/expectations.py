@@ -187,6 +187,23 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("profile_orders_columns_approx")
+def profile_orders_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate profiling tier (VERDICT r5 #6): same single-scan
+    profile with approx_count_distinct (HLL++, rsd=0.05) in place of
+    exact count_distinct — the plan drops the k-way Expand, the read
+    shape for extreme-cardinality columns at 100 TB. Rows-only: the
+    HLL estimate is deterministic (sketch merge is order-insensitive)
+    but not reproducible in DuckDB's approx algorithm; the error bound
+    vs the exact tier is pinned by
+    tests/test_plan_shapes_r6.py::test_profile_approx_within_rsd."""
+    from tfm_semisup_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS, approx=True
+    )
+
+
 # Referential-integrity audit (the Deequ check family the constraint
 # suite didn't cover): orphan counts for every foreign key in the
 # star schema, one row per FK edge. Each leg is an ANTI join keyed on
