@@ -124,6 +124,51 @@ def test_co_training_threshold(labeled_points):
     assert model.transform(labeled_points).select("prediction").distinct().count() <= 2
 
 
+def test_co_training_feature_split_threshold(labeled_points):
+    """viewSplit='features' (Blum-Mitchell): disjoint half-vector views
+    over one shared pool; summary bookkeeping must balance and the
+    final model predicts on the FULL feature vector."""
+    data = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    ct = CoTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5),
+        threshold=0.75,
+        maxIter=3,
+        viewSplit="features",
+    )
+    model = ct.fit(data)
+    s = model.ss_summary
+    assert s.labeled_initial + s.unlabeled_initial == labeled_points.count()
+    assert s.labeled_final + s.unlabeled_final == labeled_points.count()
+    assert s.labeled_final >= s.labeled_initial
+    assert 1 <= s.iterations <= 3
+    preds = model.transform(labeled_points)
+    assert preds.count() == labeled_points.count()
+    assert preds.select("prediction").distinct().count() <= 2
+
+
+def test_co_training_feature_split_kbest(labeled_points):
+    data = UnlabeledTransformer(percentageLabeled=0.4, seed=11).transform(labeled_points)
+    ct = CoTraining(
+        baseClassifier=DecisionTreeClassifier(seed=5),
+        criterion="kBest",
+        kBest=0.5,
+        maxIter=3,
+        viewSplit="features",
+    )
+    s = ct.fit(data).ss_summary
+    # kBest promotes a fixed per-iteration budget: pools move
+    assert s.labeled_final > s.labeled_initial
+    assert s.unlabeled_final < s.unlabeled_initial
+
+
+def test_co_training_rejects_unknown_view_split(labeled_points):
+    data = UnlabeledTransformer(percentageLabeled=0.3, seed=11).transform(labeled_points)
+    with pytest.raises(ValueError, match="viewSplit"):
+        CoTraining(
+            baseClassifier=DecisionTreeClassifier(seed=5), viewSplit="bogus"
+        ).fit(data)
+
+
 def test_supervised_baseline(labeled_points):
     data = UnlabeledTransformer(percentageLabeled=0.5, seed=11).transform(labeled_points)
     model = Supervised(baseClassifier=DecisionTreeClassifier(seed=5)).fit(data)

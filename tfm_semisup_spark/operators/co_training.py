@@ -8,7 +8,9 @@ cross-teach — model 1's confident pseudo-labels are appended to model
 2's labeled pool and vice versa (``:172-173``, ``:215-216``); the final
 model is fit on the union of both labeled pools (``:251``). That
 deviation from classic feature-split co-training is preserved for
-parity (SURVEY.md §2.1 C3).
+parity (SURVEY.md §2.1 C3) as the DEFAULT; ``viewSplit='features'``
+additionally implements the published Blum & Mitchell algorithm —
+disjoint feature-column views over one shared pool (VERDICT r5 #7).
 
 Same promotion criteria as SelfTraining (threshold / kBest; in kBest
 the per-iteration budget comes from the TOTAL unlabeled count,
@@ -21,6 +23,7 @@ from __future__ import annotations
 
 from pyspark import keyword_only
 from pyspark.ml import Estimator
+from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,7 +42,23 @@ _SPLIT_SEED = 8  # reference: `CoTraining.scala:137,140`
 
 class CoTraining(Estimator, _SSCParams):
     """Defaults mirror the reference (``CoTraining.scala:25-30``):
-    threshold=0.7, maxIter=3, criterion='threshold', kBest=1.0."""
+    threshold=0.7, maxIter=3, criterion='threshold', kBest=1.0.
+
+    ``viewSplit`` selects the view construction: ``'instances'``
+    (default — the reference's deviation, split the pools 50/50) or
+    ``'features'`` (classic Blum & Mitchell 1998: two classifiers see
+    DISJOINT halves of the feature vector over ONE shared pool, each
+    promotes its confident pseudo-labels into the shared labeled set,
+    disagreements resolved by the higher posterior)."""
+
+    viewSplit = Param(
+        Params._dummy(),
+        "viewSplit",
+        "view construction: 'instances' (reference parity, "
+        "CoTraining.scala:137-142) | 'features' (Blum-Mitchell "
+        "disjoint feature-column views)",
+        TypeConverters.toString,
+    )
 
     @keyword_only
     def __init__(
@@ -54,6 +73,7 @@ class CoTraining(Estimator, _SSCParams):
         featuresCol: str = "features",
         labelCol: str = "label",
         checkpointDir: str = "",
+        viewSplit: str = "instances",
     ):
         super().__init__()
         self.baseClassifier = baseClassifier
@@ -66,6 +86,7 @@ class CoTraining(Estimator, _SSCParams):
             featuresCol="features",
             labelCol="label",
             checkpointDir="",
+            viewSplit="instances",
         )
         kwargs = dict(self._input_kwargs)
         kwargs.pop("baseClassifier", None)
@@ -108,6 +129,11 @@ class CoTraining(Estimator, _SSCParams):
         criterion = self.getOrDefault(self.criterion)
         if criterion not in ("threshold", "kBest"):
             raise ValueError(f"unknown criterion {criterion!r}")
+        view_split = self.getOrDefault(self.viewSplit)
+        if view_split not in ("instances", "features"):
+            raise ValueError(f"unknown viewSplit {view_split!r}")
+        if view_split == "features":
+            return self._fit_feature_split(dataset)
         base = self.baseClassifier
         max_iter = self.getOrDefault(self.maxIter)
         sel = self.getOrDefault(self.labelSelectionCol)
@@ -197,4 +223,158 @@ class CoTraining(Estimator, _SSCParams):
         release(pool_src2)
         release(lab1)
         release(lab2)
+        return SelfTrainingModel(final_model, summary)
+
+    def _fit_feature_split(self, dataset: DataFrame) -> SelfTrainingModel:
+        """Classic Blum-Mitchell co-training (viewSplit='features'):
+        the feature vector is sliced into two disjoint halves; one
+        shared labeled pool trains two classifiers, each seeing only
+        its half. Both score the SHARED unlabeled pool; a row is
+        promoted when either view is confident (threshold) or lands in
+        the global top-k by the better view's posterior (kBest), with
+        the higher-posterior view supplying the pseudo-label. The
+        final model is fit on the FULL feature vector so it is usable
+        downstream exactly like the instance-split model.
+
+        Physical shape matches the instance-split loop: per-iteration
+        lineage truncation, complementary filters, arithmetic pool
+        bookkeeping; both models score the same checkpointed pool, so
+        each iteration costs two narrow model scans plus the MLlib
+        fits."""
+        from pyspark.ml.feature import VectorSlicer
+        from pyspark.ml.functions import vector_to_array
+
+        base = self.baseClassifier
+        criterion = self.getOrDefault(self.criterion)
+        max_iter = self.getOrDefault(self.maxIter)
+        sel = self.getOrDefault(self.labelSelectionCol)
+        feats = self.getOrDefault(self.featuresCol)
+        label = self.getOrDefault(self.labelCol)
+
+        counts = {
+            row["unlabeled"]: row["n"]
+            for row in dataset.groupBy(F.isnan(sel).alias("unlabeled"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_lab_ini = counts.get(False, 0)
+        n_unlab_ini = counts.get(True, 0)
+
+        head = dataset.select(feats).head()
+        if head is None:
+            raise ValueError("empty dataset")
+        dim = head[0].size
+        if dim < 2:
+            raise ValueError(
+                f"feature-split co-training needs >=2 features, got {dim}"
+            )
+        half = dim // 2
+        s1 = VectorSlicer(inputCol=feats, outputCol="__v1", indices=list(range(half)))
+        s2 = VectorSlicer(inputCol=feats, outputCol="__v2", indices=list(range(half, dim)))
+        ds = s2.transform(s1.transform(dataset))
+
+        labeled = self._truncate_lineage(
+            ds.where(~F.isnan(sel)).select(
+                feats, "__v1", "__v2", F.col(label).cast("double").alias(label)
+            )
+        )
+        unlabeled = self._truncate_lineage(
+            ds.where(F.isnan(sel)).select(feats, "__v1", "__v2")
+        )
+        n_lab, n_unlab = n_lab_ini, n_unlab_ini
+
+        base1 = base.copy({base.featuresCol: "__v1"})
+        base2 = base.copy({base.featuresCol: "__v2"})
+        model1 = base1.fit(labeled)
+        model2 = base2.fit(labeled)
+        it = 1
+
+        k = 0
+        if criterion == "kBest" and max_iter > 1:
+            k = int(round(self.getOrDefault(self.kBest) * n_unlab_ini / (max_iter - 1)))
+
+        pool_src = unlabeled
+        while it < max_iter and n_unlab > 0:
+            p1 = model1.getProbabilityCol() if hasattr(model1, "getProbabilityCol") else "probability"
+            scored = model1.transform(unlabeled).select(
+                feats,
+                "__v1",
+                "__v2",
+                F.col("prediction").alias("__pred1"),
+                prob_max(p1).alias("__pm1"),
+            )
+            p2 = model2.getProbabilityCol() if hasattr(model2, "getProbabilityCol") else "probability"
+            scored = self._truncate_lineage(
+                model2.transform(scored).select(
+                    feats,
+                    "__v1",
+                    "__v2",
+                    "__pred1",
+                    "__pm1",
+                    F.col("prediction").alias("__pred2"),
+                    prob_max(p2).alias("__pm2"),
+                )
+            )
+            release(pool_src)
+            pool_src = scored
+
+            if criterion == "threshold":
+                t = self.getOrDefault(self.threshold)
+                either = (F.col("__pm1") > t) | (F.col("__pm2") > t)
+                # view 1 supplies the label iff it is confident AND
+                # (better than view 2 OR view 2 is not confident)
+                winner = F.when(
+                    (F.col("__pm1") > t)
+                    & ((F.col("__pm1") >= F.col("__pm2")) | (F.col("__pm2") <= t)),
+                    F.col("__pred1"),
+                ).otherwise(F.col("__pred2"))
+                promoted = scored.where(either)
+                rest = scored.where(~either)
+                n_promoted = promoted.count()
+            else:
+                # the better-posterior view supplies the pseudo-label
+                winner = F.when(
+                    F.col("__pm1") >= F.col("__pm2"), F.col("__pred1")
+                ).otherwise(F.col("__pred2"))
+                with_best = scored.withColumn(
+                    "__best", F.greatest("__pm1", "__pm2")
+                )
+                order = [
+                    F.desc("__best"),
+                    F.xxhash64(
+                        vector_to_array(F.col(feats)),
+                        F.col("__pred1"),
+                        F.col("__pred2"),
+                    ),
+                ]
+                promoted = with_best.orderBy(*order).limit(k).drop("__best")
+                rest = scored.exceptAll(promoted)
+                n_promoted = min(k, n_unlab)
+
+            as_labeled = promoted.select(
+                feats, "__v1", "__v2", winner.alias(label)
+            )
+            unlabeled = rest.select(feats, "__v1", "__v2")
+            grown = self._truncate_lineage(labeled.unionAll(as_labeled))
+            release(labeled)
+            labeled = grown
+            n_unlab -= n_promoted
+            n_lab += n_promoted
+
+            if n_unlab > 0 and it < max_iter:
+                model1 = base1.fit(labeled)
+                model2 = base2.fit(labeled)
+                it += 1
+
+        summary = SemiSupervisedSummary(
+            labeled_initial=n_lab_ini,
+            unlabeled_initial=n_unlab_ini,
+            labeled_final=n_lab,
+            unlabeled_final=n_unlab,
+            iterations=it,
+        )
+        self.last_fit_summary = summary
+        final_model = base.fit(labeled.select(feats, label))
+        release(pool_src)
+        release(labeled)
         return SelfTrainingModel(final_model, summary)
