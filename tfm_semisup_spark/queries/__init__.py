@@ -46,81 +46,118 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Driver-verification priority: the correctness driver evaluates the
 # FIRST 50 oracled entries of queries() in dict order.
 #
-# ROUND-5 ROTATION (VERDICT r4 #2): the 21 oracles that were
-# judge-verified at sf0.01 in r4 but have NEVER had a driver
-# CORRECTNESS row come first; then every query whose implementation
-# changed this round (the broadcast-hint policy removal — results are
-# hint-invariant but the plans changed, so re-confirm); then the
-# entries with the OLDEST driver rows (the 8 r1-last set-op/paging
-# battery and the 7 r2-last), which yielded slots in r4 and rotate
-# back now; then this round's brand-new oracles. Everything else is
-# driver-green r3/r4 and unchanged — covered locally by
-# tests/test_oracle_parity.py until its next rotation.
+# ROUND-6 ROTATION (VERDICT r5 #1): the 7 oracles that were
+# judge-verified at sf0.01 in r5 but have NEVER had a driver
+# CORRECTNESS row come first (streaming_sessions_finalized also
+# changed this round — its oracle's watermark is now ms-truncated, so
+# the row doubles as a change re-confirm); then this round's 3
+# brand-new oracles; then ALL 39 entries whose last driver row is r3
+# (the oldest in the registry — pricing_summary family et al.), which
+# yielded their slots across r4/r5 and rotate back now; the final
+# slot goes to the oldest r4 row. Everything else is driver-green
+# r4/r5 and unchanged — covered locally by tests/test_oracle_parity.py
+# until its next rotation.
 _ORACLE_PRIORITY = [
-    "flagship_regional_revenue",  # changed r5: customer-dim hint dropped
-    # -- never driver-checked (judge-verified r4): land their rows --
-    "nation_presence_full_outer",
-    "running_revenue_30d_range",
-    "lateral_top2_orders",
-    "ntile_price_quartiles",
-    "order_history_scd2",
-    "rfm_segments",  # also changed r5: customer hint dropped
-    "nation_revenue_share",  # also changed r5: customer hint dropped
-    "q2_min_cost_supplier",  # also changed r5: part hint dropped
-    "q11_important_stock",  # also changed r5: supplier-set hint dropped
-    "q20_excess_availability",  # also changed r5: part hint dropped
-    "dedup_prefix_jaccard_pairs",
-    "label_centroid_stats",
-    "tfidf_top_terms",
-    "source_drift_jsd",
-    "weighted_reservoir_sample",
-    "bloom_contamination_screen",
-    "cms_heavy_hitters",
-    "attribution_last_touch",
-    "item_cooccurrence_topk",
-    "constraint_audit_orders",
-    "partition_anomaly_days",
-    # -- changed in r5 (broadcast-hint policy): re-confirm --
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "q21_waiting_suppliers",
-    # -- oldest driver rows rotate back: 8 r1-last + 7 r2-last --
-    "union_append_pools",
-    "except_all_remainder",
-    "distinct_flag_status",
-    "na_drop_clean",
-    "intersect_all_common",
-    "null_safe_equality",
-    "distinct_set_ops",
-    "limit_offset_page",
-    "project_cast_derive",
-    "topk_orders",
-    "semi_join_urgent_customers",
-    "anti_join_orderless_customers",
-    "embedding_norm_stats",
-    "multimodal_chunk_sample",
-    "domain_mix_sample",
-    # -- NEW in r5: first driver rows --
-    "text_bm25_workload_topk",
-    "streaming_tumbling_finalized",
-    "dedup_minhash_portable_pairs",
-    "nation_yoy_revenue_growth",
-    "stats_correlation_battery",
-    "weighted_reservoir_per_lang",
-    # -- positions 51+: outside the 50-slot window this round (locally
-    # green in test_oracle_parity + judge-verifiable via driver_sim);
-    # first in line for the r6 rotation --
-    "streaming_sessions_finalized",
+    # -- never driver-checked (judge-verified r5): land their rows --
+    "streaming_sessions_finalized",  # also changed r6: ms-truncated oracle
     "profile_orders_columns",
     "dedup_simhash_portable_pairs",
     "merge_upsert_orders",
     "event_path_bigrams",
     "rolling_7d_active_users",
     "referential_integrity_audit",
+    # -- NEW in r6: first driver rows --
+    "multimodal_bmp_decode_stats",
+    "streaming_dedup_finalized",
+    "streaming_interval_join_finalized",
+    # -- oldest driver rows (r3-last, all 39) rotate back --
+    "pricing_summary",
+    "nan_label_mask_stats",
+    "class_distribution",
+    "grid_results_join",
+    "window_rank_top_order",
+    "rollup_status_priority",
+    "categorical_index_freq",
+    "range_join_event_pairs",
+    "asof_join_latest_order",
+    "dedup_planted_duplicates",
+    "sql_api_segment_revenue",
+    "grouped_pandas_value_trend",
+    "conditional_distinct_users",
+    "q3_shipping_priority",
+    "q17_small_quantity_revenue",
+    "q4_priority_with_returns",
+    "q13_customer_distribution",
+    "q16_supplier_diversity",
+    "q22_global_sales_opportunity",
+    "dedup_exact_keepers",
+    "substring_dup_cut_list",
+    "text_stats_by_lang",
+    "token_count_by_source",
+    "quality_score_buckets",
+    "lang_id_confusion",
+    "doc_fingerprints",
+    "corpus_pipeline_end_to_end",
+    "quality_rule_report",
+    "repetition_report",
+    "tumbling_window_hourly",
+    "sliding_window_2h_1h",
+    "session_window_30m",
+    "daily_rollup_by_type",
+    "multimodal_feature_stub",
+    "multimodal_resize_stub",
+    "doc_chunks_overlap",
+    "pack_token_bins",
+    "pii_redaction_report",
+    "contamination_screen",
+    # -- oldest r4 row takes the 50th slot --
+    "filter_range_outliers",
+    # -- positions 51+: outside the 50-slot window this round (locally
+    # green in test_oracle_parity + judge-verifiable via driver_sim);
+    # the remaining r4-last rows are first in line for the r7 rotation
+    # in this order --
+    "binarize_when_otherwise",
+    "haversine_distance",
+    "ts_parts_histogram",
+    "json_extract_props",
+    "moving_avg_lag",
+    "cube_flag_status",
+    "pivot_status_by_priority",
+    "percentiles_extendedprice",
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_new_docs",
+    "stats_aggregates",
+    "grouping_markers",
+    "string_function_battery",
+    "date_arithmetic",
+    "array_function_battery",
+    "posexplode_tokens",
+    "scalar_subquery_above_avg",
+    "in_subquery_urgent_lineitems",
+    "q18_large_volume_orders",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_item_reporting",
+    "q12_late_shipment_priority",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_ngram_jaccard_capped",
+    "dedup_cluster_components",
+    "substring_dup_report",
+    "similarity_cosine_topk",
+    "similarity_pairs_above",
+    "similarity_topk_batch",
+    "session_stats_daily",
+    "corpus_stratified_sample",
+    "training_shard_assignment",
+    "text_bm25_topk",
+    "dedup_editdist_pairs",
+    "funnel_view_purchase",
+    "retention_cohort_daily",
+    "timeseries_gap_fill",
+    "grouping_sets_status_priority",
+    "item_pagerank",
+    "boilerplate_line_removal",
 ]
 
 
