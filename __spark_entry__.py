@@ -2,19 +2,20 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (164 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (170 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (138 entries — all verified hash-matching at
+equivalent DuckDB SQL (142 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count, so no oracle is
 driver-environment-dependent).
 
-The 26 rows-only entries (no oracle) are each non-SQL-expressible for
+The 28 rows-only entries (no oracle) are each non-SQL-expressible for
 one of four reasons, and all are deterministic under fixed seeds and
-independent of partitioning (locally verified by the 340+ test suite):
+independent of partitioning (locally verified by the 350+ test suite):
 
-- ``ssl_*`` (9): MLlib training loops (DT/RF/NB/LR fits, CV folds) —
-  model fitting is not SQL; checked against BASELINE.md quality
-  anchors and hand-computed metrics instead.
+- ``ssl_*`` (10): MLlib training loops (DT/RF/NB/LR fits, CV folds,
+  instance- and feature-split co-training) — model fitting is not
+  SQL; checked against BASELINE.md quality anchors and hand-computed
+  metrics instead.
 - ``similarity_ann_* / _ivf* / _pq* / _embedding_neardup_lsh`` (7):
   ANN index tiers (LSH hyperplanes, k-means coarse/product
   quantizers) — engine-side models; recall-vs-exact >= 0.9 tested.
@@ -25,9 +26,11 @@ independent of partitioning (locally verified by the 340+ test suite):
   signature families also have fully-oracled md5-keyed siblings
   (``dedup_minhash_portable_pairs``, ``dedup_simhash_portable_pairs``)
   that drive the same math through DuckDB.
-- ``sketch_*`` (3), ``pack_first_fit_bins``, ``text_tfidf_norms``:
-  approximate sketches (HLL/GK — engine-specific estimates),
-  inherently sequential per-bucket packing, and hashed TF-IDF —
+- ``sketch_*`` (3), ``profile_orders_columns_approx``,
+  ``pack_first_fit_bins``, ``text_tfidf_norms``: approximate sketches
+  (HLL/GK — engine-specific estimates; the approx profile is HLL++
+  with an error bound pinned vs its exact oracled twin), inherently
+  sequential per-bucket packing, and hashed TF-IDF —
   accuracy/invariant-tested (sketch error bounds, merge==whole,
   packing never overflows).
 """
