@@ -8,11 +8,26 @@ Prints exactly ONE JSON line:
 Execution sink is the noop writer so timings measure plan execution,
 not driver-side row transfer.
 
-$SPARK_GRAFT_BENCH_RUNS (default 3) full passes are run and the
+$SPARK_GRAFT_BENCH_RUNS (default 5) full passes are run and the
 PER-QUERY MEDIAN reported — single runs showed GC/ordering variance
 up to 2x on individual entries (SCALE.md "bench variance"); the
 median makes round-over-round regressions attributable. Set it to 1
 for quick local iteration.
+
+Noise protocol (VERDICT r5 #3): passes are RUN-MAJOR interleaved —
+pass 1 times every query, then pass 2, ... — so one query's samples
+are separated by a full pass (~50 s of unrelated work) and a
+transient machine-state episode (GC debt, co-tenant CPU burst)
+lands in at most one sample per query instead of all of them; each
+timing is additionally isolated by clearCache + py/JVM GC. The
+default was raised 3 -> 5 passes: with contention noise, a
+median-of-3 flips to the noisy side whenever 2 of 3 samples are hit
+(one episode spanning two adjacent passes suffices); median-of-5
+needs 3 hit samples. Per-query min/median/max across passes goes to
+STDERR as a second JSON line (the stdout contract stays exactly one
+line) — the spread is the variance band SCALE.md records, and a
+mover whose r5-vs-r6 delta sits inside its own band is noise, not a
+regression.
 """
 
 from __future__ import annotations
@@ -119,8 +134,10 @@ def main() -> None:
     gc.collect()
     spark._jvm.System.gc()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # run-major interleaving: the outer loop is PASSES, the inner loop
+    # queries — never all N samples of one query back-to-back
     for _ in range(runs):
         for name in HEADLINE:
             fn = QUERIES[name]
@@ -152,6 +169,15 @@ def main() -> None:
                 "sf": sf,
             }
         )
+    )
+    # variance band to stderr (stdout contract: exactly one line)
+    spread = {
+        name: [round(min(s), 3), round(statistics.median(s), 3), round(max(s), 3)]
+        for name, s in samples.items()
+    }
+    print(
+        json.dumps({"metric": "per_query_min_median_max_sec", "runs": runs, "spread": spread}),
+        file=sys.stderr,
     )
     spark.stop()
 
