@@ -88,6 +88,46 @@ def test_bmp_8bit_raises():
         decode_payload(bytes(data))
 
 
+def test_wav_roundtrip_mono_and_stereo():
+    from tfm_semisup_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono = (np.arange(100, dtype=np.int16) - 50) * 100
+    rate, out = decode_wav(encode_wav(mono, sample_rate=8000))
+    assert rate == 8000
+    np.testing.assert_array_equal(out[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    rate2, out2 = decode_wav(encode_wav(stereo, sample_rate=44100))
+    assert rate2 == 44100
+    assert out2.shape == (100, 2)
+    np.testing.assert_array_equal(out2, stereo)
+
+
+def test_wav_skips_extra_chunks_with_word_alignment():
+    """Chunk walking must skip unknown chunks (LIST etc.) and honor the
+    RIFF word-alignment pad byte on odd-length chunks."""
+    from tfm_semisup_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono = np.array([1, -2, 3], dtype=np.int16)
+    data = encode_wav(mono, sample_rate=16000)
+    # splice an odd-length junk chunk (5 bytes + 1 pad) after "WAVE"
+    junk = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    patched = data[:12] + junk + data[12:]
+    rate, out = decode_wav(patched)
+    assert rate == 16000
+    np.testing.assert_array_equal(out[:, 0], mono)
+
+
+def test_wav_rejects_non_pcm_and_non_riff():
+    from tfm_semisup_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03" + b"\x00" * 40)  # mp3-ish
+    data = bytearray(encode_wav(np.array([0, 1], dtype=np.int16)))
+    struct.pack_into("<H", data, 20 + 14, 8)  # bits-per-sample -> 8
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(data))
+
+
 def test_binaryfile_to_pixel_stats_end_to_end(spark, tmp_path):
     """binaryFile source -> decode_images -> per-channel means, with
     planted bytes whose means are known in closed form."""

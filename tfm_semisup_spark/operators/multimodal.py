@@ -224,6 +224,113 @@ def decode_payload(data: bytes):
     )
 
 
+# --- audio: uncompressed RIFF/WAVE PCM, same pure-numpy approach ------
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """16-bit PCM WAV from an (n,) or (n, channels) int16 array."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()  # interleaved little-endian int16
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(data: bytes):
+    """Parse a RIFF/WAVE payload -> (sample_rate, (n, channels) int16
+    array). PCM 16-bit only; compressed codecs (MP3/AAC/mu-law) raise
+    NotImplementedError — same loud-failure contract as the image
+    path."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"not a RIFF/WAVE payload (signature {data[:4]!r}); "
+            "compressed audio needs a codec library"
+        )
+    pos = 12
+    fmt_info = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (chunk_len,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if chunk_id == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", data, body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV supported (format={audio_fmt}, "
+                    f"bits={bits})"
+                )
+            fmt_info = (rate, ch)
+        elif chunk_id == b"data":
+            if fmt_info is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            rate, ch = fmt_info
+            n = chunk_len // (2 * ch)
+            raw = np.frombuffer(data, dtype="<i2", count=n * ch, offset=body)
+            return rate, raw.reshape(n, ch).copy()
+        pos = body + chunk_len + (chunk_len & 1)  # chunks are word-aligned
+    raise ValueError("WAV payload has no data chunk")
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_samples long, "
+    "mean_amp double, rms_amp double"
+)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode (doc_id, payload) WAV bytes -> per-clip stats (rate,
+    channels, length, mean amplitude, RMS) through the Arrow
+    mapInPandas boundary. Narrow op, no shuffle — the audio twin of
+    decode_images."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "mean_amp", "rms_amp",
+                )
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                rate, arr = decode_wav(bytes(payload))
+                flat = arr.astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(arr.shape[1])
+                out["n_samples"].append(arr.shape[0])
+                out["mean_amp"].append(float(flat.mean()))
+                out["rms_amp"].append(float(np.sqrt((flat * flat).mean())))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 DECODE_SCHEMA = (
     "doc_id long, format string, width long, height long, "
     "mean_r double, mean_g double, mean_b double"

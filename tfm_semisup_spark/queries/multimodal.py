@@ -152,6 +152,68 @@ def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real AUDIO decode: per-doc synthetic 16-bit PCM WAV payloads (ramp
+# waveform closed-form in doc_id and the sample index) encoded in one
+# Arrow kernel, decoded by the real RIFF/WAVE parser
+# (operators/multimodal.py::decode_wav), stats re-derived relationally.
+# No rounding anywhere: every intermediate (integer sample sums, sums
+# of squares <= 5.6e7) is exact in double and the final division/sqrt
+# are IEEE-identical in both engines, so the driver's %.6f
+# normalization sees bit-equal doubles by construction.
+WAV_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         50 + doc_id % 7 AS n
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, rate, n,
+         CAST(((doc_id * 3 + u.i) % 2001) - 1000 AS DOUBLE) AS x
+  FROM dims, UNNEST(generate_series(0, n - 1)) AS u(i)
+)
+SELECT doc_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       AVG(x) AS mean_amp,
+       SQRT(AVG(x * x)) AS rms_amp
+FROM samp
+GROUP BY doc_id, rate, n
+"""
+
+
+@register("multimodal_wav_decode_stats", WAV_DECODE_ORACLE)
+def multimodal_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_bmp_decode_stats: encode each doc_id
+    into a real mono 16-bit PCM WAV (planted ramp waveform), decode
+    with the real RIFF parser, emit rate/length/mean/RMS. Two narrow
+    Arrow stages, no shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tfm_semisup_spark.operators.multimodal import decode_audio, encode_wav
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            payloads = []
+            ids = batch["doc_id"]
+            for doc_id in ids:
+                rate = 8000 + (doc_id % 3) * 4000
+                n = 50 + doc_id % 7
+                i = np.arange(n, dtype=np.int64)
+                samples = (((doc_id * 3 + i) % 2001) - 1000).astype(np.int16)
+                payloads.append(encode_wav(samples, sample_rate=int(rate)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return decode_audio(payloads)
+
+
 @register("multimodal_resize_stub", RESIZE_ORACLE)
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail pass over the corpus payloads: Arrow mapInPandas

@@ -548,3 +548,60 @@ def source_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM log-perplexity scoring
+# ---------------------------------------------------------------------------
+#
+# The classic model-based quality score in corpus curation (CCNet /
+# Gopher use a KenLM; the unigram LM is its SQL-expressible core):
+# train P(w) = count(w)/total on the corpus itself, score each doc by
+# the per-token cross-entropy -avg(ln P(w)). High scores = rare-token
+# soup (boilerplate, hashes, misparsed bytes); low = common-word prose.
+# Scale shape: wordcount aggregate on the term key (map-side
+# combined), the vocab-sized probability table joined back to the
+# token stream (term-keyed shuffle), one per-doc aggregate — the
+# token stream is never joined to anything fact-sized. The score is
+# rounded 6 dp on BOTH engines (last-ulp ln()/summation-order
+# differences, same convention as tfidf/jsd).
+
+_LOGPPL_SCORE = "round(-avg(ln(c * 1.0 / n)), 6)"
+
+LOGPPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, COUNT(*)::BIGINT AS c FROM toks GROUP BY term),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM toks)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       {_LOGPPL_SCORE} AS logppl
+FROM toks JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("text_unigram_logppl", LOGPPL_ORACLE)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram cross-entropy against the corpus-trained LM:
+    (doc_id, n_tokens, logppl)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(toks.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        toks.join(cnt, "term")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(_LOGPPL_SCORE).alias("logppl"),
+        )
+    )

@@ -274,6 +274,50 @@ def streaming_interval_join_finalized(
     )
 
 
+# Fifth streaming-materialized tier: the CUSTOM STATEFUL operator
+# (applyInPandasWithState running per-user totals) — the one streaming
+# primitive family still without a hash check. Update mode re-emits a
+# user per micro-batch that touches it; the single-file availableNow
+# source gives exactly one data batch, so the artifact holds exactly
+# one row per user whose running total equals the full per-user count
+# and whose last_ts is the per-user max — both order-insensitive, so
+# the oracle is a plain GROUP BY. A state-handling bug (lost state,
+# double count, wrong key routing) would inflate/deflate the totals.
+STREAMING_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS total_events,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("streaming_stateful_user_totals", STREAMING_STATEFUL_ORACLE)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event totals via the REAL stateful hook:
+    readStream -> applyInPandasWithState (one long of state per user,
+    sharded by the grouping key) -> update-mode foreachBatch parquet
+    sink -> batch read. Output (user_id, total_events, last_ts)."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.events import (
+        materialize_stream_to_parquet,
+        read_events_stream,
+        running_user_counts_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_stateful_")
+    result = running_user_counts_stream(read_events_stream(spark, sf_dir))
+    materialize_stream_to_parquet(
+        result, f"{base}/out", f"{base}/ckpt", output_mode="update"
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "user_id",
+        F.col("total_events"),
+        F.date_format("last_ts", TS_FMT).alias("last_ts"),
+    )
+
+
 SLIDING_ORACLE = """
 WITH exploded AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events

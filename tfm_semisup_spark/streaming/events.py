@@ -168,16 +168,22 @@ def run_available_now(result: DataFrame, table_name: str, output_mode: str = "co
 
 
 def materialize_stream_to_parquet(
-    result: DataFrame, out_path: str, checkpoint_dir: str
+    result: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
 ):
-    """``foreachBatch`` parquet sink for an APPEND-mode stream: each
-    micro-batch's finalized rows land as parquet files tagged with the
-    micro-batch id. Append-mode rows are emitted exactly once per key
-    (the watermark finalizes a window before it is released), so a
-    plain file append is idempotent under the checkpoint's replay
-    guarantee — a replayed batch id rewrites identical rows, and the
-    batch_id column makes any at-least-once duplication auditable.
-    Returns the finished StreamingQuery."""
+    """``foreachBatch`` parquet sink: each micro-batch's rows land as
+    parquet files tagged with the micro-batch id. In APPEND mode
+    (default) rows are emitted exactly once per key (the watermark
+    finalizes a window before it is released), so a plain file append
+    is idempotent under the checkpoint's replay guarantee — a replayed
+    batch id rewrites identical rows, and the batch_id column makes
+    any at-least-once duplication auditable. UPDATE mode (stateful
+    operators like applyInPandasWithState) re-emits a key per batch
+    that touches it — readers wanting current state take the row with
+    the max batch_id per key (trivially every row under a single
+    availableNow data batch). Returns the finished StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -188,7 +194,7 @@ def materialize_stream_to_parquet(
 
     query = (
         result.writeStream.foreachBatch(_sink)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
