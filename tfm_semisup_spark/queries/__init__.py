@@ -50,13 +50,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # judge-verified at sf0.01 in r5 but have NEVER had a driver
 # CORRECTNESS row come first (streaming_sessions_finalized also
 # changed this round — its oracle's watermark is now ms-truncated, so
-# the row doubles as a change re-confirm); then this round's 3
-# brand-new oracles; then ALL 39 entries whose last driver row is r3
-# (the oldest in the registry — pricing_summary family et al.), which
-# yielded their slots across r4/r5 and rotate back now; the final
-# slot goes to the oldest r4 row. Everything else is driver-green
-# r4/r5 and unchanged — covered locally by tests/test_oracle_parity.py
-# until its next rotation.
+# the row doubles as a change re-confirm); then this round's 7
+# brand-new oracles; then 36 of the 39 entries whose last driver row
+# is r3 (the oldest in the registry — pricing_summary family et al.),
+# which yielded their slots across r4/r5 and rotate back now (the
+# last 3, displaced by the late r6 additions, lead positions 51+).
+# Everything else is driver-green r4/r5 and unchanged — covered
+# locally by tests/test_oracle_parity.py until its next rotation.
 _ORACLE_PRIORITY = [
     # -- never driver-checked (judge-verified r5): land their rows --
     "streaming_sessions_finalized",  # also changed r6: ms-truncated oracle
@@ -70,6 +70,10 @@ _ORACLE_PRIORITY = [
     "multimodal_bmp_decode_stats",
     "streaming_dedup_finalized",
     "streaming_interval_join_finalized",
+    "multimodal_wav_decode_stats",
+    "streaming_stateful_user_totals",
+    "item_triangle_counts",
+    "text_unigram_logppl",
     # -- oldest driver rows (r3-last, all 39) rotate back --
     "pricing_summary",
     "nan_label_mask_stats",
@@ -106,16 +110,16 @@ _ORACLE_PRIORITY = [
     "daily_rollup_by_type",
     "multimodal_feature_stub",
     "multimodal_resize_stub",
-    "doc_chunks_overlap",
+    "doc_chunks_overlap",  # 50th slot
+    # -- positions 51+: outside the 50-slot window this round (locally
+    # green in test_oracle_parity + judge-verifiable via driver_sim);
+    # the 3 r3 rows displaced by this round's late additions, then the
+    # r4-last rows, are first in line for the r7 rotation in this
+    # order --
     "pack_token_bins",
     "pii_redaction_report",
     "contamination_screen",
-    # -- oldest r4 row takes the 50th slot --
     "filter_range_outliers",
-    # -- positions 51+: outside the 50-slot window this round (locally
-    # green in test_oracle_parity + judge-verifiable via driver_sim);
-    # the remaining r4-last rows are first in line for the r7 rotation
-    # in this order --
     "binarize_when_otherwise",
     "haversine_distance",
     "ts_parts_histogram",
