@@ -188,6 +188,24 @@ PICKS = {
         "per-group A-Res: one lang exchange + per-group rank — "
         "never a global sort"
     ),
+    "item_triangle_counts": (
+        "oriented triangle enumeration: checkpointed edge scan feeds "
+        "all three join legs; vertex-keyed hash joins only, no "
+        "Cartesian, no symmetrization blowup"
+    ),
+    "text_unigram_logppl": (
+        "unigram LM: map-side-combined wordcount, vocab-sized prob "
+        "table joined on the term key, single-row total broadcast, "
+        "one per-doc agg exchange"
+    ),
+    "multimodal_bmp_decode_stats": (
+        "real decode path: two narrow Arrow MapInPandas stages "
+        "(encode -> parse) — no Exchange anywhere"
+    ),
+    "profile_orders_columns_approx": (
+        "approx profile: ONE HashAggregate pass with HLL++ sketches — "
+        "no k-way Expand (the exact tier's map-side row blowup)"
+    ),
 }
 
 

@@ -50,11 +50,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # judge-verified at sf0.01 in r5 but have NEVER had a driver
 # CORRECTNESS row come first (streaming_sessions_finalized also
 # changed this round — its oracle's watermark is now ms-truncated, so
-# the row doubles as a change re-confirm); then this round's 7
-# brand-new oracles; then 36 of the 39 entries whose last driver row
+# the row doubles as a change re-confirm); then this round's 8
+# brand-new oracles; then 35 of the 39 entries whose last driver row
 # is r3 (the oldest in the registry — pricing_summary family et al.),
 # which yielded their slots across r4/r5 and rotate back now (the
-# last 3, displaced by the late r6 additions, lead positions 51+).
+# last 4, displaced by the late r6 additions, lead positions 51+).
 # Everything else is driver-green r4/r5 and unchanged — covered
 # locally by tests/test_oracle_parity.py until its next rotation.
 _ORACLE_PRIORITY = [
@@ -74,6 +74,7 @@ _ORACLE_PRIORITY = [
     "streaming_stateful_user_totals",
     "item_triangle_counts",
     "text_unigram_logppl",
+    "rollup_incremental_vs_full",
     # -- oldest driver rows (r3-last, all 39) rotate back --
     "pricing_summary",
     "nan_label_mask_stats",
@@ -110,12 +111,12 @@ _ORACLE_PRIORITY = [
     "daily_rollup_by_type",
     "multimodal_feature_stub",
     "multimodal_resize_stub",
-    "doc_chunks_overlap",  # 50th slot
     # -- positions 51+: outside the 50-slot window this round (locally
     # green in test_oracle_parity + judge-verifiable via driver_sim);
-    # the 3 r3 rows displaced by this round's late additions, then the
+    # the 4 r3 rows displaced by this round's late additions, then the
     # r4-last rows, are first in line for the r7 rotation in this
     # order --
+    "doc_chunks_overlap",
     "pack_token_bins",
     "pii_redaction_report",
     "contamination_screen",

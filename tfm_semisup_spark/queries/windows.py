@@ -485,6 +485,37 @@ GROUP BY 1, 2
 """
 
 
+# Incremental-maintenance check for the hypertable rollup: the
+# MATERIALIZED table after two successive incremental refreshes (a
+# deterministic even/odd event_id split) must equal the one-shot
+# aggregate the oracle computes — count/sum partials are decomposable,
+# so the merge path (existing-partition read + delta union +
+# re-aggregate + dynamic partition overwrite) is exact regardless of
+# how events are batched. Hash-checks the INCREMENTAL code path the
+# streaming rollup sink reuses per micro-batch; the serving-shape
+# query above checks only the aggregation semantics.
+@register("rollup_incremental_vs_full", DAILY_ROLLUP_ORACLE)
+def rollup_incremental_vs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from tfm_semisup_spark.operators.rollup_table import (
+        incremental_refresh,
+        read_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="tfm_rollup_inc_")
+    path = f"{base}/rollup"
+    incremental_refresh(spark, events.where(F.col("event_id") % 2 == 0), path)
+    incremental_refresh(spark, events.where(F.col("event_id") % 2 == 1), path)
+    return read_rollup(spark, path).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
 @register("daily_rollup_by_type", DAILY_ROLLUP_ORACLE)
 def daily_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
