@@ -256,3 +256,66 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD-based) outlier detection
+# ---------------------------------------------------------------------------
+#
+# The robust twin of partition_anomaly_days' z-scores: median/MAD are
+# insensitive to the outliers they hunt (a single 1e9 sensor glitch
+# inflates a stddev threshold but not a median one). Both engines use
+# the same exact interpolated median, so the thresholds are
+# bit-identical. Scale shape: two per-type median aggregates (the
+# event_type domain is value-bounded, so the stats rows broadcast back
+# against the fact scan) + one final counting pass — three scans, no
+# fact-sized shuffle.
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, m.med, median(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type, m.med
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * 1.4826 * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(m.med, 4) AS median_value,
+       ROUND(m.mad, 4) AS mad_value
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type, m.med, m.mad
+"""
+
+
+@register("robust_outlier_mad", MAD_ORACLE)
+def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier counts: |value - median| > 3 * 1.4826 *
+    MAD (the normal-consistent MAD scale). Output (event_type, n,
+    n_outliers, median_value, mad_value)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad_value"),
+        )
+    )

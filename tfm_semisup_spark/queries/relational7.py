@@ -373,3 +373,106 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust/summary statistics: winsorization + fixed-bin histogram
+# ---------------------------------------------------------------------------
+#
+# Winsorized mean — the standard heavy-tail-robust aggregate in metric
+# pipelines: clip at the exact p01/p99 before averaging. Both engines
+# use the same linear-interpolation exact quantile definition
+# (Spark `percentile`, DuckDB `quantile_cont`: index = p*(n-1)), so
+# the clip bounds are bit-identical; the bounds are a single row
+# broadcast against the fact scan (never a shuffle). Averages rounded
+# 4 dp (summation-order ULP, same convention as pricing_summary).
+
+WINSOR_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       ROUND(AVG(LEAST(GREATEST(o_totalprice, lo), hi)), 4) AS winsorized_avg,
+       ROUND(AVG(o_totalprice), 4) AS raw_avg
+FROM orders, b
+GROUP BY o_orderstatus, lo, hi
+"""
+
+
+@register("winsorized_price_stats", WINSOR_ORACLE)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status winsorized vs raw mean of o_totalprice with exact
+    p01/p99 clip bounds: (o_orderstatus, n, n_clipped, winsorized_avg,
+    raw_avg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        orders.agg(
+            F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    is_out = (F.col("o_totalprice") < F.col("lo")) | (
+        F.col("o_totalprice") > F.col("hi")
+    )
+    return (
+        orders.crossJoin(bounds)
+        .groupBy("o_orderstatus", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("winsorized_avg"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_avg"),
+        )
+        .drop("lo", "hi")
+    )
+
+
+# Fixed-bin histogram over the global [min, max] range. The bucket
+# index is a SHARED floor expression (not width_bucket) so both
+# engines run byte-identical arithmetic — a value sitting exactly on a
+# bin boundary lands in the same bin everywhere by construction.
+# Single-row min/max broadcast + one aggregate: two scans, no shuffle
+# beyond the 20-row bucket agg.
+
+_HIST_BUCKET = (
+    "least(cast(floor((o_totalprice - lo) / (hi - lo) * 20) AS BIGINT), 19)"
+)
+
+HISTOGRAM_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+)
+SELECT {_HIST_BUCKET} AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bin_min,
+       ROUND(MAX(o_totalprice), 2) AS bin_max
+FROM orders, b
+GROUP BY 1
+"""
+
+
+@register("price_histogram_bins", HISTOGRAM_ORACLE)
+def price_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of o_totalprice over the observed
+    range: (bucket, n, bin_min, bin_max)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        orders.agg(
+            F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+        )
+    )
+    return (
+        orders.crossJoin(bounds)
+        .groupBy(F.expr(_HIST_BUCKET).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
