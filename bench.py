@@ -105,6 +105,14 @@ HEADLINE = [
     "boilerplate_line_removal",
     "bloom_contamination_screen",
     "item_pagerank",
+    # r6 families: oriented triangle enumeration (graph density), the
+    # unigram-LM quality score (wordcount + term-keyed prob join), the
+    # real Arrow decode path (encode -> numpy BMP/PPM parse), and the
+    # robust MAD outlier pass (two exact medians + counting scan)
+    "item_triangle_counts",
+    "text_unigram_logppl",
+    "multimodal_bmp_decode_stats",
+    "robust_outlier_mad",
 ]
 
 
