@@ -50,11 +50,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # judge-verified at sf0.01 in r5 but have NEVER had a driver
 # CORRECTNESS row come first (streaming_sessions_finalized also
 # changed this round — its oracle's watermark is now ms-truncated, so
-# the row doubles as a change re-confirm); then this round's 11
-# brand-new oracles; then 32 of the 39 entries whose last driver row
+# the row doubles as a change re-confirm); then this round's 13
+# brand-new oracles; then 30 of the 39 entries whose last driver row
 # is r3 (the oldest in the registry — pricing_summary family et al.),
 # which yielded their slots across r4/r5 and rotate back now (the
-# last 7, displaced by the late r6 additions, lead positions 51+).
+# last 9, displaced by the late r6 additions, lead positions 51+).
 # Everything else is driver-green r4/r5 and unchanged — covered
 # locally by tests/test_oracle_parity.py until its next rotation.
 _ORACLE_PRIORITY = [
@@ -78,6 +78,8 @@ _ORACLE_PRIORITY = [
     "robust_outlier_mad",
     "winsorized_price_stats",
     "price_histogram_bins",
+    "streaming_sliding_finalized",
+    "embedding_standardize_stats",
     # -- oldest driver rows (r3-last, all 39) rotate back --
     "pricing_summary",
     "nan_label_mask_stats",
@@ -108,15 +110,15 @@ _ORACLE_PRIORITY = [
     "corpus_pipeline_end_to_end",
     "quality_rule_report",
     "repetition_report",
-    "tumbling_window_hourly",
+    "tumbling_window_hourly",  # 50th slot
+    # -- positions 51+: outside the 50-slot window this round (locally
+    # green in test_oracle_parity + judge-verifiable via driver_sim);
+    # the 9 r3 rows displaced by this round's late additions, then the
+    # r4-last rows, are first in line for the r7 rotation in this
+    # order --
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",
-    # -- positions 51+: outside the 50-slot window this round (locally
-    # green in test_oracle_parity + judge-verifiable via driver_sim);
-    # the 7 r3 rows displaced by this round's late additions, then the
-    # r4-last rows, are first in line for the r7 rotation in this
-    # order --
     "multimodal_feature_stub",
     "multimodal_resize_stub",
     "doc_chunks_overlap",

@@ -85,6 +85,41 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-dimension embedding standardization stats — the fit half of a
+# feature-scaling (z-score) stage over a vector table: one posexplode
+# (narrow) then a single dim-keyed aggregate whose cardinality is the
+# embedding dimension, never the row count. The transform half is a
+# broadcast of these 64 rows back over the corpus.
+EMB_STANDARDIZE_ORACLE = """
+SELECT CAST(s.i - 1 AS BIGINT) AS dim,
+       COUNT(*) AS n,
+       ROUND(AVG(embedding[s.i]::DOUBLE), 6) AS mean_v,
+       ROUND(STDDEV_SAMP(embedding[s.i]::DOUBLE), 6) AS std_v,
+       ROUND(MIN(embedding[s.i]::DOUBLE), 6) AS min_v,
+       ROUND(MAX(embedding[s.i]::DOUBLE), 6) AS max_v
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+GROUP BY 1
+"""
+
+
+@register("embedding_standardize_stats", EMB_STANDARDIZE_ORACLE)
+def embedding_standardize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/extrema over the embedding table:
+    (dim, n, mean_v, std_v, min_v, max_v) — the StandardScaler-fit
+    shape expressed relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return dims.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
 # Conditional distinct counts (count(DISTINCT x) over a predicate).
 COND_DISTINCT_ORACLE = """
 SELECT event_type,

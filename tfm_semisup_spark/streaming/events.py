@@ -43,13 +43,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_counts_stream(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation — same expression as the
-    batch query `tumbling_window_hourly`."""
+    batch query `tumbling_window_hourly`. Pass ``slide`` for sliding
+    windows (each event lands in window/slide buckets; the batch twin
+    is `sliding_window_2h_1h`)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"))
+        .groupBy(w.alias("w"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
