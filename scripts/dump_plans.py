@@ -206,6 +206,20 @@ PICKS = {
         "approx profile: ONE HashAggregate pass with HLL++ sketches — "
         "no k-way Expand (the exact tier's map-side row blowup)"
     ),
+    "winsorized_price_stats": (
+        "winsorize: exact-quantile bounds computed once (single-row "
+        "relation) and broadcast against the fact scan — clip + agg "
+        "in one pass, no fact shuffle for the bounds"
+    ),
+    "embedding_standardize_stats": (
+        "scaler fit: narrow posexplode then ONE dim-keyed aggregate — "
+        "output cardinality is the embedding dimension, never rows"
+    ),
+    "robust_outlier_mad": (
+        "MAD outliers: per-type median/MAD relations broadcast back "
+        "(BroadcastHashJoin, pinned no-SortMergeJoin) — three scans, "
+        "zero fact-sized shuffles"
+    ),
 }
 
 
