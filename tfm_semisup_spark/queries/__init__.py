@@ -113,9 +113,11 @@ _ORACLE_PRIORITY = [
     "tumbling_window_hourly",  # 50th slot
     # -- positions 51+: outside the 50-slot window this round (locally
     # green in test_oracle_parity + judge-verifiable via driver_sim);
-    # the 9 r3 rows displaced by this round's late additions, then the
-    # r4-last rows, are first in line for the r7 rotation in this
-    # order --
+    # first in line for r7: the 2 end-of-round new oracles, then the 9
+    # r3 rows displaced by this round's late additions, then the
+    # r4-last rows, in this order --
+    "streaming_new_docs_finalized",  # new r6, never windowed
+    "dedup_containment_pairs",  # new r6, never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

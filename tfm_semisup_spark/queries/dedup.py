@@ -227,6 +227,76 @@ def ngram_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_shingled(hashed_shingles(docs))
 
 
+# Containment near-dup: C(A,B) = |A∩B| / min(|A|, |B|) — the metric
+# for SUBSET relations Jaccard misses (a short doc quoted verbatim
+# inside a long one has high containment but low Jaccard, because the
+# union is dominated by the long doc). Standard in quote/boilerplate
+# and cross-corpus leakage detection alongside the Jaccard tier. Same
+# hashed-shingle inverted-index machinery and the same DF-governed
+# candidate volume (the shared-shingle join is quadratic per hot
+# shingle — on adversarial corpora run it over a DF-capped index like
+# dedup_ngram_jaccard_capped, identical trade).
+CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(p.shared * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE p.shared * 1.0 / LEAST(sa.n, sb.n) >= 0.8
+"""
+
+
+@register("dedup_containment_pairs", CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-detection pairs: max-containment >= 0.8 over word-3-gram
+    shingle sets. (doc_a, doc_b, containment)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = hashed_shingles(docs).persist()
+    tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
+    sizes = shingled.select("doc_id", F.size("hs").alias("n"))
+    a = tri.alias("a")
+    b = tri.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("shared") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    out = truncate(
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+    shingled.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scale-path near-dup operators (rows-only checked: LSH bucketing and
 # xxhash64 fingerprints are not DuckDB-expressible; all seeded and

@@ -271,6 +271,60 @@ def streaming_dedup_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stream-static anti-join tier: the incremental-ingest half of
+# streaming dedup (streaming/dedup.py stream_new_docs_vs_corpus) —
+# documents stream in and only those absent from the already-ingested
+# corpus fingerprint set pass. No event time or watermark is involved
+# (stream-static joins are stateless per micro-batch), so the
+# documents table streams directly; the static set is the md5 of
+# every doc_id % 5 == 0 document, giving a deterministic pass set the
+# oracle states as NOT IN. Closes the last smoke-only function in the
+# streaming dedup family.
+# NULL texts are filtered on BOTH sides up front: SQL NOT IN goes
+# three-valued on NULLs while Spark's left anti keeps a null key —
+# excluding unfingerprintable docs explicitly keeps the engines
+# agreeing by construction.
+STREAMING_NEW_DOCS_ORACLE = """
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE d.text IS NOT NULL
+  AND md5(d.text) NOT IN (
+    SELECT md5(text) FROM documents
+    WHERE doc_id % 5 = 0 AND text IS NOT NULL
+  )
+"""
+
+
+@register("streaming_new_docs_finalized", STREAMING_NEW_DOCS_ORACLE)
+def streaming_new_docs_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-corpus ingest filter via a REAL micro-batch run:
+    readStream over documents -> md5 fingerprint LEFT ANTI join
+    against the static known-fingerprint set -> append foreachBatch
+    parquet artifact -> batch read. Output (doc_id, lang)."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.dedup import stream_new_docs_vs_corpus
+    from tfm_semisup_spark.streaming.events import materialize_stream_to_parquet
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_newdocs_")
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    # glob form: the file source rejects a literal single-file path
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/documents.parque*")
+        .where(F.col("text").isNotNull())
+    )
+    known = (
+        spark.read.parquet(docs_path)
+        .where((F.col("doc_id") % 5 == 0) & F.col("text").isNotNull())
+        .select(F.md5("text").alias("fp"))
+    )
+    fresh = stream_new_docs_vs_corpus(stream, known).select("doc_id", "lang")
+    materialize_stream_to_parquet(fresh, f"{base}/out", f"{base}/ckpt")
+    return spark.read.parquet(f"{base}/out").select("doc_id", "lang")
+
+
 # Fourth streaming-materialized tier: STREAM-STREAM interval join.
 # Inner-join matches are final the moment both sides are present, so
 # append mode emits every pair inside the single availableNow data
