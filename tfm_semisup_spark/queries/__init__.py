@@ -118,6 +118,7 @@ _ORACLE_PRIORITY = [
     # r4-last rows, in this order --
     "streaming_new_docs_finalized",  # new r6, never windowed
     "dedup_containment_pairs",  # new r6, never windowed
+    "ssl_label_propagation",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

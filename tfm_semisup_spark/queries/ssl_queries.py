@@ -262,3 +262,113 @@ def ssl_featurization_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prediction").cast("long").alias("prediction"),
         ).agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based SSL: clamped label propagation (operators/label_propagation.py)
+# — the first ORACLE-CHECKED member of the SSL family. All vote
+# arithmetic is integer with a deterministic tie-break, so the DuckDB
+# unrolled-iteration CTE chain reproduces the fixed-point table
+# exactly; the only float math (the cosine edge predicate) is the same
+# expression on both sides over double-cast inputs, far from the
+# threshold relative to ULP noise.
+#
+# ORACLE TIER — the graph is the exact-cosine pairs among a keyed
+# subset (vec_id % 4, mirroring similarity_pairs_above's bound); the
+# 100 TB edge path is the LSH-bucketed similarity tier (see the
+# operator docstring). Seeds are a deterministic key slice
+# (vec_id % 12 == 0 given the % 4 subset -> every 3rd node), matching
+# the hash-mask seeding discipline of DeterministicLabelMasker.
+# ---------------------------------------------------------------------------
+
+
+def _lp_oracle(iters: int = 3, tau: float = 0.2) -> str:
+    parts = [
+        f"""
+WITH sub AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+p AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+  WHERE list_inner_product(a.v, b.v)
+          / (sqrt(list_inner_product(a.v, a.v))
+             * sqrt(list_inner_product(b.v, b.v))) >= {tau}
+),
+e AS (SELECT sa AS src, sb AS dst FROM p
+      UNION ALL SELECT sb AS src, sa AS dst FROM p),
+l0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 12 = 0 THEN 1 ELSE 0 END AS is_seed,
+         label AS y_true,
+         CASE WHEN vec_id % 12 = 0 THEN label END AS y
+  FROM sub
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+v{t} AS (
+  SELECT e.dst AS vec_id, l.y, COUNT(*) AS c
+  FROM e JOIN l{t - 1} l ON e.src = l.vec_id
+  WHERE l.y IS NOT NULL GROUP BY e.dst, l.y
+),
+b{t} AS (
+  SELECT vec_id, y FROM (
+    SELECT vec_id, y,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, y ASC) AS rn
+    FROM v{t}) WHERE rn = 1
+),
+l{t} AS (
+  SELECT l.vec_id, l.is_seed, l.y_true,
+         CASE WHEN l.is_seed = 1 THEN l.y_true
+              ELSE COALESCE(b.y, l.y) END AS y
+  FROM l{t - 1} l LEFT JOIN b{t} b ON l.vec_id = b.vec_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, CAST(is_seed AS BIGINT) AS is_seed,
+       CAST(y_true AS BIGINT) AS y_true,
+       CAST(COALESCE(y, -1) AS BIGINT) AS y_pred
+FROM l{iters}"""
+    )
+    return "".join(parts)
+
+
+@register("ssl_label_propagation", _lp_oracle())
+def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped majority-vote label propagation, 3 synchronous rounds
+    over the exact-cosine graph (tau=0.2) on the vec_id % 4 subset;
+    seeds = vec_id % 12 == 0. Output: (vec_id, is_seed, y_true,
+    y_pred) with unreached nodes at -1."""
+    from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
+    from tfm_semisup_spark.io import embedding_dim
+    from tfm_semisup_spark.operators.label_propagation import propagate_labels
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    sub = emb.where(F.col("vec_id") % 4 == 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = sub.select(F.col("vec_id").alias("sa"), F.col("v").alias("va"))
+    b = sub.select(F.col("vec_id").alias("sb"), F.col("v").alias("vb"))
+    edges = (
+        a.join(b, F.col("sa") < F.col("sb"))
+        .where(cosine_similarity_fixed("va", "vb", dim) >= 0.2)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    nodes = sub.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") % 12 == 0, 1).otherwise(0).alias("is_seed"),
+        F.col("label").alias("y_true"),
+    )
+    out = propagate_labels(nodes, edges, iters=3)
+    return out.select(
+        F.col("node").alias("vec_id"),
+        F.col("is_seed").cast("long").alias("is_seed"),
+        F.col("y_true").cast("long").alias("y_true"),
+        F.coalesce(F.col("y"), F.lit(-1)).cast("long").alias("y_pred"),
+    )
