@@ -119,6 +119,14 @@ _ORACLE_PRIORITY = [
     "streaming_new_docs_finalized",  # new r6, never windowed
     "dedup_containment_pairs",  # new r6, never windowed
     "ssl_label_propagation",  # new r6 (post-window), never windowed
+    "per_nation_price_trend_ols",  # new r6 (post-window), never windowed
+    "mi_status_priority",  # new r6 (post-window), never windowed
+    "benford_price_audit",  # new r6 (post-window), never windowed
+    "ewma_daily_revenue",  # new r6 (post-window), never windowed
+    "text_bigram_pmi",  # new r6 (post-window), never windowed
+    "text_boolean_and_search",  # new r6 (post-window), never windowed
+    "item_kcore_membership",  # new r6 (post-window), never windowed
+    "semantic_contamination_screen",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",
@@ -211,5 +219,8 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import analytics  # noqa: F401
     from tfm_semisup_spark.queries import boilerplate  # noqa: F401
     from tfm_semisup_spark.queries import expectations  # noqa: F401
+    from tfm_semisup_spark.queries import stats2  # noqa: F401
+    from tfm_semisup_spark.queries import text_analysis2  # noqa: F401
+    from tfm_semisup_spark.queries import graph2  # noqa: F401
 
     _reorder_registries()

@@ -331,3 +331,82 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = truncate(out)
     hashed.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) contamination screen
+# ---------------------------------------------------------------------------
+#
+# The lexical screens above miss paraphrased benchmark leakage; modern
+# decontamination passes (e.g. embedding-similarity screens in public
+# LLM data pipelines) therefore ALSO flag training items whose
+# embedding sits too close to a benchmark embedding. Semantics:
+# benchmark set = vec_id % 19 == 0; a training vector is contaminated
+# when cosine >= _SEM_TAU against ANY benchmark vector; report
+# (vec_id, n_hits, max_cos).
+#
+# ORACLE TIER — the screened training side is a fixed vec_id % 7 == 1
+# subset so the exact all-pairs probe stays bounded (the
+# similarity_pairs_above discipline). The full-corpus path is the
+# LSH-bucketed candidate generator (operators/dedup.py
+# embedding_near_dup_pairs) feeding this same exact verify.
+#
+# 100 TB shape: benchmarks are bounded (eval suites are megabytes), so
+# the probe is corpus-scan x BROADCAST benchmark — zero corpus
+# shuffle, then one hash aggregate keyed by the (already filtered)
+# contaminated vec_ids. Both engines cast float32 -> double before the
+# dot products; the final stats are rounded.
+
+_SEM_TAU = 0.2
+
+SEMANTIC_CONTAM_ORACLE = f"""
+WITH bench AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 19 = 0
+),
+train AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 19 <> 0 AND vec_id % 7 = 1
+),
+sims AS (
+  SELECT t.vec_id,
+         list_inner_product(t.v, b.v)
+           / (sqrt(list_inner_product(t.v, t.v))
+              * sqrt(list_inner_product(b.v, b.v))) AS sim
+  FROM train t, bench b
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(MAX(sim), 4) AS max_cos
+FROM sims
+WHERE sim > {_SEM_TAU}
+GROUP BY vec_id
+"""
+
+
+@register("semantic_contamination_screen", SEMANTIC_CONTAM_ORACLE)
+def semantic_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: training vectors (fixed %7
+    subset) with cosine > {tau} to any benchmark vector (%19 slice):
+    (vec_id, n_hits, max_cos).""".format(tau=_SEM_TAU)
+    from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
+    from tfm_semisup_spark.io import embedding_dim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    bench = emb.where(F.col("vec_id") % 19 == 0).select(
+        F.col("embedding").cast("array<double>").alias("bv")
+    )
+    train = emb.where(
+        (F.col("vec_id") % 19 != 0) & (F.col("vec_id") % 7 == 1)
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("tv"))
+    sim = cosine_similarity_fixed("tv", "bv", dim)
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", sim.alias("sim"))
+        .where(F.col("sim") > _SEM_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.round(F.max("sim"), 4).alias("max_cos"),
+        )
+    )

@@ -1,0 +1,210 @@
+"""Text-analysis battery #2: collocation mining and boolean retrieval.
+
+Two more operators of the text-analysis family (SURVEY.md §2.3,
+extension surface alongside ``text_analysis.py`` / ``retrieval.py``):
+
+- ``text_bigram_pmi``: adjacent-token collocations ranked by pointwise
+  mutual information — the classic phrase-mining / tokenizer-merge
+  signal (what BPE-style merge selection and phrase detectors compute
+  at corpus scale).
+- ``text_boolean_and_search``: conjunctive (AND-of-terms) boolean
+  retrieval for a fixed query workload, ranked by total term
+  frequency — the other half of the lexical-retrieval surface next to
+  the ranked BM25 tiers.
+
+Spark-first shapes:
+- bigrams are built INSIDE each row with one ``zip_with`` over the
+  token array (single F.expr — one parse, no per-node Py4J tax) and
+  only then exploded: no posexplode + per-doc window shuffle of the
+  full token stream. Shuffled volume is O(bigram occurrences) straight
+  into a hash aggregate.
+- PMI marginals (w as first word / w as second word) come from the
+  bigram aggregate itself — two more hash aggregations over the
+  (vocab²-bounded) bigram table, broadcast back. All counts stay exact
+  integers until the final ln(), so the only cross-engine difference
+  is libm ULP, rounded away; the top-k orders by the ROUNDED pmi with
+  a (w1, w2) tie-break so the cutoff cannot flip.
+- boolean AND filters the exploded token stream to the broadcast query
+  vocabulary BEFORE any shuffle (same discipline as text_bm25_topk):
+  shuffled volume is O(matching tokens), never O(corpus tokens); the
+  all-terms-present test is an exact count match on the per-(doc,term)
+  aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 25
+
+PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n
+  FROM (
+    SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM toks WHERE len(l) >= 2
+  )
+  GROUP BY p[1], p[2]
+),
+tot AS (SELECT SUM(n) AS n_big FROM big),
+lhs AS (SELECT w1, SUM(n) AS n1 FROM big GROUP BY w1),
+rhs AS (SELECT w2, SUM(n) AS n2 FROM big GROUP BY w2)
+SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n,
+       ROUND(ln((CAST(b.n AS DOUBLE) * t.n_big)
+                / (CAST(l.n1 AS DOUBLE) * r.n2)), 6) AS pmi
+FROM big b
+JOIN lhs l ON b.w1 = l.w1
+JOIN rhs r ON b.w2 = r.w2
+CROSS JOIN tot t
+WHERE b.n >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {_PMI_TOP}
+"""
+
+
+@register("text_bigram_pmi", PMI_ORACLE)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token collocations by PMI: (w1, w2, n, pmi) —
+    p(x,y) over bigram occurrences, p1(x)/p2(y) the positional
+    marginals of the same bigram table."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(l, 1, greatest(size(l) - 1, 0)),"
+        "  slice(l, 2, greatest(size(l) - 1, 0)),"
+        "  (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    big = (
+        docs.select(
+            F.filter(F.split("text", " "), lambda t: t != "").alias("l")
+        )
+        .where(F.size("l") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = big.agg(F.sum("n").alias("n_big"))
+    lhs = big.groupBy("w1").agg(F.sum("n").alias("n1"))
+    rhs = big.groupBy(F.col("w2").alias("rw2")).agg(F.sum("n").alias("n2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n").cast("double") * F.col("n_big"))
+            / (F.col("n1").cast("double") * F.col("n2"))
+        ),
+        6,
+    )
+    return (
+        big.where(F.col("n") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(lhs), "w1")
+        .join(F.broadcast(rhs), F.col("w2") == F.col("rw2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("n").cast("bigint").alias("n"), pmi.alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+# Fixed conjunctive query workload over the synthetic corpus vocabulary
+# (TESTDATA.md): every term must be present; rank by total tf.
+_BOOL_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_spark_join": ("spark", "join"),
+    "q_hash_merge": ("hash", "merge"),
+    "q_window_sort_scan": ("window", "sort", "scan"),
+    "q_fast_slow": ("fast", "slow"),
+}
+_BOOL_TOP = 10
+
+
+def _bool_query_values() -> str:
+    rows = []
+    for qid, terms in _BOOL_QUERIES.items():
+        for t in terms:
+            rows.append(f"('{qid}', '{t}', {len(terms)})")
+    return ", ".join(rows)
+
+
+BOOL_ORACLE = f"""
+WITH queries(qid, term, n_terms) AS (VALUES {_bool_query_values()}),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents
+  )
+  WHERE term IN (SELECT term FROM queries)
+  GROUP BY doc_id, term
+),
+matched AS (
+  SELECT q.qid, tf.doc_id,
+         COUNT(*) AS n_matched,
+         ANY_VALUE(q.n_terms) AS n_terms,
+         SUM(tf.tf) AS total_tf
+  FROM tf JOIN queries q ON tf.term = q.term
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, CAST(total_tf AS BIGINT) AS total_tf
+FROM (
+  SELECT qid, doc_id, total_tf,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY total_tf DESC, doc_id
+         ) AS rk
+  FROM matched WHERE n_matched = n_terms
+)
+WHERE rk <= {_BOOL_TOP}
+"""
+
+
+@register("text_boolean_and_search", BOOL_ORACLE)
+def text_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval for the fixed query workload:
+    (qid, doc_id, total_tf) — top-10 docs per query containing ALL the
+    query's terms, ranked by summed term frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (qid, term, len(terms))
+            for qid, terms in _BOOL_QUERIES.items()
+            for term in terms
+        ],
+        "qid string, term string, n_terms int",
+    )
+    vocab = sorted({t for terms in _BOOL_QUERIES.values() for t in terms})
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .where(F.col("term").isin(*vocab))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    matched = (
+        tf.join(F.broadcast(queries), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.any_value("n_terms").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .where(F.col("n_matched") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("total_tf"), "doc_id")
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _BOOL_TOP)
+        .select("qid", "doc_id", F.col("total_tf").cast("bigint").alias("total_tf"))
+    )
