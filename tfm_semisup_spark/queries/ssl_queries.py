@@ -372,3 +372,20 @@ def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_true").cast("long").alias("y_true"),
         F.coalesce(F.col("y"), F.lit(-1)).cast("long").alias("y_pred"),
     )
+
+
+@register("ssl_tritrain")
+def ssl_tritrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-Training (Zhou & Li 2005, operators/tri_training.py) on the
+    masked embeddings task — the third disagreement-based SSC family
+    member. Deterministic: hash-subsample diversification + fixed
+    seeds; rows-only checked like the other iterative-ML entries."""
+    from tfm_semisup_spark.operators.tri_training import TriTraining
+
+    data = _masked(spark, sf_dir, 0.3)
+    tt = TriTraining(baseClassifier=DecisionTreeClassifier(seed=5), maxIter=4)
+    model = tt.fit(data)
+    return _result_row(
+        spark, "embeddings", "DT", "tri", 0.3, 0.0, model,
+        _labeled_points(spark, sf_dir),
+    )
