@@ -113,6 +113,15 @@ HEADLINE = [
     "text_unigram_logppl",
     "multimodal_bmp_decode_stats",
     "robust_outlier_mad",
+    # late-r6 families: collocation mining (full bigram aggregate over
+    # the token stream — the heaviest text shuffle in the suite),
+    # iterative k-core peeling (3 checkpointed semi-join rounds), the
+    # embedding-space contamination probe (broadcast cosine scan), and
+    # the integer-weighted EWMA contribution explode
+    "text_bigram_pmi",
+    "item_kcore_membership",
+    "semantic_contamination_screen",
+    "ewma_daily_revenue",
 ]
 
 
