@@ -127,6 +127,9 @@ _ORACLE_PRIORITY = [
     "text_boolean_and_search",  # new r6 (post-window), never windowed
     "item_kcore_membership",  # new r6 (post-window), never windowed
     "semantic_contamination_screen",  # new r6 (post-window), never windowed
+    "funnel_three_step",  # new r6 (post-window), never windowed
+    "segment_overlap_jaccard",  # new r6 (post-window), never windowed
+    "hll_portable_distinct",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",
@@ -222,5 +225,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import stats2  # noqa: F401
     from tfm_semisup_spark.queries import text_analysis2  # noqa: F401
     from tfm_semisup_spark.queries import graph2  # noqa: F401
+    from tfm_semisup_spark.queries import analytics2  # noqa: F401
 
     _reorder_registries()

@@ -220,3 +220,138 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — the ORACLED sketch tier
+# ---------------------------------------------------------------------------
+#
+# The HLL++ / Datasketches tiers above are rows-only (engine-native
+# hashes). This tier ORACLE-CHECKS the HLL math itself, the same move
+# the portable MinHash/SimHash/CMS tiers made for their families:
+# both engines derive register updates from the SAME md5 digest, so
+# bucket assignment, rank (leading-zero count), register maxima, and
+# the harmonic-mean estimate are value-identical — an approximate
+# algorithm with an EXACT cross-engine contract.
+#
+# Arithmetic: bucket = u16(md5[1..4]) % 64 (65536 % 64 == 0 — exactly
+# uniform); rank comes from a SECOND independent 16-bit slice via an
+# integer-comparison CASE chain (no log2 — a power-of-two w under
+# floor(ln(w)/ln(2)) is exactly the cross-engine ULP trap); 2^-r
+# terms are exact dyadic doubles and 64 of them need 6+17 mantissa
+# bits, so the register sum is EXACT regardless of order — the same
+# order-independence argument as the integer EWMA (SCALE.md). The
+# only libm call is ln() inside the standard small-range correction,
+# rounded away.
+#
+# 100 TB: the register table is the shuffle payload — 64 rows — after
+# a map-side partial MAX; the scan is one pass. Mergeability is the
+# defining property (MAX of register vectors), shared with the
+# streaming CMS tier. Accuracy is the m=64 textbook 1.04/sqrt(64)
+# ≈ 13% (measured 5.6%/4.5%/13.4% at sf0.001/0.01/0.1); the 16-bit
+# rank slice saturates around m*2^16 ≈ 4M distinct — production
+# cardinalities use the rows-only HLL++ tier above, THIS tier's job
+# is proving the register math cross-engine. Both knobs (m, rank
+# width) widen by slicing more of the same digest.
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # standard alpha_64
+
+
+def _hll_rank_case(w: str) -> str:
+    """Leading-zero rank of a 16-bit value, pure integer comparisons:
+    w >= 2^15 -> 1, ..., w >= 1 -> 16, w = 0 -> 17. Portable text."""
+    cases = " ".join(
+        f"WHEN {w} >= {1 << (15 - i)} THEN {i + 1}" for i in range(16)
+    )
+    return f"(CASE {cases} ELSE 17 END)"
+
+
+def _hll_select(u16_bucket: str, u16_rank: str) -> str:
+    return (
+        f"CAST({u16_bucket} % {_HLL_M} AS INT) AS bucket, "
+        f"{_hll_rank_case(u16_rank)} AS rank_bits"
+    )
+
+
+def _hll_estimate_sql() -> str:
+    """Estimate from (nb, s) = (#nonzero registers, sum 2^-r over
+    them): zero registers add 1.0 each; small-range correction when
+    E <= 2.5m and zeros exist (Flajolet et al. 2007)."""
+    v = f"({_HLL_M} - nb)"
+    e_raw = f"({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (s + {v}))"
+    return (
+        f"CASE WHEN {e_raw} <= 2.5 * {_HLL_M} AND {v} > 0 "
+        f"THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / {v}) "
+        f"ELSE {e_raw} END"
+    )
+
+
+def _hll_oracle() -> str:
+    from tfm_semisup_spark.operators.layout import md5_uniform16_sql
+
+    b = md5_uniform16_sql("h", start=1)
+    r = md5_uniform16_sql("h", start=5)
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey FROM orders
+),
+hashed AS (
+  SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM keys
+),
+slots AS (
+  SELECT {_hll_select(b, r)} FROM hashed
+),
+regs AS (
+  SELECT bucket, MAX(rank_bits) AS r FROM slots GROUP BY bucket
+),
+agg AS (
+  SELECT COUNT(*) AS nb, SUM(POWER(2.0, -r)) AS s FROM regs
+),
+exact AS (SELECT COUNT(*) AS n_exact FROM keys)
+SELECT CAST(exact.n_exact AS BIGINT) AS n_exact,
+       CAST({_HLL_M} - agg.nb AS BIGINT) AS v_zero,
+       ROUND({_hll_estimate_sql()}, 2) AS hll_estimate,
+       ROUND(ABS({_hll_estimate_sql()} - exact.n_exact)
+             / exact.n_exact, 4) AS rel_err
+FROM agg, exact
+"""
+
+
+HLL_PORTABLE_ORACLE = _hll_oracle()
+
+
+@register("hll_portable_distinct", HLL_PORTABLE_ORACLE)
+def hll_portable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 64-register HyperLogLog over distinct order custkeys:
+    (n_exact, v_zero, hll_estimate, rel_err) — the sketch MATH is
+    driver-checked, not just its output shape."""
+    from tfm_semisup_spark.operators.layout import md5_uniform16_spark_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select("o_custkey").distinct()
+    hashed = keys.select(
+        F.md5(F.col("o_custkey").cast("string")).alias("h")
+    )
+    b = md5_uniform16_spark_sql("h", start=1)
+    r = md5_uniform16_spark_sql("h", start=5)
+    slots = hashed.selectExpr(
+        f"CAST({b} % {_HLL_M} AS INT) AS bucket",
+        f"{_hll_rank_case(r)} AS rank_bits",
+    )
+    regs = slots.groupBy("bucket").agg(F.max("rank_bits").alias("r"))
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+    )
+    exact = keys.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = _hll_estimate_sql()
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .selectExpr(
+            "CAST(n_exact AS BIGINT) AS n_exact",
+            f"CAST({_HLL_M} - nb AS BIGINT) AS v_zero",
+            f"ROUND({est}, 2) AS hll_estimate",
+            f"ROUND(ABS({est} - n_exact) / n_exact, 4) AS rel_err",
+        )
+    )
