@@ -130,6 +130,7 @@ _ORACLE_PRIORITY = [
     "funnel_three_step",  # new r6 (post-window), never windowed
     "segment_overlap_jaccard",  # new r6 (post-window), never windowed
     "hll_portable_distinct",  # new r6 (post-window), never windowed
+    "target_encode_priority",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

@@ -1,7 +1,7 @@
 """Statistical-insight battery #2: regression, association, and
 forensic/time-series statistics over the warehouse tables.
 
-Four operators a data-profiling / analytics engine is expected to ship
+Operators a data-profiling / analytics engine is expected to ship
 (extension surface alongside ``relational7.py``'s correlation battery,
 robust stats, and histogram):
 
@@ -15,18 +15,22 @@ robust stats, and histogram):
 - ``benford_price_audit``: first-significant-digit distribution vs
   Benford's law with per-digit chi-square terms — the classic
   forensic data-quality screen.
-- ``ewma_daily_revenue``: 30-day truncated exponentially-weighted
+- ``ewma_daily_revenue``: 12-day truncated exponentially-weighted
   moving average of daily revenue, re-expressed as a forward
-  contribution explode (shuffle scales with |days|×30, never fact
+  contribution explode (shuffle scales with |days|×12, never fact
   rows — same re-expression discipline as ``rolling_7d_active_users``,
   ``queries/analytics.py``).
+- ``target_encode_priority``: leakage-safe out-of-fold smoothed target
+  encoding (the ML-prep categorical-encoding staple), portable md5
+  folds, all out-of-fold sums via window subtraction over the bounded
+  fold×category grid.
 
 Arithmetic parity notes:
 - all money flows as integer cents (``FLOOR(price*100)`` BIGINT) until
   the final statistic, per the repo-wide quantize-then-derive rule;
-- the EWMA decay is 0.75**k with k<=29: 3**29 < 2**53, so every weight
-  is EXACTLY representable and ``POWER`` agrees bit-for-bit across
-  engines; only summation order differs, absorbed by rounding;
+- the EWMA weighted sum is EXACT BIGINT (integer weights 3^k*4^(11-k))
+  — zero summation-order noise by construction (see the in-section
+  note: a double-weighted first cut hit a rounding boundary);
 - ln()/division outputs are rounded coarser than cross-engine libm ULP.
 """
 
@@ -306,4 +310,107 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format("tday", "yyyy-MM-dd").alias("day"), "ewma_cents"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-safe categorical encoding)
+# ---------------------------------------------------------------------------
+#
+# The standard ML-prep move for high-cardinality categoricals: replace
+# the category with a smoothed mean of the target, computed OUT OF
+# FOLD so a row never sees its own target (the leakage the naive
+# all-data mean encoding suffers). Folds are portable md5 buckets (the
+# repo's shared fold/shard primitive); the encoding for (fold f,
+# category c) uses every fold EXCEPT f:
+#
+#   enc(f, c) = (oof_sum(c) + m * oof_global_mean(f)) / (oof_cnt(c) + m)
+#
+# with smoothing m = 10 toward the out-of-fold global mean.
+#
+# Scale shape: ONE fact aggregation to the (fold x category) grid
+# (bounded: 4 x |priorities| = 20 cells); out-of-fold sums are window
+# subtractions over that grid, never a second fact pass. Target stays
+# integer cents until the final division, which both engines evaluate
+# over identical exact inputs with an identical expression tree.
+
+_TE_FOLDS = 4
+_TE_SMOOTH = 10.0
+
+
+def _te_fold_sql(portable: bool) -> str:
+    from tfm_semisup_spark.operators.layout import (
+        md5_uniform16_spark_sql,
+        md5_uniform16_sql,
+    )
+
+    fn = md5_uniform16_sql if portable else md5_uniform16_spark_sql
+    cast = "VARCHAR" if portable else "STRING"
+    return f"({fn(f'md5(CAST(o_orderkey AS {cast}))')} % {_TE_FOLDS})"
+
+
+TARGET_ENCODE_ORACLE = f"""
+WITH cells AS (
+  SELECT {_te_fold_sql(True)} AS fold,
+         o_orderpriority,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents,
+         COUNT(*) AS n
+  FROM orders
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT fold, o_orderpriority, cents, n,
+         SUM(cents) OVER (PARTITION BY o_orderpriority) - cents AS oof_sum,
+         SUM(n) OVER (PARTITION BY o_orderpriority) - n AS oof_cnt,
+         SUM(cents) OVER () - SUM(cents) OVER (PARTITION BY fold) AS g_sum,
+         SUM(n) OVER () - SUM(n) OVER (PARTITION BY fold) AS g_cnt
+  FROM cells
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       o_orderpriority,
+       CAST(oof_cnt AS BIGINT) AS n_oof,
+       ROUND((oof_sum + {_TE_SMOOTH} * (CAST(g_sum AS DOUBLE) / g_cnt))
+             / (oof_cnt + {_TE_SMOOTH}), 4) AS encoding
+FROM grid
+"""
+
+
+@register("target_encode_priority", TARGET_ENCODE_ORACLE)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding of o_orderpriority against
+    cents revenue, 4 portable md5 folds: (fold, o_orderpriority,
+    n_oof, encoding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.selectExpr(
+            f"{_te_fold_sql(False)} AS fold",
+            "o_orderpriority",
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c1",
+        )
+        .groupBy("fold", "o_orderpriority")
+        .agg(F.sum("c1").alias("cents"), F.count(F.lit(1)).alias("n"))
+    )
+    w_cat = Window.partitionBy("o_orderpriority")
+    w_fold = Window.partitionBy("fold")
+    w_all = Window.partitionBy()
+    grid = cells.select(
+        "fold",
+        "o_orderpriority",
+        (F.sum("cents").over(w_cat) - F.col("cents")).alias("oof_sum"),
+        (F.sum("n").over(w_cat) - F.col("n")).alias("oof_cnt"),
+        (F.sum("cents").over(w_all) - F.sum("cents").over(w_fold)).alias("g_sum"),
+        (F.sum("n").over(w_all) - F.sum("n").over(w_fold)).alias("g_cnt"),
+    )
+    return grid.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        "o_orderpriority",
+        F.col("oof_cnt").cast("bigint").alias("n_oof"),
+        F.round(
+            (
+                F.col("oof_sum")
+                + _TE_SMOOTH * (F.col("g_sum").cast("double") / F.col("g_cnt"))
+            )
+            / (F.col("oof_cnt") + _TE_SMOOTH),
+            4,
+        ).alias("encoding"),
     )
