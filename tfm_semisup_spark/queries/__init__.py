@@ -131,6 +131,8 @@ _ORACLE_PRIORITY = [
     "segment_overlap_jaccard",  # new r6 (post-window), never windowed
     "hll_portable_distinct",  # new r6 (post-window), never windowed
     "target_encode_priority",  # new r6 (post-window), never windowed
+    "point_in_time_order_state",  # new r6 (post-window), never windowed
+    "time_to_convert_histogram",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

@@ -188,3 +188,176 @@ def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of state) join against SCD2 intervals
+# ---------------------------------------------------------------------------
+#
+# The feature-store staple: "what was entity X's state at time t" for
+# a grid of observation times, answered WITHOUT leakage by joining the
+# probe time into the SCD2 validity interval that CONTAINS it. The
+# history side is the order_history_scd2 build (one custkey-keyed
+# window); probes are a quarterly date grid exploded per tracked
+# customer. The join is keyed on custkey with the interval containment
+# as an in-place filter — a keyed range join, never time-cross-time.
+# At scale the probe grid is |entities| x |grid points| (both chosen),
+# and each probe matches exactly one interval by construction
+# (intervals partition the timeline from the first order on).
+
+_PIT_KEEP_MOD = 100  # track custkeys % 100 == 0 (the SCD2 demo slice)
+
+PIT_ORACLE = f"""
+WITH hist AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER w AS seq,
+         o_orderdate AS valid_from,
+         COALESCE(LEAD(o_orderdate) OVER w, TIMESTAMP '9999-12-31')
+           AS valid_to,
+         o_totalprice AS price
+  FROM orders
+  WHERE o_custkey % {_PIT_KEEP_MOD} = 0
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+probes AS (
+  SELECT c.o_custkey, t.t
+  FROM (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey % {_PIT_KEEP_MOD} = 0) c,
+       unnest(generate_series(TIMESTAMP '1995-01-01',
+                              TIMESTAMP '2001-07-01',
+                              INTERVAL 3 MONTH)) AS t(t)
+)
+SELECT p.o_custkey,
+       strftime(p.t, '%Y-%m-%d') AS as_of,
+       CAST(h.seq AS BIGINT) AS seq,
+       ROUND(h.price, 2) AS price_at_time
+FROM probes p
+JOIN hist h
+  ON h.o_custkey = p.o_custkey
+ AND h.valid_from <= p.t AND p.t < h.valid_to
+"""
+
+
+@register("point_in_time_order_state", PIT_ORACLE)
+def point_in_time_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: each tracked customer's order state at
+    every quarterly grid date: (o_custkey, as_of, seq,
+    price_at_time)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    kept = orders.where(F.col("o_custkey") % _PIT_KEEP_MOD == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = kept.select(
+        "o_custkey",
+        F.row_number().over(w).alias("seq"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w), F.lit("9999-12-31").cast("timestamp")
+        ).alias("valid_to"),
+        F.col("o_totalprice").alias("price"),
+    )
+    grid = F.explode(
+        F.sequence(
+            F.lit("1995-01-01").cast("timestamp"),
+            F.lit("2001-07-01").cast("timestamp"),
+            F.expr("INTERVAL 3 MONTH"),
+        )
+    )
+    probes = (
+        kept.select("o_custkey")
+        .distinct()
+        .select(F.col("o_custkey").alias("p_custkey"), grid.alias("t"))
+    )
+    return (
+        probes.join(
+            hist,
+            (F.col("p_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("t"))
+            & (F.col("t") < F.col("valid_to")),
+        )
+        .select(
+            "o_custkey",
+            F.date_format("t", "yyyy-MM-dd").alias("as_of"),
+            F.col("seq").cast("bigint").alias("seq"),
+            F.round("price", 2).alias("price_at_time"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution
+# ---------------------------------------------------------------------------
+#
+# The funnel's companion: among converters (first view -> a purchase
+# within 24h), the distribution of conversion latency in 30-minute
+# buckets. Same user-keyed range-join discipline; the histogram is a
+# bounded 48-bucket aggregate.
+
+TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+conv AS (
+  SELECT v.user_id,
+         MIN(date_diff('minute', v.first_view, e.ts)) AS mins
+  FROM v JOIN events e
+    ON e.user_id = v.user_id
+   AND e.event_type = 'purchase'
+   AND e.ts > v.first_view
+   AND e.ts <= v.first_view + INTERVAL 24 HOUR
+  GROUP BY v.user_id
+)
+SELECT CAST(FLOOR(mins / 30) AS BIGINT) AS bucket_30m,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(mins) AS BIGINT) AS min_mins,
+       CAST(MAX(mins) AS BIGINT) AS max_mins
+FROM conv
+GROUP BY 1
+"""
+
+
+@register("time_to_convert_histogram", TTC_ORACLE)
+def time_to_convert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency histogram (first view -> fastest purchase
+    within 24h), 30-minute buckets: (bucket_30m, n_users, min_mins,
+    max_mins)."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    mins = (
+        F.col("p_ts").cast("long") / 60 - F.col("first_view").cast("long") / 60
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("first_view"))
+            & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                (
+                    F.floor(F.col("p_ts").cast("long") / 60)
+                    - F.floor(F.col("first_view").cast("long") / 60)
+                )
+            ).alias("mins")
+        )
+    )
+    return (
+        conv.groupBy(F.floor(F.col("mins") / 30).cast("bigint").alias("bucket_30m"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("mins").cast("bigint").alias("min_mins"),
+            F.max("mins").cast("bigint").alias("max_mins"),
+        )
+    )
