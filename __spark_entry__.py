@@ -2,13 +2,13 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (198 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (200 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (169 entries — all verified hash-matching at
+equivalent DuckDB SQL (170 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count, so no oracle is
 driver-environment-dependent).
 
-The 29 rows-only entries (no oracle) are each non-SQL-expressible for
+The 30 rows-only entries (no oracle) are each non-SQL-expressible for
 one of four reasons, and all are deterministic under fixed seeds and
 independent of partitioning (locally verified by the 350+ test suite):
 

@@ -77,3 +77,63 @@ def asof_join_backward(
             *[F.col(f"__rv.{c}").alias(c) for c in value_cols],
         )
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """left + EARLIEST-following right values with right_time >=
+    left_time — the mirror of ``asof_join_backward`` (same union +
+    per-key window formulation, same single shuffle).
+
+    Ties: right rows at the SAME instant are eligible (forward as-of
+    includes same-instant matches), so at equal timestamps left rows
+    sort before right rows and the frame runs current row ->
+    unbounded following with ``first(ignorenulls)``. The backward
+    variant's caveat applies unchanged: pre-aggregate right-side
+    duplicates at the same (key, time) for deterministic payloads.
+    """
+    left_cols = left.columns
+    right_struct_type = (
+        "struct<" + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+        ) + ">"
+    )
+    tagged_left = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left_cols],
+        F.lit(None).cast(right_struct_type).alias("__rv"),
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "__is_left",
+        *[F.col(c) for c in left_cols],
+        F.first("__rv", ignorenulls=True).over(w).alias("__rv"),
+    )
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left_cols],
+            *[F.col(f"__rv.{c}").alias(c) for c in value_cols],
+        )
+    )

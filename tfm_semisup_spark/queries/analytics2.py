@@ -361,3 +361,104 @@ def time_to_convert_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mins").cast("bigint").alias("max_mins"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next-state lookup)
+# ---------------------------------------------------------------------------
+#
+# The mirror of asof_join_latest_order: for each quarterly probe date,
+# the EARLIEST order at/after it per tracked customer —
+# operators/asof.py asof_join_forward (union + per-key window, one
+# shuffle; DuckDB's native ASOF is backward-only, so the oracle uses
+# the explicit ranked non-equi form over the bounded probe grid).
+# Right-side duplicates at the same (custkey, date) are pre-aggregated
+# to the min-orderkey payload per the operator's determinism caveat.
+
+ASOF_FWD_ORACLE = f"""
+WITH probes AS (
+  SELECT c.o_custkey AS p_custkey, t.t
+  FROM (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey % {_PIT_KEEP_MOD} = 0) c,
+       unnest(generate_series(TIMESTAMP '1995-01-01',
+                              TIMESTAMP '2001-07-01',
+                              INTERVAL 3 MONTH)) AS t(t)
+),
+uniq AS (
+  SELECT o_custkey, o_orderdate,
+         MIN(ROW(o_orderkey, o_totalprice)) AS pay
+  FROM orders WHERE o_custkey % {_PIT_KEEP_MOD} = 0
+  GROUP BY o_custkey, o_orderdate
+),
+ranked AS (
+  SELECT p.p_custkey, p.t, u.o_orderdate, (u.pay)[2] AS price,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_custkey, p.t
+           ORDER BY u.o_orderdate
+         ) AS rk
+  FROM probes p
+  JOIN uniq u
+    ON u.o_custkey = p.p_custkey AND u.o_orderdate >= p.t
+)
+SELECT p.p_custkey AS o_custkey,
+       strftime(p.t, '%Y-%m-%d') AS as_of,
+       COALESCE(strftime(r.o_orderdate, '%Y-%m-%d'), 'none')
+         AS next_order_date,
+       ROUND(COALESCE(r.price, -1.0), 2) AS next_price
+FROM probes p
+LEFT JOIN ranked r
+  ON r.p_custkey = p.p_custkey AND r.t = p.t AND r.rk = 1
+"""
+
+
+@register("asof_forward_next_order", ASOF_FWD_ORACLE)
+def asof_forward_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each tracked customer's NEXT order at/after every
+    quarterly grid date: (o_custkey, as_of, next_order_date,
+    next_price) — sentinels for grid dates past the last order."""
+    from tfm_semisup_spark.operators.asof import asof_join_forward
+
+    orders = load_table(spark, sf_dir, "orders")
+    kept = orders.where(F.col("o_custkey") % _PIT_KEEP_MOD == 0)
+    uniq = (
+        kept.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.min(F.struct("o_orderkey", "o_totalprice")).alias("pay")
+        )
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("pay.o_totalprice").alias("price"),
+        )
+    )
+    probes = (
+        kept.select("o_custkey")
+        .distinct()
+        .select(
+            F.col("o_custkey").alias("p_custkey"),
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("timestamp"),
+                    F.lit("2001-07-01").cast("timestamp"),
+                    F.expr("INTERVAL 3 MONTH"),
+                )
+            ).alias("t"),
+        )
+    )
+    joined = asof_join_forward(
+        probes,
+        uniq,
+        left_key="p_custkey",
+        right_key="o_custkey",
+        left_time="t",
+        right_time="o_orderdate",
+        value_cols=["o_orderdate", "price"],
+    )
+    return joined.select(
+        F.col("p_custkey").alias("o_custkey"),
+        F.date_format("t", "yyyy-MM-dd").alias("as_of"),
+        F.coalesce(
+            F.date_format("o_orderdate", "yyyy-MM-dd"), F.lit("none")
+        ).alias("next_order_date"),
+        F.round(F.coalesce("price", F.lit(-1.0)), 2).alias("next_price"),
+    )

@@ -365,3 +365,28 @@ def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register("embedding_pca_spectrum")
+def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact-covariance PCA fit (operators/pca.py): top-8
+    spectrum of the embedding corpus — (component, eigenvalue,
+    explained_ratio). Rows-only by necessity (eigendecomposition is
+    not SQL-expressible) but deterministic under ANY partitioning: the
+    corpus pass accumulates QUANTIZED integer moments, so the
+    covariance handed to numpy is bit-identical regardless of batch or
+    partition boundaries (see the operator docstring; partitioning
+    independence pinned in tests/test_pca.py)."""
+    from tfm_semisup_spark.io import embedding_dim
+    from tfm_semisup_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    _, vals, ratio, _ = fit_pca(emb, "embedding", dim, k=8)
+    rows = [
+        (i, float(round(vals[i], 6)), float(round(ratio[i], 6)))
+        for i in range(len(vals))
+    ]
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained_ratio double"
+    )
