@@ -133,6 +133,9 @@ _ORACLE_PRIORITY = [
     "target_encode_priority",  # new r6 (post-window), never windowed
     "point_in_time_order_state",  # new r6 (post-window), never windowed
     "time_to_convert_histogram",  # new r6 (post-window), never windowed
+    "asof_forward_next_order",  # new r6 (post-window), never windowed
+    "streaming_cdc_merge_state",  # new r6 (post-window), never windowed
+    "vocab_id_stats",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

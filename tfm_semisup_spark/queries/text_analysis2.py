@@ -208,3 +208,78 @@ def text_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _BOOL_TOP)
         .select("qid", "doc_id", F.col("total_tf").cast("bigint").alias("total_tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build + id-ization checksum (tokenize-to-ids pipeline)
+# ---------------------------------------------------------------------------
+#
+# The LLM-prep step after cleaning/dedup: freeze a vocabulary (top-K
+# tokens by frequency, deterministic (count DESC, token) rank order)
+# and map the corpus to integer ids with UNK=0. Emitting the id
+# ARRAYS would make the driver compare engine-repr-sensitive, so the
+# query emits per-source aggregate CHECKSUMS of the mapping instead —
+# sum of ids is injective enough that any rank-order or join bug
+# shifts it. Scale shape: one wordcount aggregate builds the vocab
+# (vocab-sized rank window), the id map rides a BROADCAST join onto
+# the exploded token stream, and per-source stats are one hash
+# aggregate — no token-stream shuffle beyond the wordcount itself.
+
+_VOCAB_K = 100
+
+VOCAB_ID_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS id
+  FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok
+  LIMIT {_VOCAB_K}
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       ROUND(SUM(CASE WHEN v.id IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+         AS unk_rate,
+       CAST(SUM(COALESCE(v.id, 0)) AS BIGINT) AS sum_ids
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.source
+"""
+
+
+@register("vocab_id_stats", VOCAB_ID_ORACLE)
+def vocab_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen top-{k} vocabulary + id-ized corpus checksums per source:
+    (source, n_tokens, n_unk, unk_rate, sum_ids).""".format(k=_VOCAB_K)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), "tok")
+    vocab = (
+        counts.orderBy(F.desc("c"), "tok")
+        .limit(_VOCAB_K)
+        .withColumn("id", F.row_number().over(w))
+        .select("tok", "id")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+            F.round(
+                F.sum(F.when(F.col("id").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("unk_rate"),
+            F.sum(F.coalesce("id", F.lit(0))).cast("bigint").alias("sum_ids"),
+        )
+    )

@@ -633,3 +633,60 @@ def daily_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# Sixth streaming-materialized tier: CDC LATEST-WINS MERGE — the
+# foreachBatch upsert-apply pattern (streaming/events.py
+# cdc_latest_wins_merge_stream). The source is re-laid-out into 4
+# bucket files so maxFilesPerTrigger=1 yields a REAL multi-batch
+# incremental run; the merge combine (max struct keyed by
+# (ts, event_id)) is associative/commutative/idempotent, so the final
+# state table is independent of file/batch order and of at-least-once
+# replay — which is exactly why a plain per-user argmax over the whole
+# event history is a valid oracle for it.
+CDC_MERGE_ORACLE = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       ROUND(value, 2) AS last_value
+FROM (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rk
+  FROM events
+)
+WHERE rk = 1
+"""
+
+
+@register("streaming_cdc_merge_state", CDC_MERGE_ORACLE)
+def streaming_cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: events re-bucketed into 4 source files ->
+    maxFilesPerTrigger=1 availableNow run -> per-batch latest-wins
+    merge into a parquet state dir -> final state (user_id, last_ts,
+    last_value)."""
+    import tempfile
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.streaming.events import cdc_latest_wins_merge_stream
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_cdc_")
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # 4 deterministic source files (one per user_id bucket)
+    src = f"{base}/src"
+    (
+        events.repartition(4, F.pmod("user_id", F.lit(4)))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    cdc_latest_wins_merge_stream(
+        spark, src, f"{base}/state", f"{base}/ckpt", schema
+    )
+    return spark.read.parquet(f"{base}/state").select(
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )

@@ -235,3 +235,71 @@ def stream_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_latest_wins_merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    ckpt_dir: str,
+    schema,
+) -> None:
+    """Streaming CDC apply: maintain a per-user LATEST-STATE table by
+    merging each micro-batch into a parquet state dir via foreachBatch
+    (``maxFilesPerTrigger=1`` + availableNow — one micro-batch per
+    source file, a real multi-batch incremental run).
+
+    The merge rule is latest-wins keyed by (ts, event_id): per batch,
+    reduce to each user's max struct, union with the previous state,
+    and take the max struct again. ``max`` is ASSOCIATIVE, COMMUTATIVE
+    and IDEMPOTENT, so the final state is independent of micro-batch
+    ORDER (file listing order is not contractual) and unchanged under
+    at-least-once batch REPLAY — the two failure modes a sequential
+    "overwrite with newest batch" CDC apply gets wrong. State swap is
+    write-new-then-rename, so a crash mid-batch leaves the previous
+    state intact (the checkpoint re-runs the batch; replay is a no-op
+    by idempotence).
+
+    100 TB: state is one row per key; the merge is one key shuffle of
+    |batch keys| + |state keys| rows per batch. On a real lakehouse the
+    same logic rides MERGE INTO; this is the engine-level form.
+    """
+    import os
+    import shutil
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("s")
+        )
+        if os.path.exists(state_dir):
+            old = batch_df.sparkSession.read.parquet(state_dir).select(
+                "user_id", F.struct("ts", "event_id", "value").alias("s")
+            )
+            merged = (
+                old.unionByName(latest)
+                .groupBy("user_id")
+                .agg(F.max("s").alias("s"))
+            )
+        else:
+            merged = latest
+        out = merged.select(
+            "user_id",
+            F.col("s.ts").alias("ts"),
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.value").alias("value"),
+        )
+        tmp = state_dir + "_next"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(tmp, state_dir)
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
