@@ -139,3 +139,53 @@ def test_ols_single_aggregation_pass(spark):
     no window, no self-join of aggregates."""
     plan = _plan(_q(spark, "per_nation_price_trend_ols"))
     assert "Window" not in plan
+
+
+def test_hll_single_pass_broadcast(spark):
+    """Portable HLL: register aggregate + single-row exact count meet
+    on broadcasts; no sort-merge join, no Python workers."""
+    plan = _plan(_q(spark, "hll_portable_distinct"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_target_encode_windows_over_grid(spark):
+    """Out-of-fold encoding: every Window consumes the fold x category
+    AGGREGATE (executedPlan prints children below parents, so the
+    deepest HashAggregate appears after the Window nodes)."""
+    plan = _plan(_q(spark, "target_encode_priority"))
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
+def test_pit_join_no_cartesian(spark):
+    """Point-in-time interval join stays keyed on custkey — the
+    containment predicate must not leak into a CartesianProduct."""
+    plan = _plan(_q(spark, "point_in_time_order_state"))
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_single_union_window(spark):
+    """Forward as-of: union + ONE per-key window — no joins at all in
+    the operator's plan (the scalable as-of formulation)."""
+    plan = _plan(_q(spark, "asof_forward_next_order"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert "Union" in plan
+
+
+def test_vocab_id_broadcast_map(spark):
+    """Tokenize-to-ids: the id map joins the exploded stream as a
+    broadcast; no sort-merge join of the token stream."""
+    plan = _plan(_q(spark, "vocab_id_stats"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel3_user_keyed_steps(spark):
+    """Three-step funnel: conversion probes are user-keyed hash joins
+    (the time bounds filter in place); final rates ride broadcasts of
+    single-row counts."""
+    plan = _plan(_q(spark, "funnel_three_step"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # single-row rate combine
