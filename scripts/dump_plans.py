@@ -220,6 +220,46 @@ PICKS = {
         "(BroadcastHashJoin, pinned no-SortMergeJoin) — three scans, "
         "zero fact-sized shuffles"
     ),
+    "ewma_daily_revenue": (
+        "EWMA as contribution explode over the DAILY aggregate with "
+        "EXACT integer weights — no window, no non-equi self-join; "
+        "single-row max-day broadcast cut"
+    ),
+    "text_bigram_pmi": (
+        "collocations: bigrams built IN-ROW (one zip_with) then "
+        "exploded — no token-stream window shuffle; PMI marginals "
+        "broadcast from the vocab²-bounded bigram aggregate"
+    ),
+    "semantic_contamination_screen": (
+        "embedding decontamination: corpus scan x BROADCAST benchmark "
+        "set, codegen fixed-arity cosine — zero corpus shuffle before "
+        "the per-vector aggregate"
+    ),
+    "hll_portable_distinct": (
+        "oracled HLL: distinct keys -> md5 slices -> 64-register MAX "
+        "aggregate (map-side partial, 64-row shuffle payload) + "
+        "single-row exact-count broadcast"
+    ),
+    "target_encode_priority": (
+        "out-of-fold target encoding: ONE fact aggregation to the "
+        "fold x category grid; OOF sums are window subtractions over "
+        "that bounded grid — no second fact pass"
+    ),
+    "point_in_time_order_state": (
+        "feature-store PIT join: custkey-keyed interval-containment "
+        "join of the probe grid into SCD2 validity intervals — each "
+        "probe matches exactly one interval, no time-cross-time"
+    ),
+    "asof_forward_next_order": (
+        "forward as-of: tag + union + ONE per-key window "
+        "(first ignorenulls over currentRow..following) — zero joins "
+        "in the whole plan"
+    ),
+    "vocab_id_stats": (
+        "tokenize-to-ids: vocab rank window over the wordcount "
+        "aggregate; id map BROADCAST onto the exploded stream — the "
+        "only token-stream shuffle is the wordcount itself"
+    ),
 }
 
 
