@@ -136,6 +136,8 @@ _ORACLE_PRIORITY = [
     "asof_forward_next_order",  # new r6 (post-window), never windowed
     "streaming_cdc_merge_state",  # new r6 (post-window), never windowed
     "vocab_id_stats",  # new r6 (post-window), never windowed
+    "table_fingerprint_orders",  # new r6 (post-window), never windowed
+    "dow_seasonal_residuals",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

@@ -319,3 +319,87 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 4).alias("mad_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table fingerprint (anti-entropy checksum)
+# ---------------------------------------------------------------------------
+#
+# The data-integrity primitive behind replica anti-entropy, snapshot
+# diffing, and migration sign-off: a content checksum of a relation
+# that any engine can recompute and that is INDEPENDENT of row order
+# and partitioning. Construction: canonicalize each row to a string
+# of integer-only fields (keys + cents — no double formatting, the
+# cross-engine trap), md5 it, decode two independent 16-bit slices,
+# and SUM them (addition is commutative/associative — the order-free
+# combine; two slices make silent collision-cancellation vastly less
+# likely than one). 65535 per row per slice bounds the BIGINT sum to
+# ~1e14 rows — far past any driver check. A single changed, missing,
+# or duplicated row shifts the sums with probability ~1-2^-32.
+#
+# 100 TB: one scan, map-side partial SUM, a few-bytes shuffle. The
+# same fingerprint computed per PARTITION KEY (here: per status)
+# localizes WHICH shard diverges — the Merkle-ish use.
+
+_FP_CANON = (
+    "CAST(o_orderkey AS {s}) || '|' || "
+    "CAST(o_custkey AS {s}) || '|' || "
+    "o_orderstatus || '|' || "
+    "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS {s}) || '|' || "
+    "strftime(o_orderdate, '%Y-%m-%d')"
+)
+
+TABLE_FP_ORACLE = f"""
+WITH canon AS (
+  SELECT o_orderstatus AS status,
+         md5({_FP_CANON.format(s="VARCHAR")}) AS h
+  FROM orders
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({{u1}}) AS BIGINT) AS fp_lo,
+       CAST(SUM({{u2}}) AS BIGINT) AS fp_hi
+FROM canon
+GROUP BY status
+"""
+
+
+def _table_fp_oracle() -> str:
+    from tfm_semisup_spark.operators.layout import md5_uniform16_sql
+
+    return TABLE_FP_ORACLE.format(
+        u1=md5_uniform16_sql("h", start=1), u2=md5_uniform16_sql("h", start=9)
+    )
+
+
+@register("table_fingerprint_orders", _table_fp_oracle())
+def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order-insensitive content fingerprint of orders:
+    (status, n_rows, fp_lo, fp_hi) — any engine recomputes it; any
+    changed/missing/duplicated row shifts the sums."""
+    from tfm_semisup_spark.operators.layout import md5_uniform16_spark_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Spark's date formatter needs the Spark pattern; DuckDB uses
+    # strftime — the FORMATTED VALUES are identical (yyyy-MM-dd)
+    canon_spark = (
+        "CAST(o_orderkey AS STRING) || '|' || "
+        "CAST(o_custkey AS STRING) || '|' || "
+        "o_orderstatus || '|' || "
+        "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS STRING) || '|' || "
+        "date_format(o_orderdate, 'yyyy-MM-dd')"
+    )
+    canon = orders.selectExpr(
+        "o_orderstatus AS status", f"md5({canon_spark}) AS h"
+    )
+    u1 = md5_uniform16_spark_sql("h", start=1)
+    u2 = md5_uniform16_spark_sql("h", start=9)
+    return (
+        canon.selectExpr("status", f"{u1} AS s1", f"{u2} AS s2")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("s1").cast("bigint").alias("fp_lo"),
+            F.sum("s2").cast("bigint").alias("fp_hi"),
+        )
+    )

@@ -414,3 +414,72 @@ def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("encoding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal residuals (seasonality-aware anomaly screen)
+# ---------------------------------------------------------------------------
+#
+# partition_anomaly_days (queries/expectations.py) z-scores daily
+# volume against the GLOBAL mean — weekly seasonality inflates its
+# false positives. This operator deseasonalizes first: residual =
+# daily cents - that weekday's mean, z-scored by the weekday's own
+# spread. Two bounded aggregates (days, then 7 weekday rows broadcast
+# back onto the day table); anomalies = |z| > 3. Exact integer cents
+# into fixed-tree double math, rounded.
+
+DOW_RESIDUAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+dow_stats AS (
+  SELECT dow, AVG(CAST(cents AS DOUBLE)) AS mu,
+         stddev_samp(CAST(cents AS DOUBLE)) AS sd
+  FROM daily GROUP BY dow
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       d.dow,
+       CAST(d.cents AS BIGINT) AS cents,
+       ROUND((d.cents - s.mu) / s.sd, 4) AS z_dow
+FROM daily d JOIN dow_stats s ON d.dow = s.dow
+WHERE ABS((d.cents - s.mu) / s.sd) > 3
+"""
+
+
+@register("dow_seasonal_residuals", DOW_RESIDUAL_ORACLE)
+def dow_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware daily anomalies: days whose revenue deviates
+    >3 sd from THEIR WEEKDAY's mean: (day, dow, cents, z_dow)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            # DuckDB dayofweek is 0=Sun..6=Sat; Spark's is 1=Sun..7=Sat
+            (F.dayofweek(F.to_date("o_orderdate")) - 1)
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    stats = daily.groupBy(F.col("dow").alias("s_dow")).agg(
+        F.avg(F.col("cents").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("cents").cast("double")).alias("sd"),
+    )
+    z = (F.col("cents") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), daily.dow == stats.s_dow)
+        .where(F.abs(z) > 3)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.round(z, 4).alias("z_dow"),
+        )
+    )
