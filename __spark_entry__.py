@@ -2,9 +2,9 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (204 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (205 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (174 entries — all verified hash-matching at
+equivalent DuckDB SQL (175 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count, so no oracle is
 driver-environment-dependent).
 

@@ -138,6 +138,7 @@ _ORACLE_PRIORITY = [
     "vocab_id_stats",  # new r6 (post-window), never windowed
     "table_fingerprint_orders",  # new r6 (post-window), never windowed
     "dow_seasonal_residuals",  # new r6 (post-window), never windowed
+    "ks_price_by_returnflag",  # new r6 (post-window), never windowed
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",

@@ -483,3 +483,104 @@ def dow_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z_dow"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+#
+# Distribution-shift test between two populations (here: lineitem
+# price distributions of returnflag 'R' vs 'N'). The EXACT KS statistic
+# needs a global value sort — the unpartitioned-window shape this repo
+# bans at fact scale — so the scale form bins values onto a bounded
+# equal-width grid first (the same trade as price_histogram_bins) and
+# takes the max CDF gap over BIN BOUNDARIES: a lower bound of exact KS
+# converging as the grid refines, fully deterministic (integer counts,
+# fixed bounds). Windows run over the <=100-row grid only.
+
+_KS_BINS = 100
+_KS_A, _KS_B = "R", "N"
+
+KS_ORACLE = f"""
+WITH vals AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag IN ('{_KS_A}', '{_KS_B}')
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM vals
+),
+binned AS (
+  SELECT v.flag,
+         LEAST(CAST(FLOOR((v.cents - b.lo) * {_KS_BINS}.0 / (b.hi - b.lo + 1))
+                    AS BIGINT), {_KS_BINS - 1}) AS bin
+  FROM vals v, bounds b
+),
+grid AS (
+  SELECT bin,
+         SUM(CASE WHEN flag = '{_KS_A}' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN flag = '{_KS_B}' THEN 1 ELSE 0 END) AS nb
+  FROM binned GROUP BY bin
+),
+cdf AS (
+  SELECT bin,
+         SUM(na) OVER (ORDER BY bin) AS ca,
+         SUM(nb) OVER (ORDER BY bin) AS cb,
+         SUM(na) OVER () AS ta,
+         SUM(nb) OVER () AS tb
+  FROM grid
+)
+SELECT CAST(ta AS BIGINT) AS n_a,
+       CAST(tb AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+         AS ks_d
+FROM cdf
+GROUP BY ta, tb
+"""
+
+
+@register("ks_price_by_returnflag", KS_ORACLE)
+def ks_price_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS distance between the 'R' and 'N' price
+    distributions: single row (n_a, n_b, ks_d)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.where(F.col("l_returnflag").isin(_KS_A, _KS_B)).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = vals.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = vals.crossJoin(F.broadcast(bounds)).select(
+        "flag",
+        F.least(
+            F.floor(
+                (F.col("cents") - F.col("lo"))
+                * float(_KS_BINS)
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+            F.lit(_KS_BINS - 1),
+        ).alias("bin"),
+    )
+    grid = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("flag") == _KS_A, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("flag") == _KS_B, 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cdf = grid.select(
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    return cdf.groupBy("ta", "tb").agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("ta")
+                - F.col("cb").cast("double") / F.col("tb")
+            )
+        ).alias("d")
+    ).select(
+        F.col("ta").cast("bigint").alias("n_a"),
+        F.col("tb").cast("bigint").alias("n_b"),
+        F.round("d", 6).alias("ks_d"),
+    )
