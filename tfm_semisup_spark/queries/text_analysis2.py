@@ -225,7 +225,7 @@ def text_boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the exploded token stream, and per-source stats are one hash
 # aggregate — no token-stream shuffle beyond the wordcount itself.
 
-_VOCAB_K = 100
+_VOCAB_K = 20  # synthetic vocab is ~31 tokens; 20 leaves a REAL unk tail
 
 VOCAB_ID_ORACLE = f"""
 WITH toks AS (
