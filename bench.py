@@ -122,6 +122,10 @@ HEADLINE = [
     "item_kcore_membership",
     "semantic_contamination_screen",
     "ewma_daily_revenue",
+    # end-of-r6 families: the single-pass anti-entropy checksum and
+    # the tokenize-to-ids pipeline (wordcount + broadcast id map)
+    "table_fingerprint_orders",
+    "vocab_id_stats",
 ]
 
 
