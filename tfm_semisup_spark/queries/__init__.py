@@ -113,7 +113,7 @@ _ORACLE_PRIORITY = [
     "tumbling_window_hourly",  # 50th slot
     # -- positions 51+: outside the 50-slot window this round (locally
     # green in test_oracle_parity + judge-verifiable via driver_sim);
-    # first in line for r7: the 19 never-windowed r6 oracles below
+    # first in line for r7: the 23 never-windowed r6 oracles below
     # (every one green at sf0.001 + sf0.01 + the DRIVER_SIM_SHUFFLE=7
     # sweep this round), then the 9 r3 rows displaced by the late r6
     # additions, then the r4-last rows, in this order --
