@@ -23,11 +23,15 @@ timing is additionally isolated by clearCache + py/JVM GC. The
 default was raised 3 -> 5 passes: with contention noise, a
 median-of-3 flips to the noisy side whenever 2 of 3 samples are hit
 (one episode spanning two adjacent passes suffices); median-of-5
-needs 3 hit samples. Per-query min/median/max across passes goes to
-STDERR as a second JSON line (the stdout contract stays exactly one
-line) — the spread is the variance band SCALE.md records, and a
-mover whose r5-vs-r6 delta sits inside its own band is noise, not a
-regression.
+needs 3 hit samples. Per-query min/median/max across passes is
+written to ``bench_spread.json`` next to this file — the spread is
+the variance band SCALE.md records, and a mover whose
+round-over-round delta sits inside its own band is noise, not a
+regression. (It went to stderr in r6, but the driver captures
+stdout+stderr MERGED and parses the LAST line of a 2000-char tail;
+the stderr line landed after the stdout line and broke the parse —
+BENCH_r06.json has ``parsed: null``. A file can't race the stdout
+contract.)
 """
 
 from __future__ import annotations
@@ -180,6 +184,16 @@ def main() -> None:
         name: round(statistics.median(samples[name]), 3) for name in HEADLINE
     }
     total = round(sum(timings.values()), 3)
+    # variance band to a sibling file FIRST (never stdout/stderr: the
+    # driver merges both streams and parses the capture's last line)
+    spread = {
+        name: [round(min(s), 3), round(statistics.median(s), 3), round(max(s), 3)]
+        for name, s in samples.items()
+    }
+    spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_spread.json")
+    with open(spread_path, "w") as f:
+        json.dump({"metric": "per_query_min_median_max_sec", "runs": runs, "spread": spread}, f)
+        f.write("\n")
     print(
         json.dumps(
             {
@@ -189,16 +203,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
             }
-        )
-    )
-    # variance band to stderr (stdout contract: exactly one line)
-    spread = {
-        name: [round(min(s), 3), round(statistics.median(s), 3), round(max(s), 3)]
-        for name, s in samples.items()
-    }
-    print(
-        json.dumps({"metric": "per_query_min_median_max_sec", "runs": runs, "spread": spread}),
-        file=sys.stderr,
+        ),
+        flush=True,
     )
     spark.stop()
 
