@@ -138,6 +138,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    # a crash mid-run must not leave a PRIOR run's spread file lying
+    # around to be misread against this run's stdout JSON
+    spread_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_spread.json"
+    )
+    if os.path.exists(spread_path):
+        os.remove(spread_path)
+
     load_all_queries()
     spark = get_spark(app_name="tfm-semisup-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -190,10 +198,28 @@ def main() -> None:
         name: [round(min(s), 3), round(statistics.median(s), 3), round(max(s), 3)]
         for name, s in samples.items()
     }
-    spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_spread.json")
-    with open(spread_path, "w") as f:
-        json.dump({"metric": "per_query_min_median_max_sec", "runs": runs, "spread": spread}, f)
+    # write-to-temp-then-rename so a crash can never leave a partial
+    # file; sf + optional run id in the payload identify which bench
+    # run the spread belongs to (staleness detection)
+    spread_payload = {
+        "metric": "per_query_min_median_max_sec",
+        "runs": runs,
+        "sf": sf,
+        "spread": spread,
+    }
+    run_id = os.environ.get("SPARK_GRAFT_BENCH_RUN_ID")
+    if run_id:
+        spread_payload["run_id"] = run_id
+    tmp_path = spread_path + ".tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(spread_payload, f)
         f.write("\n")
+    os.replace(tmp_path, spread_path)
+    # stop the session BEFORE the stdout JSON: the driver merges
+    # stdout+stderr and parses the capture's last line, so an
+    # ERROR-level shutdown log landing after the JSON would re-break
+    # parsing (the BENCH_r06 failure class)
+    spark.stop()
     print(
         json.dumps(
             {
@@ -206,7 +232,6 @@ def main() -> None:
         ),
         flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -57,6 +57,38 @@ def test_driver_equals_distributed(spark):
     assert small == dist
 
 
+def test_driver_path_collects_only_incident_nodes(spark, monkeypatch):
+    """VERDICT r7 #3: the ≤2M-edge driver path must NOT collect the
+    node table — nodes can be corpus-sized while the similarity graph
+    is sparse. Only edge-incident nodes (≤ 2*n_edges) may reach the
+    driver; isolated nodes stream through distributed, y unchanged."""
+    import tfm_semisup_spark.operators.label_propagation as lp
+
+    n_nodes, seen = 5_000, {}
+    nodes = spark.range(n_nodes).selectExpr(
+        "id AS node",
+        "CAST(id % 100 = 0 AS INT) AS is_seed",
+        "id % 5 AS y_true",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (100, 101)], "src long, dst long"
+    )
+    real = lp._driver_propagate
+
+    def spy(label_rows, edge_rows, iters):
+        seen["n_labels"] = len(label_rows)
+        return real(label_rows, edge_rows, iters)
+
+    monkeypatch.setattr(lp, "_driver_propagate", spy)
+    out = propagate_labels(nodes, edges, iters=2)
+    assert out.count() == n_nodes
+    assert seen["n_labels"] == 5  # nodes {0,1,2,100,101}, not 5000
+    # and the split is invisible to results: distributed path agrees
+    dist = _rows(propagate_labels(nodes, edges, iters=2, small_graph_max_edges=0))
+    monkeypatch.setattr(lp, "_driver_propagate", real)
+    assert _rows(propagate_labels(nodes, edges, iters=2)) == dist
+
+
 def test_registered_query_paths_agree_and_deterministic(spark, monkeypatch):
     """The real embeddings graph: distributed rounds == driver loop,
     and repeated runs are identical (integer votes, no randomness)."""

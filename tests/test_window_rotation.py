@@ -1,0 +1,99 @@
+"""Driver-window rotation governance (VERDICT r7 #5).
+
+Round 7 proved a comment is not a mechanism: the registry promised the
+23 never-windowed r6 oracles would lead the r7 window, the list was
+never reordered, and the driver re-checked the same 50 queries twice.
+These tests make the rotation discipline executable:
+
+- every oracled entry must have its birth round recorded in
+  ``driver_history.json`` (new entries fail until recorded);
+- no oracled entry may go >=2 rounds with NO driver CORRECTNESS row
+  unless it sits inside the CURRENT 50-slot window (i.e. it will get
+  its row this round). Reverting an r8-style rotation turns this red.
+
+The driver facts themselves are recomputed from the checked-in
+CORRECTNESS_r*.json files — nothing here can drift from what the
+driver actually verified.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: the correctness driver evaluates the first N oracled entries
+DRIVER_WINDOW = 50
+#: an oracled entry may stay un-driver-checked for this many rounds
+#: (1 = the round it was added) before it MUST be in the window
+MAX_ROUNDS_NEVER_CHECKED = 2
+
+
+def _driver_rounds() -> dict[str, list[int]]:
+    seen: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        with open(path) as fh:
+            for name in json.load(fh):
+                seen.setdefault(name, []).append(rnd)
+    return seen
+
+
+def _current_round() -> int:
+    rounds = [r for v in _driver_rounds().values() for r in v]
+    return (max(rounds) if rounds else 0) + 1
+
+
+def _history() -> dict[str, dict]:
+    with open(os.path.join(REPO, "driver_history.json")) as fh:
+        return json.load(fh)
+
+
+def test_every_oracle_has_recorded_birth_round():
+    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+
+    load_all_queries()
+    hist = _history()
+    unrecorded = sorted(set(ORACLES) - set(hist))
+    assert not unrecorded, (
+        f"new oracled entries must record their birth round in "
+        f"driver_history.json: {unrecorded}"
+    )
+
+
+def test_no_oracle_unchecked_beyond_grace_and_outside_window():
+    """An oracled entry with no CORRECTNESS row in any round, older
+    than the grace period, must be inside the current driver window so
+    it gets its row THIS round — the exact failure mode of r7."""
+    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+
+    load_all_queries()
+    window = set(list(ORACLES)[:DRIVER_WINDOW])
+    checked = _driver_rounds()
+    hist = _history()
+    current = _current_round()
+    overdue = sorted(
+        name
+        for name in ORACLES
+        if name not in checked
+        and name not in window
+        and current - hist.get(name, {}).get("added", current)
+        >= MAX_ROUNDS_NEVER_CHECKED
+    )
+    assert not overdue, (
+        f"oracled entries never driver-checked, past the "
+        f"{MAX_ROUNDS_NEVER_CHECKED}-round grace, and NOT in the "
+        f"current {DRIVER_WINDOW}-slot window — reorder "
+        f"_ORACLE_PRIORITY (queries/__init__.py): {overdue}"
+    )
+
+
+def test_window_is_full_width():
+    """The registry has >50 oracles; a shrunken window wastes driver
+    verification slots."""
+    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+
+    load_all_queries()
+    assert len(ORACLES) >= DRIVER_WINDOW

@@ -119,8 +119,43 @@ def l2_norm_fixed(a: str | Column, dim: int) -> Column:
 def cosine_similarity_fixed(a: str | Column, b: str | Column, dim: int) -> Column:
     """``cosine_similarity`` in flat fixed-arity form — whole-stage
     codegen keeps the similarity scan on the fast path at corpus scale.
-    Past CODEGEN_DIM_LIMIT this delegates to the HOF form (bit-equal).
-    Prefer passing column names (see ``dot_fixed``)."""
-    if dim > CODEGEN_DIM_LIMIT:
+    Prefer passing column names (see ``dot_fixed``).
+
+    The composite emits THREE flat trees (dot + two norms ≈ 3*dim
+    terms), so its guard applies CODEGEN_DIM_LIMIT to the composite
+    arity (3*dim), not the single-tree dim — past that it delegates to
+    the HOF form (bit-equal) rather than emitting a tree that janino
+    will refuse and Spark will run interpreted.
+
+    DO NOT use this inside a pair join: even under the 3*dim guard the
+    composite fuses with the join + filter into one generated method
+    and can exceed the JVM 64 KB method limit (observed at dim 64 —
+    janino "Code grows beyond 64 KB", silent interpreted fallback of
+    the hot scan). For pair joins, project ``l2_norm_fixed`` per side
+    BEFORE the join and combine with ``cosine_paired`` — the fused
+    join-stage method then holds the dot alone (regression-tested with
+    spark.sql.codegen.fallback=false in tests/test_plan_shapes_r8.py).
+    """
+    if 3 * dim > CODEGEN_DIM_LIMIT:
         return cosine_similarity(_as_col(a), _as_col(b))
     return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim))
+
+
+def cosine_paired(
+    a: str | Column,
+    b: str | Column,
+    norm_a: str | Column,
+    norm_b: str | Column,
+    dim: int,
+) -> Column:
+    """Pair-join cosine with per-side PRE-COMPUTED L2 norms.
+
+    ``norm_a``/``norm_b`` must be ``l2_norm_fixed`` projections made on
+    each side before the join, so each side's norm is computed once per
+    row (not once per pair) in its own codegen stage, and the method
+    fused with the join + filter contains only the dot (dim terms) and
+    one divide — 1/3 of the composite's arity, under the JVM 64 KB
+    method limit. Bit-equal to ``cosine_similarity_fixed``: the same
+    sqrt-of-sum-of-squares values feed the same final divide, and both
+    dot forms fold left-to-right by index."""
+    return dot_fixed(a, b, dim) / (_as_col(norm_a) * _as_col(norm_b))

@@ -28,7 +28,10 @@ Spark-first shape (same iterative discipline as
 - every round's label table is localCheckpoint-truncated and the
   superseded round's blocks are released eagerly (O(1) lineage,
   O(|nodes|) storage, any iteration count);
-- a ≤2M-edge graph takes the driver path (numpy bincount votes) —
+- a ≤2M-edge graph takes the driver path — which collects only the
+  EDGE-INCIDENT nodes (≤ 2*n_edges rows; the node table itself can be
+  corpus-sized while the graph is sparse) and streams isolated nodes
+  through unchanged (no votes in, no votes out, y invariant) —
   identical results by construction (integer votes, same tie-break),
   equality-tested against the distributed rounds in
   tests/test_label_propagation.py.
@@ -125,13 +128,30 @@ def propagate_labels(
     e = truncate(e)
     n_edges = e.count()
     if n_edges <= small_graph_max_edges:
+        # Collect ONLY edge-incident nodes (≤ 2*n_edges ≤ 4M longs):
+        # the node table can be corpus-sized even when the similarity
+        # graph is sparse — isolated nodes receive no votes and vote
+        # for nobody, so their y is invariant across rounds (seeds are
+        # clamped to y_true from initialization) and they stream
+        # through the distributed plan unchanged (VERDICT r7 #3).
+        # checkpointed so its lineage no longer references e's blocks —
+        # the returned (lazy) isolated-node leg outlives release(e)
+        endpoints = truncate(
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        incident = base.join(F.broadcast(endpoints), "node", "left_semi")
         rows = _driver_propagate(
-            [tuple(r) for r in base.collect()],
+            [tuple(r) for r in incident.collect()],
             [tuple(r) for r in e.collect()],
             iters,
         )
         release(e)
-        return spark.createDataFrame(rows, _LABEL_SCHEMA)
+        isolated = base.join(F.broadcast(endpoints), "node", "left_anti").select(
+            "node", "is_seed", "y_true", "y"
+        )
+        return spark.createDataFrame(rows, _LABEL_SCHEMA).unionAll(isolated)
 
     labels = truncate(base)
     for _ in range(iters):

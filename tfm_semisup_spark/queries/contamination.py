@@ -388,25 +388,44 @@ def semantic_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame
     """Embedding-space decontamination: training vectors (fixed %7
     subset) with cosine > {tau} to any benchmark vector (%19 slice):
     (vec_id, n_hits, max_cos).""".format(tau=_SEM_TAU)
-    from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
+    from tfm_semisup_spark.functions.vector import cosine_paired, l2_norm_fixed
     from tfm_semisup_spark.io import embedding_dim
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim(sf_dir)
+    # Per-side norm projections BEFORE the cross join: the bench norms
+    # are computed once at broadcast build, the train norms once per
+    # corpus row, and the method fused with join+filter holds only the
+    # dot — the full cosine composite fused there overflows the 64 KB
+    # codegen limit and runs interpreted (vector.cosine_paired).
     bench = emb.where(F.col("vec_id") % 19 == 0).select(
         F.col("embedding").cast("array<double>").alias("bv")
     )
+    bench = bench.select("bv", l2_norm_fixed("bv", dim).alias("nb"))
     train = emb.where(
         (F.col("vec_id") % 19 != 0) & (F.col("vec_id") % 7 == 1)
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("tv"))
-    sim = cosine_similarity_fixed("tv", "bv", dim)
+    train = train.select("vec_id", "tv", l2_norm_fixed("tv", dim).alias("nt"))
+    sim = cosine_paired("tv", "bv", "nt", "nb", dim)
+    # The tau gate lives INSIDE the aggregation (HAVING n_hits > 0),
+    # not in a Filter: a `.where(sim > tau)` gets pushed into the join
+    # condition AND re-inlined by the aliased-column substitution, so
+    # the dot evaluates twice per pair and the join-fused method (dot
+    # x2 + partial agg) overflows 64 KB anyway. This shape projects
+    # `sim` exactly once; CollapseProject won't inline a non-cheap
+    # alias referenced by multiple agg expressions, so the dot stays
+    # single. `when` leaves non-passing pairs NULL, which sum/max
+    # skip — bit-equal to filter-then-aggregate.
+    passing = F.when(F.col("sim") > _SEM_TAU, F.col("sim"))
     return (
         train.crossJoin(F.broadcast(bench))
         .select("vec_id", sim.alias("sim"))
-        .where(F.col("sim") > _SEM_TAU)
         .groupBy("vec_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-            F.round(F.max("sim"), 4).alias("max_cos"),
+            F.sum(F.when(F.col("sim") > _SEM_TAU, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.round(F.max(passing), 4).alias("max_cos"),
         )
+        .where(F.col("n_hits") > 0)
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
+from tfm_semisup_spark.functions.vector import cosine_paired, l2_norm_fixed
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
 
@@ -166,16 +166,27 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # fixed-arity cosine: this nested-loop tier evaluates the dot
-    # product O(N^2) times — the interpreted HOF form is the wrong
-    # shape here (functions/vector.py); dim from a driver-side pyarrow
-    # peek (io.embedding_dim) — no per-call Spark probe job
+    # fixed-arity dot: this nested-loop tier evaluates the dot product
+    # O(N^2) times — the interpreted HOF form is the wrong shape here
+    # (functions/vector.py); dim from a driver-side pyarrow peek
+    # (io.embedding_dim) — no per-call Spark probe job. Norms are
+    # projected per side BEFORE the join so the join-fused method
+    # holds only the dot (the full cosine composite fused there blows
+    # the 64 KB codegen limit; vector.cosine_paired rationale).
     from tfm_semisup_spark.io import embedding_dim
 
     dim = embedding_dim(sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    sim = cosine_similarity_fixed("ea", "eb", dim)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        l2_norm_fixed("e", dim).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        l2_norm_fixed("e", dim).alias("nb"),
+    )
+    sim = cosine_paired("ea", "eb", "na", "nb", dim)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(sim > 0.35)

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
+from tfm_semisup_spark.functions.vector import (
+    cosine_paired,
+    cosine_similarity_fixed,
+    l2_norm_fixed,
+)
 from tfm_semisup_spark.io import embedding_dim, load_table
 from tfm_semisup_spark.queries import register
 
@@ -100,9 +104,22 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = emb.where(F.col("vec_id") % 20 == 0).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    sim = cosine_similarity_fixed("va", "vb", dim)
+    # Norms are projected per SIDE before the join (once per row, own
+    # codegen stage); the method fused with the join+filter then holds
+    # only the dot — the composite cosine fused there overflows the
+    # JVM 64 KB method limit and silently runs interpreted
+    # (functions/vector.py cosine_paired rationale).
+    a = sub.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        l2_norm_fixed("v", dim).alias("na"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        l2_norm_fixed("v", dim).alias("nb"),
+    )
+    sim = cosine_paired("va", "vb", "na", "nb", dim)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .where(sim > 0.25)

@@ -344,7 +344,7 @@ def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the exact-cosine graph (tau=0.2) on the vec_id % 4 subset;
     seeds = vec_id % 12 == 0. Output: (vec_id, is_seed, y_true,
     y_pred) with unreached nodes at -1."""
-    from tfm_semisup_spark.functions.vector import cosine_similarity_fixed
+    from tfm_semisup_spark.functions.vector import cosine_paired, l2_norm_fixed
     from tfm_semisup_spark.io import embedding_dim
     from tfm_semisup_spark.operators.label_propagation import propagate_labels
 
@@ -353,11 +353,22 @@ def ssl_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = emb.where(F.col("vec_id") % 4 == 0).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = sub.select(F.col("vec_id").alias("sa"), F.col("v").alias("va"))
-    b = sub.select(F.col("vec_id").alias("sb"), F.col("v").alias("vb"))
+    # Norms projected per side BEFORE the pair join (graph build): the
+    # cosine composite fused with join+filter overflows the JVM 64 KB
+    # codegen limit and runs interpreted (vector.cosine_paired).
+    a = sub.select(
+        F.col("vec_id").alias("sa"),
+        F.col("v").alias("va"),
+        l2_norm_fixed("v", dim).alias("na"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("sb"),
+        F.col("v").alias("vb"),
+        l2_norm_fixed("v", dim).alias("nb"),
+    )
     edges = (
         a.join(b, F.col("sa") < F.col("sb"))
-        .where(cosine_similarity_fixed("va", "vb", dim) >= 0.2)
+        .where(cosine_paired("va", "vb", "na", "nb", dim) >= 0.2)
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
     )
     nodes = sub.select(

@@ -690,3 +690,116 @@ def streaming_cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", TS_FMT).alias("last_ts"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+# Seventh streaming-materialized tier: the CONTINUOUS-AGGREGATE SINK
+# (streaming/events.py stream_rollup_sink -> operators/rollup_table.py
+# incremental_refresh per micro-batch). Events are re-laid-out into 4
+# bucket files so maxFilesPerTrigger=1 yields a REAL multi-batch
+# incremental run: each micro-batch recomputes only its affected day
+# partitions from (existing rollup rows UNION delta). Count/sum
+# partials are decomposable and the refresh is idempotent per batch
+# under the checkpoint's replay guarantee, so the materialized table
+# converges to the one-shot aggregate regardless of how events are
+# split across batches — which is exactly why the batch day-rollup SQL
+# (DAILY_ROLLUP_ORACLE, shared with daily_rollup_by_type and
+# rollup_incremental_vs_full) is a valid oracle for the stream sink.
+@register("streaming_rollup_sink_state", DAILY_ROLLUP_ORACLE)
+def streaming_rollup_sink_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hypertable maintenance: events re-bucketed into 4
+    source files -> maxFilesPerTrigger=1 availableNow run -> per-batch
+    incremental_refresh into a day-partitioned rollup dir -> serve
+    (day, event_type, n, sum_value) from the materialized table."""
+    import tempfile
+
+    from tfm_semisup_spark.operators.rollup_table import read_rollup
+    from tfm_semisup_spark.streaming.events import stream_rollup_sink
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_rollup_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src = f"{base}/src"
+    (
+        events.repartition(4, F.pmod("event_id", F.lit(4)))
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    query = stream_rollup_sink(stream, f"{base}/rollup", f"{base}/ckpt")
+    query.awaitTermination()
+    return read_rollup(spark, f"{base}/rollup").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+# Eighth streaming-materialized tier: the INGEST QUALITY GATE
+# (streaming/quality.py stream_quality_filter). The Gopher/C4 rule
+# chain is pure columnar expressions — no state, no watermark — so the
+# stream emits each surviving doc exactly once in append mode and the
+# artifact is deterministic. The oracle re-derives the same five rules
+# in DuckDB (the expressions QUALITY_RULES_ORACLE already pins) and
+# keeps only pass-all docs; sum(doc_id) pins the surviving SET, not
+# just its size. Null/empty texts fail closed on both sides.
+STREAMING_QUALITY_GATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source,
+         len(w) AS n,
+         list_avg(list_transform(w, x -> len(x))) AS mwl,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(w) AS alpha,
+         len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+         len(list_distinct(list_filter(w, x -> x IN ('the', 'a')))) AS stop
+  FROM t WHERE len(w) > 0
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM f
+WHERE (n BETWEEN 20 AND 1000)
+  AND (mwl >= 3.0 AND mwl <= 8.0)
+  AND (alpha >= 0.8)
+  AND (ttr >= 0.35)
+  AND (stop >= 2)
+GROUP BY source
+"""
+
+
+@register("streaming_quality_gate_stats", STREAMING_QUALITY_GATE_ORACLE)
+def streaming_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating AT ingest via a REAL micro-batch run: readStream
+    over documents -> Gopher rule gate (identical expressions to the
+    batch audit) -> append foreachBatch parquet artifact -> batch read
+    + per-source survivor count and doc_id checksum. Output
+    (source, n_docs, sum_doc_id)."""
+    import tempfile
+
+    from tfm_semisup_spark.streaming.events import materialize_stream_to_parquet
+    from tfm_semisup_spark.streaming.quality import stream_quality_filter
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_quality_")
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.parque*")
+    kept = stream_quality_filter(stream).select("doc_id", "source")
+    materialize_stream_to_parquet(kept, f"{base}/out", f"{base}/ckpt")
+    return (
+        spark.read.parquet(f"{base}/out")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+    )
