@@ -88,3 +88,40 @@ def test_patterns_have_no_lookaround():
     must stay in the common subset."""
     for pat in PII_PATTERNS.values():
         assert "(?=" not in pat and "(?<" not in pat and "(?!" not in pat
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    """alpha=0.5 mixing: rate_64k non-increasing in source size,
+    capped at 65536, n_kept consistent with the per-doc threshold rule,
+    rerun-stable (md5-keyed, partitioning-free)."""
+    from tfm_semisup_spark.queries.corpus_prep import domain_temperature_sample
+
+    a = {r["source"]: r for r in domain_temperature_sample(spark, SF_DIR).collect()}
+    b = {r["source"]: r for r in domain_temperature_sample(spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0
+    for src, row in a.items():
+        assert 0 < row["rate_64k"] <= 65536
+        assert 0 <= row["n_kept"] <= row["n_total"]
+        # full-keep sources keep everything, and their checksum says so
+        if row["rate_64k"] == 65536:
+            assert row["n_kept"] == row["n_total"]
+    # monotone: a strictly larger source never gets a larger threshold
+    rows = sorted(a.values(), key=lambda r: r["n_total"])
+    for lo, hi in zip(rows, rows[1:]):
+        if hi["n_total"] > lo["n_total"]:
+            assert hi["rate_64k"] <= lo["rate_64k"]
+
+
+def test_zipf_audit_shape(spark):
+    """Zipf fit: one row per lang, slope strictly negative (counts
+    decrease along the rank head by construction), head <= 30 terms,
+    deterministic."""
+    from tfm_semisup_spark.queries.text_analysis2 import zipf_token_audit
+
+    a = sorted(map(tuple, zipf_token_audit(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, zipf_token_audit(spark, SF_DIR).collect()))
+    assert a == b and len(a) > 0
+    for lang, n_terms, slope, intercept in a:
+        assert 0 < n_terms <= 30
+        assert slope < 0
+        assert intercept > 0  # ln(top count) with positive counts

@@ -123,6 +123,8 @@ _ORACLE_PRIORITY = [
     # in registration order), then the r7-last rows. --
     "streaming_rollup_sink_state",  # new r8 — first in line for r9
     "streaming_quality_gate_stats",  # new r8 — first in line for r9
+    "domain_temperature_sample",  # new r8 — first in line for r9
+    "zipf_token_audit",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -417,3 +417,72 @@ def weighted_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= WRS_GROUP_K)
     )
+
+
+# Temperature-based domain mixing (alpha = 0.5): the multilingual-LLM
+# data recipe where source s contributes mass proportional to
+# n_s^alpha instead of n_s — small sources are upweighted, huge ones
+# downsampled (the "sampling temperature" of mBERT/XLM-R/mT5 recipes;
+# domain_mix_sample above is the FIXED-rate cousin). Per-source keep
+# rate = min(1, 2/sqrt(n_s)) so expected kept mass is ~2*sqrt(n_s).
+#
+# Cross-engine exactness by construction: the keep decision compares
+# the shared 4-hex md5 uniform (u in [0, 65536)) against an INTEGER
+# threshold floor(65536 * 2/sqrt(n)). IEEE-754 requires sqrt and
+# division to be correctly rounded and 65536 scaling is a power-of-two
+# exponent shift, so the threshold double is bit-identical in Spark
+# and DuckDB and FLOOR cannot diverge — no ULP boundary anywhere
+# (the reason this uses alpha=1/2 specifically: pow() carries no
+# correct-rounding guarantee, sqrt does).
+#
+# 100 TB shape: one wordcount-sized groupBy for the per-source counts
+# (|sources| rows, broadcast back), then a narrow per-row keep flag —
+# no window, no per-doc shuffle beyond the final per-source aggregate.
+_TEMP_H = md5_uniform16_sql("md5(CAST(doc_id AS STRING) || '#temp')")
+_TEMP_H_SPARK = md5_uniform16_spark_sql("md5(CAST(doc_id AS STRING) || '#temp')")
+
+DOMAIN_TEMPERATURE_ORACLE = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+s AS (
+  SELECT d.source, d.doc_id,
+         {_TEMP_H} AS u,
+         LEAST(65536, CAST(FLOOR(65536.0 * 2.0 / SQRT(c.n_src)) AS BIGINT)) AS thr
+  FROM documents d JOIN c USING (source)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(MIN(thr) AS BIGINT) AS rate_64k,
+       CAST(SUM(CASE WHEN u < thr THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM s
+GROUP BY source
+"""
+
+
+@register("domain_temperature_sample", DOMAIN_TEMPERATURE_ORACLE)
+def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source resampling: per-source keep rate
+    min(1, 2/sqrt(n_s)) applied as a deterministic md5-threshold —
+    kept mass ends up proportional to sqrt(source size). Output
+    (source, n_total, n_kept, rate_64k, kept_id_sum); rate_64k is the
+    integer threshold in 65536ths, kept_id_sum pins the kept SET."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    thr = F.least(
+        F.lit(65536).cast("long"),
+        F.floor(F.lit(65536.0) * F.lit(2.0) / F.sqrt(F.col("n_src"))).cast("long"),
+    )
+    flagged = (
+        docs.join(F.broadcast(counts), "source")
+        .withColumn("u", F.expr(_TEMP_H_SPARK).cast("long"))
+        .withColumn("thr", thr)
+        .withColumn("kept", (F.col("u") < F.col("thr")).cast("long"))
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.min("thr").cast("bigint").alias("rate_64k"),
+        F.sum(F.col("doc_id") * F.col("kept")).cast("bigint").alias("kept_id_sum"),
+    )

@@ -283,3 +283,76 @@ def vocab_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("id", F.lit(0))).cast("bigint").alias("sum_ids"),
         )
     )
+
+
+# Zipf rank-frequency audit: the slope of ln(count) ~ ln(rank) over
+# the head of each language's vocabulary. Natural-language corpora sit
+# near slope -1 (Zipf's law); strong deviation flags boilerplate-heavy
+# or templated/synthetic text — a standard corpus-health check next to
+# the TTR/repetition rules (the scale-safe distributional cousin of
+# quality_rule_report's per-doc signals).
+#
+# Shape: corpus wordcount (the only token-stream shuffle) -> per-lang
+# rank window OVER THE VOCAB-SIZED AGGREGATE (same discipline as
+# vocab_id_stats — never a window over the token stream) -> 30-row
+# per-lang head -> closed-form OLS (covar_pop/var_pop, the
+# per_nation_price_trend_ols precedent: identical estimator both
+# engines). Counts stay exact integers into ln(); slope/intercept are
+# rounded 4dp on both sides.
+ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+  WHERE text IS NOT NULL
+),
+wc AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, tok ASC
+         ) AS r
+  FROM wc
+),
+head AS (
+  SELECT lang, ln(r) AS lx, ln(cnt) AS ly FROM ranked WHERE r <= 30
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(covar_pop(lx, ly) / var_pop(lx), 4) AS zipf_slope,
+       ROUND(AVG(ly) - covar_pop(lx, ly) / var_pop(lx) * AVG(lx), 4)
+         AS zipf_intercept
+FROM head
+GROUP BY lang
+"""
+
+
+@register("zipf_token_audit", ZIPF_ORACLE)
+def zipf_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit over the top-30 tokens: OLS slope and
+    intercept of ln(count) on ln(rank), plus the head size. Output
+    (lang, n_terms, zipf_slope, zipf_intercept)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+    )
+    wc = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    head = (
+        wc.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 30)
+        .select(
+            "lang",
+            F.log(F.col("r").cast("double")).alias("lx"),
+            F.log(F.col("cnt").cast("double")).alias("ly"),
+        )
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return head.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(F.avg("ly") - slope * F.avg("lx"), 4).alias("zipf_intercept"),
+    )
