@@ -232,8 +232,27 @@ PICKS = {
     ),
     "semantic_contamination_screen": (
         "embedding decontamination: corpus scan x BROADCAST benchmark "
-        "set, codegen fixed-arity cosine — zero corpus shuffle before "
-        "the per-vector aggregate"
+        "set; L2 norms projected per side BEFORE the join and the tau "
+        "gate INSIDE the aggregation, so the join-fused codegen method "
+        "holds one dot — no 64 KB overflow, no predicate-pushdown dot "
+        "duplication (r8); zero corpus shuffle before the per-vector "
+        "aggregate"
+    ),
+    "similarity_pairs_above": (
+        "pair-join cosine: per-side l2_norm_fixed projections compile "
+        "in their own stages; the join-fused method holds only the "
+        "fixed-arity dot + divide — under the JVM 64 KB codegen limit "
+        "(r8 fix; pinned by codegen.fallback=false tests)"
+    ),
+    "domain_temperature_sample": (
+        "temperature mixing: |sources| count aggregate BROADCAST back "
+        "onto the scan, integer md5-threshold keep — no window, no "
+        "per-doc shuffle before the final per-source aggregate"
+    ),
+    "zipf_token_audit": (
+        "Zipf fit: ONE token-stream shuffle (the wordcount); the rank "
+        "window runs over the vocab-sized aggregate, never the stream; "
+        "30-row heads into a closed-form OLS aggregate"
     ),
     "hll_portable_distinct": (
         "oracled HLL: distinct keys -> md5 slices -> 64-register MAX "

@@ -161,3 +161,47 @@ def test_binaryfile_to_pixel_stats_end_to_end(spark, tmp_path):
     assert rows[1]["mean_r"] == pytest.approx(expected[0])
     assert rows[1]["mean_g"] == pytest.approx(expected[1])
     assert rows[1]["mean_b"] == pytest.approx(expected[2])
+
+
+def test_resize_nearest_matches_reference():
+    """NN resize must pick exactly pixel (floor(x*w/tw), floor(y*h/th))
+    for every output cell, including non-divisible dims."""
+    import numpy as np
+
+    from tfm_semisup_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.default_rng(7)
+    for (h, w, tw, th) in [(3, 4, 3, 2), (6, 8, 3, 2), (5, 7, 4, 3), (2, 2, 3, 2)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_nearest(img, tw, th)
+        assert out.shape == (th, tw, 3)
+        for y in range(th):
+            for x in range(tw):
+                assert (out[y, x] == img[(y * h) // th, (x * w) // tw]).all()
+
+
+def test_decode_resize_roundtrip_both_formats(spark):
+    """Encode planted pixels as BMP and PPM, decode+resize via the
+    Arrow kernel, compare thumbnail means against pure numpy."""
+    import numpy as np
+
+    from tfm_semisup_spark.operators.multimodal import (
+        decode_resize_images,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {1: rng.integers(0, 256, (5, 6, 3), dtype=np.uint8),
+            2: rng.integers(0, 256, (4, 9, 3), dtype=np.uint8)}
+    rows = [(1, bytearray(encode_ppm(imgs[1]))), (2, bytearray(encode_bmp(imgs[2])))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in decode_resize_images(df, 3, 2).collect()}
+    for doc_id, img in imgs.items():
+        want = resize_nearest(img, 3, 2).reshape(-1, 3).mean(axis=0)
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert abs(r["tmean_r"] - want[0]) < 1e-9
+        assert abs(r["tmean_g"] - want[1]) < 1e-9
+        assert abs(r["tmean_b"] - want[2]) < 1e-9

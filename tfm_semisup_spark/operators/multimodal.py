@@ -395,3 +395,67 @@ def resize_media(df: DataFrame, max_bytes: int = 256) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def resize_nearest(img, thumb_w: int, thumb_h: int):
+    """REAL nearest-neighbor resize of an (h, w, 3) uint8 array to
+    (thumb_h, thumb_w, 3): output pixel (x, y) samples source pixel
+    (floor(x*w/tw), floor(y*h/th)) — the standard NN mapping, pure
+    numpy fancy indexing (no image libs needed, unlike the
+    entropy-coded formats that stay behind NotImplementedError)."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(thumb_h, dtype=np.int64) * h) // thumb_h
+    xs = (np.arange(thumb_w, dtype=np.int64) * w) // thumb_w
+    return img[ys][:, xs]
+
+
+RESIZE_STATS_SCHEMA = (
+    "doc_id long, format string, width long, height long, "
+    "thumb_w long, thumb_h long, tmean_r double, tmean_g double, "
+    "tmean_b double"
+)
+
+
+def decode_resize_images(
+    df: DataFrame,
+    thumb_w: int = 3,
+    thumb_h: int = 2,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode image payloads and produce a REAL nearest-neighbor
+    thumbnail in the same Arrow kernel (decode -> resize -> stats, one
+    pass over the bytes, no intermediate pixel materialization between
+    stages). Emits source dims + per-channel THUMBNAIL means. Narrow
+    op — no shuffle; the thumbnail math is integer index selection, so
+    the sampled pixel set is closed-form in (w, h, thumb_w, thumb_h)
+    and SQL-oracle-checkable for planted payloads."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        cols = (
+            "doc_id", "format", "width", "height",
+            "thumb_w", "thumb_h", "tmean_r", "tmean_g", "tmean_b",
+        )
+        for batch in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                fmt, arr = decode_payload(bytes(payload))
+                thumb = resize_nearest(arr, thumb_w, thumb_h)
+                means = thumb.reshape(-1, 3).mean(axis=0)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["thumb_w"].append(thumb_w)
+                out["thumb_h"].append(thumb_h)
+                out["tmean_r"].append(float(means[0]))
+                out["tmean_g"].append(float(means[1]))
+                out["tmean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        run, schema=RESIZE_STATS_SCHEMA
+    )

@@ -100,47 +100,54 @@ GROUP BY doc_id, w, h
 """
 
 
+def _encode_planted_images(batches):
+    """Arrow encode stage shared by the decode and resize oracle
+    queries: each doc_id becomes a real BMP (even ids) or PPM (odd)
+    payload whose pixel (row-major index k) values are closed-form in
+    (doc_id, k) — so any downstream pixel selection is
+    SQL-recomputable."""
+    import numpy as np
+    import pandas as pd
+
+    from tfm_semisup_spark.operators.multimodal import encode_bmp, encode_ppm
+
+    for batch in batches:
+        payloads = []
+        ids = batch["doc_id"]
+        for doc_id in ids:
+            w = 4 + doc_id % 5
+            h = 3 + doc_id % 4
+            k = np.arange(w * h, dtype=np.int64)
+            arr = np.stack(
+                [
+                    (doc_id * 7 + k) % 256,
+                    (doc_id * 11 + 2 * k) % 256,
+                    (doc_id * 13 + 3 * k) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(
+                encode_bmp(arr) if doc_id % 2 == 0 else encode_ppm(arr)
+            )
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def _planted_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _encode_planted_images, schema="doc_id long, payload binary"
+    )
+
+
 @register("multimodal_bmp_decode_stats", BMP_DECODE_ORACLE)
 def multimodal_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile-shaped decode path with planted pixels: encode each
     doc_id into a real BMP (even ids) or PPM (odd ids) payload, run the
     real numpy decoder, emit per-channel means. One narrow Arrow stage
     for encode feeding one for decode — no shuffle anywhere."""
-    from collections.abc import Iterator
+    from tfm_semisup_spark.operators.multimodal import decode_images
 
-    import pandas as pd
-
-    from tfm_semisup_spark.operators.multimodal import (
-        decode_images,
-        encode_bmp,
-        encode_ppm,
-    )
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for batch in batches:
-            payloads = []
-            ids = batch["doc_id"]
-            for doc_id in ids:
-                w = 4 + doc_id % 5
-                h = 3 + doc_id % 4
-                k = np.arange(w * h, dtype=np.int64)
-                arr = np.stack(
-                    [
-                        (doc_id * 7 + k) % 256,
-                        (doc_id * 11 + 2 * k) % 256,
-                        (doc_id * 13 + 3 * k) % 256,
-                    ],
-                    axis=1,
-                ).astype(np.uint8).reshape(h, w, 3)
-                payloads.append(
-                    encode_bmp(arr) if doc_id % 2 == 0 else encode_ppm(arr)
-                )
-            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    payloads = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    payloads = _planted_payloads(spark, sf_dir)
     return decode_images(payloads).select(
         "doc_id",
         "format",
@@ -229,3 +236,63 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     thumbs = resize_media(docs, max_bytes=256)
     meta = docs.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"))
     return thumbs.join(meta, "doc_id").select("doc_id", "thumb_bytes", "n_bytes")
+
+
+# REAL nearest-neighbor thumbnail (upgrades the byte-truncation resize
+# stub to actual pixel math): decode the planted payloads, NN-resize to
+# a 3x2 thumbnail in the same Arrow kernel, emit per-channel THUMBNAIL
+# means. The NN mapping is pure integer index selection — output pixel
+# (x, y) samples source index ((y*h)//th)*w + ((x*w)//tw) — so the
+# oracle regenerates the exact sampled pixel set with generate_series
+# and integer division. Means are over tw*th = 6 pixels: n/6 never
+# terminates at the 7th decimal, so 6-dp rounding has no HALF_UP
+# boundary (same argument as the decode means).
+RESIZE_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h,
+         ((ty.y * h) // 2) * w + ((tx.x * w) // 3) AS k
+  FROM dims,
+       UNNEST(generate_series(0, 2)) AS tx(x),
+       UNNEST(generate_series(0, 1)) AS ty(y)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS thumb_w,
+       CAST(2 AS BIGINT) AS thumb_h,
+       ROUND(AVG((doc_id * 7 + k) % 256), 6) AS tmean_r,
+       ROUND(AVG((doc_id * 11 + 2 * k) % 256), 6) AS tmean_g,
+       ROUND(AVG((doc_id * 13 + 3 * k) % 256), 6) AS tmean_b
+FROM grid
+GROUP BY doc_id, w, h
+"""
+
+
+@register("multimodal_resize_decode_stats", RESIZE_DECODE_ORACLE)
+def multimodal_resize_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-resize stage: planted BMP/PPM payloads -> real numpy
+    decode -> real nearest-neighbor 3x2 thumbnail -> per-channel
+    thumbnail means, all in one narrow Arrow pass (no shuffle). The
+    oracle recomputes the sampled pixel set relationally, proving the
+    resize picks exactly the pixels the NN mapping specifies."""
+    from tfm_semisup_spark.operators.multimodal import decode_resize_images
+
+    payloads = _planted_payloads(spark, sf_dir)
+    return decode_resize_images(payloads, thumb_w=3, thumb_h=2).select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "thumb_w",
+        "thumb_h",
+        F.round("tmean_r", 6).alias("tmean_r"),
+        F.round("tmean_g", 6).alias("tmean_g"),
+        F.round("tmean_b", 6).alias("tmean_b"),
+    )
