@@ -55,3 +55,26 @@ def test_spectrum_query_deterministic(spark):
     r2 = sorted(map(tuple, QUERIES["embedding_pca_spectrum"](spark, SF).collect()))
     assert r1 == r2
     assert len(r1) == 8
+
+
+def test_covariance_slice_matches_numpy(spark):
+    """The oracled embedding_covariance_slice (exact covar_pop of dims
+    1-8) must equal the numpy population covariance — the same matrix
+    fit_pca accumulates via quantized moments, here checked exactly."""
+    import numpy as np
+
+    from tfm_semisup_spark.queries.relational4 import embedding_covariance_slice
+
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").select("embedding").collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)[:, :8]
+    C = np.cov(X.T, bias=True)
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance_slice(spark, SF).collect()
+    }
+    assert len(got) == 36
+    for i in range(8):
+        for j in range(i, 8):
+            assert abs(got[(i + 1, j + 1)] - C[i, j]) < 5e-6, (i, j)

@@ -165,3 +165,55 @@ def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
         F.length(F.trim(F.col("c_name"))).cast("long").alias("name_len"),
     )
+
+
+# Embedding covariance slice: the exact upper-triangle covariance of
+# the first 8 dimensions — a feature-correlation audit, and the
+# cross-engine check of the covariance math the PCA operator targets
+# (operators/pca.py accumulates the SAME matrix via quantized integer
+# moments; its spectrum entry is rows-only because eigh is not SQL —
+# this slice pins the underlying second-moment aggregation against
+# DuckDB, the stats_correlation_battery covar precedent).
+#
+# 100 TB shape: ONE single-pass aggregate over 8 projected columns (36
+# covar_pop partials, map-side combined) into a single row, unpivoted
+# driver-side to 36 rows — no explode of the embedding array, no
+# per-dimension shuffle.
+EMB_COV_ORACLE = """
+WITH pairs AS (
+  SELECT i.i AS i, j.j AS j
+  FROM UNNEST(generate_series(1, 8)) AS i(i),
+       UNNEST(generate_series(1, 8)) AS j(j)
+  WHERE i.i <= j.j
+),
+v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings)
+SELECT CAST(p.i AS BIGINT) AS dim_i,
+       CAST(p.j AS BIGINT) AS dim_j,
+       ROUND(covar_pop(e[p.i], e[p.j]), 6) AS cov
+FROM v, pairs p
+GROUP BY p.i, p.j
+"""
+
+
+@register("embedding_covariance_slice", EMB_COV_ORACLE)
+def embedding_covariance_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of embedding dims 1-8: (dim_i, dim_j,
+    cov). Single-pass 36-partial aggregate; stack() unpivots the one
+    result row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        *[
+            F.element_at(F.col("embedding").cast("array<double>"), i).alias(f"c{i}")
+            for i in range(1, 9)
+        ]
+    )
+    pairs = [(i, j) for i in range(1, 9) for j in range(i, 9)]
+    row = proj.agg(
+        *[F.covar_pop(f"c{i}", f"c{j}").alias(f"v_{i}_{j}") for i, j in pairs]
+    )
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT), v_{i}_{j}" for i, j in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, cov_raw)"
+    ).select("dim_i", "dim_j", F.round("cov_raw", 6).alias("cov"))
