@@ -72,3 +72,37 @@ def test_stream_new_docs_vs_corpus(spark, tmp_path):
     )
     # every alpha... doc (1, 2, 11) is already in the corpus
     assert kept_ids == [3, 12]
+
+
+def test_inrow_signatures_equal_grouped_minhash(spark):
+    """The stateless in-row signature (array_min over one-md5-per-gram
+    digests) must be value-identical to the explode+groupBy MIN the
+    portable batch tier and the oracle compute — the claim that makes
+    streaming_neardup_minhash_ingest hash-checkable. Also guards the
+    HOF two-parameter-lambda index trap (slices must differ)."""
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.functions.text import word_ngrams
+    from tfm_semisup_spark.operators.layout import md5_uniform16_spark_sql
+    from tfm_semisup_spark.queries.dedup import _MH_SLICES, _inrow_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inrow = {r["doc_id"]: tuple(r[f"m{j}"] for j in range(_MH_SLICES))
+             for r in _inrow_signatures(docs).collect()}
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = (
+        docs.withColumn("w", toks)
+        .select("doc_id", F.explode(word_ngrams(F.col("w"), 3)).alias("gram"))
+    )
+    grouped = {
+        r["doc_id"]: tuple(r[f"m{j}"] for j in range(_MH_SLICES))
+        for r in grams.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))).alias(f"m{j}")
+                for j in range(_MH_SLICES)
+            ]
+        ).collect()
+    }
+    assert inrow == grouped and len(inrow) > 0
+    # index-shadowing regression: slices of one doc must not all agree
+    assert any(len(set(sig)) > 1 for sig in inrow.values())

@@ -127,6 +127,7 @@ _ORACLE_PRIORITY = [
     "zipf_token_audit",  # new r8 — first in line for r9
     "multimodal_resize_decode_stats",  # new r8 — first in line for r9
     "embedding_covariance_slice",  # new r8 — first in line for r9
+    "streaming_neardup_minhash_ingest",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",
