@@ -130,6 +130,14 @@ HEADLINE = [
     # the tokenize-to-ids pipeline (wordcount + broadcast id map)
     "table_fingerprint_orders",
     "vocab_id_stats",
+    # r8 families: temperature source mixing (broadcast counts +
+    # integer md5 threshold), the Zipf vocab-head OLS audit, the
+    # 36-partial covariance slice, and the real decode+NN-resize
+    # Arrow kernel
+    "domain_temperature_sample",
+    "zipf_token_audit",
+    "embedding_covariance_slice",
+    "multimodal_resize_decode_stats",
 ]
 
 
