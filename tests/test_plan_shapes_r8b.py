@@ -1,0 +1,111 @@
+"""Plan pins + invariants for the late-r8 additions (graph3, stats3,
+text_analysis3, spatial batteries).
+
+Correctness of values is owned by the DuckDB oracles
+(tests/test_oracle_parity.py sweeps every registered oracle); these
+tests pin the PLAN SHAPES the 100 TB arguments rest on — no cartesian
+products outside deliberate broadcast singletons, exactly-once pair
+production from the spatial grid join — plus a few closed-form
+mathematical invariants the oracles can't express (entropy upper
+bound, Cauchy-Schwarz on the cosine, Gini range).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+load_all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spatial_grid_join_no_cartesian_and_exactly_once(spark):
+    q = QUERIES["spatial_grid_radius_pairs"]
+    df = q(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # must be the cell equi-join
+    rows = df.collect()
+    pairs = [(r.key_a, r.key_b) for r in rows]
+    # each qualifying pair produced exactly once (one base cell hit in
+    # the probe's 3x3 explosion), ordered a < b, within the radius
+    assert len(pairs) == len(set(pairs))
+    assert all(a < b for a, b in pairs)
+    assert all(r.dist_sq <= 512 * 512 for r in rows)
+
+
+def test_spatial_grid_matches_brute_force(spark):
+    """Same-engine ground truth: the 3x3 blocked join finds EXACTLY the
+    pairs the naive all-pairs filter finds (the DuckDB oracle re-checks
+    this cross-engine; this pins it within Spark on its own plan)."""
+    from tfm_semisup_spark.queries.spatial import _RADIUS_SQ, _points
+
+    pts = _points(spark, SF_DIR).collect()
+    brute = set()
+    for i, a in enumerate(pts):
+        for b in pts[i + 1 :]:
+            d = (a.x - b.x) ** 2 + (a.y - b.y) ** 2
+            if d <= _RADIUS_SQ:
+                k = (a.key, b.key) if a.key < b.key else (b.key, a.key)
+                brute.add(k)
+    got = {
+        (r.key_a, r.key_b)
+        for r in QUERIES["spatial_grid_radius_pairs"](spark, SF_DIR).collect()
+    }
+    assert got == brute
+
+
+def test_theilsen_band_is_equi_join(spark):
+    df = QUERIES["theilsen_daily_revenue_slope"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        # banded pair count can never exceed n_days * gap
+        assert 0 < r.n_pairs <= r.n_days * 90
+
+
+def test_bfs_hops_bounded_and_seeds_zero(spark):
+    rows = QUERIES["item_bfs_hop_distance"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hops <= 3
+        if r.item % 7 == 0:
+            assert r.hops == 0
+
+
+def test_cooccurrence_cosine_cauchy_schwarz(spark):
+    rows = QUERIES["item_cooccurrence_cosine"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0.0 < r.cosine <= 1.0 for r in rows)
+
+
+def test_gini_in_range(spark):
+    rows = QUERIES["gini_revenue_concentration"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r.gini < 1.0 for r in rows)
+
+
+def test_entropy_bounded_by_log_vocab(spark):
+    rows = QUERIES["token_entropy_by_lang"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.entropy_nats <= math.log(r.vocab) + 1e-9
+
+
+def test_addk_logppl_no_cartesian_and_positive(spark):
+    df = QUERIES["text_bigram_addk_logppl"](spark, SF_DIR)
+    plan = _plan(df)
+    # the only nested-loop is the broadcast single-row vocab-size join
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(r.logppl > 0.0 and r.n_bigrams > 0 for r in rows)

@@ -128,6 +128,13 @@ _ORACLE_PRIORITY = [
     "multimodal_resize_decode_stats",  # new r8 — first in line for r9
     "embedding_covariance_slice",  # new r8 — first in line for r9
     "streaming_neardup_minhash_ingest",  # new r8 — first in line for r9
+    "item_bfs_hop_distance",  # new r8 — first in line for r9
+    "item_cooccurrence_cosine",  # new r8 — first in line for r9
+    "gini_revenue_concentration",  # new r8 — first in line for r9
+    "theilsen_daily_revenue_slope",  # new r8 — first in line for r9
+    "token_entropy_by_lang",  # new r8 — first in line for r9
+    "text_bigram_addk_logppl",  # new r8 — first in line for r9
+    "spatial_grid_radius_pairs",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",
@@ -197,5 +204,9 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import text_analysis2  # noqa: F401
     from tfm_semisup_spark.queries import graph2  # noqa: F401
     from tfm_semisup_spark.queries import analytics2  # noqa: F401
+    from tfm_semisup_spark.queries import graph3  # noqa: F401
+    from tfm_semisup_spark.queries import stats3  # noqa: F401
+    from tfm_semisup_spark.queries import text_analysis3  # noqa: F401
+    from tfm_semisup_spark.queries import spatial  # noqa: F401
 
     _reorder_registries()

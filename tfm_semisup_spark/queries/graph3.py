@@ -1,0 +1,209 @@
+"""Graph analytics #3: multi-source BFS hop distance and item-item
+co-occurrence cosine over the co-engagement graph.
+
+Completes the graph family (connected components, PageRank, triangle
+counts, k-core, label propagation) with two more staples:
+
+- ``item_bfs_hop_distance``: multi-source breadth-first search — the
+  shortest hop count from a deterministic seed set (items ≡ 0 mod 7)
+  within a FIXED number of synchronous rounds. Fixed rounds — not
+  run-to-convergence — keep the operator exactly SQL-expressible, so
+  the DuckDB oracle is the same frontier expansion unrolled as a CTE
+  chain (the k-core/PageRank discipline, ``graph2.py``). This is the
+  reachability/influence-radius primitive (seed-set influence,
+  taint/contamination spread, nearest-labeled-example distance).
+- ``item_cooccurrence_cosine``: item-item cosine similarity from the
+  binary user-item engagement matrix — cos(a,b) =
+  |U_a ∩ U_b| / sqrt(|U_a|·|U_b|) — the implicit-feedback
+  collaborative-filtering / "related items" normalization of the raw
+  co-visitation counts (``analytics.item_cooccurrence_topk``).
+
+Spark-first / 100 TB shape:
+- both reuse ``analytics._cooc_pairs`` (per-user COOC_CAP-capped
+  engagement sets — the cap bounds pairs per user at C(20,2), so the
+  pair shuffle scales with users, never users×items²);
+- BFS: the edge list is localCheckpoint-materialized ONCE and each
+  round is one key-shuffle join (frontier → neighbors) plus one MIN
+  aggregate over (reached ∪ neighbors) — shuffles scale with |edges|,
+  lineage stays O(1) via truncate/release (``operators/lineage.py``);
+  rounds are bounded (_BFS_ROUNDS) so the plan shape is fixed at any
+  data scale;
+- cosine: per-item engagement degrees come from ONE aggregate over the
+  capped sets, broadcast-joined back onto the (item-bounded) pair
+  table; sqrt IS correctly rounded by IEEE-754, so the statistic is
+  bit-identical cross-engine before the defensive round-6 (SCALE.md
+  "data-derived sampling rates" note).
+
+Parity notes: hop counts, degrees, and intersection sizes are exact
+integers; the only double math is the final cosine (sqrt + divide,
+both correctly rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.lineage import release, truncate
+from tfm_semisup_spark.queries import register
+from tfm_semisup_spark.queries.analytics import COOC_CAP, _cooc_pairs
+from tfm_semisup_spark.queries.graph2 import _EDGES_SQL
+
+_BFS_ROUNDS = 3
+_BFS_MIN_USERS = 2  # same edge threshold as the k-core/triangle tiers
+_BFS_SEED_MOD = 7
+
+_COS_MIN_USERS = 2
+_COS_TOP = 30
+
+
+def _bfs_round_sql(i: int) -> str:
+    """One unrolled BFS round: neighbors of everything reached through
+    round i-1, MIN-merged (hops are monotone in i, so MIN over the
+    union is exactly the BFS distance truncated at round i)."""
+    return f"""
+f{i} AS (
+  SELECT DISTINCT u.d AS item FROM und u JOIN r{i - 1} r ON u.s = r.item
+),
+r{i} AS (
+  SELECT item, MIN(hops) AS hops FROM (
+    SELECT item, hops FROM r{i - 1}
+    UNION ALL SELECT item, {i} AS hops FROM f{i}
+  ) GROUP BY item
+)"""
+
+
+BFS_ORACLE = (
+    "WITH "
+    + _EDGES_SQL
+    + f""",
+und AS (
+  SELECT item_a AS s, item_b AS d FROM e0
+  UNION ALL SELECT item_b, item_a FROM e0
+),
+nodes AS (SELECT DISTINCT s AS item FROM und),
+r0 AS (SELECT item, 0 AS hops FROM nodes WHERE item % {_BFS_SEED_MOD} = 0),"""
+    + ",".join(_bfs_round_sql(i) for i in range(1, _BFS_ROUNDS + 1))
+    + f"""
+SELECT item, CAST(hops AS BIGINT) AS hops FROM r{_BFS_ROUNDS}
+"""
+)
+
+
+@register("item_bfs_hop_distance", BFS_ORACLE)
+def item_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the thresholded co-engagement graph:
+    (item, hops) — the minimum hop count from any seed item
+    (item % {m} == 0) reachable within {r} synchronous rounds;
+    unreached items are absent.""".format(m=_BFS_SEED_MOD, r=_BFS_ROUNDS)
+    edges = truncate(
+        _cooc_pairs(spark, sf_dir)
+        .where(F.col("n_users") >= _BFS_MIN_USERS)
+        .select("item_a", "item_b")
+    )
+    und = edges.select(
+        F.col("item_a").alias("s"), F.col("item_b").alias("d")
+    ).unionAll(edges.select(F.col("item_b").alias("s"), F.col("item_a").alias("d")))
+    reached = truncate(
+        und.select(F.col("s").alias("item"))
+        .distinct()
+        .where(F.col("item") % _BFS_SEED_MOD == 0)
+        .withColumn("hops", F.lit(0))
+    )
+    for i in range(1, _BFS_ROUNDS + 1):
+        frontier = (
+            und.join(reached, und.s == reached.item)
+            .select(F.col("d").alias("item"))
+            .distinct()
+            .withColumn("hops", F.lit(i))
+        )
+        nxt = truncate(
+            reached.unionAll(frontier).groupBy("item").agg(F.min("hops").alias("hops"))
+        )
+        release(reached)
+        reached = nxt
+    out = reached.select("item", F.col("hops").cast("bigint").alias("hops"))
+    release(edges)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence cosine (implicit-feedback CF similarity)
+# ---------------------------------------------------------------------------
+#
+# Degrees |U_x| are counts over the SAME capped engagement sets the
+# pair counts come from, so the cosine is internally consistent
+# (<= 1 by Cauchy-Schwarz on the binary vectors).
+
+COSINE_ORACLE = (
+    "WITH "
+    + _EDGES_SQL  # e0 is unused here; DuckDB tolerates unreferenced CTEs
+    + f""",
+deg AS (SELECT item, COUNT(*)::BIGINT AS n FROM capped GROUP BY item)
+SELECT p.item_a, p.item_b, CAST(p.n_users AS BIGINT) AS n_users,
+       ROUND(CAST(p.n_users AS DOUBLE)
+             / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)), 6) AS cosine
+FROM pairs p
+JOIN deg da ON p.item_a = da.item
+JOIN deg db ON p.item_b = db.item
+WHERE p.n_users >= {_COS_MIN_USERS}
+ORDER BY cosine DESC, p.item_a, p.item_b
+LIMIT {_COS_TOP}
+"""
+)
+
+
+@register("item_cooccurrence_cosine", COSINE_ORACLE)
+def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top related-item pairs by binary cosine over the capped
+    user-item engagement matrix: (item_a, item_b, n_users, cosine),
+    ordered by the ROUNDED cosine with an (item_a, item_b) tie-break so
+    the top-{k} cutoff cannot flip on ULP.""".format(k=_COS_TOP)
+    from pyspark.sql import Window
+
+    pairs = _cooc_pairs(spark, sf_dir).where(F.col("n_users") >= _COS_MIN_USERS)
+    # Rebuild the capped sets once more for degrees: _cooc_pairs does
+    # not expose its intermediate, and recomputing the (user-bounded)
+    # aggregate is cheaper at scale than materializing it for two
+    # consumers of different shapes.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    capped = (
+        ev.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "item")
+            ),
+        )
+        .where(F.col("rk") <= COOC_CAP)
+        .select("user_id", "item")
+    )
+    deg = capped.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    da = deg.select(F.col("item").alias("ia"), F.col("n").alias("na"))
+    db = deg.select(F.col("item").alias("ib"), F.col("n").alias("nb"))
+    cosine = F.round(
+        F.col("n_users").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(da), pairs.item_a == F.col("ia"))
+        .join(F.broadcast(db), pairs.item_b == F.col("ib"))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            cosine.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "item_a", "item_b")
+        .limit(_COS_TOP)
+    )

@@ -1,0 +1,118 @@
+"""Spatial battery: grid-blocked radius self-join (find all point
+pairs within distance r).
+
+The proximity-join primitive every geo/embedding-adjacent pipeline
+needs (store-near-store, user-near-POI, duplicate-location detection).
+The testdata carries no coordinate columns, so points are DERIVED
+deterministically: (x, y) are two independent 16-bit uniform slices of
+md5(c_custkey) (the shared ``md5_uniform16`` primitive,
+``operators/layout.py`` — the bloom screen's two-slices-one-digest
+trick), placing every customer in a 65536×65536 integer plane
+identically in both engines.
+
+Spark-first / 100 TB shape — GRID BLOCKING, the standard spatial-join
+re-expression:
+- each point lands in one r×r grid cell; a pair within distance r must
+  sit in the same or an adjacent cell, so candidates are the 3×3
+  neighborhood equi-join: one side is exploded ×9 onto its neighbor
+  cells, the other keyed by its own cell — the join shuffles on
+  (cell_x, cell_y) like any equi-join, never the all-pairs cross join
+  the naive form needs (the DuckDB oracle runs exactly that naive
+  O(n²) form — independent derivation, feasible at oracle scale only).
+- each qualifying pair is produced EXACTLY once: the base point lies in
+  one cell, and that cell appears once in the probe's 3×3 explosion —
+  no DISTINCT pass needed (asserted in tests).
+- skew: cell occupancy under md5 is uniform by construction; for real
+  clustered data the same plan takes a salted cell key (SCALE.md skew
+  discipline) — the topology is unchanged.
+
+Parity: coordinates, cells, and squared distances are EXACT integers
+end to end (the radius test compares dist² ≤ r² — no sqrt, no libm, no
+ULP boundary anywhere), the reason this uses the squared-Euclidean
+metric instead of haversine (trig is not correctly rounded; a
+threshold compare on it can flip cross-engine — ``functions/geo.py``
+haversine outputs are rounded, never compared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.layout import (
+    md5_uniform16_spark_sql,
+    md5_uniform16_sql,
+)
+from tfm_semisup_spark.queries import register
+
+_RADIUS = 512  # plane is 65536×65536; E[pairs] ≈ πr²·n²/2A
+_RADIUS_SQ = _RADIUS * _RADIUS
+
+_MD5 = "md5(CAST(c_custkey AS STRING))"
+
+SPATIAL_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS key,
+         CAST({md5_uniform16_sql(_MD5, 1)} AS BIGINT) AS x,
+         CAST({md5_uniform16_sql(_MD5, 5)} AS BIGINT) AS y
+  FROM customer
+)
+SELECT a.key AS key_a, b.key AS key_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM pts a JOIN pts b ON a.key < b.key
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_RADIUS_SQ}
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, x, y, cx, cy): derived integer coordinates + grid cell."""
+    spark_md5 = "md5(CAST(c_custkey AS STRING))"
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.expr(md5_uniform16_spark_sql(spark_md5, 1)).cast("bigint").alias("x"),
+        F.expr(md5_uniform16_spark_sql(spark_md5, 5)).cast("bigint").alias("y"),
+    ).withColumn("cx", (F.col("x") / _RADIUS).cast("int")).withColumn(
+        "cy", (F.col("y") / _RADIUS).cast("int")
+    )
+
+
+@register("spatial_grid_radius_pairs", SPATIAL_ORACLE)
+def spatial_grid_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer-point pairs within {r} units in the derived 16-bit
+    integer plane: (key_a, key_b, dist_sq), key_a < key_b — via the 3×3
+    neighbor-cell equi-join.""".format(r=_RADIUS)
+    pts = _points(spark, sf_dir)
+    probe = pts.select(
+        F.col("key").alias("key_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.sequence(F.col("cx") - 1, F.col("cx") + 1)
+        ).alias("jx"),
+        "cy",
+    ).select(
+        "key_a",
+        "xa",
+        "ya",
+        "jx",
+        F.explode(F.sequence(F.col("cy") - 1, F.col("cy") + 1)).alias("jy"),
+    )
+    base = pts.select(
+        F.col("key").alias("key_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(base, ["jx", "jy"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist_sq", dist_sq.cast("bigint"))
+        .where(F.col("dist_sq") <= _RADIUS_SQ)
+        .select("key_a", "key_b", "dist_sq")
+    )

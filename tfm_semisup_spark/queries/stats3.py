@@ -1,0 +1,231 @@
+"""Statistical-insight battery #3: concentration and robust-trend
+statistics over the warehouse tables.
+
+Two more profiling operators (extension surface alongside
+``relational7.py`` / ``stats2.py``):
+
+- ``gini_revenue_concentration``: per-segment Gini coefficient of
+  customer revenue via a 100-bin Lorenz curve — the inequality /
+  concentration audit (whale-customer risk, data-skew health). The
+  EXACT rank-based Gini needs a global value sort — the banned
+  unpartitioned-window shape at 100 TB — so this is the binned lower
+  bound, the same re-expression ``ks_price_by_returnflag`` uses for
+  the KS distance: windows only ever run over the bounded
+  segment×100-bin grid.
+- ``theilsen_daily_revenue_slope``: banded Theil–Sen estimator of the
+  daily-revenue trend per order priority — median of pairwise slopes
+  over day pairs at most _TS_MAX_GAP days apart. The robust
+  (breakdown-point 29%) alternative to ``per_nation_price_trend_ols``;
+  banding bounds the pair count at |days|×gap (calendar-bounded, i.e.
+  data-scale-FREE) and is itself a standard windowed-Theil–Sen
+  variant for local trends.
+
+Spark-first / 100 TB shape:
+- the only fact-scale shuffles are the initial integer-cents
+  aggregates (customer revenue; (priority, day) revenue). Everything
+  downstream is grid-bounded: 100 bins × |segments|, |days| × gap
+  pairs.
+- the Theil–Sen band is generated as an EXPLODE of gap 1.._TS_MAX_GAP
+  joined back equi on (priority, day+gap) — an equi-join that produces
+  exactly the band, instead of the per-key cartesian a range-predicate
+  join would build and filter (29M intermediates vs 1M pairs at
+  sf0.01).
+- the slope median uses Spark's exact ``percentile`` aggregate; its
+  buffer is O(|day pairs|) — bounded by the calendar band, not the
+  corpus.
+
+Arithmetic parity:
+- money flows as integer cents (FLOOR(price*100) BIGINT) end to end;
+- Lorenz partials n_i·(2·V_i − v_i) are exact integers summed as
+  DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — zero summation-order
+  noise; the single double division happens once per segment on
+  bit-identical operands (int→double conversion and double multiply
+  are correctly rounded in IEEE-754);
+- each pairwise slope is ONE correctly-rounded division of integer
+  operands, so both engines sort identical double multisets and the
+  (even-count) median midpoint average is bit-identical; round 6 on
+  both sides defends the residual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+_GINI_BINS = 100
+
+GINI_ORACLE = f"""
+WITH cust_rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+),
+mx AS (SELECT segment, MAX(cents) AS mx_cents FROM cust_rev GROUP BY segment),
+binned AS (
+  SELECT r.segment,
+         LEAST({_GINI_BINS - 1},
+               CAST(FLOOR(CAST(r.cents AS DOUBLE) * {_GINI_BINS}
+                          / m.mx_cents) AS INT)) AS bin,
+         COUNT(*)::BIGINT AS n, SUM(r.cents)::BIGINT AS v
+  FROM cust_rev r JOIN mx m ON r.segment = m.segment
+  GROUP BY 1, 2
+),
+lorenz AS (
+  SELECT segment, n, v,
+         SUM(v) OVER (PARTITION BY segment ORDER BY bin) AS cum_v
+  FROM binned
+)
+SELECT segment,
+       CAST(SUM(n) AS BIGINT) AS n_customers,
+       CAST(SUM(v) AS BIGINT) AS total_cents,
+       ROUND(1.0 - CAST(SUM(CAST(n AS HUGEINT) * (2 * cum_v - v)) AS DOUBLE)
+                   / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)),
+             6) AS gini
+FROM lorenz
+GROUP BY segment
+"""
+
+
+@register("gini_revenue_concentration", GINI_ORACLE)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment binned-Lorenz Gini of customer revenue:
+    (segment, n_customers, total_cents, gini). Trapezoid form
+    G = 1 − Σ nᵢ(Vᵢ₋₁+Vᵢ) / (N·T) over {b} equal-width bins, exact
+    integer partials.""".format(b=_GINI_BINS)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    cust_rev = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c100"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c100").cast("bigint").alias("cents"))
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .select("segment", "cents")
+    )
+    mx = cust_rev.groupBy("segment").agg(F.max("cents").alias("mx_cents"))
+    binned = (
+        cust_rev.join(F.broadcast(mx), "segment")
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(_GINI_BINS - 1),
+                F.floor(
+                    F.col("cents").cast("double")
+                    * _GINI_BINS
+                    / F.col("mx_cents")
+                ).cast("int"),
+            ),
+        )
+        .groupBy("segment", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("v"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("bin")
+    lorenz = binned.withColumn("cum_v", F.sum("v").over(w))
+    partial = F.col("n").cast("decimal(38,0)") * (
+        2 * F.col("cum_v") - F.col("v")
+    ).cast("decimal(38,0)")
+    return lorenz.groupBy("segment").agg(
+        F.sum("n").cast("bigint").alias("n_customers"),
+        F.sum("v").cast("bigint").alias("total_cents"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(partial).cast("double")
+            / (F.sum("n").cast("double") * F.sum("v").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded Theil–Sen daily-revenue trend per order priority
+# ---------------------------------------------------------------------------
+
+_TS_MAX_GAP = 90  # days; bounds pairs at |days|×gap — calendar-bounded
+
+THEILSEN_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.priority,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / date_diff('day', a.day, b.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.priority = b.priority
+   AND date_diff('day', a.day, b.day) BETWEEN 1 AND {_TS_MAX_GAP}
+)
+SELECT d.priority,
+       CAST(COUNT(DISTINCT d.day) AS BIGINT) AS n_days,
+       CAST(s.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(s.med, 6) AS ts_slope_cents_per_day
+FROM daily d
+JOIN (
+  SELECT priority, COUNT(*) AS n_pairs, MEDIAN(slope) AS med
+  FROM slopes GROUP BY priority
+) s ON d.priority = s.priority
+GROUP BY d.priority, s.n_pairs, s.med
+"""
+
+
+@register("theilsen_daily_revenue_slope", THEILSEN_ORACLE)
+def theilsen_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Theil–Sen trend of daily revenue per priority:
+    (priority, n_days, n_pairs, ts_slope_cents_per_day) — the median
+    pairwise slope over day pairs ≤{g} days apart.""".format(g=_TS_MAX_GAP)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c100"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("c100").cast("bigint").alias("cents"))
+    )
+    # Band generation: explode gap 1..G on the left and equi-join the
+    # right at (priority, day+gap) — produces exactly the band pairs.
+    left = daily.select(
+        "priority",
+        F.col("day").alias("d1"),
+        F.col("cents").alias("c1"),
+        F.explode(F.sequence(F.lit(1), F.lit(_TS_MAX_GAP))).alias("g"),
+    ).withColumn("d2", F.date_add("d1", F.col("g")))
+    right = daily.select(
+        F.col("priority").alias("rp"),
+        F.col("day").alias("d2r"),
+        F.col("cents").alias("c2"),
+    )
+    slopes = left.join(
+        right, (F.col("priority") == F.col("rp")) & (F.col("d2") == F.col("d2r"))
+    ).select(
+        "priority",
+        ((F.col("c2") - F.col("c1")).cast("double") / F.col("g")).alias("slope"),
+    )
+    med = slopes.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("med"),
+    )
+    days = daily.groupBy("priority").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    return days.join(med, "priority").select(
+        "priority",
+        "n_days",
+        "n_pairs",
+        F.round("med", 6).alias("ts_slope_cents_per_day"),
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis battery #3: corpus entropy and smoothed bigram LM
+perplexity.
+
+Two more text/corpus-health operators (SURVEY.md §2.3 extension
+surface, alongside ``text_analysis.py`` / ``text_analysis2.py``):
+
+- ``token_entropy_by_lang``: Shannon entropy (nats) of the token
+  distribution per language — the vocabulary-diversity / corpus-drift
+  scalar (a collapsing generator or a boilerplate flood drops it;
+  cross-lingual mixes are compared on it). Re-expressed as
+  H = ln(N) − (Σ c·ln c)/N so every count stays an exact integer and
+  the doubles only appear in the final vocab-bounded reduction.
+- ``text_bigram_addk_logppl``: per-document negative mean log
+  probability under an add-k (k=0.5, Jeffreys) smoothed corpus bigram
+  LM — the self-perplexity quality screen (documents whose transitions
+  the corpus LM finds surprising are outliers: boilerplate, encoding
+  damage, language mislabels). The LM is trained on the same corpus it
+  scores, the standard in-corpus audit form (same contract as
+  ``text_unigram_logppl``, which this extends to order-2 context).
+
+Spark-first / 100 TB shape:
+- both are wordcount-shaped: one corpus-scale explode straight into a
+  hash aggregate (map-side combine), everything after is vocab- or
+  vocab²-bounded;
+- bigrams are built IN-ROW with one ``zip_with`` (the
+  ``text_bigram_pmi`` discipline) — no posexplode + per-doc window
+  over the token stream;
+- the per-document bigram table is pre-aggregated to
+  (doc, w1, w2, count) BEFORE joining the LM, so the LM join moves
+  O(distinct doc-bigrams), not O(token stream); the join keys on
+  (w1, w2) and stays a plain shuffle join — the bigram LM is NOT
+  broadcast (vocab² can be billions of rows at corpus scale);
+- the smoothing constants (vocab size V, corpus totals) are single-row
+  aggregates, broadcast by construction.
+
+Parity: all counts exact integers; ln() is libm (not correctly
+rounded) so every ln-carrying output is rounded to 6 dp on both sides
+— the ``text_bigram_pmi`` precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS w
+  FROM documents
+),
+wc AS (SELECT lang, w, COUNT(*)::BIGINT AS c FROM tok GROUP BY lang, w)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE),
+             6) AS entropy_nats
+FROM wc
+GROUP BY lang
+"""
+
+
+@register("token_entropy_by_lang", ENTROPY_ORACLE)
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the per-language token distribution:
+    (lang, n_tokens, vocab, entropy_nats), H = ln N − (Σ c·ln c)/N."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return wc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.round(
+            F.log(n) - F.sum(F.col("c").cast("double") * F.log(F.col("c"))) / n,
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Add-k smoothed bigram LM self-perplexity
+# ---------------------------------------------------------------------------
+#
+# P(w2|w1) = (c(w1,w2) + K) / (c1(w1) + K·V), K = 1/2 (Jeffreys),
+# V = |distinct second tokens| (the LM's event space); c1 is the
+# first-position marginal of the bigram table so probabilities sum to
+# (almost) 1 per context. logppl(doc) = −(Σ n·ln P)/(Σ n) over the
+# doc's bigram multiset.
+
+_ADDK_NUM = 0.5
+
+ADDK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+doc_big AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, COUNT(*)::BIGINT AS dn
+  FROM (
+    SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM toks WHERE len(l) >= 2
+  )
+  GROUP BY doc_id, p[1], p[2]
+),
+big AS (SELECT w1, w2, SUM(dn)::BIGINT AS n FROM doc_big GROUP BY w1, w2),
+uni AS (SELECT w1, SUM(n)::BIGINT AS n1 FROM big GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w2)::BIGINT AS vsz FROM big)
+SELECT d.doc_id,
+       CAST(SUM(d.dn) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(CAST(d.dn AS DOUBLE)
+                  * ln((CAST(b.n AS DOUBLE) + {_ADDK_NUM})
+                       / (CAST(u.n1 AS DOUBLE) + {_ADDK_NUM} * t.vsz)))
+             / CAST(SUM(d.dn) AS DOUBLE),
+             6) AS logppl
+FROM doc_big d
+JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+JOIN uni u ON d.w1 = u.w1
+CROSS JOIN v t
+GROUP BY d.doc_id
+"""
+
+
+@register("text_bigram_addk_logppl", ADDK_ORACLE)
+def text_bigram_addk_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log probability under the add-0.5
+    smoothed corpus bigram LM: (doc_id, n_bigrams, logppl)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(l, 1, greatest(size(l) - 1, 0)),"
+        "  slice(l, 2, greatest(size(l) - 1, 0)),"
+        "  (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    doc_big = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+        )
+        .where(F.size("l") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    big = doc_big.groupBy("w1", "w2").agg(F.sum("dn").alias("n"))
+    uni = big.groupBy(F.col("w1").alias("uw1")).agg(F.sum("n").alias("n1"))
+    vsz = big.agg(F.countDistinct("w2").alias("vsz"))
+    ln_p = F.log(
+        (F.col("n").cast("double") + _ADDK_NUM)
+        / (F.col("n1").cast("double") + _ADDK_NUM * F.col("vsz"))
+    )
+    return (
+        doc_big.join(big, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("uw1"))
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("dn").cast("double") * ln_p)
+                / F.sum("dn").cast("double"),
+                6,
+            ).alias("logppl"),
+        )
+    )
