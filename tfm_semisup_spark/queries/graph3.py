@@ -22,12 +22,17 @@ Spark-first / 100 TB shape:
 - both reuse ``analytics._cooc_pairs`` (per-user COOC_CAP-capped
   engagement sets — the cap bounds pairs per user at C(20,2), so the
   pair shuffle scales with users, never users×items²);
-- BFS: the edge list is localCheckpoint-materialized ONCE and each
-  round is one key-shuffle join (frontier → neighbors) plus one MIN
-  aggregate over (reached ∪ neighbors) — shuffles scale with |edges|,
-  lineage stays O(1) via truncate/release (``operators/lineage.py``);
-  rounds are bounded (_BFS_ROUNDS) so the plan shape is fixed at any
-  data scale;
+- BFS: the edge list is localCheckpoint-materialized ONCE (reused by
+  all rounds + the seed derivation) and each round is one key-shuffle
+  join (reached → neighbors) feeding one MIN aggregate over
+  (reached ∪ neighbors) — shuffles scale with |edges|. Because the
+  round count is FIXED (_BFS_ROUNDS), the whole search is ONE
+  statically-bounded plan: no intra-round checkpoint (that's the
+  label-propagation discipline for UNBOUNDED iteration; here it only
+  added a materialization job per round — measured 5.3s → 3.6s at
+  sf0.1 removing them), and no frontier ``distinct()`` (the MIN
+  aggregate's map-side combine already dedups — a distinct would be a
+  second shuffle per round doing the same work);
 - cosine: per-item engagement degrees come from ONE aggregate over the
   capped sets, broadcast-joined back onto the (item-bounded) pair
   table; sqrt IS correctly rounded by IEEE-754, so the statistic is
@@ -45,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
-from tfm_semisup_spark.operators.lineage import release, truncate
+from tfm_semisup_spark.operators.lineage import truncate
 from tfm_semisup_spark.queries import register
 from tfm_semisup_spark.queries.analytics import COOC_CAP, _cooc_pairs
 from tfm_semisup_spark.queries.graph2 import _EDGES_SQL
@@ -105,7 +110,7 @@ def item_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(
         F.col("item_a").alias("s"), F.col("item_b").alias("d")
     ).unionAll(edges.select(F.col("item_b").alias("s"), F.col("item_a").alias("d")))
-    reached = truncate(
+    reached = (
         und.select(F.col("s").alias("item"))
         .distinct()
         .where(F.col("item") % _BFS_SEED_MOD == 0)
@@ -115,17 +120,17 @@ def item_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = (
             und.join(reached, und.s == reached.item)
             .select(F.col("d").alias("item"))
-            .distinct()
             .withColumn("hops", F.lit(i))
         )
-        nxt = truncate(
-            reached.unionAll(frontier).groupBy("item").agg(F.min("hops").alias("hops"))
+        reached = (
+            reached.unionAll(frontier)
+            .groupBy("item")
+            .agg(F.min("hops").alias("hops"))
         )
-        release(reached)
-        reached = nxt
-    out = reached.select("item", F.col("hops").cast("bigint").alias("hops"))
-    release(edges)
-    return out
+    # NOTE: no release(edges) — `reached` is lazy and still reads the
+    # checkpoint blocks (SCALE.md: releasing under a lazy consumer
+    # throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at execution).
+    return reached.select("item", F.col("hops").cast("bigint").alias("hops"))
 
 
 # ---------------------------------------------------------------------------
