@@ -101,6 +101,59 @@ def test_entropy_bounded_by_log_vocab(spark):
         assert 0.0 < r.entropy_nats <= math.log(r.vocab) + 1e-9
 
 
+def test_km_survival_monotone_nonincreasing(spark):
+    rows = sorted(
+        QUERIES["kaplan_meier_conversion"](spark, SF_DIR).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows
+    last = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r.survival <= last  # KM curve never rises
+        last = r.survival
+        assert r.n_events <= r.n_risk
+
+
+def test_acf_within_unit_interval(spark):
+    rows = QUERIES["acf_daily_revenue"](spark, SF_DIR).collect()
+    assert {r.lag for r in rows} == {1, 7, 14, 28}
+    assert all(-1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9 for r in rows)
+
+
+def test_cusum_change_day_exists_in_grid(spark):
+    rows = QUERIES["cusum_changepoint_daily"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.n_days > 0 and r.change_day for r in rows)
+
+
+def test_ab_ztest_counts_consistent(spark):
+    (r,) = QUERIES["ab_test_conversion_ztest"](spark, SF_DIR).collect()
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    # pooled rate non-degenerate by construction of the 24h definition
+    assert 0 < r.conv_a + r.conv_b < r.n_a + r.n_b
+
+
+def test_wav_frame_rms_matches_numpy(spark):
+    """Same-engine ground truth for the framing kernel: regenerate the
+    planted ramps in numpy and re-derive the peak frame."""
+    import numpy as np
+
+    rows = QUERIES["multimodal_wav_frame_rms"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        n = 50 + r.doc_id % 7
+        i = np.arange(n, dtype=np.int64)
+        x = (((r.doc_id * 3 + i) % 2001) - 1000).astype(np.float64)
+        nf = (n - 16) // 8 + 1
+        rms = np.array(
+            [np.sqrt((x[f * 8 : f * 8 + 16] ** 2).sum() / 16) for f in range(nf)]
+        )
+        assert r.n_frames == nf
+        assert r.peak_frame == int(np.argmax(rms))
+        assert r.peak_rms == rms[r.peak_frame]  # EXACT — no rounding
+
+
 def test_addk_logppl_no_cartesian_and_positive(spark):
     df = QUERIES["text_bigram_addk_logppl"](spark, SF_DIR)
     plan = _plan(df)

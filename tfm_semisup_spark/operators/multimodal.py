@@ -298,6 +298,60 @@ AUDIO_SCHEMA = (
     "mean_amp double, rms_amp double"
 )
 
+FRAME_RMS_SCHEMA = (
+    "doc_id long, n_frames long, peak_frame long, peak_rms double"
+)
+
+
+def frame_audio_rms(
+    df: DataFrame,
+    frame_len: int = 16,
+    hop: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode WAV payloads and run the standard audio FRAMING step
+    (fixed-length windows at 50% overlap), emitting the per-clip peak
+    frame energy: (doc_id, n_frames, peak_frame, peak_rms). Frames are
+    FULL windows only (j = f*hop .. f*hop+frame_len-1); ties on equal
+    RMS resolve to the lowest frame index.
+
+    frame_len and hop default to powers of two so the mean inside the
+    RMS is an exponent shift — with integer 16-bit samples the whole
+    statistic (sum of squares ≤ frame_len·2³⁰, /frame_len, sqrt) is
+    computed exactly and identically in any engine: no rounding is
+    needed anywhere (the multimodal_wav_decode_stats argument).
+    Narrow Arrow op, no shuffle — framing stays inside the kernel via
+    a numpy stride trick, never an exploded row per frame."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "peak_frame", "peak_rms")}
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                _, arr = decode_wav(bytes(payload))
+                mono = arr[:, 0].astype(np.float64)
+                n_frames = max(0, (len(mono) - frame_len) // hop + 1)
+                if n_frames == 0:
+                    continue
+                idx = (
+                    np.arange(frame_len)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                frames = mono[idx]
+                rms = np.sqrt((frames * frames).sum(axis=1) / frame_len)
+                peak = int(np.argmax(rms))  # argmax returns the FIRST max
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["peak_frame"].append(peak)
+                out["peak_rms"].append(float(rms[peak]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        run, schema=FRAME_RMS_SCHEMA
+    )
+
 
 def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode (doc_id, payload) WAV bytes -> per-clip stats (rate,

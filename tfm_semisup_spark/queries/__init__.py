@@ -135,6 +135,11 @@ _ORACLE_PRIORITY = [
     "token_entropy_by_lang",  # new r8 — first in line for r9
     "text_bigram_addk_logppl",  # new r8 — first in line for r9
     "spatial_grid_radius_pairs",  # new r8 — first in line for r9
+    "ab_test_conversion_ztest",  # new r8 — first in line for r9
+    "acf_daily_revenue",  # new r8 — first in line for r9
+    "cusum_changepoint_daily",  # new r8 — first in line for r9
+    "kaplan_meier_conversion",  # new r8 — first in line for r9
+    "multimodal_wav_frame_rms",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",
@@ -208,5 +213,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import stats3  # noqa: F401
     from tfm_semisup_spark.queries import text_analysis3  # noqa: F401
     from tfm_semisup_spark.queries import spatial  # noqa: F401
+    from tfm_semisup_spark.queries import stats4  # noqa: F401
 
     _reorder_registries()

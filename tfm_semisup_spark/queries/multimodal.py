@@ -296,3 +296,75 @@ def multimodal_resize_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("tmean_g", 6).alias("tmean_g"),
         F.round("tmean_b", 6).alias("tmean_b"),
     )
+
+
+# Audio FRAMING tier: the per-clip peak-frame energy over fixed
+# 16-sample windows at hop 8 (50% overlap) — the first step of any
+# real audio featurizer (VAD, spectral features, fingerprinting).
+# Framing happens INSIDE the Arrow kernel via a numpy stride index
+# (operators/multimodal.py::frame_audio_rms), never as an exploded
+# row-per-frame shuffle; the oracle re-derives the same frames
+# relationally with generate_series. frame_len/hop are powers of two
+# and samples are 16-bit integers, so sum-of-squares, /16 and sqrt
+# are all exact-or-correctly-rounded — NO rounding anywhere (the
+# multimodal_wav_decode_stats argument); the peak argmax therefore
+# picks the same frame in both engines, ties to the lowest index.
+WAV_FRAME_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 50 + doc_id % 7 AS n FROM documents
+),
+frames AS (
+  SELECT doc_id, n, u.f
+  FROM dims, UNNEST(generate_series(0, (n - 16) // 8)) AS u(f)
+),
+samp AS (
+  SELECT doc_id, f,
+         CAST(((doc_id * 3 + f * 8 + v.j) % 2001) - 1000 AS DOUBLE) AS x
+  FROM frames, UNNEST(generate_series(0, 15)) AS v(j)
+),
+frame_rms AS (
+  SELECT doc_id, f, SQRT(SUM(x * x) / 16) AS rms
+  FROM samp GROUP BY doc_id, f
+),
+ranked AS (
+  SELECT doc_id, f, rms,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rms DESC, f) AS rk,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nf
+  FROM frame_rms
+)
+SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       CAST(f AS BIGINT) AS peak_frame, rms AS peak_rms
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("multimodal_wav_frame_rms", WAV_FRAME_ORACLE)
+def multimodal_wav_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-frame energy of each planted WAV clip: (doc_id, n_frames,
+    peak_frame, peak_rms) over 16-sample frames at hop 8."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tfm_semisup_spark.operators.multimodal import (
+        encode_wav,
+        frame_audio_rms,
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            payloads = []
+            ids = batch["doc_id"]
+            for doc_id in ids:
+                rate = 8000 + (doc_id % 3) * 4000
+                n = 50 + doc_id % 7
+                i = np.arange(n, dtype=np.int64)
+                samples = (((doc_id * 3 + i) % 2001) - 1000).astype(np.int16)
+                payloads.append(encode_wav(samples, sample_rate=int(rate)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return frame_audio_rms(payloads, frame_len=16, hop=8)
