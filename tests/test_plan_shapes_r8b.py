@@ -154,6 +154,78 @@ def test_wav_frame_rms_matches_numpy(spark):
         assert r.peak_rms == rms[r.peak_frame]  # EXACT — no rounding
 
 
+def test_nearest_neighbor_matches_brute_force(spark):
+    from tfm_semisup_spark.queries.spatial import _RADIUS_SQ, _points
+
+    pts = _points(spark, SF_DIR).collect()
+    brute = {}
+    for a in pts:
+        best = None
+        for b in pts:
+            if a.key == b.key:
+                continue
+            d = (a.x - b.x) ** 2 + (a.y - b.y) ** 2
+            if d <= _RADIUS_SQ and (best is None or (d, b.key) < best):
+                best = (d, b.key)
+        if best is not None:
+            brute[a.key] = (best[1], best[0])
+    got = {
+        r.key: (r.nn_key, r.dist_sq)
+        for r in QUERIES["spatial_nearest_neighbor"](spark, SF_DIR).collect()
+    }
+    assert got == brute
+
+
+def test_recursive_reach_agrees_with_dataframe_bfs(spark):
+    """The recursive-CTE 2-hop reach must equal the DataFrame BFS
+    truncated at 2 hops — two independent Spark formulations of the
+    same traversal."""
+    rec = {
+        (r.item, r.hops)
+        for r in QUERIES["recursive_sql_reach_two_hop"](spark, SF_DIR).collect()
+    }
+    bfs2 = {
+        (r.item, r.hops)
+        for r in QUERIES["item_bfs_hop_distance"](spark, SF_DIR).collect()
+        if r.hops <= 2
+    }
+    # BFS runs 3 rounds; nodes first reached at hop 3 are absent from
+    # both sides after the <=2 filter.
+    assert rec == bfs2
+
+
+def test_phrase_search_counts_positive_and_capped(spark):
+    rows = QUERIES["text_phrase_search"](spark, SF_DIR).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        assert r.n_occurrences > 0
+        per[r.phrase] = per.get(r.phrase, 0) + 1
+    assert all(v <= 10 for v in per.values())
+
+
+def test_half_sample_replicates_are_half_and_deterministic(spark):
+    a = sorted(
+        map(
+            tuple,
+            QUERIES["half_sample_replicate_means"](spark, SF_DIR).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            QUERIES["half_sample_replicate_means"](spark, SF_DIR).collect(),
+        )
+    )
+    assert a == b and len(a) == 32
+    from tfm_semisup_spark.io import load_table
+
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    for _, n_kept, _mean in a:
+        # md5 threshold is exactly 1/2; binomial 5-sigma band
+        assert abs(n_kept - n_orders / 2) < 5 * (n_orders**0.5) / 2 + 1
+
+
 def test_addk_logppl_no_cartesian_and_positive(spark):
     df = QUERIES["text_bigram_addk_logppl"](spark, SF_DIR)
     plan = _plan(df)

@@ -140,6 +140,10 @@ _ORACLE_PRIORITY = [
     "cusum_changepoint_daily",  # new r8 — first in line for r9
     "kaplan_meier_conversion",  # new r8 — first in line for r9
     "multimodal_wav_frame_rms",  # new r8 — first in line for r9
+    "spatial_nearest_neighbor",  # new r8 — first in line for r9
+    "recursive_sql_reach_two_hop",  # new r8 — first in line for r9
+    "text_phrase_search",  # new r8 — first in line for r9
+    "half_sample_replicate_means",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -212,3 +212,74 @@ def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "item_a", "item_b")
         .limit(_COS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE reachability (the SQL-API surface for iteration)
+# ---------------------------------------------------------------------------
+#
+# Spark 4 ships WITH RECURSIVE (SPARK-24497): the same 2-hop seed
+# reachability as the DataFrame BFS above, but expressed as ONE SQL
+# string over temp views — exercising the recursive SQL surface
+# itself. DuckDB runs the IDENTICAL recursive clause over its CTE
+# chain, so this is a true same-dialect parity check, not a
+# re-derivation. Depth is bounded in the recursion's WHERE (hops < 2):
+# recursion enumerates PATHS, so an unbounded walk over a cyclic graph
+# never terminates — the bound plus the outer MIN(hops) is the
+# standard cycle-safe form. Path count is Σ_seeds deg^2 — fine at
+# 2 hops, which is why deeper traversals use the per-round MIN-merged
+# DataFrame BFS instead (rows stay one-per-node there).
+
+_REC_DEPTH = 2
+
+_RECURSIVE_CLAUSE = f"""
+reach(item, hops) AS (
+  SELECT item, 0 AS hops FROM {{seeds}}
+  UNION ALL
+  SELECT u.d AS item, r.hops + 1 AS hops
+  FROM reach r JOIN {{und}} u ON u.s = r.item
+  WHERE r.hops < {_REC_DEPTH}
+)
+SELECT item, CAST(MIN(hops) AS BIGINT) AS hops FROM reach GROUP BY item
+"""
+
+RECURSIVE_REACH_ORACLE = (
+    "WITH RECURSIVE "
+    + _EDGES_SQL
+    + f""",
+und AS (
+  SELECT item_a AS s, item_b AS d FROM e0
+  UNION ALL SELECT item_b, item_a FROM e0
+),
+seeds AS (
+  SELECT DISTINCT s AS item FROM und WHERE s % {_BFS_SEED_MOD} = 0
+),"""
+    + _RECURSIVE_CLAUSE.format(seeds="seeds", und="und")
+)
+
+
+@register("recursive_sql_reach_two_hop", RECURSIVE_REACH_ORACLE)
+def recursive_sql_reach_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop seed reachability via Spark's WITH RECURSIVE — the same
+    recursive clause text DuckDB runs: (item, hops)."""
+    edges = _cooc_pairs(spark, sf_dir).where(
+        F.col("n_users") >= _BFS_MIN_USERS
+    )
+    und = edges.select(
+        F.col("item_a").alias("s"), F.col("item_b").alias("d")
+    ).unionAll(
+        edges.select(F.col("item_b").alias("s"), F.col("item_a").alias("d"))
+    )
+    seeds = (
+        und.select(F.col("s").alias("item"))
+        .distinct()
+        .where(F.col("item") % _BFS_SEED_MOD == 0)
+    )
+    und.createOrReplaceTempView("r8_recursive_und")
+    seeds.createOrReplaceTempView("r8_recursive_seeds")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _RECURSIVE_CLAUSE.format(
+            seeds="r8_recursive_seeds", und="r8_recursive_und"
+        )
+    )

@@ -116,3 +116,85 @@ def spatial_grid_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist_sq") <= _RADIUS_SQ)
         .select("key_a", "key_b", "dist_sq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked nearest neighbor (k=1 radius-bounded kNN)
+# ---------------------------------------------------------------------------
+#
+# The "nearest store / nearest POI" shape: for every point, its closest
+# OTHER point within _RADIUS, via the same 3x3 neighbor-cell equi-join
+# as the pair query — candidates bounded by cell occupancy, never
+# all-pairs. Radius-bounding is what keeps k-NN blockable at all: an
+# unbounded nearest neighbor can live arbitrarily far away and needs a
+# different structure (the ANN tiers in operators/similarity.py).
+# Ties on equal dist_sq resolve to the lowest neighbor key; both
+# engines compare exact integers, so the winner can't flip.
+
+NN_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS key,
+         CAST({md5_uniform16_sql(_MD5, 1)} AS BIGINT) AS x,
+         CAST({md5_uniform16_sql(_MD5, 5)} AS BIGINT) AS y
+  FROM customer
+),
+cand AS (
+  SELECT a.key AS key, b.key AS nn_key,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.key
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y),
+                    b.key
+         ) AS rk
+  FROM pts a JOIN pts b ON a.key <> b.key
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_RADIUS_SQ}
+)
+SELECT key, nn_key, CAST(dist_sq AS BIGINT) AS dist_sq
+FROM cand WHERE rk = 1
+"""
+
+
+@register("spatial_nearest_neighbor", NN_ORACLE)
+def spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest neighbor per customer point:
+    (key, nn_key, dist_sq) for every point with another point within
+    {r} units; ties to the lowest neighbor key.""".format(r=_RADIUS)
+    from pyspark.sql import Window
+
+    pts = _points(spark, sf_dir)
+    probe = pts.select(
+        F.col("key").alias("key"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.sequence(F.col("cx") - 1, F.col("cx") + 1)).alias("jx"),
+        "cy",
+    ).select(
+        "key",
+        "xa",
+        "ya",
+        "jx",
+        F.explode(F.sequence(F.col("cy") - 1, F.col("cy") + 1)).alias("jy"),
+    )
+    base = pts.select(
+        F.col("key").alias("nn_key"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = (
+        probe.join(base, ["jx", "jy"])
+        .where(F.col("key") != F.col("nn_key"))
+        .withColumn("dist_sq", dist_sq.cast("bigint"))
+        .where(F.col("dist_sq") <= _RADIUS_SQ)
+    )
+    w = Window.partitionBy("key").orderBy("dist_sq", "nn_key")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("key", "nn_key", "dist_sq")
+    )

@@ -453,3 +453,75 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_at").alias("n_events"),
         F.round(F.exp("log_s"), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic half-sample replicates (resampling-based uncertainty)
+# ---------------------------------------------------------------------------
+#
+# The resampling leg of the statistics surface: B half-sample
+# replicates of mean order value — the subsampling estimator of the
+# mean's sampling distribution (delete-d jackknife / m-out-of-n
+# bootstrap family; Politis-Romano subsampling). A CI is two
+# percentiles of these B means; the oracle-checked artifact is the
+# replicate set itself, which pins the whole resampling machinery
+# without committing to one interpolation convention.
+#
+# Replicate membership is md5(order '#' b) < 2^15 — the deterministic
+# md5-threshold discipline (corpus_prep samplers): no RNG, identical
+# membership cross-engine and under any partitioning. The explode is
+# a fixed ×B fan-out straight into a hash aggregate (map-side combine
+# reduces to B rows per task), so the shuffle moves B×partitions rows,
+# never B×orders.
+
+_HS_REPS = 32
+
+HALF_SAMPLE_ORACLE = f"""
+WITH reps AS (
+  SELECT o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+         u.b
+  FROM orders o, UNNEST(generate_series(0, {_HS_REPS - 1})) AS u(b)
+),
+kept AS (
+  SELECT b, cents FROM reps
+  WHERE {md5_uniform16_sql("md5(CAST(o_orderkey AS STRING) || '#' || CAST(b AS STRING))")}
+        < 32768
+)
+SELECT CAST(b AS BIGINT) AS replicate,
+       COUNT(*)::BIGINT AS n_kept,
+       ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / COUNT(*), 4)
+         AS mean_cents
+FROM kept
+GROUP BY b
+"""
+
+
+@register("half_sample_replicate_means", HALF_SAMPLE_ORACLE)
+def half_sample_replicate_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{b} deterministic md5 half-sample replicates of mean order value:
+    (replicate, n_kept, mean_cents) — the subsampling estimate of the
+    mean's sampling distribution.""".format(b=_HS_REPS)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    reps = orders.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_HS_REPS - 1)))
+    )
+    keep_hash = md5_uniform16_spark_sql(
+        "md5(CAST(o_orderkey AS STRING) || '#' || CAST(b AS STRING))"
+    )
+    return (
+        reps.where(F.expr(keep_hash) < 32768)
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_cents"),
+        )
+        .select(F.col("b").cast("bigint").alias("replicate"), "n_kept", "mean_cents")
+    )

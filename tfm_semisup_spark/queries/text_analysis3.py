@@ -176,3 +176,138 @@ def text_bigram_addk_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logppl"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (exact-adjacency retrieval)
+# ---------------------------------------------------------------------------
+#
+# The third leg of the lexical-retrieval surface (BM25 ranks bags of
+# words, text_boolean_and_search tests presence, THIS requires exact
+# token adjacency — "merge join" the phrase, not the two words).
+# Occurrences are counted on the in-row bigram/trigram streams (the
+# zip_with discipline), filtered to the broadcast phrase workload
+# BEFORE the shuffle, so shuffled volume is O(matching n-grams) — never
+# the token stream. Top-k per phrase orders by the exact integer count
+# with a doc_id tie-break.
+
+_PHRASES_2: dict[str, tuple[str, str]] = {
+    "p_spark_join": ("spark", "join"),
+    "p_merge_join": ("merge", "join"),
+    "p_fast_scan": ("fast", "scan"),
+}
+_PHRASES_3: dict[str, tuple[str, str, str]] = {
+    "p_window_sort_scan": ("window", "sort", "scan"),
+}
+_PHRASE_TOP = 10
+
+
+def _phrase2_values() -> str:
+    return ", ".join(
+        f"('{n}', '{w[0]}', '{w[1]}')" for n, w in sorted(_PHRASES_2.items())
+    )
+
+
+def _phrase3_values() -> str:
+    return ", ".join(
+        f"('{n}', '{w[0]}', '{w[1]}', '{w[2]}')"
+        for n, w in sorted(_PHRASES_3.items())
+    )
+
+
+PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+big AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, COUNT(*)::BIGINT AS n
+  FROM (
+    SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM toks WHERE len(l) >= 2
+  ) GROUP BY 1, 2, 3
+),
+tri AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3, COUNT(*)::BIGINT AS n
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS p
+    FROM toks WHERE len(l) >= 3
+  ) GROUP BY 1, 2, 3, 4
+),
+hits AS (
+  SELECT q.phrase, b.doc_id, b.n
+  FROM (VALUES {_phrase2_values()}) AS q(phrase, w1, w2)
+  JOIN big b ON b.w1 = q.w1 AND b.w2 = q.w2
+  UNION ALL
+  SELECT q.phrase, t.doc_id, t.n
+  FROM (VALUES {_phrase3_values()}) AS q(phrase, w1, w2, w3)
+  JOIN tri t ON t.w1 = q.w1 AND t.w2 = q.w2 AND t.w3 = q.w3
+)
+SELECT phrase, doc_id, n AS n_occurrences FROM (
+  SELECT phrase, doc_id, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY phrase ORDER BY n DESC, doc_id
+         ) AS rk
+  FROM hits
+) WHERE rk <= {_PHRASE_TOP}
+"""
+
+
+@register("text_phrase_search", PHRASE_ORACLE)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-adjacency phrase retrieval for a fixed workload of 2- and
+    3-word phrases: top-{k} (phrase, doc_id, n_occurrences) per
+    phrase.""".format(k=_PHRASE_TOP)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    pairs2 = F.expr(
+        "zip_with("
+        "  slice(l, 1, greatest(size(l) - 1, 0)),"
+        "  slice(l, 2, greatest(size(l) - 1, 0)),"
+        "  (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    # trigram = zip of the bigram stream with the +2-offset token
+    pairs3 = F.expr(
+        "zip_with("
+        "  zip_with(slice(l, 1, greatest(size(l) - 2, 0)),"
+        "           slice(l, 2, greatest(size(l) - 2, 0)),"
+        "           (a, b) -> struct(a AS w1, b AS w2)),"
+        "  slice(l, 3, greatest(size(l) - 2, 0)),"
+        "  (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3))"
+    )
+    q2 = spark.createDataFrame(
+        [(n, w[0], w[1]) for n, w in sorted(_PHRASES_2.items())],
+        "phrase string, w1 string, w2 string",
+    )
+    q3 = spark.createDataFrame(
+        [(n, w[0], w[1], w[2]) for n, w in sorted(_PHRASES_3.items())],
+        "phrase string, w1 string, w2 string, w3 string",
+    )
+    big = (
+        docs.where(F.size("l") >= 2)
+        .select("doc_id", F.explode(pairs2).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .join(F.broadcast(q2), ["w1", "w2"])
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tri = (
+        docs.where(F.size("l") >= 3)
+        .select("doc_id", F.explode(pairs3).alias("p"))
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+        .join(F.broadcast(q3), ["w1", "w2", "w3"])
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    hits = big.unionAll(tri)
+    w = Window.partitionBy("phrase").orderBy(F.col("n").desc(), "doc_id")
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _PHRASE_TOP)
+        .select("phrase", "doc_id", F.col("n").alias("n_occurrences"))
+    )
