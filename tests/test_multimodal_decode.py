@@ -205,3 +205,48 @@ def test_decode_resize_roundtrip_both_formats(spark):
         assert abs(r["tmean_r"] - want[0]) < 1e-9
         assert abs(r["tmean_g"] - want[1]) < 1e-9
         assert abs(r["tmean_b"] - want[2]) < 1e-9
+
+
+def test_rawv_roundtrip_and_frame_payloads():
+    from tfm_semisup_spark.operators.multimodal import (
+        decode_payload,
+        decode_video_rawv,
+        encode_bmp,
+        encode_video_rawv,
+    )
+
+    frames = [encode_bmp(_pixels(3, 4, seed=f)) for f in range(5)]
+    container = encode_video_rawv(frames)
+    back = decode_video_rawv(container)
+    assert back == frames
+    # sampled frames decode to the exact planted pixels
+    for f in (0, 3):
+        fmt, img = decode_payload(back[f])
+        assert fmt == "bmp"
+        np.testing.assert_array_equal(img, _pixels(3, 4, seed=f))
+
+
+def test_compressed_video_signatures_raise():
+    import pytest
+
+    from tfm_semisup_spark.operators.multimodal import decode_video_rawv
+
+    # MP4 (ftyp box), AVI/RIFF, Matroska/WebM EBML
+    for payload in (
+        b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16,
+        b"RIFF\x24\x00\x00\x00AVI LIST" + b"\x00" * 16,
+        b"\x1a\x45\xdf\xa3" + b"\x00" * 16,
+    ):
+        with pytest.raises(NotImplementedError):
+            decode_video_rawv(payload)
+
+
+def test_frame_audio_rms_empty_when_too_short():
+    from tfm_semisup_spark.operators.multimodal import decode_wav, encode_wav
+
+    # clip shorter than one frame decodes fine; the framing kernel's
+    # n_frames formula would yield 0 rows for it
+    wav = encode_wav(np.arange(10, dtype=np.int16), sample_rate=8000)
+    rate, arr = decode_wav(wav)
+    assert rate == 8000 and arr.shape == (10, 1)
+    assert max(0, (len(arr) - 16) // 8 + 1) == 0

@@ -513,3 +513,98 @@ def decode_resize_images(
     return df.select("doc_id", payload_col).mapInPandas(
         run, schema=RESIZE_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video tier: uncompressed frame container + strided frame sampling
+# ---------------------------------------------------------------------------
+#
+# Real video codecs need libraries this environment doesn't ship, so —
+# per the loud-failure contract above — compressed containers raise by
+# signature. What a 100 TB pipeline actually exercises end-to-end is
+# the CONTAINER + FRAME-SAMPLING machinery, and that is real here: a
+# minimal length-prefixed frame container ("RAWV") whose frames are
+# real BMP payloads, parsed by the same pure-numpy decoder as the
+# image tier. Frame sampling (every k-th frame) happens INSIDE the
+# Arrow kernel: only sampled frames are decoded — the exact shape of a
+# production decode-few-frames-per-clip stage.
+
+VIDEO_MAGIC = b"RAWV"
+
+
+def encode_video_rawv(frames: list) -> bytes:
+    """Pack already-encoded frame payloads (e.g. BMP bytes) into the
+    minimal container: magic + u32 frame count + per-frame u32 length
+    prefix. Deterministic byte-for-byte."""
+    import struct
+
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        parts.append(struct.pack("<I", len(fr)))
+        parts.append(fr)
+    return b"".join(parts)
+
+
+def decode_video_rawv(data: bytes) -> list:
+    """Unpack a RAWV container -> list of frame payload bytes.
+    Anything else (MP4/AVI/MKV/WebM by signature) raises
+    NotImplementedError — compressed video needs a codec library."""
+    import struct
+
+    if data[:4] != VIDEO_MAGIC:
+        raise NotImplementedError(
+            f"not a RAWV container (signature {data[:4]!r}); compressed "
+            "video needs a codec library"
+        )
+    (n,) = struct.unpack_from("<I", data, 4)
+    frames, pos = [], 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", data, pos)
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+FRAMESAMPLE_SCHEMA = (
+    "doc_id long, frame long, n_frames long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def framesample_videos(
+    df: DataFrame, stride: int = 3, payload_col: str = "payload"
+) -> DataFrame:
+    """Strided frame sampling + decode: for every ``stride``-th frame
+    of each RAWV payload, decode the frame image and emit per-channel
+    means — one output row per SAMPLED frame (the 1-to-N multimodal
+    shape). Unsampled frames are never decoded (their bytes are
+    skipped via the length prefix), which is the point of the
+    container design at scale. Narrow Arrow op, no shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for batch in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "frame", "n_frames", "mean_r", "mean_g", "mean_b",
+                )
+            }
+            for doc_id, payload in zip(batch["doc_id"], batch[payload_col]):
+                frames = decode_video_rawv(bytes(payload))
+                for f in range(0, len(frames), stride):
+                    _fmt, img = decode_payload(frames[f])
+                    flat = img.reshape(-1, 3).astype(np.float64)
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(f)
+                    out["n_frames"].append(len(frames))
+                    out["mean_r"].append(float(flat[:, 0].mean()))
+                    out["mean_g"].append(float(flat[:, 1].mean()))
+                    out["mean_b"].append(float(flat[:, 2].mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        run, schema=FRAMESAMPLE_SCHEMA
+    )

@@ -144,6 +144,8 @@ _ORACLE_PRIORITY = [
     "recursive_sql_reach_two_hop",  # new r8 — first in line for r9
     "text_phrase_search",  # new r8 — first in line for r9
     "half_sample_replicate_means",  # new r8 — first in line for r9
+    "multimodal_video_framesample_stats",  # new r8 — first in line for r9
+    "embedding_int8_quant_error",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -368,3 +368,85 @@ def multimodal_wav_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(encode, schema="doc_id long, payload binary")
     return frame_audio_rms(payloads, frame_len=16, hop=8)
+
+
+# VIDEO frame-sampling tier: planted RAWV containers (a minimal
+# length-prefixed frame container; real codecs raise by signature —
+# operators/multimodal.py::decode_video_rawv) whose frames are REAL
+# 4x3 BMP payloads with pixels closed-form in (doc_id, frame, k).
+# Every 3rd frame is sampled and decoded by the real BMP parser; the
+# oracle regenerates exactly the sampled frame set with
+# generate_series. Means are over w*h = 12 pixels: n/12 either
+# terminates within 2 decimals (k ≡ 0 mod 3) or repeats forever —
+# never a 6-dp HALF_UP tie (the BMP-decode argument).
+_VIDEO_STRIDE = 3
+
+VIDEO_FRAMESAMPLE_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS nf FROM documents
+),
+sampled AS (
+  SELECT doc_id, nf, u.f
+  FROM dims, UNNEST(generate_series(0, nf - 1)) AS u(f)
+  WHERE u.f % {_VIDEO_STRIDE} = 0
+),
+pix AS (
+  SELECT doc_id, nf, f, v.k
+  FROM sampled, UNNEST(generate_series(0, 11)) AS v(k)
+)
+SELECT doc_id,
+       CAST(f AS BIGINT) AS frame,
+       CAST(nf AS BIGINT) AS n_frames,
+       ROUND(AVG((doc_id * 7 + f * 17 + k) % 256), 6) AS mean_r,
+       ROUND(AVG((doc_id * 11 + f * 19 + 2 * k) % 256), 6) AS mean_g,
+       ROUND(AVG((doc_id * 13 + f * 23 + 3 * k) % 256), 6) AS mean_b
+FROM pix
+GROUP BY doc_id, f, nf
+"""
+
+
+@register("multimodal_video_framesample_stats", VIDEO_FRAMESAMPLE_ORACLE)
+def multimodal_video_framesample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strided frame sampling over planted RAWV video containers: one
+    row per SAMPLED frame (every {s}rd), decoded by the real BMP
+    parser — (doc_id, frame, n_frames, mean_r, mean_g, mean_b). Only
+    sampled frames are decoded (length-prefix skip), the
+    decode-few-frames-per-clip production shape.""".format(s=_VIDEO_STRIDE)
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tfm_semisup_spark.operators.multimodal import (
+        encode_bmp,
+        encode_video_rawv,
+        framesample_videos,
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            payloads = []
+            ids = batch["doc_id"]
+            k = np.arange(12, dtype=np.int64)
+            for doc_id in ids:
+                nf = 6 + doc_id % 5
+                frames = []
+                for f in range(nf):
+                    arr = np.stack(
+                        [
+                            (doc_id * 7 + f * 17 + k) % 256,
+                            (doc_id * 11 + f * 19 + 2 * k) % 256,
+                            (doc_id * 13 + f * 23 + 3 * k) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8).reshape(3, 4, 3)
+                    frames.append(encode_bmp(arr))
+                payloads.append(encode_video_rawv(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return framesample_videos(payloads, stride=_VIDEO_STRIDE)

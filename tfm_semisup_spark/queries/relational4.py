@@ -217,3 +217,100 @@ def embedding_covariance_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, cov_raw)"
     ).select("dim_i", "dim_j", F.round("cov_raw", 6).alias("cov"))
+
+
+# ---------------------------------------------------------------------------
+# INT8 symmetric-quantization error audit (embedding dims 1-8)
+# ---------------------------------------------------------------------------
+#
+# The audit behind shipping int8 embeddings to an ANN index (the PQ/IVF
+# tiers quantize; THIS measures what quantization costs): per dim,
+# u = x·127/max|x| is floored onto the integer grid and the in-cell
+# remainder e = u − ⌊u⌋ ∈ [0,1) is the error in quantizer steps.
+# FLOOR (toward −inf) on both engines — NOT round/cast: DuckDB
+# CAST(double AS INT) rounds while Spark truncates, and round() at the
+# .5 boundary is the documented HALF_UP hazard; floor has no such
+# boundary. Order-free parity: e²·10⁹ is floored to an exact integer
+# PER ROW and summed as DECIMAL(38,0)/HUGEINT — the quantize-then-
+# derive rule — so the corpus-scale sum has zero summation-order noise
+# by construction; the single division happens once per dim.
+# Two passes by necessity (max|x| feeds the quantizer), each a
+# single-row aggregate broadcast forward.
+
+_QUANT_DIMS = 8
+
+QUANT_ERR_ORACLE = f"""
+WITH proj AS (
+  SELECT {", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS c{i}" for i in range(1, _QUANT_DIMS + 1))}
+  FROM embeddings
+),
+mx AS (
+  SELECT {", ".join(f"MAX(ABS(c{i})) AS m{i}" for i in range(1, _QUANT_DIMS + 1))}
+  FROM proj
+),
+err AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         {", ".join(
+             f"SUM(CAST(FLOOR(POWER(c{i} * 127 / m{i} - FLOOR(c{i} * 127 / m{i}), 2) * 1e9) AS HUGEINT)) AS s{i}"
+             for i in range(1, _QUANT_DIMS + 1)
+         )},
+         {", ".join(f"MAX(m{i}) AS m{i}" for i in range(1, _QUANT_DIMS + 1))}
+  FROM proj CROSS JOIN mx
+)
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({i} AS BIGINT) AS dim, n AS n_vecs, "
+      f"ROUND(m{i}, 6) AS max_abs, "
+      f"ROUND(CAST(s{i} AS DOUBLE) / n / 1e9, 6) AS mse_qsteps FROM err"
+      for i in range(1, _QUANT_DIMS + 1)
+  )}
+)
+"""
+
+
+@register("embedding_int8_quant_error", QUANT_ERR_ORACLE)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error per embedding dim 1-{d}:
+    (dim, n_vecs, max_abs, mse_qsteps) — mean squared in-cell remainder
+    in quantizer-step² units, exact integer partials.""".format(d=_QUANT_DIMS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        *[
+            F.element_at(F.col("embedding").cast("array<double>"), i).alias(
+                f"c{i}"
+            )
+            for i in range(1, _QUANT_DIMS + 1)
+        ]
+    )
+    mx = proj.agg(
+        *[
+            F.max(F.abs(F.col(f"c{i}"))).alias(f"m{i}")
+            for i in range(1, _QUANT_DIMS + 1)
+        ]
+    )
+    def _s(i: int):
+        u = F.col(f"c{i}") * 127 / F.col(f"m{i}")
+        e = u - F.floor(u)
+        return F.sum(
+            F.floor(e * e * F.lit(1e9)).cast("decimal(38,0)")
+        ).alias(f"s{i}")
+
+    err = (
+        proj.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            *[_s(i) for i in range(1, _QUANT_DIMS + 1)],
+            *[
+                F.max(f"m{i}").alias(f"mm{i}")
+                for i in range(1, _QUANT_DIMS + 1)
+            ],
+        )
+    )
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), n, ROUND(mm{i}, 6), "
+        f"ROUND(CAST(s{i} AS DOUBLE) / n / 1e9, 6)"
+        for i in range(1, _QUANT_DIMS + 1)
+    )
+    return err.selectExpr(
+        f"stack({_QUANT_DIMS}, {stack_args}) AS (dim, n_vecs, max_abs, mse_qsteps)"
+    )
