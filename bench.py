@@ -138,6 +138,14 @@ HEADLINE = [
     "zipf_token_audit",
     "embedding_covariance_slice",
     "multimodal_resize_decode_stats",
+    # r8 batch-5..8 families: fixed-round graph BFS, the banded
+    # Theil-Sen robust trend, the grid-blocked spatial radius join,
+    # Kaplan-Meier survival, and the strided video frame-sample kernel
+    "item_bfs_hop_distance",
+    "theilsen_daily_revenue_slope",
+    "spatial_grid_radius_pairs",
+    "kaplan_meier_conversion",
+    "multimodal_video_framesample_stats",
 ]
 
 
