@@ -146,6 +146,7 @@ _ORACLE_PRIORITY = [
     "half_sample_replicate_means",  # new r8 — first in line for r9
     "multimodal_video_framesample_stats",  # new r8 — first in line for r9
     "embedding_int8_quant_error",  # new r8 — first in line for r9
+    "item_personalized_pagerank",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

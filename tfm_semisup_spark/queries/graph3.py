@@ -283,3 +283,146 @@ def recursive_sql_reach_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             seeds="r8_recursive_seeds", und="r8_recursive_und"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restart random walk)
+# ---------------------------------------------------------------------------
+#
+# The recommendation/expansion twin of item_pagerank: teleport mass
+# goes to the SEED SET (items ≡ 0 mod 7) instead of uniformly — ranks
+# measure proximity to the seeds (related-item expansion, topic-biased
+# crawl ranking; Page et al.'s personalization vector). Same fixed
+# power iteration and parity discipline as analytics.item_pagerank
+# (unrolled-CTE oracle, per-node in-neighbor sums rounded at 8 dp
+# before the top-k cut, item tie-break); same iterative Spark shape
+# (edges checkpointed ONCE, per-round truncate/release, O(1) lineage).
+# Nodes unreached by the walk keep rank exactly 0.0 on both engines
+# (0.15·0 + 0.85·COALESCE(NULL,0) — no float drift possible) and stay
+# comparable.
+
+_PPR_ITERS = 5
+_PPR_DAMPING = 0.85
+_PPR_TOP = 20
+
+
+def _ppr_oracle() -> str:
+    head = (
+        "WITH "
+        + _EDGES_SQL
+        + f""",
+e AS (
+  SELECT item_a AS src, item_b AS dst FROM e0
+  UNION ALL SELECT item_b, item_a FROM e0
+),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM e GROUP BY src),
+nodes AS (
+  SELECT DISTINCT src AS node FROM e
+),
+seeds AS (SELECT node FROM nodes WHERE node % {_BFS_SEED_MOD} = 0),
+ns AS (SELECT COUNT(*)::DOUBLE AS ns FROM seeds),
+s AS (
+  SELECT n.node,
+         CASE WHEN sd.node IS NOT NULL THEN 1.0 / t.ns ELSE 0.0 END AS s
+  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node CROSS JOIN ns t
+),
+r0 AS (SELECT node, s AS rank FROM s)"""
+    )
+    rounds = "".join(
+        f""",
+c{k} AS (
+  SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+  FROM e JOIN r{k - 1} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT s.node,
+         {1.0 - _PPR_DAMPING} * s.s
+           + {_PPR_DAMPING} * COALESCE(c.c, 0.0) AS rank
+  FROM s LEFT JOIN c{k} c ON s.node = c.node
+)"""
+        for k in range(1, _PPR_ITERS + 1)
+    )
+    tail = f"""
+SELECT node AS item, round(rank, 8) AS rank
+FROM r{_PPR_ITERS}
+ORDER BY round(rank, 8) DESC, node
+LIMIT {_PPR_TOP}
+"""
+    return head + rounds + tail
+
+
+PPR_ORACLE = _ppr_oracle()
+
+
+@register("item_personalized_pagerank", PPR_ORACLE)
+def item_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} items by seed-personalized PageRank over the symmetric
+    co-engagement graph: (item, rank); teleport mass restarts at items
+    ≡ 0 mod {m}.""".format(k=_PPR_TOP, m=_BFS_SEED_MOD)
+    from tfm_semisup_spark.operators.lineage import release
+
+    pairs = truncate(
+        _cooc_pairs(spark, sf_dir)
+        .where(F.col("n_users") >= _BFS_MIN_USERS)
+        .select("item_a", "item_b")
+    )
+    e = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ew = truncate(e.join(deg, "src"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ns = F.broadcast(
+        nodes.where(F.col("node") % _BFS_SEED_MOD == 0).agg(
+            F.count(F.lit(1)).cast("double").alias("ns")
+        )
+    )
+    base = truncate(
+        nodes.crossJoin(ns).select(
+            "node",
+            F.when(
+                F.col("node") % _BFS_SEED_MOD == 0, F.lit(1.0) / F.col("ns")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+    )
+    # the initial ranks must be their OWN checkpoint: release(prev) on
+    # round 1 walks prev's plan for a checkpoint scan to free, and a
+    # lazy projection over `base` would hand it base's blocks — which
+    # every later round still reads (the SCALE.md lazy-consumer trap,
+    # reproduced here before this truncate was added)
+    ranks = truncate(base.select("node", F.col("s").alias("rank")))
+    for _ in range(_PPR_ITERS):
+        contrib = ew.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("c"))
+        new = base.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - _PPR_DAMPING) * F.col("s")
+                + F.lit(_PPR_DAMPING) * F.coalesce("c", F.lit(0.0))
+            ).alias("rank"),
+        )
+        prev = ranks
+        ranks = truncate(new)
+        release(prev)
+    out = truncate(
+        ranks.select(
+            F.col("node").alias("item"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), "item")
+        .limit(_PPR_TOP)
+    )
+    release(pairs)
+    release(ew)
+    release(base)
+    release(ranks)
+    return out
