@@ -803,3 +803,89 @@ def streaming_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
         )
     )
+
+
+# Seventh streaming-materialized tier: stream-stream LEFT OUTER
+# interval join — the null-completion semantics (an event with NO
+# same-user follower within 5 minutes emits exactly one NULL-completed
+# row when the watermark evicts it). Outer rows near the stream's end
+# never finalize (the trailing no-data micro-batch only advances the
+# watermark to max event time − delay), so BOTH sides clamp left rows
+# to a horizon 15 minutes inside the final watermark — the
+# finalized-window discipline of the session/sliding tiers. Counts are
+# exact integers; matched pairs and unmatched singletons are counted
+# from the same artifact rows.
+STREAMING_LEFTOUTER_ORACLE = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOURS - INTERVAL 15 MINUTES AS h FROM events
+),
+l AS (
+  SELECT user_id, event_id, ts FROM events CROSS JOIN wm WHERE ts <= wm.h
+),
+j AS (
+  SELECT l.user_id, l.event_id, b.event_id AS r_event
+  FROM l LEFT JOIN events b
+    ON b.user_id = l.user_id
+   AND b.ts > l.ts
+   AND b.ts <= l.ts + INTERVAL 5 MINUTES
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN r_event IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(SUM(CASE WHEN r_event IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM j
+GROUP BY user_id
+"""
+
+
+@register("streaming_leftouter_join_finalized", STREAMING_LEFTOUTER_ORACLE)
+def streaming_leftouter_join_finalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join via a real micro-batch
+    run: watermarked user-keyed join, append foreachBatch parquet
+    artifact, batch read clamped to the finalization horizon. Output
+    (user_id, n_pairs, n_unmatched) — unmatched rows are the
+    null-completed evictions."""
+    import tempfile
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.streaming.events import (
+        interval_join_stream,
+        materialize_stream_to_parquet,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_lojoin_")
+    joined = interval_join_stream(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        interval="5 minutes",
+        watermark="2 hours",
+        how="leftOuter",
+    ).select("l_user", "l_event", "r_event", "l_ts")
+    materialize_stream_to_parquet(joined, f"{base}/out", f"{base}/ckpt")
+    horizon = load_table(spark, sf_dir, "events").agg(
+        (
+            F.max("ts")
+            - F.expr("INTERVAL 2 HOURS")
+            - F.expr("INTERVAL 15 MINUTES")
+        ).alias("h")
+    )
+    return (
+        spark.read.parquet(f"{base}/out")
+        .crossJoin(F.broadcast(horizon))
+        .where(F.col("l_ts") <= F.col("h"))
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("r_event").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("r_event").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+        )
+    )

@@ -125,6 +125,7 @@ def interval_join_stream(
     right: DataFrame,
     interval: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream INTERVAL join: pair each left event with right
     events of the SAME USER within ``interval`` after it (the batch
@@ -136,6 +137,15 @@ def interval_join_stream(
     O(events inside the watermark horizon), keyed by user so it
     shards across executors; matches emit append-mode once the
     watermark passes their window.
+
+    ``how="leftOuter"`` adds the null-completion semantics: a left row
+    with NO match emits once — with NULL right columns — when the
+    watermark passes the end of its join window (i.e. at state
+    eviction). That timing means outer rows near the stream's end are
+    only emitted up to the FINAL watermark (max event time − delay,
+    advanced by the trailing no-data micro-batch); consumers comparing
+    against batch must clamp both sides to a horizon safely inside it
+    (the finalized-window discipline of the session/sliding tiers).
     """
     l = left.withWatermark("ts", watermark).select(
         F.col("user_id").alias("l_user"),
@@ -156,6 +166,7 @@ def interval_join_stream(
             r_ts <= l_ts + interval {interval}
             """
         ),
+        how,
     ).select("l_user", "l_event", "r_event", "l_ts", "r_ts")
 
 
