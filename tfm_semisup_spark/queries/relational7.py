@@ -476,3 +476,50 @@ def price_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 surface)
+# ---------------------------------------------------------------------------
+#
+# Spark 4's VARIANT type is the engine-native semi-structured path
+# (parse once into a binary-encoded document, typed variant_get
+# extraction — the modern replacement for stringly get_json_object in
+# hot paths: parsing happens ONCE per row, extractions are O(field)
+# on the encoded form). This query runs the events.props JSON through
+# parse_json -> variant_get('$.k','long') and aggregates per event
+# type; the DuckDB oracle extracts the same field with its native JSON
+# path. Counts/sums are exact integers.
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS n_items,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_props_extract", VARIANT_ORACLE)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction through Spark 4's VARIANT: parse_json(props) →
+    variant_get('$.k') → per-event-type stats
+    (event_type, n_events, n_items, sum_k, min_k, max_k)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        events.select("event_type", F.parse_json("props").alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("k").cast("bigint").alias("n_items"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
