@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (233 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (234 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
 equivalent DuckDB SQL (203 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count, so no oracle is
@@ -12,11 +12,11 @@ first for the r8 driver pass, 28 new-in-r8 entries queued first for
 r9 — rotation policed by tests/test_window_rotation.py +
 driver_history.json).
 
-The 30 rows-only entries (no oracle) are each non-SQL-expressible for
+The 31 rows-only entries (no oracle) are each non-SQL-expressible for
 one of four reasons, and all are deterministic under fixed seeds and
 independent of partitioning (locally verified by the 350+ test suite):
 
-- ``ssl_*`` (10): MLlib training loops (DT/RF/NB/LR fits, CV folds,
+- ``ssl_*`` (11): MLlib training loops (DT/RF/NB/LR fits, CV folds,
   instance- and feature-split co-training) — model fitting is not
   SQL; checked against BASELINE.md quality anchors and hand-computed
   metrics instead.

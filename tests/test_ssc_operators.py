@@ -411,3 +411,17 @@ def test_kbest_order_tie_break_partitioning_independent(spark):
     assert picks[0] == picks[1] == picks[2]
     # the 5 strictly-higher rows are always in
     assert sum(1 for f, _ in picks[0] if f[0] >= 100.0) == 5
+
+
+def test_paired_fold_ttest_deterministic_and_sane(spark):
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    from tests.conftest import SF_DIR
+
+    (a,) = QUERIES["ssl_paired_fold_ttest"](spark, SF_DIR).collect()
+    (b,) = QUERIES["ssl_paired_fold_ttest"](spark, SF_DIR).collect()
+    assert tuple(a) == tuple(b)
+    assert a.k_folds == 3
+    assert 0.0 <= a.mean_acc_ssl <= 1.0 and 0.0 <= a.mean_acc_sup <= 1.0
+    assert abs(a.mean_diff - round(a.mean_acc_ssl - a.mean_acc_sup, 6)) < 2e-6

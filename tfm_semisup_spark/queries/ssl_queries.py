@@ -400,3 +400,60 @@ def ssl_tritrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "embeddings", "DT", "tri", 0.3, 0.0, model,
         _labeled_points(spark, sf_dir),
     )
+
+
+@register("ssl_paired_fold_ttest")
+def ssl_paired_fold_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired per-fold t-test: does SelfTraining beat its supervised
+    baseline? The model-comparison readout the reference's thesis
+    tables imply (AllResults rows compare SSC vs supervised per config;
+    this adds the significance statistic — Dietterich's paired
+    cross-validated t-test over k fold-accuracy differences).
+
+    Rows-only by necessity (MLlib tree fits), deterministic end to
+    end: hash folds (``assign_folds``), hash label masking, seeded
+    DTs. One row: (k_folds, mean_acc_ssl, mean_acc_sup, mean_diff,
+    t_stat); t = d̄ / (s_d/√k), 0.0 when every fold ties (s_d = 0 —
+    ANSI-safe, no 0/0)."""
+    import math
+
+    from tfm_semisup_spark.operators.evaluation import assign_folds
+
+    k = 3
+    pts = _labeled_points(spark, sf_dir)
+    folded = assign_folds(pts, k, id_col="vec_id").localCheckpoint(eager=True)
+    masker = DeterministicLabelMasker(
+        percentageLabeled=0.3, idCol="vec_id", seed=11
+    )
+    diffs, accs_ssl, accs_sup = [], [], []
+    for fold in range(k):
+        train = masker.transform(folded.where(F.col("fold") != fold))
+        test = folded.where(F.col("fold") == fold)
+        ssl = SelfTraining(
+            baseClassifier=DecisionTreeClassifier(seed=5),
+            threshold=0.75,
+            maxIter=2,
+        ).fit(train)
+        sup = Supervised(baseClassifier=DecisionTreeClassifier(seed=5)).fit(
+            train
+        )
+        a_ssl = evaluate_predictions(ssl.transform(test)).accuracy
+        a_sup = evaluate_predictions(sup.transform(test)).accuracy
+        accs_ssl.append(a_ssl)
+        accs_sup.append(a_sup)
+        diffs.append(a_ssl - a_sup)
+    mean_d = sum(diffs) / k
+    var_d = sum((d - mean_d) ** 2 for d in diffs) / (k - 1)
+    t = 0.0 if var_d == 0.0 else mean_d / math.sqrt(var_d / k)
+    row = (
+        k,
+        float(round(sum(accs_ssl) / k, 6)),
+        float(round(sum(accs_sup) / k, 6)),
+        float(round(mean_d, 6)),
+        float(round(t, 6)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "k_folds int, mean_acc_ssl double, mean_acc_sup double, "
+        "mean_diff double, t_stat double",
+    )
