@@ -279,6 +279,43 @@ PICKS = {
         "aggregate; id map BROADCAST onto the exploded stream — the "
         "only token-stream shuffle is the wordcount itself"
     ),
+    "spatial_grid_radius_pairs": (
+        "grid-blocked radius join: 3x3 neighbor-cell EQUI-join (no "
+        "cartesian/BNLJ anywhere), integer dist^2 filter in codegen"
+    ),
+    "item_bfs_hop_distance": (
+        "fixed-round BFS: ONE statically-bounded plan — 3 join+MIN "
+        "rounds over the checkpointed edge scan, no per-round "
+        "checkpoint jobs, no frontier distinct"
+    ),
+    "theilsen_daily_revenue_slope": (
+        "banded Theil-Sen: gap explode -> equi-join builds exactly "
+        "the band (no per-key cartesian); median via per-priority "
+        "sort window + positional pick, NOT the percentile UDAF"
+    ),
+    "text_bigram_addk_logppl": (
+        "bigram LM self-ppl: per-doc bigram PRE-aggregation before "
+        "the (w1,w2)-keyed LM join — joins move distinct doc-bigrams, "
+        "never the token stream; LM deliberately not broadcast"
+    ),
+    "acf_daily_revenue": (
+        "ACF: exact integer moment partials (decimal sums), lag "
+        "pairing as exploded-lags equi-join, single-row totals "
+        "broadcast — no per-term (x - mean) double sums"
+    ),
+    "half_sample_replicate_means": (
+        "x32 replicate fan-out straight into a map-side-combined "
+        "aggregate: the exchange moves B x partitions rows, never "
+        "B x orders"
+    ),
+    "item_personalized_pagerank": (
+        "seed-restart power iteration: per-round join+agg+left-join "
+        "over checkpointed edges, O(1) lineage via truncate/release"
+    ),
+    "variant_props_extract": (
+        "VARIANT path: parse_json once per row, typed variant_get in "
+        "the same codegen projection, one 5-group agg exchange"
+    ),
 }
 
 
