@@ -149,6 +149,7 @@ _ORACLE_PRIORITY = [
     "item_personalized_pagerank",  # new r8 — first in line for r9
     "streaming_leftouter_join_finalized",  # new r8 — first in line for r9
     "variant_props_extract",  # new r8 — first in line for r9
+    "unpivot_daily_metrics",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

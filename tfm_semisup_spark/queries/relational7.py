@@ -523,3 +523,64 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot/melt API surface (wide metrics -> long)
+# ---------------------------------------------------------------------------
+#
+# The DataFrame-native ``df.unpivot`` (melt) — the inverse of pivot and
+# the long-format export every metrics store wants. Distinct from the
+# stack() SQL expression used elsewhere: this covers the typed API
+# (ids/values/variable/value names), which compiles to the same Expand
+# node. Values are unified to BIGINT cents/counts so the long column
+# is one exact type.
+
+UNPIVOT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         COUNT(*)::BIGINT AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT
+           AS revenue_cents,
+         MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT
+           AS max_price_cents
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                      AND DATE '1995-01-31'
+  GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, metric, value FROM (
+  SELECT day, 'n_orders' AS metric, n_orders AS value FROM daily
+  UNION ALL
+  SELECT day, 'revenue_cents', revenue_cents FROM daily
+  UNION ALL
+  SELECT day, 'max_price_cents', max_price_cents FROM daily
+)
+"""
+
+
+@register("unpivot_daily_metrics", UNPIVOT_ORACLE)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily metrics melted long via ``df.unpivot``:
+    (day, metric, value) over one bounded month."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("day"), cents.alias("c"))
+        .where(
+            (F.col("day") >= F.lit("1995-01-01"))
+            & (F.col("day") <= F.lit("1995-01-31"))
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("revenue_cents"),
+            F.max("c").cast("bigint").alias("max_price_cents"),
+        )
+    )
+    return daily.unpivot(
+        ids=["day"],
+        values=["n_orders", "revenue_cents", "max_price_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).select(F.col("day").cast("string").alias("day"), "metric", "value")
