@@ -53,6 +53,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # $DRIVER_SIM_STRICT_CODEGEN=1 makes janino compile failures FATAL
+    # instead of a silent interpreted fallback — a repo-wide sweep
+    # under this flag proves no query's hot stage quietly abandons
+    # whole-stage codegen (the r7-verdict defect class;
+    # tests/test_plan_shapes_r8b.py pins r8-born queries per-test).
+    if os.environ.get("DRIVER_SIM_STRICT_CODEGEN"):
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+
     import __spark_entry__ as e
 
     assert len(e.entry(spark).collect()) > 0, "entry() returned no rows"
