@@ -150,6 +150,7 @@ _ORACLE_PRIORITY = [
     "streaming_leftouter_join_finalized",  # new r8 — first in line for r9
     "variant_props_extract",  # new r8 — first in line for r9
     "unpivot_daily_metrics",  # new r8 — first in line for r9
+    "psi_price_by_segment",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

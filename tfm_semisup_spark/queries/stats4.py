@@ -525,3 +525,139 @@ def half_sample_replicate_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b").cast("bigint").alias("replicate"), "n_kept", "mean_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (PSI) — the ML-monitoring drift metric
+# ---------------------------------------------------------------------------
+#
+# PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between a baseline and a
+# comparison window — the score/feature-drift gate every deployed-model
+# monitor computes (alongside the distribution tests already here:
+# binned KS, JSD source drift). Baseline = orders before 1995-01-01,
+# comparison = after; the binning grid is FIXED from the baseline's
+# per-segment max price (20 equal-width bins + LEAST clamp for
+# comparison overflow), which is the production shape — the baseline
+# grid is frozen, new data is clamped into it. Laplace-smoothed counts
+# ((c+1)/(n+bins)) keep empty bins finite — and smoothing is exact
+# integer arithmetic until one division. Windows only over the
+# bounded segment×bin grid; the two period scans are one aggregate
+# each. ln is libm → round 6 (the PMI precedent).
+
+_PSI_BINS = 20
+
+PSI_ORACLE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE CAST(o.o_orderdate AS DATE) < DATE '1995-01-01'
+),
+comp AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+),
+mx AS (SELECT segment, MAX(cents) AS mx FROM base GROUP BY segment),
+bb AS (
+  SELECT b.segment,
+         LEAST({_PSI_BINS - 1},
+               CAST(FLOOR(CAST(b.cents AS DOUBLE) * {_PSI_BINS} / m.mx)
+                    AS INT)) AS bin,
+         COUNT(*)::BIGINT AS nb
+  FROM base b JOIN mx m ON b.segment = m.segment GROUP BY 1, 2
+),
+cb AS (
+  SELECT c.segment,
+         LEAST({_PSI_BINS - 1},
+               CAST(FLOOR(CAST(c.cents AS DOUBLE) * {_PSI_BINS} / m.mx)
+                    AS INT)) AS bin,
+         COUNT(*)::BIGINT AS nc
+  FROM comp c JOIN mx m ON c.segment = m.segment GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.segment, g.bin FROM (SELECT DISTINCT segment FROM mx) s,
+       UNNEST(generate_series(0, {_PSI_BINS - 1})) AS g(bin)
+),
+joined AS (
+  SELECT g.segment, g.bin,
+         COALESCE(b.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+  FROM grid g
+  LEFT JOIN bb b ON g.segment = b.segment AND g.bin = b.bin
+  LEFT JOIN cb c ON g.segment = c.segment AND g.bin = c.bin
+),
+tot AS (
+  SELECT segment, SUM(nb) AS tb, SUM(nc) AS tc FROM joined GROUP BY segment
+)
+SELECT j.segment,
+       CAST(t.tb AS BIGINT) AS n_base,
+       CAST(t.tc AS BIGINT) AS n_comp,
+       ROUND(SUM(
+         (CAST(j.nb + 1 AS DOUBLE) / (t.tb + {_PSI_BINS})
+          - CAST(j.nc + 1 AS DOUBLE) / (t.tc + {_PSI_BINS}))
+         * ln((CAST(j.nb + 1 AS DOUBLE) / (t.tb + {_PSI_BINS}))
+              / (CAST(j.nc + 1 AS DOUBLE) / (t.tc + {_PSI_BINS})))
+       ), 6) AS psi
+FROM joined j JOIN tot t ON j.segment = t.segment
+GROUP BY j.segment, t.tb, t.tc
+"""
+
+
+@register("psi_price_by_segment", PSI_ORACLE)
+def psi_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order price per segment between
+    the pre/post-1995 periods: (segment, n_base, n_comp, psi) — frozen
+    baseline bin grid, Laplace-smoothed shares."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    priced = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).join(customer, F.col("o_custkey") == customer.c_custkey)
+    base = priced.where(F.col("day") < F.lit("1995-01-01"))
+    comp = priced.where(F.col("day") >= F.lit("1995-01-01"))
+    mx = base.groupBy("segment").agg(F.max("cents").alias("mx"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(mx), "segment")
+            .withColumn(
+                "bin",
+                F.least(
+                    F.lit(_PSI_BINS - 1),
+                    F.floor(
+                        F.col("cents").cast("double") * _PSI_BINS / F.col("mx")
+                    ).cast("int"),
+                ),
+            )
+            .groupBy("segment", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    grid = mx.select("segment").crossJoin(
+        spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    )
+    joined = (
+        grid.join(binned(base, "nb"), ["segment", "bin"], "left")
+        .join(binned(comp, "nc"), ["segment", "bin"], "left")
+        .fillna(0, ["nb", "nc"])
+    )
+    w = Window.partitionBy("segment")
+    shares = joined.select(
+        "segment",
+        "nb",
+        "nc",
+        F.sum("nb").over(w).alias("tb"),
+        F.sum("nc").over(w).alias("tc"),
+    )
+    p = (F.col("nb") + 1).cast("double") / (F.col("tb") + _PSI_BINS)
+    q = (F.col("nc") + 1).cast("double") / (F.col("tc") + _PSI_BINS)
+    return shares.groupBy("segment").agg(
+        F.max("tb").cast("bigint").alias("n_base"),
+        F.max("tc").cast("bigint").alias("n_comp"),
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+    )
