@@ -151,6 +151,9 @@ _ORACLE_PRIORITY = [
     "variant_props_extract",  # new r8 — first in line for r9
     "unpivot_daily_metrics",  # new r8 — first in line for r9
     "psi_price_by_segment",  # new r8 — first in line for r9
+    "basket_part_lift",  # new r8 — first in line for r9
+    "user_gap_p95",  # new r8 — first in line for r9
+    "vocab_coverage_topk",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",
@@ -225,5 +228,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import text_analysis3  # noqa: F401
     from tfm_semisup_spark.queries import spatial  # noqa: F401
     from tfm_semisup_spark.queries import stats4  # noqa: F401
+    from tfm_semisup_spark.queries import analytics3  # noqa: F401
 
     _reorder_registries()

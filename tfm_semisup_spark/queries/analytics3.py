@@ -1,0 +1,261 @@
+"""Behavioral/corpus analytics #3: market-basket lift, per-user
+latency percentiles, and vocabulary coverage curves.
+
+Three more staples of the analytics tier:
+
+- ``basket_part_lift``: association-rule mining's core statistic —
+  lift = P(a,b)/(P(a)·P(b)) over parts co-ordered in the same order
+  (the Apriori/FP-growth readout, restricted to pair rules). Pair
+  generation is bounded per order by the line count (≤ C(13,2) at any
+  scale — TPC-H orders have ≤ 7–13 lines), so the pair shuffle scales
+  with orders, never parts².
+- ``user_gap_p95``: per-user 95th-percentile inter-event gap — the
+  engagement-cadence / session-health metric. Gaps come from ONE
+  user-keyed LAG window; the percentile is a positional pick inside
+  the same user partition (user event counts are bounded; the
+  percentile UDAF is avoided — the ``stats3.py`` Theil–Sen lesson).
+- ``vocab_coverage_topk``: share of the token mass covered by the
+  top-k vocabulary (k = 10/20/30) per language — the
+  tokenizer-budget / OOV-planning curve next to ``zipf_token_audit``
+  and ``token_entropy_by_lang``. Rank windows run over the
+  vocab-sized aggregate only.
+
+Parity:
+- lift is integer counts into one fixed double expression
+  (multiply/divide correctly rounded) — round 6; ordering is on the
+  ROUNDED lift with pair tie-breaks so the top-k cutoff cannot flip;
+- gaps are exact integer seconds (epoch arithmetic); the p95
+  interpolation is written EXPLICITLY as lo + (hi−lo)·frac on both
+  engines (the quantile_cont form — ``(a+b)/2``-style reassociations
+  are NOT bit-safe, stats3 lesson);
+- coverage shares are exact integer token counts divided once,
+  round 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+_LIFT_MIN_SUPPORT = 2
+_LIFT_TOP = 25
+
+LIFT_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT okey)::BIGINT AS n_orders FROM op),
+freq AS (SELECT part, COUNT(*)::BIGINT AS nf FROM op GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, COUNT(*)::BIGINT AS n_ab
+  FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) * t.n_orders
+             / (CAST(fa.nf AS DOUBLE) * fb.nf), 6) AS lift
+FROM pairs p
+JOIN freq fa ON p.part_a = fa.part
+JOIN freq fb ON p.part_b = fb.part
+CROSS JOIN n t
+WHERE p.n_ab >= {_LIFT_MIN_SUPPORT}
+ORDER BY lift DESC, p.part_a, p.part_b
+LIMIT {_LIFT_TOP}
+"""
+
+
+@register("basket_part_lift", LIFT_ORACLE)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by association lift over co-ordered baskets:
+    (part_a, part_b, n_ab, lift), support ≥ {s}.""".format(
+        s=_LIFT_MIN_SUPPORT
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = F.broadcast(op.agg(F.countDistinct("okey").alias("n_orders")))
+    freq = op.groupBy("part").agg(F.count(F.lit(1)).alias("nf"))
+    a = op.select("okey", F.col("part").alias("part_a"))
+    b = op.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("nf").alias("nfa"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("nf").alias("nfb"))
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("nfa").cast("double") * F.col("nfb")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(n)
+        .select("part_a", "part_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_LIFT_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user p95 inter-event gap
+# ---------------------------------------------------------------------------
+
+GAP_P95_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL),
+ranked AS (
+  SELECT user_id, gap,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM g
+),
+picked AS (
+  SELECT user_id, n,
+         MIN(CASE WHEN rn = CAST(FLOOR(CAST(0.95 AS DOUBLE) * (n - 1))
+                               AS BIGINT) + 1
+                  THEN gap END) AS lo,
+         MIN(CASE WHEN rn = LEAST(CAST(FLOOR(CAST(0.95 AS DOUBLE) * (n - 1))
+                                     AS BIGINT) + 2,
+                                  n)
+                  THEN gap END) AS hi
+  FROM ranked
+  GROUP BY user_id, n
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       ROUND((lo + (hi - lo)
+              * (CAST(0.95 AS DOUBLE) * (n - 1)
+                 - FLOOR(CAST(0.95 AS DOUBLE) * (n - 1))))
+             / 1000000.0, 4) AS p95_gap_sec
+FROM picked
+"""
+
+
+@register("user_gap_p95", GAP_P95_ORACLE)
+def user_gap_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95th-percentile inter-event gap per user:
+    (user_id, n_gaps, p95_gap_sec) — explicit lo + (hi−lo)·frac
+    interpolation on exact integer-MICROSECOND gaps (unix_timestamp
+    truncates to seconds while DuckDB's epoch() keeps the fraction —
+    per-timestamp micros are the only representation both engines
+    agree on exactly; the /1e6 to seconds happens once at the end).
+    The DuckDB 0.95 literal is CAST to DOUBLE: DuckDB parses bare
+    decimals as DECIMAL and 0.95·(n−1) would be exact there but not
+    in Spark's double math."""
+    events = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id",
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(wseq))
+            ).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    wrank = Window.partitionBy("user_id").orderBy("gap")
+    wall = Window.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    pos = 0.95 * (F.col("n") - 1)
+    lo_rn = F.floor(pos).cast("bigint") + 1
+    hi_rn = F.least(lo_rn + 1, F.col("n"))
+    picked = ranked.groupBy("user_id", "n").agg(
+        F.min(F.when(F.col("rn") == lo_rn, F.col("gap"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rn, F.col("gap"))).alias("hi"),
+    )
+    frac = 0.95 * (F.col("n") - 1) - F.floor(0.95 * (F.col("n") - 1))
+    return picked.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(
+            (F.col("lo") + (F.col("hi") - F.col("lo")) * frac) / 1000000.0,
+            4,
+        ).alias("p95_gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (top-k token-mass share)
+# ---------------------------------------------------------------------------
+
+_COV_KS = (10, 20, 30)
+
+COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           AS w
+  FROM documents
+),
+wc AS (SELECT lang, w, COUNT(*)::BIGINT AS c FROM tok GROUP BY lang, w),
+ranked AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk,
+         SUM(c) OVER (PARTITION BY lang) AS total
+  FROM wc
+)
+SELECT lang, CAST(k.k AS BIGINT) AS k,
+       ROUND(CAST(SUM(CASE WHEN rk <= k.k THEN c ELSE 0 END) AS DOUBLE)
+             / MAX(total), 6) AS coverage
+FROM ranked, (VALUES {", ".join(f"({k})" for k in _COV_KS)}) AS k(k)
+GROUP BY lang, k.k
+"""
+
+
+@register("vocab_coverage_topk", COVERAGE_ORACLE)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass share covered by the top-k vocabulary per language,
+    k ∈ {ks}: (lang, k, coverage).""".format(ks=_COV_KS)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = wc.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("c").desc(), "w"))
+        .alias("rk"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("total"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("lang", "k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+                .cast("double")
+                / F.max("total"),
+                6,
+            ).alias("coverage")
+        )
+        .select("lang", F.col("k").cast("bigint").alias("k"), "coverage")
+    )
