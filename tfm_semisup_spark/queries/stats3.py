@@ -260,3 +260,108 @@ def theilsen_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.round("med", 6).alias("ts_slope_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram construction (optimizer-statistics shape)
+# ---------------------------------------------------------------------------
+#
+# The histogram a query optimizer builds for selectivity estimation:
+# per-segment DECILE boundaries of order price. Exact per-group
+# quantiles need a per-group value sort — the banned fact-scale sort —
+# so this is the standard two-pass re-expression: ONE aggregate onto a
+# fine fixed grid (256 equal-width bins), then CDF inversion on the
+# bounded grid (the ks_price / gini binned discipline). Boundaries are
+# therefore bin-resolution quantiles — exactly what production
+# optimizer histograms store. All arithmetic is integers: bin ids,
+# counts, cumulative counts, and the ceil(d·n/10) rank targets
+# (ceil(a/b) = (a + b - 1) // b in integer form), so no value can sit
+# on a cross-engine boundary.
+
+_ED_BINS = 256
+
+EQUIDEPTH_ORACLE = f"""
+WITH priced AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+mx AS (SELECT segment, MAX(cents) AS mx FROM priced GROUP BY segment),
+binned AS (
+  SELECT p.segment,
+         LEAST({_ED_BINS - 1},
+               CAST(FLOOR(CAST(p.cents AS DOUBLE) * {_ED_BINS} / m.mx)
+                    AS INT)) AS bin,
+         COUNT(*)::BIGINT AS nb
+  FROM priced p JOIN mx m ON p.segment = m.segment
+  GROUP BY 1, 2
+),
+cdf AS (
+  SELECT segment, bin, nb,
+         SUM(nb) OVER (PARTITION BY segment ORDER BY bin) AS cum,
+         SUM(nb) OVER (PARTITION BY segment) AS n
+  FROM binned
+),
+targets AS (
+  SELECT d.d FROM UNNEST(generate_series(1, 9)) AS d(d)
+)
+SELECT c.segment,
+       CAST(t.d AS BIGINT) AS decile,
+       CAST(MIN(c.bin) AS BIGINT) AS bound_bin,
+       CAST(MIN_BY(c.cum, c.bin) AS BIGINT) AS cum_at_bound
+FROM cdf c JOIN targets t
+  ON c.cum >= (t.d * c.n + 9) // 10
+GROUP BY c.segment, t.d
+"""
+
+
+@register("equidepth_price_buckets", EQUIDEPTH_ORACLE)
+def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment decile boundaries of order price at {b}-bin
+    resolution: (segment, decile, bound_bin, cum_at_bound) — two-pass
+    CDF inversion, all-integer.""".format(b=_ED_BINS)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    priced = orders.select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).join(customer, F.col("o_custkey") == customer.c_custkey)
+    mx = priced.groupBy("segment").agg(F.max("cents").alias("mx"))
+    binned = (
+        priced.join(F.broadcast(mx), "segment")
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(_ED_BINS - 1),
+                F.floor(
+                    F.col("cents").cast("double") * _ED_BINS / F.col("mx")
+                ).cast("int"),
+            ),
+        )
+        .groupBy("segment", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    wcum = Window.partitionBy("segment").orderBy("bin")
+    wall = Window.partitionBy("segment")
+    cdf = binned.select(
+        "segment",
+        "bin",
+        F.sum("nb").over(wcum).alias("cum"),
+        F.sum("nb").over(wall).alias("n"),
+    )
+    targets = spark.createDataFrame([(d,) for d in range(1, 10)], "d int")
+    # cum >= ceil(d*n/10) in pure integers: 10*cum >= d*n (Spark `/`
+    # is double division — never divide here; the oracle's equivalent
+    # integer form is cum >= (d*n + 9) // 10)
+    hit = cdf.crossJoin(F.broadcast(targets)).where(
+        F.col("cum") * 10 >= F.col("d") * F.col("n")
+    )
+    return (
+        hit.groupBy("segment", F.col("d").cast("bigint").alias("decile"))
+        .agg(
+            F.min("bin").cast("bigint").alias("bound_bin"),
+            F.min_by("cum", "bin").cast("bigint").alias("cum_at_bound"),
+        )
+    )
