@@ -146,6 +146,12 @@ HEADLINE = [
     "spatial_grid_radius_pairs",
     "kaplan_meier_conversion",
     "multimodal_video_framesample_stats",
+    # r8 late batches: drift gate, Spark-4 VARIANT path, basket lift,
+    # and the pair-distance embedding audit
+    "psi_price_by_segment",
+    "variant_props_extract",
+    "basket_part_lift",
+    "embedding_pair_distance_histogram",
 ]
 
 
