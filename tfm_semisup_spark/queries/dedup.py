@@ -1346,3 +1346,120 @@ def streaming_neardup_minhash_ingest(
             F.round(F.col("n_match") / 8.0, 4).alias("est_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rarity-weighted (reciprocal-DF) Jaccard near-dup tier
+# ---------------------------------------------------------------------------
+#
+# The IDF-family weighting of the shingle Jaccard: shared RARE shingles
+# count for more than shared boilerplate. sim_w(A,B) =
+# Σ_{s∈A∩B} w(s) / Σ_{s∈A∪B} w(s) with w(s) = (N·1024) div (df(s)+1)
+# — reciprocal document frequency on a 1024× integer grid. The weight
+# is EXACT integer arithmetic by design (a log-IDF weight would put a
+# libm ln() under a floor(): a 1e-15 ULP wiggle at a grid boundary
+# flips the quantized weight cross-engine; reciprocal-DF keeps the
+# whole statistic — weights, intersection/union masses, and the 0.5
+# threshold test 2·inter ≥ union — in exact integers end to end).
+# Same DF-capped candidate machinery as the unweighted tier, so
+# candidate volume stays linear in the corpus.
+
+WEIGHTED_JACCARD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+kept AS (
+  SELECT doc_id, shingle FROM tri
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {DF_CAP}
+),
+n AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n_docs FROM tri),
+wt AS (
+  SELECT k.shingle,
+         (t.n_docs * 1024) // (COUNT(*) + 1) AS w
+  FROM kept k CROSS JOIN n t
+  GROUP BY k.shingle, t.n_docs
+),
+wk AS (SELECT k.doc_id, k.shingle, w.w FROM kept k JOIN wt w USING (shingle)),
+totals AS (SELECT doc_id, SUM(w)::BIGINT AS tw FROM wk GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w)::BIGINT AS inter_w
+  FROM wk a JOIN wk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter_w,
+       CAST(ta.tw + tb.tw - p.inter_w AS BIGINT) AS union_w,
+       ROUND(CAST(p.inter_w AS DOUBLE)
+             / (ta.tw + tb.tw - p.inter_w), 4) AS wjaccard
+FROM pairs p
+JOIN totals ta ON p.doc_a = ta.doc_id
+JOIN totals tb ON p.doc_b = tb.doc_id
+WHERE 2 * p.inter_w >= ta.tw + tb.tw - p.inter_w
+"""
+
+
+@register("dedup_weighted_jaccard_pairs", WEIGHTED_JACCARD_ORACLE)
+def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted shingle Jaccard near-dup pairs at the 0.5
+    threshold: (doc_a, doc_b, inter_w, union_w, wjaccard) — exact
+    integer weights (N·1024) div (df+1), DF-capped candidates."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = hashed_shingles(docs).persist()
+    tri = shingled.select("doc_id", F.explode("hs").alias("shingle"))
+    n = F.broadcast(
+        tri.agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    kept = df_capped_index(tri).persist()
+    wt = (
+        kept.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n)
+        .select(
+            "shingle", F.expr("(n_docs * 1024) div (df + 1)").alias("w")
+        )
+    )
+    wk = kept.join(wt, "shingle").persist()
+    totals = wk.groupBy("doc_id").agg(F.sum("w").cast("bigint").alias("tw"))
+    a = wk.alias("a")
+    b = wk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum("a.w").cast("bigint").alias("inter_w"))
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("twa"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("twb"))
+    union_w = F.col("twa") + F.col("twb") - F.col("inter_w")
+    out = truncate(
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(2 * F.col("inter_w") >= union_w)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_w",
+            union_w.cast("bigint").alias("union_w"),
+            F.round(
+                F.col("inter_w").cast("double") / union_w, 4
+            ).alias("wjaccard"),
+        )
+    )
+    wk.unpersist()
+    kept.unpersist()
+    shingled.unpersist()
+    return out
