@@ -259,3 +259,84 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", F.col("k").cast("bigint").alias("k"), "coverage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution-window sensitivity (parameter grid in ONE pass)
+# ---------------------------------------------------------------------------
+#
+# How sensitive is the view→purchase conversion rate to the
+# attribution window? The parameter-sweep shape done right at scale:
+# per-user firsts are computed ONCE (one fact aggregate), then the
+# whole window grid {1h, 6h, 24h, 72h} is evaluated as conditional
+# aggregates over those 150-ish rows — one scan for the entire grid,
+# never one scan per configuration. Latencies compare in exact
+# integer microseconds (the user_gap_p95 lesson).
+
+_AW_HOURS = (1, 6, 24, 72)
+
+AW_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events
+  GROUP BY user_id
+),
+lat AS (
+  SELECT user_id,
+         CASE WHEN fp IS NOT NULL AND fp >= fv
+              THEN epoch_us(fp) - epoch_us(fv) END AS lat_us
+  FROM firsts WHERE fv IS NOT NULL
+)
+SELECT CAST(w.h AS BIGINT) AS window_hours,
+       COUNT(*)::BIGINT AS n_users,
+       SUM(CASE WHEN lat_us IS NOT NULL
+                 AND lat_us <= w.h * 3600000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_converted,
+       ROUND(CAST(SUM(CASE WHEN lat_us IS NOT NULL
+                            AND lat_us <= w.h * 3600000000
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS rate
+FROM lat, (VALUES {", ".join(f"({h})" for h in _AW_HOURS)}) AS w(h)
+GROUP BY w.h
+"""
+
+
+@register("funnel_window_sensitivity", AW_ORACLE)
+def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion under the attribution-window grid
+    {w}: (window_hours, n_users, n_converted, rate) — per-user firsts
+    once, the grid as conditional aggregates.""".format(w=_AW_HOURS)
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    )
+    lat = firsts.where(F.col("fv").isNotNull()).select(
+        F.when(
+            F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv")),
+            F.unix_micros("fp") - F.unix_micros("fv"),
+        ).alias("lat_us")
+    )
+    hours = spark.createDataFrame([(h,) for h in _AW_HOURS], "h int")
+    converted = F.sum(
+        F.when(
+            F.col("lat_us").isNotNull()
+            & (F.col("lat_us") <= F.col("h").cast("bigint") * 3600000000),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        lat.crossJoin(F.broadcast(hours))
+        .groupBy(F.col("h").cast("bigint").alias("window_hours"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            converted.cast("bigint").alias("n_converted"),
+            F.round(
+                converted.cast("double") / F.count(F.lit(1)), 6
+            ).alias("rate"),
+        )
+    )
