@@ -158,6 +158,7 @@ _ORACLE_PRIORITY = [
     "equidepth_price_buckets",  # new r8 — first in line for r9
     "dedup_weighted_jaccard_pairs",  # new r8 — first in line for r9
     "funnel_window_sensitivity",  # new r8 — first in line for r9
+    "cogroup_asof_reconciliation",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -340,3 +340,113 @@ def funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-Arrow as-of reconciliation (the cogroup().applyInPandas API)
+# ---------------------------------------------------------------------------
+#
+# The one grouped-Arrow surface the engine had not yet exercised:
+# df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas — BOTH sides of
+# a key arrive in the same Python kernel as pandas frames (the shape
+# for per-key imperative two-table logic: custom reconciliation,
+# per-entity model scoring against reference curves). Demonstrated as
+# per-user backward as-of matching of purchases to the latest prior
+# view via pandas.merge_asof INSIDE the kernel — and oracled against
+# the relational as-of formulation, so the imperative path is held to
+# the declarative one's answer. Timestamps cross the boundary as exact
+# integer microseconds (the user_gap_p95 parity lesson); lag sums are
+# integer.
+#
+# 100 TB shape: cogroup shuffles each side ONCE on user_id into the
+# Arrow kernel — per-user state never crosses keys, kernels stream
+# batches per group. (For pure as-of matching the declarative
+# operators/asof.py join is still the default — this entry exists to
+# verify the cogroup plumbing against it.)
+
+COGROUP_ASOF_ORACLE = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS vt FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT p.user_id, p.event_id, p.pt,
+         (SELECT MAX(v.vt) FROM v
+          WHERE v.user_id = p.user_id AND v.vt <= p.pt) AS mv
+  FROM p
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_purchases,
+       SUM(CASE WHEN mv IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       CAST(COALESCE(SUM(pt - mv), 0) AS BIGINT) AS lag_us_sum
+FROM matched
+GROUP BY user_id
+"""
+
+
+@register("cogroup_asof_reconciliation", COGROUP_ASOF_ORACLE)
+def cogroup_asof_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user backward as-of matching (purchase → latest prior view)
+    through cogroup().applyInPandas with merge_asof inside the kernel:
+    (user_id, n_purchases, n_matched, lag_us_sum)."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("vt")
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("pt")
+    )
+
+    def match(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = purchases, right = views — one user per call
+        if left.empty:
+            # typed empty frame: object-dtype columns fail the Arrow
+            # conversion for long output fields
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype="int64")
+                    for c in ("user_id", "n_purchases", "n_matched", "lag_us_sum")
+                }
+            )
+        uid = int(left["user_id"].iloc[0])
+        lp = left.sort_values(["pt", "event_id"]).reset_index(drop=True)
+        if right.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_purchases": [len(lp)],
+                    "n_matched": [0],
+                    "lag_us_sum": [0],
+                }
+            )
+        rv = right.sort_values("vt").reset_index(drop=True)
+        m = pd.merge_asof(
+            lp, rv.rename(columns={"vt": "mv"}), left_on="pt",
+            right_on="mv", direction="backward",
+        )
+        lag = (m["pt"] - m["mv"]).dropna()
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [len(lp)],
+                "n_matched": [int(m["mv"].notna().sum())],
+                "lag_us_sum": [int(lag.sum())],
+            }
+        )
+
+    return (
+        purch.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            match,
+            schema=(
+                "user_id long, n_purchases long, n_matched long, "
+                "lag_us_sum long"
+            ),
+        )
+    )
