@@ -159,6 +159,8 @@ _ORACLE_PRIORITY = [
     "dedup_weighted_jaccard_pairs",  # new r8 — first in line for r9
     "funnel_window_sensitivity",  # new r8 — first in line for r9
     "cogroup_asof_reconciliation",  # new r8 — first in line for r9
+    "open_orders_daily",  # new r8 — first in line for r9
+    "join_key_skew_report",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -450,3 +450,128 @@ def cogroup_asof_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval counting: open orders per day
+# ---------------------------------------------------------------------------
+#
+# "How many orders were open on day D" — the interval-stabbing count
+# behind backlog/WIP/concurrency dashboards. The naive form joins the
+# day grid against the interval table (days × orders comparisons); the
+# sweep-line re-expression emits +1 at each order's start day and −1
+# the day after its close (max lineitem ship date), aggregates the
+# deltas to the bounded day grid, and takes a running sum — fact rows
+# are touched ONCE and the window runs over the calendar-bounded grid
+# (the EWMA/ks_price discipline). All counts exact integers.
+
+OPEN_ORDERS_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         MAX(CAST(l.l_shipdate AS DATE)) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT d1 + 1, -1 FROM iv
+),
+daily AS (
+  SELECT day, SUM(delta)::BIGINT AS delta FROM deltas GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM daily
+"""
+
+
+@register("open_orders_daily", OPEN_ORDERS_ORACLE)
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order count per day via the sweep-line (+1/−1 deltas +
+    running sum over the bounded day grid): (day, open_orders)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d0")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "d0")
+        .agg(F.max("sd").alias("d1"))
+    )
+    deltas = iv.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("delta")
+    )
+    w = Window.orderBy("day")  # bounded: one row per calendar day
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.sum("delta").over(w).cast("bigint").alias("open_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (pre-join diagnostics)
+# ---------------------------------------------------------------------------
+#
+# The check run BEFORE a big join: per candidate key, its cardinality
+# and how much mass the heaviest key carries (top-1 share ≈ the skew
+# that decides salting / AQE skew-join). One aggregate per key column,
+# unioned — each is a wordcount-shaped pass with map-side combine; the
+# top-1 pick is an integer argmax over the (key,count) aggregate with
+# a key tie-break.
+
+_SKEW_KEYS = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_leg_sql(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key_col,
+       SUM(cnt)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_keys,
+       CAST(MAX(cnt) AS BIGINT) AS top1_rows,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share
+FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY {col})"""
+
+
+SKEW_ORACLE = "\nUNION ALL\n".join(
+    _skew_leg_sql(t, c) for t, c in _SKEW_KEYS
+)
+
+
+@register("join_key_skew_report", SKEW_ORACLE)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the join-key columns:
+    (key_col, n_rows, n_keys, top1_rows, top1_share)."""
+    legs = []
+    for table, col in _SKEW_KEYS:
+        grouped = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        legs.append(
+            grouped.agg(
+                F.lit(f"{table}.{col}").alias("key_col"),
+                F.sum("cnt").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("cnt").cast("bigint").alias("top1_rows"),
+                F.round(
+                    F.max("cnt").cast("double") / F.sum("cnt"), 6
+                ).alias("top1_share"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
