@@ -161,6 +161,7 @@ _ORACLE_PRIORITY = [
     "cogroup_asof_reconciliation",  # new r8 — first in line for r9
     "open_orders_daily",  # new r8 — first in line for r9
     "join_key_skew_report",  # new r8 — first in line for r9
+    "cohort_ltv_curve",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -575,3 +575,86 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative value by months-since-first-seen)
+# ---------------------------------------------------------------------------
+#
+# The revenue twin of retention_cohort_daily: users grouped by their
+# first-seen month, purchase value accumulated by months-since — the
+# LTV curve every growth dashboard plots. One fact pass to per-user
+# firsts, one to (cohort, months_since) cents, then a running sum over
+# the bounded cohort×month grid. Value is quantized to integer cents
+# at the scan (the repo-wide money rule); month arithmetic uses the
+# same date_trunc/months_between integers on both engines.
+
+LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('month', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+purchases AS (
+  SELECT e.user_id,
+         CAST(FLOOR(e.value * 100) AS BIGINT) AS cents,
+         date_trunc('month', e.ts) AS pmonth
+  FROM events e WHERE e.event_type = 'purchase'
+),
+cells AS (
+  SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+         CAST(datediff('month', f.cohort, p.pmonth) AS BIGINT)
+           AS months_since,
+         SUM(p.cents)::BIGINT AS cents
+  FROM purchases p JOIN firsts f ON p.user_id = f.user_id
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+         COUNT(*)::BIGINT AS n_users
+  FROM firsts GROUP BY 1
+)
+SELECT c.cohort_month, c.months_since, s.n_users,
+       CAST(SUM(c.cents) OVER (
+         PARTITION BY c.cohort_month ORDER BY c.months_since
+       ) AS BIGINT) AS cum_value_cents
+FROM cells c JOIN sizes s ON c.cohort_month = s.cohort_month
+"""
+
+
+@register("cohort_ltv_curve", LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase value per first-seen-month cohort:
+    (cohort_month, months_since, n_users, cum_value_cents) — running
+    sum over the bounded cohort×month grid."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.date_trunc("month", F.col("ts")).alias("pmonth"),
+    )
+    cells = (
+        purchases.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.months_between(
+                F.col("pmonth"), F.col("cohort")
+            ).cast("bigint").alias("months_since"),
+        )
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    sizes = firsts.groupBy(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    w = Window.partitionBy("cohort_month").orderBy("months_since")
+    return (
+        cells.join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "months_since",
+            "n_users",
+            F.sum("cents").over(w).cast("bigint").alias("cum_value_cents"),
+        )
+    )
