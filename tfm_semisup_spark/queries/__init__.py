@@ -162,6 +162,8 @@ _ORACLE_PRIORITY = [
     "open_orders_daily",  # new r8 — first in line for r9
     "join_key_skew_report",  # new r8 — first in line for r9
     "cohort_ltv_curve",  # new r8 — first in line for r9
+    "error_burst_maxrun",  # new r8 — first in line for r9
+    "monthly_seasonal_index",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

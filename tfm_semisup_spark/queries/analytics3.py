@@ -658,3 +658,132 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").over(w).cast("bigint").alias("cum_value_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-burst detection (max consecutive-run length per user)
+# ---------------------------------------------------------------------------
+#
+# Reliability forensics: the longest consecutive run of 'error' events
+# per user (a burst means a stuck client/retry loop, not background
+# noise). The classic gaps-and-islands re-expression: island id =
+# row_number over the user stream minus row_number over the user's
+# error-only stream — both windows are user-keyed (bounded per-user
+# state, shards across executors), never a global sort. Tie-break on
+# event_id makes the sequence order total, so runs are identical in
+# both engines.
+
+ERROR_BURST_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn_all,
+         CASE WHEN event_type = 'error' THEN
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id,
+                          CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+             ORDER BY ts, event_id)
+         END AS rn_err
+  FROM events
+),
+runs AS (
+  SELECT user_id, rn_all - rn_err AS island, COUNT(*)::BIGINT AS run_len
+  FROM seq WHERE event_type = 'error'
+  GROUP BY user_id, rn_all - rn_err
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_bursts,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_errors
+FROM runs
+GROUP BY user_id
+"""
+
+
+@register("error_burst_maxrun", ERROR_BURST_ORACLE)
+def error_burst_maxrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive 'error' run per user via gaps-and-islands:
+    (user_id, n_bursts, max_run, n_errors)."""
+    events = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_err = Window.partitionBy(
+        "user_id", (F.col("event_type") == "error").cast("int")
+    ).orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.when(
+            F.col("event_type") == "error", F.row_number().over(w_err)
+        ).alias("rn_err"),
+    )
+    runs = (
+        seq.where(F.col("event_type") == "error")
+        .groupBy("user_id", (F.col("rn_all") - F.col("rn_err")).alias("island"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bursts"),
+        F.max("run_len").cast("bigint").alias("max_run"),
+        F.sum("run_len").cast("bigint").alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly seasonal index (month share of annual revenue)
+# ---------------------------------------------------------------------------
+#
+# The classical seasonality index: each month's share of its year's
+# revenue, averaged across years — the deseasonalization factor for
+# forecasting (the month-of-year twin of dow_seasonal_residuals'
+# weekday screen). Integer cents per (year, month) cell; the per-year
+# shares divide exact integers, and the across-years average runs over
+# the ≤7-value bounded grid in a FIXED order (AVG over ≤7 doubles —
+# rounded 6, the ULP-safe envelope).
+
+SEASONAL_INDEX_ORACLE = """
+WITH cells AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS y,
+         EXTRACT(month FROM o_orderdate)::BIGINT AS m,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1, 2
+),
+yearly AS (
+  SELECT y, m, cents,
+         SUM(cents) OVER (PARTITION BY y) AS ytotal
+  FROM cells
+)
+SELECT m AS month,
+       COUNT(*)::BIGINT AS n_years,
+       ROUND(AVG(CAST(cents AS DOUBLE) / ytotal * 12), 6) AS seasonal_index
+FROM yearly
+GROUP BY m
+"""
+
+
+@register("monthly_seasonal_index", SEASONAL_INDEX_ORACLE)
+def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index of revenue (1.0 = an average
+    month): (month, n_years, seasonal_index)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c100"),
+        )
+        .groupBy("y", "m")
+        .agg(F.sum("c100").cast("bigint").alias("cents"))
+    )
+    yearly = cells.withColumn(
+        "ytotal", F.sum("cents").over(Window.partitionBy("y"))
+    )
+    return (
+        yearly.groupBy(F.col("m").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_years"),
+            F.round(
+                F.avg(F.col("cents").cast("double") / F.col("ytotal") * 12), 6
+            ).alias("seasonal_index"),
+        )
+    )
