@@ -164,6 +164,8 @@ _ORACLE_PRIORITY = [
     "cohort_ltv_curve",  # new r8 — first in line for r9
     "error_burst_maxrun",  # new r8 — first in line for r9
     "monthly_seasonal_index",  # new r8 — first in line for r9
+    "basket_part_triples",  # new r8 — first in line for r9
+    "supplier_hhi_by_part",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

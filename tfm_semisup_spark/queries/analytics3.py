@@ -787,3 +787,129 @@ def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 3-itemset support (the Apriori level-3 pass)
+# ---------------------------------------------------------------------------
+#
+# Extends basket_part_lift's pair rules to triples: parts co-ordered
+# as a 3-set in ≥ _TRIPLE_MIN_SUPPORT orders. Fan-out per order is
+# C(lines, 3) ≤ C(13,3) = 286 — bounded by the basket size at any
+# corpus scale, the same argument as the pair pass (this is exactly
+# why Apriori-on-SQL stays feasible: candidate growth is bounded by
+# basket width, not catalog size). Exact integer supports, (a,b,c)
+# tie-broken ordering.
+
+_TRIPLE_MIN_SUPPORT = 2
+_TRIPLE_TOP = 20
+
+TRIPLES_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+)
+SELECT a.part AS part_a, b.part AS part_b, c.part AS part_c,
+       COUNT(*)::BIGINT AS support
+FROM op a
+JOIN op b ON a.okey = b.okey AND a.part < b.part
+JOIN op c ON b.okey = c.okey AND b.part < c.part
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {_TRIPLE_MIN_SUPPORT}
+ORDER BY support DESC, part_a, part_b, part_c
+LIMIT {_TRIPLE_TOP}
+"""
+
+
+@register("basket_part_triples", TRIPLES_ORACLE)
+def basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-ordered part TRIPLES by support (≥ {s}):
+    (part_a, part_b, part_c, support).""".format(s=_TRIPLE_MIN_SUPPORT)
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = op.select("okey", F.col("part").alias("part_a"))
+    b = op.select("okey", F.col("part").alias("part_b"))
+    c = op.select("okey", F.col("part").alias("part_c"))
+    return (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .join(c, "okey")
+        .where(F.col("part_b") < F.col("part_c"))
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= _TRIPLE_MIN_SUPPORT)
+        .orderBy(F.desc("support"), "part_a", "part_b", "part_c")
+        .limit(_TRIPLE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier-concentration HHI per part
+# ---------------------------------------------------------------------------
+#
+# The Herfindahl–Hirschman index of each part's supply: HHI =
+# Σ_s share_s² over supplier quantity shares — the supply-chain
+# single-source-risk audit (HHI → 1 means one supplier carries the
+# part). Quantities are integer-valued doubles cast to BIGINT, so
+# Σq² and (Σq)² are exact integers; HHI is ONE double division of
+# exact operands — bit-identical cross-engine — and the top-k orders
+# on the rounded value with a part tie-break.
+
+_HHI_TOP = 20
+_HHI_MIN_SUPPLIERS = 3
+
+HHI_ORACLE = f"""
+WITH sq AS (
+  SELECT l_partkey AS part, l_suppkey AS supp,
+         SUM(CAST(l_quantity AS BIGINT))::BIGINT AS q
+  FROM lineitem GROUP BY 1, 2
+),
+agg AS (
+  SELECT part,
+         COUNT(*)::BIGINT AS n_suppliers,
+         SUM(CAST(q AS HUGEINT) * q) AS sum_q2,
+         SUM(CAST(q AS HUGEINT)) AS sum_q
+  FROM sq GROUP BY part
+)
+SELECT part, n_suppliers,
+       ROUND(CAST(sum_q2 AS DOUBLE)
+             / (CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)), 6) AS hhi
+FROM agg
+WHERE n_suppliers >= {_HHI_MIN_SUPPLIERS}
+ORDER BY hhi DESC, part
+LIMIT {_HHI_TOP}
+"""
+
+
+@register("supplier_hhi_by_part", HHI_ORACLE)
+def supplier_hhi_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most supplier-concentrated parts by HHI (≥ {m} suppliers):
+    (part, n_suppliers, hhi).""".format(m=_HHI_MIN_SUPPLIERS)
+    li = load_table(spark, sf_dir, "lineitem")
+    sq = (
+        li.select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").alias("supp"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("part", "supp")
+        .agg(F.sum("qty").cast("bigint").alias("q"))
+    )
+    dec = F.col("q").cast("decimal(38,0)")
+    agg = sq.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(dec * F.col("q")).alias("sum_q2"),
+        F.sum(dec).alias("sum_q"),
+    )
+    hhi = F.round(
+        F.col("sum_q2").cast("double")
+        / (F.col("sum_q").cast("double") * F.col("sum_q").cast("double")),
+        6,
+    )
+    return (
+        agg.where(F.col("n_suppliers") >= _HHI_MIN_SUPPLIERS)
+        .select("part", "n_suppliers", hhi.alias("hhi"))
+        .orderBy(F.desc("hhi"), "part")
+        .limit(_HHI_TOP)
+    )
