@@ -166,6 +166,7 @@ _ORACLE_PRIORITY = [
     "monthly_seasonal_index",  # new r8 — first in line for r9
     "basket_part_triples",  # new r8 — first in line for r9
     "supplier_hhi_by_part",  # new r8 — first in line for r9
+    "nation_trade_balance",  # new r8 — first in line for r9
     "scalar_subquery_above_avg",
     "in_subquery_urgent_lineitems",
     "q18_large_volume_orders",

@@ -913,3 +913,101 @@ def supplier_hhi_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hhi"), "part")
         .limit(_HHI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance (two-perspective star traversal)
+# ---------------------------------------------------------------------------
+#
+# Per nation: revenue where its customers BUY vs revenue where its
+# suppliers SELL, and the net balance — the two-perspective traversal
+# of the same fact table through two different dimension paths
+# (lineitem→orders→customer→nation vs lineitem→supplier→nation). Each
+# leg is one fact aggregation with broadcast-able schema-bounded dims
+# (nation 25 rows; customer/supplier left to AQE per the r5 hint
+# policy); the legs meet in a 25-row full-outer merge. Integer cents
+# throughout; the discounted revenue is quantized per line BEFORE
+# aggregation (floor(extprice·(1−disc)·100) — identical expression
+# both engines).
+
+TRADE_BALANCE_ORACLE = """
+WITH buy AS (
+  SELECT n.n_name AS nation,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT))::BIGINT AS cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+sell AS (
+  SELECT n.n_name AS nation,
+         SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+             AS BIGINT))::BIGINT AS cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT COALESCE(b.nation, s.nation) AS nation,
+       CAST(COALESCE(b.cents, 0) AS BIGINT) AS buy_cents,
+       CAST(COALESCE(s.cents, 0) AS BIGINT) AS sell_cents,
+       CAST(COALESCE(s.cents, 0) - COALESCE(b.cents, 0) AS BIGINT)
+         AS net_cents
+FROM buy b FULL OUTER JOIN sell s ON b.nation = s.nation
+"""
+
+
+@register("nation_trade_balance", TRADE_BALANCE_ORACLE)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation buy-side vs sell-side revenue and net balance:
+    (nation, buy_cents, sell_cents, net_cents)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    buy = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").cast("bigint").alias("buy_cents"))
+    )
+    sell = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").cast("bigint").alias("sell_cents"))
+    )
+    return (
+        buy.join(sell, "nation", "full_outer")
+        .select(
+            "nation",
+            F.coalesce("buy_cents", F.lit(0)).cast("bigint").alias("buy_cents"),
+            F.coalesce("sell_cents", F.lit(0))
+            .cast("bigint")
+            .alias("sell_cents"),
+            (
+                F.coalesce("sell_cents", F.lit(0))
+                - F.coalesce("buy_cents", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("net_cents"),
+        )
+    )
