@@ -3,7 +3,19 @@
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <float>}
+   "queries": {"<name>": sec, ...}, "sf": <float>,
+   "n_queries": N, "queries_omitted": M}
+
+The stdout ``queries`` map is CAPPED, most-expensive-first, so the
+rendered line stays under ``STDOUT_LINE_BUDGET`` chars: the driver
+captures a merged-stream 2000-char TAIL and parses its last line, and
+at 60 headline queries the full map overflowed that capture, cutting
+off the head of the line (BENCH_r08.json ``parsed: null`` — the third
+last-line parsing incident after r6's log interleave and r7's spread
+move). The COMPLETE per-query min/median/max map always lives in the
+sibling ``bench_spread.json``; stdout carries the headline total plus
+as many of the slowest queries as fit (``stdout_payload`` below,
+pinned by tests/test_bench_stdout.py).
 
 Execution sink is the noop writer so timings measure plan execution,
 not driver-side row transfer.
@@ -155,6 +167,37 @@ HEADLINE = [
 ]
 
 
+#: hard ceiling for the rendered stdout JSON line. The driver's tail
+#: capture is 2000 chars of MERGED stdout+stderr; budget well under it
+#: so an incidental log line sharing the tail can't push the head of
+#: the JSON out of the capture again.
+STDOUT_LINE_BUDGET = 1400
+
+
+def stdout_payload(timings: dict[str, float], total: float, sf: float) -> dict:
+    """The driver-parsed stdout record: headline total + as many of the
+    SLOWEST per-query timings as fit in STDOUT_LINE_BUDGET rendered
+    chars. Deterministic (sort by -time then name); the full map is in
+    bench_spread.json. n_queries/queries_omitted make the truncation
+    visible to the driver rather than silent."""
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_omitted": 0,
+    }
+    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        payload["queries"][name] = sec
+        if len(json.dumps(payload)) > STDOUT_LINE_BUDGET:
+            del payload["queries"][name]
+            break
+    payload["queries_omitted"] = len(timings) - len(payload["queries"])
+    return payload
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -242,18 +285,7 @@ def main() -> None:
     # ERROR-level shutdown log landing after the JSON would re-break
     # parsing (the BENCH_r06 failure class)
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        ),
-        flush=True,
-    )
+    print(json.dumps(stdout_payload(timings, total, sf)), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,72 @@
+"""Bench stdout-line size governance (VERDICT r8 #3).
+
+Three rounds have lost their driver bench record to last-line parsing
+(r6: stderr log interleave; r7: spread map moved late; r8: the line
+itself outgrew the driver's 2000-char merged-stream tail capture).
+These tests pin the contract: the single stdout JSON line rendered by
+``bench.stdout_payload`` must stay under ~1500 chars for the CURRENT
+headline set — and for any future growth of it — under worst-case
+timing widths, while still carrying the headline total and a
+deterministic most-expensive-first query subset.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _worst_case_timings() -> dict[str, float]:
+    # widest realistic rendering: hundreds of seconds, 3 dp
+    return {name: 123.456 for name in bench.HEADLINE}
+
+
+def test_stdout_line_fits_tail_capture():
+    timings = _worst_case_timings()
+    total = round(sum(timings.values()), 3)
+    line = json.dumps(bench.stdout_payload(timings, total, 0.1))
+    assert len(line) <= 1500, (
+        f"bench stdout line is {len(line)} chars — the driver's tail "
+        f"capture is 2000 chars of MERGED stdout+stderr and the head "
+        f"of the line gets cut off (the BENCH_r08 failure); shrink "
+        f"STDOUT_LINE_BUDGET or the payload"
+    )
+
+
+def test_stdout_payload_parses_and_carries_headline():
+    timings = _worst_case_timings()
+    total = round(sum(timings.values()), 3)
+    payload = json.loads(json.dumps(bench.stdout_payload(timings, total, 0.1)))
+    assert payload["metric"] == "headline_queries_total_sec"
+    assert payload["value"] == total
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.1
+    assert payload["n_queries"] == len(bench.HEADLINE)
+    assert payload["queries_omitted"] == len(bench.HEADLINE) - len(
+        payload["queries"]
+    )
+    # the map is a subset of the real headline set
+    assert set(payload["queries"]) <= set(bench.HEADLINE)
+
+
+def test_stdout_payload_keeps_slowest_queries():
+    timings = {name: float(i) for i, name in enumerate(bench.HEADLINE)}
+    total = round(sum(timings.values()), 3)
+    payload = bench.stdout_payload(timings, total, 0.01)
+    kept = set(payload["queries"])
+    if payload["queries_omitted"]:
+        slowest = max(timings, key=lambda n: timings[n])
+        dropped_max = max(
+            (timings[n] for n in timings if n not in kept), default=-1.0
+        )
+        assert slowest in kept
+        assert all(timings[n] >= dropped_max for n in kept)
+
+
+def test_stdout_payload_deterministic():
+    timings = _worst_case_timings()
+    total = round(sum(timings.values()), 3)
+    a = json.dumps(bench.stdout_payload(timings, total, 0.1))
+    b = json.dumps(bench.stdout_payload(dict(timings), total, 0.1))
+    assert a == b

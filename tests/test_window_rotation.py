@@ -97,3 +97,37 @@ def test_window_is_full_width():
 
     load_all_queries()
     assert len(ORACLES) >= DRIVER_WINDOW
+
+
+#: once driver-checked, an oracle must be RE-windowed within this many
+#: rounds (VERDICT r8 #4 — plan-changed queries keep getting
+#: re-confirmed; the never-checked grace above only forces a FIRST row)
+MAX_STALENESS_ROUNDS = 6
+
+
+def test_no_oracle_staler_than_bound_and_outside_window():
+    """An oracle whose NEWEST driver CORRECTNESS row is >= 6 rounds old
+    must be inside the current window so it gets re-confirmed this
+    round. With ~220 oracles and 50 slots/round, a 6-round cycle gives
+    300 slots — the bound is satisfiable with headroom, and it turns
+    'we hand-prioritize plan-changed queries' (r8 practice) into an
+    executable policy."""
+    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+
+    load_all_queries()
+    window = set(list(ORACLES)[:DRIVER_WINDOW])
+    checked = _driver_rounds()
+    current = _current_round()
+    stale = sorted(
+        name
+        for name in ORACLES
+        if name in checked
+        and name not in window
+        and current - max(checked[name]) >= MAX_STALENESS_ROUNDS
+    )
+    assert not stale, (
+        f"oracled entries whose newest driver row is >= "
+        f"{MAX_STALENESS_ROUNDS} rounds old and NOT in the current "
+        f"{DRIVER_WINDOW}-slot window — rotate them into "
+        f"_ORACLE_PRIORITY (queries/__init__.py): {stale}"
+    )

@@ -46,26 +46,101 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Driver-verification priority: the correctness driver evaluates the
 # FIRST 50 oracled entries of queries() in dict order.
 #
-# ROUND-8 ROTATION (VERDICT r7 #1 — the list surgery r7 promised but
-# never executed; tests/test_window_rotation.py now fails if an
-# oracled entry sits ≥2 rounds with no CORRECTNESS row, so the
-# rotation is a mechanism, not a comment):
-#   1-23  the 23 r6 oracles that have NEVER had a driver row (every
-#         one judge-verified green at sf0.01 in r7; three of them —
-#         semantic_contamination_screen, ssl_label_propagation — also
-#         re-confirm this round's codegen-overflow fix);
-#   24-32 the 9 r3-last rows displaced by the late r6 additions;
-#   33-50 18 of the 43 r4-last rows, led by the two similarity
-#         queries whose plans changed in the r8 codegen fix
-#         (dedup_embedding_cosine_pairs, similarity_pairs_above).
-# Everything else is driver-green r4-r7 and unchanged — covered
-# locally by tests/test_oracle_parity.py until its next rotation;
-# positions 51+ keep the oldest-first queue for r9.
+# ROUND-9 ROTATION (VERDICT r8 #1): positions 1-46 are the 46 r8-born
+# oracles (judge re-verified green at sf0.01 in r8 — this surgery is
+# their promotion to driver CORRECTNESS rows); 47-50 are the 4 oldest
+# r4-last rows. tests/test_window_rotation.py enforces both the
+# never-checked grace (2 rounds) AND, new this round, a 6-round
+# re-window staleness bound (VERDICT r8 #4), so every oracle keeps
+# getting re-confirmed after plan changes.
 _ORACLE_PRIORITY = [
-    # -- 1-23: never driver-checked (added r6, judge-verified r7) --
+    # -- 1-46: the 46 r8-born oracles, never driver-checked (every
+    # one judge-verified green at sf0.01 via driver_sim in r8) --
+    "streaming_rollup_sink_state",
+    "streaming_quality_gate_stats",
+    "domain_temperature_sample",
+    "zipf_token_audit",
+    "multimodal_resize_decode_stats",
+    "embedding_covariance_slice",
+    "streaming_neardup_minhash_ingest",
+    "item_bfs_hop_distance",
+    "item_cooccurrence_cosine",
+    "gini_revenue_concentration",
+    "theilsen_daily_revenue_slope",
+    "token_entropy_by_lang",
+    "text_bigram_addk_logppl",
+    "spatial_grid_radius_pairs",
+    "ab_test_conversion_ztest",
+    "acf_daily_revenue",
+    "cusum_changepoint_daily",
+    "kaplan_meier_conversion",
+    "multimodal_wav_frame_rms",
+    "spatial_nearest_neighbor",
+    "recursive_sql_reach_two_hop",
+    "text_phrase_search",
+    "half_sample_replicate_means",
+    "multimodal_video_framesample_stats",
+    "embedding_int8_quant_error",
+    "item_personalized_pagerank",
+    "streaming_leftouter_join_finalized",
+    "variant_props_extract",
+    "unpivot_daily_metrics",
+    "psi_price_by_segment",
+    "basket_part_lift",
+    "user_gap_p95",
+    "vocab_coverage_topk",
+    "embedding_pair_distance_histogram",
+    "equidepth_price_buckets",
+    "dedup_weighted_jaccard_pairs",
+    "funnel_window_sensitivity",
+    "cogroup_asof_reconciliation",
+    "open_orders_daily",
+    "join_key_skew_report",
+    "cohort_ltv_curve",
+    "error_burst_maxrun",
+    "monthly_seasonal_index",
+    "basket_part_triples",
+    "supplier_hhi_by_part",
+    "nation_trade_balance",
+    # -- 47-50: the 4 oldest r4-last rows (newest driver row = r4;
+    # the staleness bound in test_window_rotation.py forces the
+    # remaining 21 into the r10 window) --
+    "scalar_subquery_above_avg",
+    "in_subquery_urgent_lineitems",
+    "q18_large_volume_orders",
+    "q6_forecast_revenue",
+    # -- positions 51+: outside the window this round (locally green
+    # in test_oracle_parity + judge-verifiable via driver_sim).
+    # Queue for r10: the r9-born oracles lead (2-round never-checked
+    # grace), then the 21 remaining r4-last rows (their 6-round
+    # staleness bound expires at round 10), then the r8 driver-green
+    # window rows, then r5/r7 rows in registration order (unlisted). --
+    "ssl_selftrain_one_round_nb",  # new r9 — first in line for r10
+    "ssl_selftrain_one_round_kbest",  # new r9 — first in line for r10
+    "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
+    "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
+    "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot
+    "dedup_exact_stats",  # r4-last — staleness bound forces r10 slot
+    "dedup_ngram_jaccard_pairs",  # r4-last — staleness bound forces r10 slot
+    "dedup_ngram_jaccard_capped",  # r4-last — staleness bound forces r10 slot
+    "dedup_cluster_components",  # r4-last — staleness bound forces r10 slot
+    "substring_dup_report",  # r4-last — staleness bound forces r10 slot
+    "similarity_cosine_topk",  # r4-last — staleness bound forces r10 slot
+    "similarity_topk_batch",  # r4-last — staleness bound forces r10 slot
+    "session_stats_daily",  # r4-last — staleness bound forces r10 slot
+    "corpus_stratified_sample",  # r4-last — staleness bound forces r10 slot
+    "training_shard_assignment",  # r4-last — staleness bound forces r10 slot
+    "text_bm25_topk",  # r4-last — staleness bound forces r10 slot
+    "dedup_editdist_pairs",  # r4-last — staleness bound forces r10 slot
+    "funnel_view_purchase",  # r4-last — staleness bound forces r10 slot
+    "retention_cohort_daily",  # r4-last — staleness bound forces r10 slot
+    "timeseries_gap_fill",  # r4-last — staleness bound forces r10 slot
+    "grouping_sets_status_priority",  # r4-last — staleness bound forces r10 slot
+    "item_pagerank",  # r4-last — staleness bound forces r10 slot
+    "boilerplate_line_removal",  # r4-last — staleness bound forces r10 slot
     "streaming_new_docs_finalized",
     "dedup_containment_pairs",
-    "ssl_label_propagation",  # plan changed r8: cosine_paired graph build
+    "ssl_label_propagation",
     "per_nation_price_trend_ols",
     "mi_status_priority",
     "benford_price_audit",
@@ -73,7 +148,7 @@ _ORACLE_PRIORITY = [
     "text_bigram_pmi",
     "text_boolean_and_search",
     "item_kcore_membership",
-    "semantic_contamination_screen",  # plan changed r8: when-gated agg
+    "semantic_contamination_screen",
     "funnel_three_step",
     "segment_overlap_jaccard",
     "hll_portable_distinct",
@@ -86,7 +161,6 @@ _ORACLE_PRIORITY = [
     "table_fingerprint_orders",
     "dow_seasonal_residuals",
     "ks_price_by_returnflag",
-    # -- 24-32: r3-last rows (oldest in the registry) --
     "sliding_window_2h_1h",
     "session_window_30m",
     "daily_rollup_by_type",
@@ -96,9 +170,8 @@ _ORACLE_PRIORITY = [
     "pack_token_bins",
     "pii_redaction_report",
     "contamination_screen",
-    # -- 33-50: r4-last rows; the two r8 plan-changed queries first --
-    "dedup_embedding_cosine_pairs",  # plan changed r8: cosine_paired
-    "similarity_pairs_above",  # plan changed r8: cosine_paired
+    "dedup_embedding_cosine_pairs",
+    "similarity_pairs_above",
     "filter_range_outliers",
     "binarize_when_otherwise",
     "haversine_distance",
@@ -114,84 +187,7 @@ _ORACLE_PRIORITY = [
     "string_function_battery",
     "date_arithmetic",
     "array_function_battery",
-    "posexplode_tokens",  # 50th slot
-    # -- positions 51+: outside the window this round (locally green in
-    # test_oracle_parity + judge-verifiable via driver_sim). Queue for
-    # r9, governed by tests/test_window_rotation.py: the two NEW r8
-    # streaming oracles first (grace expires r10), then the remaining
-    # 25 r4-last rows, then the r5-last rows (unlisted — they follow
-    # in registration order), then the r7-last rows. --
-    "streaming_rollup_sink_state",  # new r8 — first in line for r9
-    "streaming_quality_gate_stats",  # new r8 — first in line for r9
-    "domain_temperature_sample",  # new r8 — first in line for r9
-    "zipf_token_audit",  # new r8 — first in line for r9
-    "multimodal_resize_decode_stats",  # new r8 — first in line for r9
-    "embedding_covariance_slice",  # new r8 — first in line for r9
-    "streaming_neardup_minhash_ingest",  # new r8 — first in line for r9
-    "item_bfs_hop_distance",  # new r8 — first in line for r9
-    "item_cooccurrence_cosine",  # new r8 — first in line for r9
-    "gini_revenue_concentration",  # new r8 — first in line for r9
-    "theilsen_daily_revenue_slope",  # new r8 — first in line for r9
-    "token_entropy_by_lang",  # new r8 — first in line for r9
-    "text_bigram_addk_logppl",  # new r8 — first in line for r9
-    "spatial_grid_radius_pairs",  # new r8 — first in line for r9
-    "ab_test_conversion_ztest",  # new r8 — first in line for r9
-    "acf_daily_revenue",  # new r8 — first in line for r9
-    "cusum_changepoint_daily",  # new r8 — first in line for r9
-    "kaplan_meier_conversion",  # new r8 — first in line for r9
-    "multimodal_wav_frame_rms",  # new r8 — first in line for r9
-    "spatial_nearest_neighbor",  # new r8 — first in line for r9
-    "recursive_sql_reach_two_hop",  # new r8 — first in line for r9
-    "text_phrase_search",  # new r8 — first in line for r9
-    "half_sample_replicate_means",  # new r8 — first in line for r9
-    "multimodal_video_framesample_stats",  # new r8 — first in line for r9
-    "embedding_int8_quant_error",  # new r8 — first in line for r9
-    "item_personalized_pagerank",  # new r8 — first in line for r9
-    "streaming_leftouter_join_finalized",  # new r8 — first in line for r9
-    "variant_props_extract",  # new r8 — first in line for r9
-    "unpivot_daily_metrics",  # new r8 — first in line for r9
-    "psi_price_by_segment",  # new r8 — first in line for r9
-    "basket_part_lift",  # new r8 — first in line for r9
-    "user_gap_p95",  # new r8 — first in line for r9
-    "vocab_coverage_topk",  # new r8 — first in line for r9
-    "embedding_pair_distance_histogram",  # new r8 — first in line for r9
-    "equidepth_price_buckets",  # new r8 — first in line for r9
-    "dedup_weighted_jaccard_pairs",  # new r8 — first in line for r9
-    "funnel_window_sensitivity",  # new r8 — first in line for r9
-    "cogroup_asof_reconciliation",  # new r8 — first in line for r9
-    "open_orders_daily",  # new r8 — first in line for r9
-    "join_key_skew_report",  # new r8 — first in line for r9
-    "cohort_ltv_curve",  # new r8 — first in line for r9
-    "error_burst_maxrun",  # new r8 — first in line for r9
-    "monthly_seasonal_index",  # new r8 — first in line for r9
-    "basket_part_triples",  # new r8 — first in line for r9
-    "supplier_hhi_by_part",  # new r8 — first in line for r9
-    "nation_trade_balance",  # new r8 — first in line for r9
-    "scalar_subquery_above_avg",
-    "in_subquery_urgent_lineitems",
-    "q18_large_volume_orders",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_item_reporting",
-    "q12_late_shipment_priority",
-    "dedup_exact_stats",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_ngram_jaccard_capped",
-    "dedup_cluster_components",
-    "substring_dup_report",
-    "similarity_cosine_topk",
-    "similarity_topk_batch",
-    "session_stats_daily",
-    "corpus_stratified_sample",
-    "training_shard_assignment",
-    "text_bm25_topk",
-    "dedup_editdist_pairs",
-    "funnel_view_purchase",
-    "retention_cohort_daily",
-    "timeseries_gap_fill",
-    "grouping_sets_status_priority",
-    "item_pagerank",
-    "boilerplate_line_removal",
+    "posexplode_tokens",
 ]
 
 

@@ -736,12 +736,20 @@ def error_burst_maxrun(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The classical seasonality index: each month's share of its year's
 # revenue, averaged across years — the deseasonalization factor for
 # forecasting (the month-of-year twin of dow_seasonal_residuals'
-# weekday screen). Integer cents per (year, month) cell; the per-year
-# shares divide exact integers, and the across-years average runs over
-# the ≤7-value bounded grid in a FIXED order (AVG over ≤7 doubles —
-# rounded 6, the ULP-safe envelope).
+# weekday screen). ORDER-INDEPENDENT by construction (ADVICE r8 #2 —
+# the first cut averaged per-year double shares, the probabilistic
+# summation-order boundary class the ewma lesson closed): each
+# (month, year) share is quantized to an exact integer
+# floor(cents · 10^12 / ytotal) — both engines compute it as exact
+# integer arithmetic (Spark: pmod-subtract then an exact decimal
+# division; DuckDB: HUGEINT //) — the across-years SUM is then an
+# integer aggregate (order-free), and the single double division
+# happens once at the end on bit-identical inputs. Quantization error
+# < n_years/10^12, invisible at round-6.
 
-SEASONAL_INDEX_ORACLE = """
+_SEASONAL_SCALE = 1_000_000_000_000  # 10^12
+
+SEASONAL_INDEX_ORACLE = f"""
 WITH cells AS (
   SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS y,
          EXTRACT(month FROM o_orderdate)::BIGINT AS m,
@@ -752,11 +760,17 @@ yearly AS (
   SELECT y, m, cents,
          SUM(cents) OVER (PARTITION BY y) AS ytotal
   FROM cells
+),
+quantized AS (
+  SELECT m, ((cents::HUGEINT * {_SEASONAL_SCALE}) // ytotal) AS q
+  FROM yearly
 )
 SELECT m AS month,
        COUNT(*)::BIGINT AS n_years,
-       ROUND(AVG(CAST(cents AS DOUBLE) / ytotal * 12), 6) AS seasonal_index
-FROM yearly
+       ROUND(CAST(12 AS DOUBLE) * CAST(SUM(q) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST({_SEASONAL_SCALE} AS DOUBLE)),
+             6) AS seasonal_index
+FROM quantized
 GROUP BY m
 """
 
@@ -778,14 +792,25 @@ def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = cells.withColumn(
         "ytotal", F.sum("cents").over(Window.partitionBy("y"))
     )
-    return (
-        yearly.groupBy(F.col("m").alias("month"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_years"),
-            F.round(
-                F.avg(F.col("cents").cast("double") / F.col("ytotal") * 12), 6
-            ).alias("seasonal_index"),
-        )
+    # exact integer quantized share: floor(cents*10^12 / ytotal).
+    # pmod-subtract makes the numerator exactly divisible, so the
+    # decimal division is exact (no rounding mode in play) and equals
+    # DuckDB's HUGEINT floor-division bit-for-bit.
+    num = F.col("cents").cast("decimal(38,0)") * F.lit(_SEASONAL_SCALE)
+    ytot = F.col("ytotal").cast("decimal(38,0)")
+    q = ((num - F.pmod(num, ytot)) / ytot).cast("decimal(38,0)")
+    quantized = yearly.select("m", q.alias("q"))
+    return quantized.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_years"),
+        F.round(
+            F.lit(12.0)
+            * F.sum("q").cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.lit(float(_SEASONAL_SCALE))
+            ),
+            6,
+        ).alias("seasonal_index"),
     )
 
 
@@ -989,8 +1014,11 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum("cents").cast("bigint").alias("buy_cents"))
     )
+    # supplier is sf-scaled — no forced broadcast (ADVICE r8 #1; the
+    # r5 hint policy: hints only on schema-bounded relations like
+    # nation). AQE still picks a broadcast join at bench SFs.
     sell = (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum("cents").cast("bigint").alias("sell_cents"))

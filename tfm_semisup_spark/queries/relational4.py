@@ -235,7 +235,10 @@ def embedding_covariance_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derive rule — so the corpus-scale sum has zero summation-order noise
 # by construction; the single division happens once per dim.
 # Two passes by necessity (max|x| feeds the quantizer), each a
-# single-row aggregate broadcast forward.
+# single-row aggregate broadcast forward. The oracle squares as e*e,
+# NOT POWER(e,2) (ADVICE r8 #3): pow() carries no correct-rounding
+# guarantee, and a 1-ULP divergence flips the floored 1e9 grid
+# cross-engine; multiply is IEEE-correctly-rounded on both engines.
 
 _QUANT_DIMS = 8
 
@@ -251,7 +254,7 @@ mx AS (
 err AS (
   SELECT COUNT(*)::BIGINT AS n,
          {", ".join(
-             f"SUM(CAST(FLOOR(POWER(c{i} * 127 / m{i} - FLOOR(c{i} * 127 / m{i}), 2) * 1e9) AS HUGEINT)) AS s{i}"
+             f"SUM(CAST(FLOOR((c{i} * 127 / m{i} - FLOOR(c{i} * 127 / m{i})) * (c{i} * 127 / m{i} - FLOOR(c{i} * 127 / m{i})) * 1e9) AS HUGEINT)) AS s{i}"
              for i in range(1, _QUANT_DIMS + 1)
          )},
          {", ".join(f"MAX(m{i}) AS m{i}" for i in range(1, _QUANT_DIMS + 1))}

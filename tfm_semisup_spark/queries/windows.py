@@ -805,7 +805,7 @@ def streaming_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Seventh streaming-materialized tier: stream-stream LEFT OUTER
+# Ninth streaming-materialized tier: stream-stream LEFT OUTER
 # interval join — the null-completion semantics (an event with NO
 # same-user follower within 5 minutes emits exactly one NULL-completed
 # row when the watermark evicts it). Outer rows near the stream's end
