@@ -117,6 +117,8 @@ _ORACLE_PRIORITY = [
     # window rows, then r5/r7 rows in registration order (unlisted). --
     "ssl_selftrain_one_round_nb",  # new r9 — first in line for r10
     "ssl_selftrain_one_round_kbest",  # new r9 — first in line for r10
+    "ssl_cotrain_one_round_nb",  # new r9 — first in line for r10
+    "ssl_tritrain_one_round_nb",  # new r9 — first in line for r10
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot

@@ -880,3 +880,190 @@ def ssl_selftrain_one_round_kbest(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
         F.min("conf_q").cast("bigint").alias("min_conf_q"),
     )
+
+
+# -- Co-training one round --------------------------------------------------
+
+def _cotrain_oracle() -> str:
+    prom = (
+        "SELECT o_orderkey, o_orderstatus, pred_class FROM decided_{t} "
+        "WHERE 10 * t_max >= 7 * t_sum"
+    )
+    grp = (
+        "SELECT '{v}' AS view_name, pred_class, "
+        "COUNT(*)::BIGINT AS n_promoted, "
+        "SUM(CASE WHEN pred_class = o_orderstatus THEN 1 ELSE 0 END)::BIGINT"
+        " AS n_promoted_correct, "
+        "SUM(o_orderkey)::BIGINT AS promoted_key_sum "
+        "FROM {src} GROUP BY pred_class"
+    )
+    return f"""
+WITH {_NB1_BASE_SQL},
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{_nb1_decided_sql("f1", 5, "v1")},
+{_nb1_lik_sql("f2", "v2")},
+{_nb1_decided_sql("f2", 12, "v2")},
+prom_v1 AS ({prom.format(t="v1")}),
+prom_v2 AS ({prom.format(t="v2")}),
+agree AS (
+  SELECT a.o_orderkey, a.o_orderstatus, a.pred_class
+  FROM prom_v1 a JOIN prom_v2 b
+    ON a.o_orderkey = b.o_orderkey AND a.pred_class = b.pred_class
+)
+{grp.format(v="priority", src="prom_v1")}
+UNION ALL
+{grp.format(v="month", src="prom_v2")}
+UNION ALL
+{grp.format(v="agreement", src="agree")}
+"""
+
+
+@register("ssl_cotrain_one_round_nb", _cotrain_oracle())
+def ssl_cotrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One co-training exchange round (``CoTraining.scala:122-253``
+    shape): two single-feature NB views each threshold-promote at 0.7;
+    the 'agreement' rows are what each view would hand the other with
+    matching labels. (view_name, pred_class, n_promoted,
+    n_promoted_correct, promoted_key_sum)."""
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    confident = 10 * F.col("t_max") >= 7 * F.col("t_sum")
+    prom1 = (
+        _nb1_decided(labeled, unlabeled, "f1", 5)
+        .where(confident)
+        .select("o_orderkey", "o_orderstatus", "pred_class")
+    )
+    prom2 = (
+        _nb1_decided(labeled, unlabeled, "f2", 12)
+        .where(confident)
+        .select("o_orderkey", "o_orderstatus", "pred_class")
+    )
+    agree = prom1.alias("a").join(
+        prom2.alias("b"),
+        (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+        & (F.col("a.pred_class") == F.col("b.pred_class")),
+    ).select("a.o_orderkey", "a.o_orderstatus", "a.pred_class")
+
+    def _grp(df: DataFrame, view: str) -> DataFrame:
+        return df.groupBy("pred_class").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
+            F.sum(
+                F.when(
+                    F.col("pred_class") == F.col("o_orderstatus"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_promoted_correct"),
+            F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
+        ).select(F.lit(view).alias("view_name"), "*")
+
+    return (
+        _grp(prom1, "priority")
+        .unionAll(_grp(prom2, "month"))
+        .unionAll(_grp(agree, "agreement"))
+    )
+
+
+# -- Tri-training one round -------------------------------------------------
+
+_NB1_BASE3_SQL = f"""base AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_orderpriority AS f1,
+         EXTRACT(month FROM o_orderdate)::BIGINT AS f2,
+         c_mktsegment AS f3,
+         {_ST1_MASK_SQL} AS mask
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+labeled AS (SELECT * FROM base WHERE mask = 0),
+unlabeled AS (SELECT * FROM base WHERE mask <> 0)"""
+
+
+def _tritrain_oracle() -> str:
+    grp = (
+        "SELECT '{v}' AS target_view, {p} AS pred_class, "
+        "COUNT(*)::BIGINT AS n_promoted, "
+        "SUM(CASE WHEN {p} = o_orderstatus THEN 1 ELSE 0 END)::BIGINT"
+        " AS n_promoted_correct, "
+        "SUM(o_orderkey)::BIGINT AS promoted_key_sum "
+        "FROM joined WHERE {j} = {k} GROUP BY {p}"
+    )
+    return f"""
+WITH {_NB1_BASE3_SQL},
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{_nb1_decided_sql("f1", 5, "v1")},
+{_nb1_lik_sql("f2", "v2")},
+{_nb1_decided_sql("f2", 12, "v2")},
+{_nb1_lik_sql("f3", "v3")},
+{_nb1_decided_sql("f3", 5, "v3")},
+joined AS (
+  SELECT d1.o_orderkey, d1.o_orderstatus,
+         d1.pred_class AS p1, d2.pred_class AS p2, d3.pred_class AS p3
+  FROM decided_v1 d1
+  JOIN decided_v2 d2 ON d1.o_orderkey = d2.o_orderkey
+  JOIN decided_v3 d3 ON d1.o_orderkey = d3.o_orderkey
+)
+{grp.format(v="priority", p="p2", j="p2", k="p3")}
+UNION ALL
+{grp.format(v="month", p="p1", j="p1", k="p3")}
+UNION ALL
+{grp.format(v="segment", p="p1", j="p1", k="p2")}
+"""
+
+
+@register("ssl_tritrain_one_round_nb", _tritrain_oracle())
+def ssl_tritrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tri-training promotion round (Zhou & Li 2005, the shape
+    behind ``operators/tri_training.py``): three single-feature NB
+    views; a row is promoted FOR view i with the class the OTHER TWO
+    agree on. (target_view, pred_class, n_promoted,
+    n_promoted_correct, promoted_key_sum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("f1"),
+            F.month("o_orderdate").cast("bigint").alias("f2"),
+            F.col("c_mktsegment").alias("f3"),
+            F.expr(_ST1_MASK_SPARK).alias("mask"),
+        )
+    )
+    labeled = base.where(F.col("mask") == 0)
+    unlabeled = base.where(F.col("mask") != 0)
+    d1 = _nb1_decided(labeled, unlabeled, "f1", 5).select(
+        "o_orderkey", "o_orderstatus", F.col("pred_class").alias("p1")
+    )
+    d2 = _nb1_decided(labeled, unlabeled, "f2", 12).select(
+        "o_orderkey", F.col("pred_class").alias("p2")
+    )
+    d3 = _nb1_decided(labeled, unlabeled, "f3", 5).select(
+        "o_orderkey", F.col("pred_class").alias("p3")
+    )
+    joined = d1.join(d2, "o_orderkey").join(d3, "o_orderkey")
+
+    def _grp(view: str, pred: str, j: str, k: str) -> DataFrame:
+        return (
+            joined.where(F.col(j) == F.col(k))
+            .groupBy(F.col(pred).alias("pred_class"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
+                F.sum(
+                    F.when(F.col(pred) == F.col("o_orderstatus"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_promoted_correct"),
+                F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
+            )
+            .select(F.lit(view).alias("target_view"), "*")
+        )
+
+    return (
+        _grp("priority", "p2", "p2", "p3")
+        .unionAll(_grp("month", "p1", "p1", "p3"))
+        .unionAll(_grp("segment", "p1", "p1", "p2"))
+    )
