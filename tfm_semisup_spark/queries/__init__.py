@@ -119,6 +119,9 @@ _ORACLE_PRIORITY = [
     "ssl_selftrain_one_round_kbest",  # new r9 — first in line for r10
     "ssl_cotrain_one_round_nb",  # new r9 — first in line for r10
     "ssl_tritrain_one_round_nb",  # new r9 — first in line for r10
+    "spearman_qty_disc",  # new r9 — first in line for r10
+    "mannwhitney_qty_flag",  # new r9 — first in line for r10
+    "chi2_status_priority",  # new r9 — first in line for r10
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot
@@ -239,6 +242,7 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import text_analysis3  # noqa: F401
     from tfm_semisup_spark.queries import spatial  # noqa: F401
     from tfm_semisup_spark.queries import stats4  # noqa: F401
+    from tfm_semisup_spark.queries import stats5  # noqa: F401
     from tfm_semisup_spark.queries import analytics3  # noqa: F401
 
     _reorder_registries()

@@ -1,0 +1,363 @@
+"""Statistical-insight battery #5: rank and contingency tests.
+
+Three nonparametric/categorical hypothesis tests every analytics
+engine's stats tier ships (extension surface alongside
+``stats2``–``stats4``):
+
+- ``spearman_qty_disc``: Spearman rank correlation between lineitem
+  quantity and discount per return flag — the monotonic-association
+  screen that Pearson (``stats_correlation_battery``) misses.
+- ``mannwhitney_qty_flag``: tie-corrected Mann-Whitney U (Wilcoxon
+  rank-sum) comparing the quantity distribution of returned ('R') vs
+  delivered ('N') lineitems — the nonparametric two-sample test.
+- ``chi2_status_priority``: chi-square test of independence on the
+  order status × priority contingency grid, with Cramér's V effect
+  size — the categorical-association readout.
+
+Spark-first / 100 TB shape:
+- rank statistics over UNBOUNDED value domains need a data-scale sort;
+  these queries instead rank over BOUNDED grids (quantity ≤ 50
+  distinct values, discount ≤ 11, status×priority = 15 cells): ONE
+  fact-scale groupBy shuffle produces per-value counts, and every
+  window/join after that runs on the tiny grid (the midhinge /
+  equi-depth precedent). Average-rank tie handling is exact on a
+  counted grid: rank_min = cumcount − cnt + 1, doubled average rank
+  R2 = 2·cumcount − cnt + 1 (integer, no /2).
+- Spearman on doubled ranks equals Spearman on average ranks (Pearson
+  is scale-invariant and both variables carry the same ×2).
+
+Arithmetic parity (the stats4 contract):
+- every sum/product is exact integer (Spark DECIMAL(38,0), DuckDB
+  HUGEINT) — order-free — until a FIXED scalar tree assembles the
+  statistic in doubles (int→double and each double op correctly
+  rounded ⇒ bit-equal cross-engine pre-round);
+- chi-square per-cell terms are quantized to floor(num·10⁹/den) with
+  an EXACT integer division (pmod-subtract on Spark, ``//`` HUGEINT
+  in DuckDB) and summed as integers — the monthly_seasonal_index
+  closure of the summation-order class; quantization bias < 15/10⁹,
+  identical on both engines by construction;
+- quantity/discount land on integer grids via round(x) / round(100x)
+  — values sit ~1e-15 off integers, nowhere near the .5 rounding
+  boundary, so Spark HALF_UP and DuckDB banker's rounding agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+_DEC = "decimal(38,0)"
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation on bounded grids
+# ---------------------------------------------------------------------------
+
+SPEARMAN_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+),
+joint AS (
+  SELECT flag, q, d, COUNT(*)::HUGEINT AS n_qd FROM li GROUP BY 1, 2, 3
+),
+gq AS (
+  SELECT flag, q, SUM(n_qd) AS cnt,
+         2 * SUM(SUM(n_qd)) OVER (PARTITION BY flag ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - SUM(n_qd) + 1 AS r2q
+  FROM joint GROUP BY flag, q
+),
+gd AS (
+  SELECT flag, d, SUM(n_qd) AS cnt,
+         2 * SUM(SUM(n_qd)) OVER (PARTITION BY flag ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - SUM(n_qd) + 1 AS r2d
+  FROM joint GROUP BY flag, d
+),
+sums AS (
+  SELECT j.flag,
+         SUM(j.n_qd) AS n,
+         SUM(j.n_qd * gq.r2q) AS sx,
+         SUM(j.n_qd * gd.r2d) AS sy,
+         SUM(j.n_qd * gq.r2q * gq.r2q) AS sxx,
+         SUM(j.n_qd * gd.r2d * gd.r2d) AS syy,
+         SUM(j.n_qd * gq.r2q * gd.r2d) AS sxy
+  FROM joint j
+  JOIN gq ON j.flag = gq.flag AND j.q = gq.q
+  JOIN gd ON j.flag = gd.flag AND j.d = gd.d
+  GROUP BY j.flag
+)
+SELECT flag AS returnflag,
+       n::BIGINT AS n_rows,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS rho_spearman
+FROM sums
+"""
+
+
+@register("spearman_qty_disc", SPEARMAN_ORACLE)
+def spearman_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Spearman rho between quantity and discount:
+    (returnflag, n_rows, rho_spearman)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d"),
+    )
+    joint = li.groupBy("flag", "q", "d").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n_qd")
+    )
+
+    def _grid(col: str, r2: str) -> DataFrame:
+        # doubled average rank on the counted value grid:
+        # R2 = 2·cumcount − cnt + 1 (exact integer tie handling)
+        w = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            joint.groupBy("flag", col)
+            .agg(F.sum("n_qd").alias("cnt"))
+            .select(
+                "flag",
+                col,
+                (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(r2),
+            )
+        )
+
+    gq = _grid("q", "r2q")
+    gd = _grid("d", "r2d")
+    sums = (
+        joint.join(F.broadcast(gq), ["flag", "q"])
+        .join(F.broadcast(gd), ["flag", "d"])
+        .groupBy("flag")
+        .agg(
+            F.sum("n_qd").alias("n"),
+            F.sum(F.col("n_qd") * F.col("r2q")).alias("sx"),
+            F.sum(F.col("n_qd") * F.col("r2d")).alias("sy"),
+            F.sum(F.col("n_qd") * F.col("r2q") * F.col("r2q")).alias("sxx"),
+            F.sum(F.col("n_qd") * F.col("r2d") * F.col("r2d")).alias("syy"),
+            F.sum(F.col("n_qd") * F.col("r2q") * F.col("r2d")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        F.col("flag").alias("returnflag"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("rho_spearman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tie-corrected Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+MANNWHITNEY_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS flag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+grid AS (
+  SELECT q,
+         SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END)::HUGEINT AS c1,
+         COUNT(*)::HUGEINT AS cnt
+  FROM li GROUP BY q
+),
+ranked AS (
+  SELECT q, c1, cnt,
+         2 * SUM(cnt) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt + 1 AS r2
+  FROM grid
+),
+sums AS (
+  SELECT SUM(c1) AS n1, SUM(cnt - c1) AS n2, SUM(cnt) AS n,
+         SUM(c1 * r2) AS sr1,
+         SUM(cnt * cnt * cnt - cnt) AS ties
+  FROM ranked
+)
+SELECT n1::BIGINT AS n_returned,
+       n2::BIGINT AS n_delivered,
+       (sr1 - n1 * (n1 + 1) - n1 * n2)::BIGINT AS u_doubled_centered,
+       ROUND(CAST(sr1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+             / (2 * SQRT(CAST(n1 * n2 * ((n + 1) * n * (n - 1) - ties)
+                              AS DOUBLE)
+                         / CAST(12 * n * (n - 1) AS DOUBLE))), 6)
+         AS z_value
+FROM sums
+"""
+
+
+@register("mannwhitney_qty_flag", MANNWHITNEY_ORACLE)
+def mannwhitney_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (normal approximation, tie-corrected) comparing
+    quantity of returned vs delivered lineitems: (n_returned,
+    n_delivered, u_doubled_centered, z_value). u_doubled_centered is
+    the exact integer 2·U1 − n1·n2 (2× avoids the /2 in both the rank
+    sum and the null mean)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    grid = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+        )
+        .groupBy("q")
+        .agg(
+            F.sum(F.when(F.col("flag") == "R", 1).otherwise(0))
+            .cast(_DEC)
+            .alias("c1"),
+            F.count(F.lit(1)).cast(_DEC).alias("cnt"),
+        )
+    )
+    # the window runs over the ≤51-row quantity grid — bounded at any
+    # corpus scale, so the unpartitioned ORDER BY is a single tiny task
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = grid.select(
+        "c1",
+        "cnt",
+        (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias("r2"),
+    )
+    sums = ranked.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("cnt") - F.col("c1")).alias("n2"),
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("c1") * F.col("r2")).alias("sr1"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("ties"),
+    )
+    u2c = F.col("sr1") - F.col("n1") * (F.col("n1") + 1) - F.col("n1") * F.col("n2")
+    var_num = (
+        F.col("n1")
+        * F.col("n2")
+        * (
+            (F.col("n") + 1) * F.col("n") * (F.col("n") - 1)
+            - F.col("ties")
+        )
+    )
+    var_den = 12 * F.col("n") * (F.col("n") - 1)
+    return sums.select(
+        F.col("n1").cast("bigint").alias("n_returned"),
+        F.col("n2").cast("bigint").alias("n_delivered"),
+        u2c.cast("bigint").alias("u_doubled_centered"),
+        F.round(
+            u2c.cast("double")
+            / (2 * F.sqrt(var_num.cast("double") / var_den.cast("double"))),
+            6,
+        ).alias("z_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence + Cramér's V on the status × priority grid
+# ---------------------------------------------------------------------------
+
+_CHI2_SCALE = 1_000_000_000  # 10^9 quantization of per-cell terms
+
+CHI2_ORACLE = f"""
+WITH obs AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*)::HUGEINT AS o
+  FROM orders GROUP BY 1, 2
+),
+margins AS (
+  SELECT s, p, o,
+         SUM(o) OVER (PARTITION BY s) AS r,
+         SUM(o) OVER (PARTITION BY p) AS c,
+         SUM(o) OVER () AS n
+  FROM obs
+),
+cells AS (
+  SELECT n,
+         ((o * n - r * c) * (o * n - r * c) * {_CHI2_SCALE})
+           // (r * c * n) AS qterm
+  FROM margins
+),
+dims AS (
+  SELECT COUNT(DISTINCT s) AS nr, COUNT(DISTINCT p) AS nc FROM obs
+)
+SELECT MAX(n)::BIGINT AS n_total,
+       ((SELECT nr FROM dims) - 1) * ((SELECT nc FROM dims) - 1) AS dof,
+       ROUND(CAST(SUM(qterm) AS DOUBLE) / CAST({_CHI2_SCALE} AS DOUBLE), 6)
+         AS chi2,
+       ROUND(SQRT((CAST(SUM(qterm) AS DOUBLE) / CAST({_CHI2_SCALE} AS DOUBLE))
+                  / (CAST(MAX(n) AS DOUBLE)
+                     * CAST(LEAST((SELECT nr FROM dims),
+                                  (SELECT nc FROM dims)) - 1 AS DOUBLE))), 6)
+         AS cramer_v
+FROM cells
+"""
+
+
+@register("chi2_status_priority", CHI2_ORACLE)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test + Cramér's V on order status ×
+    priority: (n_total, dof, chi2, cramer_v). Zero-count grid combos
+    contribute a zero term on both engines (absent cells have o=0 ⇒
+    the expected-count term r·c/n is still what the statistic needs —
+    but an absent (s,p) pair contributes (0·n − r·c)²/(r·c·n) = r·c/n,
+    so the grid is completed explicitly on both sides via the
+    cross-margin construction; with this corpus all 15 cells are
+    populated and the completion is a no-op either way)."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast(_DEC).alias("o"))
+    # windows over the ≤15-cell contingency grid — bounded at any scale
+    margins = obs.select(
+        "s",
+        "p",
+        "o",
+        F.sum("o").over(Window.partitionBy("s")).alias("r"),
+        F.sum("o").over(Window.partitionBy("p")).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    num = (dev * dev * F.lit(_CHI2_SCALE)).cast(_DEC)
+    den = (F.col("r") * F.col("c") * F.col("n")).cast(_DEC)
+    cells = margins.select(
+        "s",
+        "p",
+        "n",
+        ((num - F.pmod(num, den)) / den).cast(_DEC).alias("qterm"),
+    )
+    dims = obs.agg(
+        F.countDistinct("s").alias("nr"), F.countDistinct("p").alias("nc")
+    )
+    chi2_d = F.sum("qterm").cast("double") / F.lit(float(_CHI2_SCALE))
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .groupBy()
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round(chi2_d, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2_d
+                    / (
+                        F.max("n").cast("double")
+                        * (F.least(F.max("nr"), F.max("nc")) - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramer_v"),
+        )
+    )
