@@ -122,6 +122,9 @@ _ORACLE_PRIORITY = [
     "spearman_qty_disc",  # new r9 — first in line for r10
     "mannwhitney_qty_flag",  # new r9 — first in line for r10
     "chi2_status_priority",  # new r9 — first in line for r10
+    "ssl_nb_calibration_bins",  # new r9 — first in line for r10
+    "part_degree_assortativity",  # new r9 — first in line for r10
+    "max_drawdown_daily_revenue",  # new r9 — first in line for r10
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot

@@ -426,3 +426,107 @@ def item_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     release(base)
     release(ranks)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-ordered part graph
+# ---------------------------------------------------------------------------
+#
+# Newman's degree assortativity coefficient (Newman 2002 — "Assortative
+# mixing in networks") over the UNDIRECTED co-order graph: nodes are
+# parts, an edge connects parts that appear in at least one common
+# order. r is the Pearson correlation of (deg(u), deg(v)) taken over
+# the directed edge list (each undirected edge contributing both
+# orientations — the standard symmetric formulation). Positive r:
+# popular parts co-order with popular parts (rich-club); negative:
+# hub-and-spoke baskets.
+#
+# 100 TB shape: the pair fan-out is bounded by basket width, exactly
+# the basket_part_lift argument (C(lines,2) per order, never parts²);
+# degrees come from ONE groupBy over the directed edge list; the
+# correlation is assembled from five exact-integer sums
+# (DECIMAL(38,0)/HUGEINT — products reach m·deg² ≈ 10^20+) in a fixed
+# double tree. Output is a single row — no collect anywhere.
+
+ASSORT_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.part AS pa, b.part AS pb
+  FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+),
+dir AS (
+  SELECT pa AS src, pb AS dst FROM und
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM und
+),
+deg AS (SELECT src AS part, COUNT(*)::HUGEINT AS d FROM dir GROUP BY src),
+sums AS (
+  SELECT COUNT(*)::HUGEINT AS m,
+         SUM(ds.d) AS sx, SUM(dd.d) AS sy,
+         SUM(ds.d * ds.d) AS sxx, SUM(dd.d * dd.d) AS syy,
+         SUM(ds.d * dd.d) AS sxy
+  FROM dir
+  JOIN deg ds ON dir.src = ds.part
+  JOIN deg dd ON dir.dst = dd.part
+)
+SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT COUNT(*) FROM und)::BIGINT AS n_edges,
+       ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(m * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity
+FROM sums
+"""
+
+
+@register("part_degree_assortativity", ASSORT_ORACLE)
+def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-ordered-parts graph:
+    (n_nodes, n_edges, assortativity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .distinct()
+    )
+    direct = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = direct.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    ds = deg.select(F.col("part").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("part").alias("dst"), F.col("d").alias("dy"))
+    sums = (
+        direct.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+            F.sum("dx").alias("sx"),
+            F.sum("dy").alias("sy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+            F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        )
+    )
+    counts = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.crossJoin(F.broadcast(counts)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("assortativity"),
+    )

@@ -1067,3 +1067,85 @@ def ssl_tritrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_grp("month", "p1", "p1", "p3"))
         .unionAll(_grp("segment", "p1", "p1", "p2"))
     )
+
+
+# -- Calibration of the NB scorer -------------------------------------------
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH {_NB1_BASE_SQL},
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{_nb1_decided_sql("f1", 5, "v1")},
+conf AS (
+  SELECT o_orderkey, o_orderstatus, pred_class,
+         (t_max * {_KBEST_CONF_SCALE}) // t_sum AS conf_q
+  FROM decided_v1
+),
+binned AS (
+  SELECT LEAST(9, (conf_q * 10) // {_KBEST_CONF_SCALE})::BIGINT AS bin,
+         conf_q,
+         CASE WHEN pred_class = o_orderstatus THEN 1 ELSE 0 END AS hit
+  FROM conf
+)
+SELECT bin,
+       COUNT(*)::BIGINT AS n,
+       SUM(hit)::BIGINT AS n_correct,
+       ROUND(CAST(SUM(conf_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / CAST({_KBEST_CONF_SCALE} AS DOUBLE), 6) AS mean_conf,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS accuracy
+FROM binned
+GROUP BY bin
+"""
+
+
+@register("ssl_nb_calibration_bins", _calibration_oracle())
+def ssl_nb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the exact-count NB scorer: decile bins
+    of quantized posterior confidence vs realized accuracy on the
+    unlabeled pool — the calibration readout a promotion threshold
+    presumes: (bin, n, n_correct, mean_conf, accuracy). Confidence is
+    the same exact integer conf_q = floor(t_max·10^12/t_sum) the
+    kBest tier ranks by, so bin membership has no float boundary."""
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    decided = _nb1_decided(labeled, unlabeled, "f1", 5)
+    num = F.col("t_max") * F.lit(_KBEST_CONF_SCALE)
+    conf_q = ((num - F.pmod(num, F.col("t_sum"))) / F.col("t_sum")).cast(
+        "decimal(38,0)"
+    )
+    binned = decided.select(
+        conf_q.alias("conf_q"),
+        F.when(F.col("pred_class") == F.col("o_orderstatus"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    ).select(
+        # exact integer decile: (c10 - pmod(c10, S)) / S — divisible
+        # numerator, so the decimal division is exact (no floor over a
+        # rounded quotient; same closure as conf_q itself)
+        F.least(
+            F.lit(9).cast("bigint"),
+            (
+                (
+                    F.col("conf_q") * 10
+                    - F.pmod(F.col("conf_q") * 10, F.lit(_KBEST_CONF_SCALE))
+                )
+                / F.lit(_KBEST_CONF_SCALE)
+            ).cast("bigint"),
+        ).alias("bin"),
+        "conf_q",
+        "hit",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hit").cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum("conf_q").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_KBEST_CONF_SCALE)),
+            6,
+        ).alias("mean_conf"),
+        F.round(
+            F.sum("hit").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("accuracy"),
+    )

@@ -361,3 +361,96 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramer_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily revenue series
+# ---------------------------------------------------------------------------
+#
+# The classic peak-to-trough risk statistic over the daily revenue
+# level series: the largest drop from a running maximum to a later
+# day. All arithmetic is exact integer cents on the bounded calendar
+# grid (the ewma/acf precedent: the window runs over ~2400 day rows,
+# never over fact rows); peak/trough day identification is integer
+# equality with earliest-day tie-breaks, so there is no float anywhere.
+
+MAXDD_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+runm AS (
+  SELECT day, cents,
+         MAX(cents) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM daily
+),
+mx AS (SELECT MAX(peak - cents) AS maxdd FROM runm),
+tr AS (
+  SELECT r.day, r.cents, r.peak
+  FROM runm r, mx
+  WHERE r.peak - r.cents = mx.maxdd
+  ORDER BY r.day LIMIT 1
+),
+pk AS (
+  SELECT MIN(d.day) AS peak_day
+  FROM daily d, tr
+  WHERE d.day <= tr.day AND d.cents = tr.peak
+)
+SELECT CAST(pk.peak_day AS VARCHAR) AS peak_day,
+       CAST(tr.day AS VARCHAR) AS trough_day,
+       tr.peak::BIGINT AS peak_cents,
+       tr.cents::BIGINT AS trough_cents,
+       (tr.peak - tr.cents)::BIGINT AS drawdown_cents
+FROM pk, tr
+"""
+
+
+@register("max_drawdown_daily_revenue", MAXDD_ORACLE)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest peak-to-trough drop of daily revenue: (peak_day,
+    trough_day, peak_cents, trough_cents, drawdown_cents); earliest
+    day wins ties at both ends."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runm = daily.select("day", "cents", F.max("cents").over(w).alias("peak"))
+    mx = runm.agg(F.max(F.col("peak") - F.col("cents")).alias("maxdd"))
+    # earliest trough day achieving the max drawdown, with its cents
+    # and running peak, via a lexicographic struct-min — one aggregate,
+    # no sort
+    tr = (
+        runm.crossJoin(F.broadcast(mx))
+        .where(F.col("peak") - F.col("cents") == F.col("maxdd"))
+        .agg(F.min(F.struct("day", "cents", "peak")).alias("t"))
+        .select(
+            F.col("t.day").alias("trough_day"),
+            F.col("t.cents").alias("trough_cents"),
+            F.col("t.peak").alias("peak_cents"),
+        )
+    )
+    pk = (
+        daily.crossJoin(F.broadcast(tr))
+        .where(
+            (F.col("day") <= F.col("trough_day"))
+            & (F.col("cents") == F.col("peak_cents"))
+        )
+        .groupBy("trough_day", "trough_cents", "peak_cents")
+        .agg(F.min("day").alias("peak_day"))
+    )
+    return pk.select(
+        F.col("peak_day").cast("string").alias("peak_day"),
+        F.col("trough_day").cast("string").alias("trough_day"),
+        F.col("peak_cents").cast("bigint").alias("peak_cents"),
+        F.col("trough_cents").cast("bigint").alias("trough_cents"),
+        (F.col("peak_cents") - F.col("trough_cents"))
+        .cast("bigint")
+        .alias("drawdown_cents"),
+    )
