@@ -454,3 +454,219 @@ def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drawdown_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b on the bounded joint grid
+# ---------------------------------------------------------------------------
+#
+# Rank correlation #2: concordant/discordant pair counts. On a counted
+# joint grid this is EXACT integer combinatorics — each concordant
+# pair {cellA, cellB} (A strictly above-right of B) is counted once
+# from its upper cell via a strict double-inequality self-join of the
+# ≤550-cell grid (grid² ≈ 3·10⁵ comparisons — a CONSTANT, data-scale-
+# free). tau-b's tie normalization uses the doubled forms
+# A = n(n−1) − Σt_v(t_v−1), B likewise for w, and
+# tau = 2(C−D)/(√A·√B) — one fixed double tree.
+
+KENDALL_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d
+  FROM lineitem
+),
+joint AS (
+  SELECT flag, q, d, COUNT(*)::HUGEINT AS n_qd FROM li GROUP BY 1, 2, 3
+),
+conc AS (
+  SELECT a.flag,
+         SUM(CASE WHEN b.q < a.q AND b.d < a.d THEN a.n_qd * b.n_qd
+                  ELSE 0 END) AS c,
+         SUM(CASE WHEN b.q < a.q AND b.d > a.d THEN a.n_qd * b.n_qd
+                  ELSE 0 END) AS disc
+  FROM joint a JOIN joint b ON a.flag = b.flag
+  GROUP BY a.flag
+),
+tq AS (
+  SELECT flag, SUM(cnt * (cnt - 1)) AS t1, SUM(cnt) AS n FROM (
+    SELECT flag, q, SUM(n_qd) AS cnt FROM joint GROUP BY flag, q
+  ) GROUP BY flag
+),
+td AS (
+  SELECT flag, SUM(cnt * (cnt - 1)) AS t2 FROM (
+    SELECT flag, d, SUM(n_qd) AS cnt FROM joint GROUP BY flag, d
+  ) GROUP BY flag
+)
+SELECT conc.flag AS returnflag,
+       tq.n::BIGINT AS n_rows,
+       conc.c::BIGINT AS concordant,
+       conc.disc::BIGINT AS discordant,
+       ROUND(2 * CAST(conc.c - conc.disc AS DOUBLE)
+             / (SQRT(CAST(tq.n * (tq.n - 1) - tq.t1 AS DOUBLE))
+                * SQRT(CAST(tq.n * (tq.n - 1) - td.t2 AS DOUBLE))), 6)
+         AS tau_b
+FROM conc
+JOIN tq ON conc.flag = tq.flag
+JOIN td ON conc.flag = td.flag
+"""
+
+
+@register("kendall_tau_qty_disc", KENDALL_ORACLE)
+def kendall_tau_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Kendall tau-b between quantity and discount:
+    (returnflag, n_rows, concordant, discordant, tau_b)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d"),
+    )
+    joint = li.groupBy("flag", "q", "d").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n_qd")
+    )
+    a, b = joint.alias("a"), joint.alias("b")
+    conc = (
+        a.join(F.broadcast(b), F.col("a.flag") == F.col("b.flag"))
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b.q") < F.col("a.q"))
+                    & (F.col("b.d") < F.col("a.d")),
+                    F.col("a.n_qd") * F.col("b.n_qd"),
+                ).otherwise(F.lit(0).cast(_DEC))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("b.q") < F.col("a.q"))
+                    & (F.col("b.d") > F.col("a.d")),
+                    F.col("a.n_qd") * F.col("b.n_qd"),
+                ).otherwise(F.lit(0).cast(_DEC))
+            ).alias("disc"),
+        )
+    )
+    tq = (
+        joint.groupBy("flag", "q")
+        .agg(F.sum("n_qd").alias("cnt"))
+        .groupBy("flag")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("t1"),
+            F.sum("cnt").alias("n"),
+        )
+    )
+    td = (
+        joint.groupBy("flag", "d")
+        .agg(F.sum("n_qd").alias("cnt"))
+        .groupBy("flag")
+        .agg(F.sum(F.col("cnt") * (F.col("cnt") - 1)).alias("t2"))
+    )
+    out = conc.join(F.broadcast(tq), "flag").join(F.broadcast(td), "flag")
+    n = F.col("n")
+    ta = (n * (n - 1) - F.col("t1")).cast("double")
+    tb = (n * (n - 1) - F.col("t2")).cast("double")
+    return out.select(
+        F.col("flag").alias("returnflag"),
+        n.cast("bigint").alias("n_rows"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("disc").cast("bigint").alias("discordant"),
+        F.round(
+            2 * (F.col("c") - F.col("disc")).cast("double")
+            / (F.sqrt(ta) * F.sqrt(tb)),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann two-sample location shift
+# ---------------------------------------------------------------------------
+#
+# The robust effect-size companion to Mann-Whitney: the median of all
+# n1·n2 pairwise differences q_R − q_N. On counted grids the
+# difference distribution is the 50×50 cross of the two value grids
+# (≤2601 weighted cells — constant at any scale); the exact weighted
+# median picks the lower/upper middle order statistics by cumulative
+# weight and averages them (the only non-integer op is that final /2).
+
+HODGES_LEHMANN_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS flag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS q
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+g1 AS (SELECT q, COUNT(*)::HUGEINT AS c FROM li WHERE flag = 'R' GROUP BY q),
+g2 AS (SELECT q, COUNT(*)::HUGEINT AS c FROM li WHERE flag = 'N' GROUP BY q),
+diffs AS (
+  SELECT g1.q - g2.q AS delta, SUM(g1.c * g2.c) AS w
+  FROM g1 CROSS JOIN g2
+  GROUP BY g1.q - g2.q
+),
+cum AS (
+  SELECT delta, w,
+         SUM(w) OVER (ORDER BY delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER () AS total
+  FROM diffs
+),
+lo AS (SELECT MIN(delta) AS d1 FROM cum WHERE cw >= (total + 1) // 2),
+hi AS (SELECT MIN(delta) AS d2 FROM cum WHERE cw >= (total + 2) // 2)
+SELECT (SELECT MAX(total) FROM cum)::BIGINT AS n_pairs,
+       lo.d1::BIGINT AS lower_mid,
+       hi.d2::BIGINT AS upper_mid,
+       ROUND(CAST(lo.d1 + hi.d2 AS DOUBLE) / 2, 6) AS hl_shift
+FROM lo, hi
+"""
+
+
+@register("hodges_lehmann_qty_shift", HODGES_LEHMANN_ORACLE)
+def hodges_lehmann_qty_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann estimate of the quantity shift between returned
+    and delivered lineitems: (n_pairs, lower_mid, upper_mid,
+    hl_shift)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("q"),
+    )
+    g1 = li.where(F.col("flag") == "R").groupBy("q").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("c1")
+    )
+    g2 = li.where(F.col("flag") == "N").groupBy("q").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("c2")
+    )
+    diffs = (
+        g1.crossJoin(F.broadcast(g2.select(F.col("q").alias("q2"), "c2")))
+        .groupBy((F.col("q") - F.col("q2")).alias("delta"))
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("w"))
+    )
+    wc = Window.orderBy("delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("delta").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = diffs.select(
+        "delta",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    # (total+1) div 2 exactly, via pmod-subtract (decimal has no DIV)
+    def _half(off: int):
+        t = F.col("total") + off
+        return (t - F.pmod(t, F.lit(2))) / 2
+
+    lo = cum.where(F.col("cw") >= _half(1)).agg(F.min("delta").alias("d1"))
+    hi = cum.where(F.col("cw") >= _half(2)).agg(F.min("delta").alias("d2"))
+    tot = cum.agg(F.max("total").cast("bigint").alias("n_pairs"))
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_pairs",
+            F.col("d1").cast("bigint").alias("lower_mid"),
+            F.col("d2").cast("bigint").alias("upper_mid"),
+            F.round((F.col("d1") + F.col("d2")).cast("double") / 2, 6).alias(
+                "hl_shift"
+            ),
+        )
+    )
