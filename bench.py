@@ -164,6 +164,14 @@ HEADLINE = [
     "variant_props_extract",
     "basket_part_lift",
     "embedding_pair_distance_histogram",
+    # r9 families: the exact-integer NB promotion round (threshold
+    # criterion), the heaviest multi-view variant (tri-training's
+    # 3-scorer join), a bounded-grid rank statistic (Spearman), and
+    # the basket-width-bounded co-order graph statistic
+    "ssl_selftrain_one_round_nb",
+    "ssl_tritrain_one_round_nb",
+    "spearman_qty_disc",
+    "part_degree_assortativity",
 ]
 
 

@@ -127,6 +127,9 @@ _ORACLE_PRIORITY = [
     "max_drawdown_daily_revenue",  # new r9 — first in line for r10
     "kendall_tau_qty_disc",  # new r9 — first in line for r10
     "hodges_lehmann_qty_shift",  # new r9 — first in line for r10
+    "bpe_merge_candidates",  # new r9 — first in line for r10
+    "snapshot_diff_report",  # new r9 — first in line for r10
+    "per_segment_ols_r2",  # new r9 — first in line for r10
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot

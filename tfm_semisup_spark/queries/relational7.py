@@ -584,3 +584,215 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).select(F.col("day").cast("string").alias("day"), "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff report (CDC-style table comparison)
+# ---------------------------------------------------------------------------
+#
+# The data-versioning primitive behind incremental pipelines: given two
+# snapshots of a keyed table, report added / removed / changed /
+# unchanged rows plus per-column change counts and the exact value
+# delta. Derived deterministically from one orders scan so the driver
+# can oracle it: OLD excludes key-hash bucket 3 of 11, NEW excludes
+# bucket 7 and bumps the price by $1 on every hash%5==0 row — the diff
+# therefore contains all four outcomes with known structure.
+#
+# 100 TB shape: ONE full-outer join on the key (the SCD1/merge
+# shuffle), column compares as integer cents — never double equality;
+# the report is a single-row aggregate.
+
+from tfm_semisup_spark.operators.layout import (  # noqa: E402
+    md5_uniform16_spark_sql,
+    md5_uniform16_sql,
+)
+
+_SNAP_MD5 = "md5(CAST(o_orderkey AS STRING))"
+_SNAP_H_SQL = md5_uniform16_sql(_SNAP_MD5)
+_SNAP_H_SPARK = md5_uniform16_spark_sql(_SNAP_MD5)
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS pr,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         {_SNAP_H_SQL} AS h
+  FROM orders
+),
+old AS (SELECT k, st, pr, cents FROM base WHERE h % 11 <> 3),
+new AS (
+  SELECT k, st, pr,
+         cents + CASE WHEN h % 5 = 0 THEN 100 ELSE 0 END AS cents
+  FROM base WHERE h % 11 <> 7
+),
+d AS (
+  SELECT o.k AS ko, n.k AS kn,
+         o.st AS st_o, n.st AS st_n, o.pr AS pr_o, n.pr AS pr_n,
+         o.cents AS c_o, n.cents AS c_n
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT SUM(CASE WHEN ko IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+       SUM(CASE WHEN kn IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                 AND (st_o <> st_n OR pr_o <> pr_n OR c_o <> c_n)
+                THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+       SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                 AND st_o = st_n AND pr_o = pr_n AND c_o = c_n
+                THEN 1 ELSE 0 END)::BIGINT AS n_unchanged,
+       SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                 AND c_o <> c_n THEN 1 ELSE 0 END)::BIGINT
+         AS n_price_changed,
+       SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                 AND st_o <> st_n THEN 1 ELSE 0 END)::BIGINT
+         AS n_status_changed,
+       SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+                THEN c_n - c_o ELSE 0 END)::BIGINT AS cents_delta_sum
+FROM d
+"""
+
+
+@register("snapshot_diff_report", SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff between two deterministic snapshots of orders:
+    (n_added, n_removed, n_changed, n_unchanged, n_price_changed,
+    n_status_changed, cents_delta_sum)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr(_SNAP_H_SPARK).alias("h"),
+    )
+    old = base.where(F.col("h") % 11 != 3).select("k", "st", "pr", "cents")
+    new = base.where(F.col("h") % 11 != 7).select(
+        "k",
+        "st",
+        "pr",
+        (
+            F.col("cents")
+            + F.when(F.col("h") % 5 == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    d = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    both = F.col("o.k").isNotNull() & F.col("n.k").isNotNull()
+    changed = (
+        (F.col("o.st") != F.col("n.st"))
+        | (F.col("o.pr") != F.col("n.pr"))
+        | (F.col("o.cents") != F.col("n.cents"))
+    )
+    return d.agg(
+        F.sum(F.when(F.col("o.k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("n.k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(both & changed, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(both & ~changed, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unchanged"),
+        F.sum(F.when(both & (F.col("o.cents") != F.col("n.cents")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_price_changed"),
+        F.sum(F.when(both & (F.col("o.st") != F.col("n.st")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_status_changed"),
+        F.sum(
+            F.when(both, F.col("n.cents") - F.col("o.cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cents_delta_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-segment OLS trend with R²
+# ---------------------------------------------------------------------------
+#
+# Extends the r6 slope-only OLS (per_nation_price_trend_ols) to the
+# full regression readout — slope, intercept, and R² of order value
+# against time per market segment. x = epoch day (exact integer),
+# y = integer cents; the five moment sums are exact DECIMAL/HUGEINT,
+# and slope/intercept/R² are assembled in one fixed double tree
+# (slope = Sxy/Sxx, intercept = (Σy − b·Σx)/n, R² = Sxy²/(Sxx·Syy)
+# with Sxy = nΣxy − ΣxΣy etc.).
+
+OLS_R2_ORACLE = """
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS x,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT segment, COUNT(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x::HUGEINT * x)::HUGEINT AS sxx,
+         SUM(y::HUGEINT * y)::HUGEINT AS syy,
+         SUM(x::HUGEINT * y)::HUGEINT AS sxy
+  FROM pts GROUP BY segment
+)
+SELECT segment,
+       n::BIGINT AS n_orders,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_cents,
+       ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r_squared
+FROM m
+"""
+
+
+@register("per_segment_ols_r2", OLS_R2_ORACLE)
+def per_segment_ols_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OLS readout of order value vs time per market segment:
+    (segment, n_orders, slope_cents_per_day, intercept_cents,
+    r_squared)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pts = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        # TZ-free day number (datediff, never unix_timestamp — the
+        # latter is session-timezone-dependent)
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pts.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / vxx
+    return m.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept_cents"),
+        F.round(num * num / (vxx * vyy), 6).alias("r_squared"),
+    )

@@ -311,3 +311,93 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PHRASE_TOP)
         .select("phrase", "doc_id", F.col("n").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (tokenizer-training round 1)
+# ---------------------------------------------------------------------------
+#
+# The first iteration of byte-pair-encoding vocabulary training
+# (Sennrich et al. 2016): count adjacent symbol pairs inside words —
+# the initial symbol stream is the character sequence — and rank merge
+# candidates by corpus frequency. This is the inner-loop primitive of
+# tokenizer training; one exact round is oracle-checkable (later
+# rounds just re-run it over the merged symbol stream).
+#
+# 100 TB shape: the token stream is shuffled ONCE (the wordcount);
+# char-pair explosion then runs over the DISTINCT word vocabulary
+# weighted by word count — |vocab|·maxlen rows, orders of magnitude
+# below the corpus token stream (Heaps' law) — and words are capped at
+# 20 chars (longer tails are URLs/noise; cap applied identically in
+# the oracle). Exact integer counts, full (pair) tie-break.
+
+_BPE_MAX_WORD = 20
+_BPE_TOP = 20
+
+BPE_ORACLE = f"""
+WITH words AS (
+  SELECT w, COUNT(*)::BIGINT AS n
+  FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, i, 1) AS left_sym,
+         substring(w, i + 1, 1) AS right_sym,
+         SUM(n)::BIGINT AS pair_count
+  FROM words, UNNEST(range(1, LEAST(len(w), {_BPE_MAX_WORD}))) AS t(i)
+  WHERE len(w) >= 2
+  GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count
+FROM pairs
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {_BPE_TOP}
+"""
+
+
+@register("bpe_merge_candidates", BPE_ORACLE)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates after round 0 (adjacent character
+    pairs inside words, weighted by word frequency):
+    (left_sym, right_sym, pair_count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # substring with a column start needs expr-form (F.substring takes
+    # literal positions only)
+    pairs = (
+        words.where(F.length("w") >= 2)
+        .select(
+            "w",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.length("w"), F.lit(_BPE_MAX_WORD)) - 1,
+                )
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substring(w, i, 1)").alias("left_sym"),
+            F.expr("substring(w, i + 1, 1)").alias("right_sym"),
+            "n",
+        )
+        .groupBy("left_sym", "right_sym")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+    )
+    return (
+        pairs.orderBy(
+            F.col("pair_count").desc(), F.col("left_sym"), F.col("right_sym")
+        )
+        .limit(_BPE_TOP)
+    )
