@@ -316,6 +316,19 @@ PICKS = {
         "VARIANT path: parse_json once per row, typed variant_get in "
         "the same codegen projection, one 5-group agg exchange"
     ),
+    "ssl_selftrain_one_round_nb": (
+        "promotion round: three bounded model aggregates broadcast "
+        "back onto the pool, all-integer DECIMAL(38,0) score compare, "
+        "single fused projection"
+    ),
+    "spearman_qty_disc": (
+        "bounded-grid rank statistic: ONE fact groupBy exchange, then "
+        "broadcast grid joins and a per-flag aggregate"
+    ),
+    "part_degree_assortativity": (
+        "checkpointed co-order edge list, symmetric moment sums over "
+        "the undirected list, broadcast/AQE degree joins"
+    ),
 }
 
 

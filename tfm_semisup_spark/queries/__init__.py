@@ -130,6 +130,8 @@ _ORACLE_PRIORITY = [
     "bpe_merge_candidates",  # new r9 — first in line for r10
     "snapshot_diff_report",  # new r9 — first in line for r10
     "per_segment_ols_r2",  # new r9 — first in line for r10
+    "split_leakage_audit",  # new r9 — first in line for r10
+    "augment_token_dropout",  # new r9 — first in line for r10
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot

@@ -486,3 +486,167 @@ def domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("thr").cast("bigint").alias("rate_64k"),
         F.sum(F.col("doc_id") * F.col("kept")).cast("bigint").alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split with cross-split leakage audit
+# ---------------------------------------------------------------------------
+#
+# The governance check every training-data pipeline needs before a
+# model sees the splits: assign documents to train/val/test by a
+# deterministic portable hash (80/10/10 of the uniform [0,65536)
+# md5 decode) and audit whether any EXACT-DUPLICATE text (md5
+# fingerprint) spans two splits — duplicate leakage across the
+# held-out boundary silently inflates eval metrics.
+#
+# 100 TB shape: split assignment is stateless per row; the audit is a
+# fingerprint groupBy (the exact-dedup shuffle) counting distinct
+# splits per fingerprint — one wide-ish aggregate, no pairs.
+
+_SPLIT_H_SQL = md5_uniform16_sql("md5(CAST(doc_id AS STRING))")
+_SPLIT_H_SPARK = md5_uniform16_spark_sql("md5(CAST(doc_id AS STRING))")
+# 80/10/10 on the uniform 16-bit decode: [0, 52428) / [52428, 58982) / rest
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {_SPLIT_H_SQL} < 52428 THEN 'train' "
+    f"WHEN {_SPLIT_H_SQL} < 58982 THEN 'val' ELSE 'test' END"
+)
+_SPLIT_CASE_SPARK = (
+    f"CASE WHEN {_SPLIT_H_SPARK} < 52428 THEN 'train' "
+    f"WHEN {_SPLIT_H_SPARK} < 58982 THEN 'val' ELSE 'test' END"
+)
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, md5(text) AS fp, {_SPLIT_CASE_SQL} AS split
+  FROM documents WHERE text IS NOT NULL
+),
+per_split AS (
+  SELECT split, COUNT(*)::BIGINT AS n_docs,
+         COUNT(DISTINCT fp)::BIGINT AS n_distinct_texts
+  FROM assigned GROUP BY split
+),
+leaks AS (
+  SELECT fp, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS n_copies
+  FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+),
+leak_tot AS (
+  SELECT COUNT(*)::BIGINT AS leaked_fingerprints,
+         COALESCE(SUM(n_copies), 0)::BIGINT AS leaked_docs
+  FROM leaks
+)
+SELECT split, n_docs, n_distinct_texts,
+       (SELECT leaked_fingerprints FROM leak_tot) AS leaked_fingerprints,
+       (SELECT leaked_docs FROM leak_tot) AS leaked_docs
+FROM per_split
+"""
+
+
+@register("split_leakage_audit", SPLIT_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 hash split + exact-duplicate cross-split leakage audit:
+    (split, n_docs, n_distinct_texts, leaked_fingerprints,
+    leaked_docs) — the leak columns repeat the corpus-level totals on
+    each row."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    assigned = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.expr(_SPLIT_CASE_SPARK).alias("split"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_texts"),
+    )
+    leaks = (
+        assigned.groupBy("fp")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_splits") > 1)
+    )
+    leak_tot = leaks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("leaked_fingerprints"),
+        F.coalesce(F.sum("n_copies"), F.lit(0))
+        .cast("bigint")
+        .alias("leaked_docs"),
+    )
+    return per_split.crossJoin(F.broadcast(leak_tot))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token-dropout augmentation
+# ---------------------------------------------------------------------------
+#
+# Text augmentation with reproducibility: drop ~10% of tokens chosen
+# by a per-(doc, position) portable hash — the same document always
+# augments the same way on any cluster/partitioning, so an augmented
+# corpus is re-derivable instead of stored. Reported as a per-language
+# audit of before/after token counts plus an order-free checksum of
+# the kept positions (Σ doc_id·pos over kept tokens).
+#
+# 100 TB shape: one posexplode of the token stream (the wordcount
+# shuffle), stateless per-token keep decision, one aggregate. The
+# augmented TEXT itself would be re-assembled with array_join over
+# filter() in the writer path; the audit needs only counts.
+
+_AUG_DROP_NUM = 6554  # ≈10% of 65536
+
+AUG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.pos AS pos
+  FROM (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS l
+    FROM documents WHERE text IS NOT NULL
+  ), UNNEST(range(1, len(l) + 1)) AS t(pos)
+),
+decided AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN {md5_uniform16_sql("md5(CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING))")} < {_AUG_DROP_NUM}
+              THEN 0 ELSE 1 END AS kept
+  FROM toks
+)
+SELECT lang,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(kept)::BIGINT AS n_kept,
+       SUM(1 - kept)::BIGINT AS n_dropped,
+       SUM(kept * doc_id * pos)::BIGINT AS kept_checksum
+FROM decided
+GROUP BY lang
+"""
+
+
+@register("augment_token_dropout", AUG_ORACLE)
+def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% token dropout audit per language:
+    (lang, n_tokens, n_kept, n_dropped, kept_checksum)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("pos0", "tok"),
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"))
+    keep_h = md5_uniform16_spark_sql(
+        "md5(CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING))"
+    )
+    decided = toks.select(
+        "doc_id",
+        "lang",
+        "pos",
+        F.when(F.expr(keep_h) < _AUG_DROP_NUM, 0).otherwise(1).alias("kept"),
+    )
+    return decided.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum(1 - F.col("kept")).cast("bigint").alias("n_dropped"),
+        F.sum(F.col("kept") * F.col("doc_id") * F.col("pos"))
+        .cast("bigint")
+        .alias("kept_checksum"),
+    )
