@@ -737,6 +737,8 @@ def _nb1_csum(c: str, alias: str):
 
 
 def _nb1_base(spark: SparkSession, sf_dir: str):
+    from tfm_semisup_spark.operators.lineage import truncate
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
@@ -745,6 +747,11 @@ def _nb1_base(spark: SparkSession, sf_dir: str):
         F.month("o_orderdate").cast("bigint").alias("f2"),
         F.expr(_ST1_MASK_SPARK).alias("mask"),
     )
+    # the masked projection (with its md5 decode) feeds every view's
+    # likelihood + prior aggregates AND the scoring join — up to 9
+    # references in the multi-view queries; checkpoint once so the
+    # scan+hash runs once (the assortativity edge-list lesson)
+    base = truncate(base, eager=True)
     return base.where(F.col("mask") == 0), base.where(F.col("mask") != 0)
 
 
@@ -1033,6 +1040,11 @@ def ssl_tritrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_ST1_MASK_SPARK).alias("mask"),
         )
     )
+    # 9 downstream references (3 views × likelihood/prior/scoring) —
+    # checkpoint so the customer join + md5 decode run once
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    base = truncate(base, eager=True)
     labeled = base.where(F.col("mask") == 0)
     unlabeled = base.where(F.col("mask") != 0)
     d1 = _nb1_decided(labeled, unlabeled, "f1", 5).select(
