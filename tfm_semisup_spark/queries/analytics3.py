@@ -1039,3 +1039,224 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+#
+# The multi-touch counterpart to attribution_last_touch: every
+# non-purchase touch BEFORE a user's first purchase shares the
+# conversion credit equally (1/n per touch). The per-user fraction is
+# quantized to the exact integer floor(10^12/n) (pmod-subtract on
+# Spark, ``//`` HUGEINT in DuckDB) so the cross-user credit sums are
+# order-free integers; the single double division happens once per
+# output row. Same closure as monthly_seasonal_index — fractional
+# credit is exactly where per-row double sums would be
+# partition-order-dependent.
+#
+# 100 TB shape: one per-user aggregate finds the first purchase, one
+# (user, type) aggregate counts touches — both user-keyed shuffles;
+# the credit table is |event types| rows.
+
+_ATTR_SCALE = 1_000_000_000_000  # 10^12
+
+ATTR_LINEAR_ORACLE = f"""
+WITH firstp AS (
+  SELECT user_id, MIN(ts) AS fp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+touches AS (
+  SELECT e.user_id, e.event_type
+  FROM events e JOIN firstp f ON e.user_id = f.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts <= f.fp
+),
+per_user AS (
+  SELECT user_id, event_type, COUNT(*)::HUGEINT AS n_ut
+  FROM touches GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, SUM(n_ut) AS n_u,
+         ({_ATTR_SCALE} // SUM(n_ut)) AS q_u
+  FROM per_user GROUP BY user_id
+)
+SELECT p.event_type,
+       SUM(p.n_ut)::BIGINT AS n_touches,
+       COUNT(DISTINCT p.user_id)::BIGINT AS n_users,
+       ROUND(CAST(SUM(p.n_ut * t.q_u) AS DOUBLE)
+             / CAST({_ATTR_SCALE} AS DOUBLE), 6) AS credit
+FROM per_user p JOIN tot t ON p.user_id = t.user_id
+GROUP BY p.event_type
+"""
+
+
+@register("attribution_linear", ATTR_LINEAR_ORACLE)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of first purchases:
+    (event_type, n_touches, n_users, credit) — credit in conversion
+    units, exact-integer quantized per user."""
+    events = load_table(spark, sf_dir, "events")
+    firstp = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    touches = (
+        events.where(F.col("event_type") != "purchase")
+        .join(firstp, "user_id")
+        .where(F.col("ts") <= F.col("fp"))
+    )
+    per_user = touches.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ut")
+    )
+    scale = F.lit(_ATTR_SCALE).cast("decimal(38,0)")
+    tot = per_user.groupBy("user_id").agg(
+        F.sum("n_ut").alias("n_u"),
+    ).select(
+        "user_id",
+        "n_u",
+        ((scale - F.pmod(scale, F.col("n_u"))) / F.col("n_u"))
+        .cast("decimal(38,0)")
+        .alias("q_u"),
+    )
+    return (
+        per_user.join(tot, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ut").cast("bigint").alias("n_touches"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(F.col("n_ut") * F.col("q_u")).cast("double")
+                / F.lit(float(_ATTR_SCALE)),
+                6,
+            ).alias("credit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov chain: transition matrix + stationary distribution
+# ---------------------------------------------------------------------------
+#
+# Where does a user's session settle? Build the first-order Markov
+# transition matrix over per-user event sequences and run THREE
+# quantized power iterations from the uniform vector — the
+# fixed-iteration discipline (PageRank/BFS/k-core) that keeps an
+# iterative linear-algebra operator exactly SQL-expressible. All
+# iteration arithmetic is integer: v starts at floor(10^12/k) per
+# state and each step sums per-edge terms floor(v_i·n_ij/n_i) —
+# exact integer division on both engines, so three unrolled CTE
+# rounds in DuckDB reproduce the Spark loop bit-for-bit. Floor mass
+# leakage is ≤ k per step (≤ 15e-12 total) — invisible at round 6
+# and identical cross-engine anyway.
+#
+# 100 TB shape: ONE user-keyed LAG window builds transitions; the
+# matrix is a |types|² ≤ 25-cell grid, and every iteration is
+# grid-sized (broadcast) work.
+
+_MARKOV_SCALE = 1_000_000_000_000  # 10^12
+_MARKOV_ITERS = 3
+
+
+def _markov_oracle() -> str:
+    step = """
+v{j} AS (
+  SELECT t.nxt AS state,
+         SUM((v.q * t.n_ij) // t.n_i) AS q
+  FROM v{i} v JOIN trans t ON v.state = t.prev
+  GROUP BY t.nxt
+)"""
+    steps = ",".join(
+        step.format(i=i, j=i + 1) for i in range(_MARKOV_ITERS)
+    )
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+trans0 AS (
+  SELECT prev, event_type AS nxt, COUNT(*)::HUGEINT AS n_ij
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+trans AS (
+  SELECT prev, nxt, n_ij,
+         SUM(n_ij) OVER (PARTITION BY prev) AS n_i
+  FROM trans0
+),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+k AS (SELECT COUNT(*)::HUGEINT AS k FROM states),
+v0 AS (
+  SELECT state, ({_MARKOV_SCALE} // (SELECT k FROM k)) AS q FROM states
+),
+{steps},
+tot AS (SELECT SUM(q) AS t FROM v{_MARKOV_ITERS})
+SELECT s.state,
+       COALESCE(v.q, 0)::BIGINT AS mass_q,
+       ROUND(CAST(COALESCE(v.q, 0) AS DOUBLE)
+             / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS stationary_prob
+FROM states s LEFT JOIN v{_MARKOV_ITERS} v ON s.state = v.state
+"""
+
+
+@register("event_markov_stationary", _markov_oracle())
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution (3 quantized power iterations) of the
+    per-user event-type Markov chain: (state, mass_q,
+    stationary_prob)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    events = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev")
+    )
+    trans0 = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ij"))
+    )
+    trans = trans0.withColumn(
+        "n_i", F.sum("n_ij").over(Window.partitionBy("prev"))
+    )
+    # the ≤25-cell matrix feeds every iteration — materialize once so
+    # the fact-scale LAG window runs once, not per round
+    trans = truncate(trans, eager=True)
+    states = events.select(
+        F.col("event_type").alias("state")
+    ).distinct()
+    states = truncate(states, eager=True)
+    k = states.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("k"))
+    scale = F.lit(_MARKOV_SCALE).cast("decimal(38,0)")
+    v = states.crossJoin(F.broadcast(k)).select(
+        "state",
+        ((scale - F.pmod(scale, F.col("k"))) / F.col("k"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        term_num = F.col("q") * F.col("n_ij")
+        term = ((term_num - F.pmod(term_num, F.col("n_i"))) / F.col("n_i")).cast(
+            "decimal(38,0)"
+        )
+        v = (
+            v.join(F.broadcast(trans), v.state == trans.prev)
+            .select(F.col("nxt").alias("state"), term.alias("term"))
+            .groupBy("state")
+            .agg(F.sum("term").cast("decimal(38,0)").alias("q"))
+        )
+    tot = v.agg(F.sum("q").alias("t"))
+    return (
+        states.join(v, "state", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            F.coalesce(F.col("q"), F.lit(0)).cast("bigint").alias("mass_q"),
+            F.round(
+                F.coalesce(F.col("q"), F.lit(0)).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("stationary_prob"),
+        )
+    )
