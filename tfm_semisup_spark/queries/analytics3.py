@@ -1260,3 +1260,55 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stationary_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction (runtime-filter pushdown)
+# ---------------------------------------------------------------------------
+#
+# Revenue shipped by suppliers of ONE nation (synthetic names
+# NATION_0..24): the dimension side is
+# ~4% selective, so ~96% of lineitem rows would shuffle only to be
+# dropped at the join. `operators/bloom_join.py` builds an 8 KiB
+# bitset from the qualifying supplier keys and probes it in a
+# codegen Filter ON THE SCAN, so only matching ∪ false-positive rows
+# reach the Exchange. The ORACLE is the plain join — the driver's
+# hash compare is itself the proof that the pruning is lossless (the
+# prefix-filter Jaccard precedent).
+
+BLOOM_SEMIJOIN_ORACLE = """
+SELECT n.n_name AS nation,
+       COUNT(*)::BIGINT AS n_lineitems,
+       SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT))::BIGINT AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY n.n_name
+"""
+
+
+@register("bloom_semijoin_volume", BLOOM_SEMIJOIN_ORACLE)
+def bloom_semijoin_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from one nation's suppliers via a bloom-pruned join:
+    (nation, n_lineitems, revenue_cents)."""
+    from tfm_semisup_spark.operators.bloom_join import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("cents"),
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    joined = bloom_semijoin(li, supplier, "l_suppkey", "s_suppkey")
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
