@@ -538,3 +538,101 @@ def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         F.round(num / den, 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-deterministic random walks (DeepWalk-style sampling)
+# ---------------------------------------------------------------------------
+#
+# The graph-embedding training primitive (Perozzi et al. 2014,
+# DeepWalk): sample fixed-length walks to feed a skip-gram model. RNG
+# walks are not oracle-checkable, so the next-step choice is
+# HASH-DETERMINISTIC: from node v at step t, move to the neighbor d
+# minimizing md5(v || '-' || d || '-' || t) — a uniform-ish but fully
+# reproducible pick both engines compute identically (hex digests
+# compare lexicographically the same in Spark and DuckDB, and argmin
+# is min_by/arg_min on both). The choice hashes (node, step) — not
+# the walk id — so all walks at the same node and step agree; that is
+# intentional (one functional-graph per step ⇒ the whole walk table
+# derives from |V| argmin aggregates per step, not |walks| RNG draws,
+# and re-deriving a shard of walks is pure recomputation).
+#
+# 100 TB shape: the edge list is checkpointed once; each step is one
+# key-shuffle join + one (node-bounded) argmin aggregate. Walk count
+# scales with seed nodes, never edges².
+
+_WALK_STEPS = 3
+_WALK_SEED_MOD = 5
+
+
+def _walk_dig(v: str, d: str, t: int) -> str:
+    return (
+        f"md5(CAST({v} AS STRING) || '-' || CAST({d} AS STRING) "
+        f"|| '-' || '{t}')"
+    )
+
+
+def _walk_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, _WALK_STEPS + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT w.start_item, {", ".join(f"w.v{i}" for i in range(t))},
+         arg_min(u.d, {_walk_dig(f"w.v{t-1}", "u.d", t)}) AS v{t}
+  FROM w{t-1} w JOIN und u ON w.v{t-1} = u.s
+  GROUP BY w.start_item{"".join(f", w.v{i}" for i in range(t))}
+)""")
+        prev = f"w{t}"
+    cols = ", ".join(f"v{i}" for i in range(1, _WALK_STEPS + 1))
+    return (
+        "WITH "
+        + _EDGES_SQL
+        + f""",
+und AS (
+  SELECT item_a AS s, item_b AS d FROM e0
+  UNION ALL SELECT item_b, item_a FROM e0
+),
+w0 AS (
+  SELECT DISTINCT s AS start_item, s AS v0 FROM und
+  WHERE s % {_WALK_SEED_MOD} = 0
+),"""
+        + ",".join(steps)
+        + f"""
+SELECT start_item, {cols} FROM w{_WALK_STEPS}
+"""
+    )
+
+
+@register("item_hash_random_walks", _walk_oracle())
+def item_hash_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic {n}-step walks from seed items (% {m} == 0)
+    over the co-engagement graph: (start_item, v1..v{n}).""".format(
+        n=_WALK_STEPS, m=_WALK_SEED_MOD
+    )
+    edges = truncate(
+        _cooc_pairs(spark, sf_dir)
+        .where(F.col("n_users") >= _BFS_MIN_USERS)
+        .select("item_a", "item_b")
+    )
+    und = edges.select(
+        F.col("item_a").alias("s"), F.col("item_b").alias("d")
+    ).unionAll(
+        edges.select(F.col("item_b").alias("s"), F.col("item_a").alias("d"))
+    )
+    walk = (
+        und.select(F.col("s").alias("start_item"), F.col("s").alias("v0"))
+        .distinct()
+        .where(F.col("start_item") % _WALK_SEED_MOD == 0)
+    )
+    for t in range(1, _WALK_STEPS + 1):
+        prev_cols = ["start_item"] + [f"v{i}" for i in range(t)]
+        dig = F.expr(_walk_dig(f"v{t-1}", "d", t))
+        walk = (
+            walk.join(und, walk[f"v{t-1}"] == und.s)
+            .groupBy(*prev_cols)
+            .agg(F.min_by("d", dig).alias(f"v{t}"))
+        )
+    return walk.select(
+        "start_item", *[f"v{i}" for i in range(1, _WALK_STEPS + 1)]
+    )
