@@ -198,3 +198,135 @@ def spatial_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("key", "nn_key", "dist_sq")
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density labels (core / border / noise)
+# ---------------------------------------------------------------------------
+#
+# The density-clustering primitive (Ester et al. 1996) restricted to
+# its exactly-SQL-expressible first phase: label every point core
+# (≥ minPts points within eps, self included), border (non-core with a
+# core neighbor), or noise. Cluster-id assignment is connected
+# components over core points — that operator already exists
+# (``operators/components.py``); this query drives the density math.
+# eps is 4× the pair-query radius so the label mix is non-degenerate
+# at the oracle SFs; the grid cell size equals eps, keeping the 3×3
+# neighbor-cell equi-join argument intact (candidates bounded by cell
+# occupancy, each neighbor pair produced exactly once per direction).
+# All distances are exact integer dist² compares — no sqrt anywhere.
+
+_DBSCAN_EPS = 2048
+_DBSCAN_EPS_SQ = _DBSCAN_EPS * _DBSCAN_EPS
+_DBSCAN_MINPTS = 4  # neighbors within eps INCLUDING the point itself
+
+DBSCAN_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey AS key,
+         CAST({md5_uniform16_sql(_MD5, 1)} AS BIGINT) AS x,
+         CAST({md5_uniform16_sql(_MD5, 5)} AS BIGINT) AS y
+  FROM customer
+),
+nbrs AS (
+  SELECT a.key AS key, b.key AS nbr
+  FROM pts a JOIN pts b ON a.key <> b.key
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {_DBSCAN_EPS_SQ}
+),
+deg AS (SELECT key, COUNT(*)::BIGINT AS n FROM nbrs GROUP BY key),
+core AS (
+  SELECT p.key FROM pts p LEFT JOIN deg d ON p.key = d.key
+  WHERE COALESCE(d.n, 0) + 1 >= {_DBSCAN_MINPTS}
+),
+border AS (
+  SELECT DISTINCT n.key FROM nbrs n
+  JOIN core c ON n.nbr = c.key
+  WHERE n.key NOT IN (SELECT key FROM core)
+),
+labeled AS (
+  SELECT p.key,
+         CASE WHEN p.key IN (SELECT key FROM core) THEN 'core'
+              WHEN p.key IN (SELECT key FROM border) THEN 'border'
+              ELSE 'noise' END AS label
+  FROM pts p
+)
+SELECT label, COUNT(*)::BIGINT AS n_points, SUM(key)::BIGINT AS key_sum
+FROM labeled GROUP BY label
+"""
+
+
+@register("spatial_dbscan_labels", DBSCAN_ORACLE)
+def spatial_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density labels over the derived customer plane
+    (eps={e}, minPts={m}): (label, n_points, key_sum).""".format(
+        e=_DBSCAN_EPS, m=_DBSCAN_MINPTS
+    )
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    spark_md5 = "md5(CAST(c_custkey AS STRING))"
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.expr(md5_uniform16_spark_sql(spark_md5, 1)).cast("bigint").alias("x"),
+        F.expr(md5_uniform16_spark_sql(spark_md5, 5)).cast("bigint").alias("y"),
+    ).withColumn("cx", (F.col("x") / _DBSCAN_EPS).cast("int")).withColumn(
+        "cy", (F.col("y") / _DBSCAN_EPS).cast("int")
+    )
+    pts = truncate(pts, eager=True)  # feeds probe, base, and the label join
+    probe = pts.select(
+        F.col("key").alias("key_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.sequence(F.col("cx") - 1, F.col("cx") + 1)).alias("jx"),
+        "cy",
+    ).select(
+        "key_a",
+        "xa",
+        "ya",
+        "jx",
+        F.explode(F.sequence(F.col("cy") - 1, F.col("cy") + 1)).alias("jy"),
+    )
+    base = pts.select(
+        F.col("key").alias("key_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nbrs = (
+        probe.join(base, ["jx", "jy"])
+        .where(F.col("key_a") != F.col("key_b"))
+        .where(dist_sq <= _DBSCAN_EPS_SQ)
+        .select(F.col("key_a").alias("key"), F.col("key_b").alias("nbr"))
+    )
+    nbrs = truncate(nbrs, eager=True)  # consumed by deg AND border
+    deg = nbrs.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    core = (
+        pts.join(deg, "key", "left")
+        .where(F.coalesce(F.col("n"), F.lit(0)) + 1 >= _DBSCAN_MINPTS)
+        .select("key")
+    )
+    border = (
+        nbrs.join(core.withColumnRenamed("key", "nbr"), "nbr", "left_semi")
+        .select("key")
+        .distinct()
+        .join(core, "key", "left_anti")
+    )
+    labeled = (
+        pts.select("key")
+        .join(core.withColumn("is_core", F.lit(1)), "key", "left")
+        .join(border.withColumn("is_border", F.lit(1)), "key", "left")
+        .select(
+            "key",
+            F.when(F.col("is_core") == 1, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("label"),
+        )
+    )
+    return labeled.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum("key").cast("bigint").alias("key_sum"),
+    )
