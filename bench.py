@@ -172,6 +172,11 @@ HEADLINE = [
     "ssl_tritrain_one_round_nb",
     "spearman_qty_disc",
     "part_degree_assortativity",
+    # late-r9 families: the bloom semi-join reduction (runtime-filter
+    # pushdown — the shuffle-volume lever) and the quantized Markov
+    # power iteration
+    "bloom_semijoin_volume",
+    "event_markov_stationary",
 ]
 
 

@@ -1,8 +1,10 @@
-"""Graph analytics #3: multi-source BFS hop distance and item-item
-co-occurrence cosine over the co-engagement graph.
+"""Graph analytics #3: multi-source BFS, co-occurrence cosine,
+personalized PageRank, recursive-CTE reachability, and — added r9 —
+Newman degree assortativity over the co-ordered-parts graph and
+hash-deterministic DeepWalk-style random walks.
 
-Completes the graph family (connected components, PageRank, triangle
-counts, k-core, label propagation) with two more staples:
+Extends the graph family (connected components, PageRank, triangle
+counts, k-core, label propagation) with more staples, starting with:
 
 - ``item_bfs_hop_distance``: multi-source breadth-first search — the
   shortest hop count from a deterministic seed set (items ≡ 0 mod 7)
