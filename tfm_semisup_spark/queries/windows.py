@@ -889,3 +889,122 @@ def streaming_leftouter_join_finalized(
             .alias("n_unmatched"),
         )
     )
+
+
+# Tenth streaming-materialized tier: stream-stream FULL OUTER interval
+# join — BOTH null-completion directions (a left event with no
+# follower within 5 minutes emits once with NULL right columns; a
+# right event with no same-user predecessor in the 5 minutes before it
+# emits once with NULL left columns — each at its state eviction).
+# Horizon discipline: matched/left-outer rows clamp on l_ts, right-
+# outer rows clamp on r_ts, both 15 minutes inside the final
+# watermark. The right-unmatched oracle test runs NOT EXISTS against
+# ALL events (not the horizon-clamped set): a matching left event
+# beyond the horizon still matches in the stream — it only excludes
+# the PAIR row from the clamped aggregate, not the match itself.
+STREAMING_FULLOUTER_ORACLE = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOURS - INTERVAL 15 MINUTES AS h FROM events
+),
+l AS (
+  SELECT user_id, event_id, ts FROM events CROSS JOIN wm WHERE ts <= wm.h
+),
+lj AS (
+  SELECT l.user_id, l.event_id, b.event_id AS r_event
+  FROM l LEFT JOIN events b
+    ON b.user_id = l.user_id
+   AND b.ts > l.ts
+   AND b.ts <= l.ts + INTERVAL 5 MINUTES
+),
+lagg AS (
+  SELECT user_id,
+         SUM(CASE WHEN r_event IS NOT NULL THEN 1 ELSE 0 END) AS n_pairs,
+         SUM(CASE WHEN r_event IS NULL THEN 1 ELSE 0 END) AS n_left_unmatched
+  FROM lj GROUP BY user_id
+),
+runm AS (
+  SELECT r.user_id, COUNT(*) AS n_right_unmatched
+  FROM events r CROSS JOIN wm
+  WHERE r.ts <= wm.h
+    AND NOT EXISTS (
+      SELECT 1 FROM events b
+      WHERE b.user_id = r.user_id
+        AND b.ts < r.ts
+        AND b.ts >= r.ts - INTERVAL 5 MINUTES
+    )
+  GROUP BY r.user_id
+)
+SELECT COALESCE(lagg.user_id, runm.user_id) AS user_id,
+       CAST(COALESCE(lagg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(lagg.n_left_unmatched, 0) AS BIGINT)
+         AS n_left_unmatched,
+       CAST(COALESCE(runm.n_right_unmatched, 0) AS BIGINT)
+         AS n_right_unmatched
+FROM lagg FULL OUTER JOIN runm ON lagg.user_id = runm.user_id
+"""
+
+
+@register("streaming_fullouter_join_finalized", STREAMING_FULLOUTER_ORACLE)
+def streaming_fullouter_join_finalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join via a real micro-batch
+    run: (user_id, n_pairs, n_left_unmatched, n_right_unmatched) —
+    both null-completion directions, each clamped to its own
+    finalization horizon."""
+    import tempfile
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.streaming.events import (
+        interval_join_stream,
+        materialize_stream_to_parquet,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="tfm_stream_fojoin_")
+    joined = interval_join_stream(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        interval="5 minutes",
+        watermark="2 hours",
+        how="fullOuter",
+    ).select("l_user", "l_event", "r_user", "r_event", "l_ts", "r_ts")
+    materialize_stream_to_parquet(joined, f"{base}/out", f"{base}/ckpt")
+    horizon = load_table(spark, sf_dir, "events").agg(
+        (
+            F.max("ts")
+            - F.expr("INTERVAL 2 HOURS")
+            - F.expr("INTERVAL 15 MINUTES")
+        ).alias("h")
+    )
+    art = spark.read.parquet(f"{base}/out").crossJoin(F.broadcast(horizon))
+    left_side = (
+        art.where(F.col("l_event").isNotNull() & (F.col("l_ts") <= F.col("h")))
+        .groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.sum(F.when(F.col("r_event").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("r_event").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_left_unmatched"),
+        )
+    )
+    right_side = (
+        art.where(F.col("l_event").isNull() & (F.col("r_ts") <= F.col("h")))
+        .groupBy(F.col("r_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_right_unmatched"))
+    )
+    return (
+        left_side.join(right_side, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_left_unmatched", F.lit(0))
+            .cast("bigint")
+            .alias("n_left_unmatched"),
+            F.coalesce("n_right_unmatched", F.lit(0))
+            .cast("bigint")
+            .alias("n_right_unmatched"),
+        )
+    )

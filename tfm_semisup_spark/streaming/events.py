@@ -167,7 +167,7 @@ def interval_join_stream(
             """
         ),
         how,
-    ).select("l_user", "l_event", "r_event", "l_ts", "r_ts")
+    ).select("l_user", "l_event", "r_user", "r_event", "l_ts", "r_ts")
 
 
 def run_available_now(result: DataFrame, table_name: str, output_mode: str = "complete"):
