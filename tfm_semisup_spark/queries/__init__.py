@@ -138,6 +138,8 @@ _ORACLE_PRIORITY = [
     "item_hash_random_walks",  # new r9 — first in line for r10
     "spatial_dbscan_labels",  # new r9 — first in line for r10
     "streaming_fullouter_join_finalized",  # new r9 — first in line for r10
+    "seasonal_naive_backtest",  # new r9 — first in line for r10
+    "ab_test_cuped_adjusted",  # new r9 — first in line for r10
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot

@@ -670,3 +670,234 @@ def hodges_lehmann_qty_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+#
+# The forecasting-evaluation primitive: score the two standard
+# baseline models every real forecast must beat — naive (tomorrow =
+# today) and seasonal naive (tomorrow = same weekday last week) — on
+# the daily revenue series. Errors are exact integer cents; MAPE
+# per-day ratios are quantized to floor(|err|·10⁹/actual) integers
+# before summing (the summation-order closure), and each metric does
+# ONE double division at the end. Windows run over the bounded
+# calendar grid.
+
+_BT_SCALE = 1_000_000_000  # 10^9 MAPE quantization
+
+BACKTEST_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, cents,
+         LAG(cents, 1) OVER (ORDER BY day) AS f_naive,
+         LAG(cents, 7) OVER (ORDER BY day) AS f_snaive
+  FROM daily
+),
+scored AS (
+  SELECT 'naive' AS model,
+         ABS(cents - f_naive)::HUGEINT AS abs_err,
+         (ABS(cents - f_naive)::HUGEINT * {_BT_SCALE}) // cents AS ape_q
+  FROM lagged WHERE f_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive',
+         ABS(cents - f_snaive)::HUGEINT,
+         (ABS(cents - f_snaive)::HUGEINT * {_BT_SCALE}) // cents
+  FROM lagged WHERE f_snaive IS NOT NULL
+)
+SELECT model,
+       COUNT(*)::BIGINT AS n_days,
+       ROUND(CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS mae_cents,
+       ROUND(CAST(SUM(ape_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / CAST({_BT_SCALE} AS DOUBLE) * CAST(100 AS DOUBLE), 6)
+         AS mape_pct
+FROM scored GROUP BY model
+"""
+
+
+@register("seasonal_naive_backtest", BACKTEST_ORACLE)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MAPE of the naive and seasonal-naive daily-revenue
+    baselines: (model, n_days, mae_cents, mape_pct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents",
+        F.lag("cents", 1).over(w).alias("f_naive"),
+        F.lag("cents", 7).over(w).alias("f_snaive"),
+    )
+
+    def _scored(fcol: str, model: str) -> DataFrame:
+        err = F.abs(F.col("cents") - F.col(fcol)).cast("decimal(38,0)")
+        num = err * F.lit(_BT_SCALE)
+        ape_q = ((num - F.pmod(num, F.col("cents").cast("decimal(38,0)")))
+                 / F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)")
+        return lagged.where(F.col(fcol).isNotNull()).select(
+            F.lit(model).alias("model"),
+            err.alias("abs_err"),
+            ape_q.alias("ape_q"),
+        )
+
+    scored = _scored("f_naive", "naive").unionAll(
+        _scored("f_snaive", "seasonal_naive")
+    )
+    return scored.groupBy("model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum("abs_err").cast("double") / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("mae_cents"),
+        F.round(
+            F.sum("ape_q").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(_BT_SCALE))
+            * F.lit(100.0),
+            6,
+        ).alias("mape_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED-adjusted A/B readout
+# ---------------------------------------------------------------------------
+#
+# Variance reduction for experiments (Deng et al. 2013, CUPED): adjust
+# the experiment metric with a pre-period covariate,
+# y_adj = y − θ(x − x̄), θ = cov(x,y)/var(x). Pre-period = the first
+# 15 days of the event stream (data-derived, deterministic); covariate
+# x = pre-period event count per user, metric y = post-period purchase
+# count; variants are the md5 A/B buckets of the z-test query. θ, the
+# adjusted means, and the variance-reduction factor (= ρ²ₓᵧ) are all
+# assembled from EXACT integer moment sums in one fixed double tree —
+# no per-row double anywhere.
+
+CUPED_ORACLE = """
+WITH cutoff AS (
+  SELECT MIN(ts) + INTERVAL 15 DAYS AS c FROM events
+),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN ts < (SELECT c FROM cutoff) THEN 1 ELSE 0 END)
+           ::HUGEINT AS x,
+         SUM(CASE WHEN ts >= (SELECT c FROM cutoff)
+                   AND event_type = 'purchase' THEN 1 ELSE 0 END)
+           ::HUGEINT AS y
+  FROM events GROUP BY user_id
+),
+bucketed AS (
+  SELECT ((ascii(substring(md5(CAST(user_id AS STRING)), 1, 1))
+           - (CASE WHEN ascii(substring(md5(CAST(user_id AS STRING)), 1, 1))
+                   >= 97 THEN 87 ELSE 48 END)) % 2) AS variant,
+         x, y
+  FROM per_user
+),
+pooled AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM bucketed
+),
+per_variant AS (
+  SELECT variant, COUNT(*)::HUGEINT AS nv, SUM(x) AS svx, SUM(y) AS svy
+  FROM bucketed GROUP BY variant
+)
+SELECT v.variant::BIGINT AS variant,
+       v.nv::BIGINT AS n_users,
+       ROUND(CAST(v.svy AS DOUBLE) / CAST(v.nv AS DOUBLE), 6) AS mean_raw,
+       ROUND(CAST(v.svy AS DOUBLE) / CAST(v.nv AS DOUBLE)
+             - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+               * (CAST(v.svx AS DOUBLE) / CAST(v.nv AS DOUBLE)
+                  - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)), 6)
+         AS mean_cuped,
+       ROUND((CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+              * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE))
+             / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+                * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)), 6)
+         AS variance_reduction
+FROM per_variant v CROSS JOIN pooled p
+"""
+
+
+@register("ab_test_cuped_adjusted", CUPED_ORACLE)
+def ab_test_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted per-variant conversion means + the variance
+    reduction factor: (variant, n_users, mean_raw, mean_cuped,
+    variance_reduction)."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("c")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("c"), 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.col("c"))
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    # single-hex-char parity bucket — the identical expression text the
+    # oracle uses (NOT the 4-char md5_uniform16 decode: its mod-2 is
+    # the LAST char's parity, a different split)
+    first_hex = (
+        "(ascii(substring(md5(CAST(user_id AS STRING)), 1, 1)) - "
+        "(CASE WHEN ascii(substring(md5(CAST(user_id AS STRING)), 1, 1)) "
+        ">= 97 THEN 87 ELSE 48 END)) % 2"
+    )
+    bucketed = per_user.select(
+        F.expr(first_hex).alias("variant"), "x", "y"
+    )
+    pooled = bucketed.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    per_variant = bucketed.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nv"),
+        F.sum("x").alias("svx"),
+        F.sum("y").alias("svy"),
+    )
+    theta_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    theta_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    mean_raw = F.col("svy").cast("double") / F.col("nv").cast("double")
+    mean_x = F.col("svx").cast("double") / F.col("nv").cast("double")
+    mean_x_all = F.col("sx").cast("double") / F.col("n").cast("double")
+    return per_variant.crossJoin(F.broadcast(pooled)).select(
+        F.col("variant").cast("bigint").alias("variant"),
+        F.col("nv").cast("bigint").alias("n_users"),
+        F.round(mean_raw, 6).alias("mean_raw"),
+        F.round(
+            mean_raw - (theta_num / theta_den) * (mean_x - mean_x_all), 6
+        ).alias("mean_cuped"),
+        F.round(theta_num * theta_num / (theta_den * vy), 6).alias(
+            "variance_reduction"
+        ),
+    )
