@@ -1,0 +1,185 @@
+"""Unit/property tests for the late-r9 quartet: isotonic calibration,
+Brier decomposition, Fellegi-Sunter record linkage, proximity search.
+
+Oracle parity (the primary gate) is covered by test_oracle_parity /
+driver_sim; these tests pin the algorithmic invariants the hash can't
+see: monotonicity + PAVA equivalence of the isotonic fit, the
+decomposition identities and bounds of the Brier readout, the
+ground-truth accounting of the linkage histogram, and proximity-window
+semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tfm_semisup_spark.session import get_spark
+
+    return get_spark(app_name="test-linkage-calibration")
+
+
+def _pava(bins):
+    """Reference weighted PAVA: bins = [(bin, n, h)] sorted by bin ->
+    isotonic fit per bin (pool-adjacent-violators, L2, weights n)."""
+    blocks = [[n, h, [b]] for b, n, h in bins]  # [weight, sum, members]
+    i = 0
+    while i < len(blocks) - 1:
+        a, b = blocks[i], blocks[i + 1]
+        if a[1] * b[0] > b[1] * a[0]:  # mean(a) > mean(b): violation
+            blocks[i] = [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fit = {}
+    for w, s, members in blocks:
+        for b in members:
+            fit[b] = s / w
+    return fit
+
+
+def test_isotonic_matches_pava_and_is_monotone(spark):
+    from tfm_semisup_spark.queries.ssl_queries import ssl_isotonic_calibration
+
+    rows = sorted(
+        ssl_isotonic_calibration(spark, SF).collect(), key=lambda r: r["bin"]
+    )
+    assert rows
+    # monotone non-decreasing in bin order
+    fits = [r["rate_iso"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+    # equals the classic PAVA fit (same weighted L2 projection)
+    ref = _pava([(r["bin"], r["n"], r["n_correct"]) for r in rows])
+    for r in rows:
+        assert abs(r["rate_iso"] - ref[r["bin"]]) < 5e-7  # 6-dp rounding
+    # average-preserving under pooling: weighted fit total == hits
+    # (up to the 6-dp output rounding, <= N * 5e-7)
+    assert abs(
+        sum(r["rate_iso"] * r["n"] for r in rows)
+        - sum(r["n_correct"] for r in rows)
+    ) < 0.01
+
+
+def test_brier_decomposition_bounds_and_identity(spark):
+    from tfm_semisup_spark.queries.ssl_queries import ssl_brier_decomposition
+
+    row = ssl_brier_decomposition(spark, SF).collect()[0]
+    assert row["n"] > 0
+    assert 0.0 <= row["brier"] <= 1.0
+    assert row["reliability"] >= 0.0
+    assert row["resolution"] >= 0.0
+    assert 0.0 <= row["uncertainty"] <= 0.25
+    # resolution can't exceed uncertainty (it's the explained part of
+    # the outcome variance)
+    assert row["resolution"] <= row["uncertainty"] + 1e-6
+    # Murphy identity holds up to the within-bin variance/covariance
+    # remainder, bounded by the 1/20 bin width
+    defect = row["brier"] - (
+        row["reliability"] - row["resolution"] + row["uncertainty"]
+    )
+    assert abs(defect) < 0.11
+
+
+def test_brier_matches_numpy_reference(spark):
+    """Recompute the four components from the raw (f, hit) pool —
+    the quantized-integer pipeline must agree to ~1e-6."""
+    import numpy as np
+
+    from tfm_semisup_spark.queries.ssl_queries import (
+        _BRIER_SCALE,
+        _ISO_BINS,
+        _fd,
+        _nb1_base,
+        _nb1_decided,
+        ssl_brier_decomposition,
+    )
+    from pyspark.sql import functions as F
+
+    labeled, unlabeled = _nb1_base(spark, SF)
+    decided = _nb1_decided(labeled, unlabeled, "f1", 5)
+    pool = decided.select(
+        _fd(F.col("t_max") * _BRIER_SCALE, F.col("t_sum")).alias("f"),
+        F.when(F.col("pred_class") == F.col("o_orderstatus"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    ).collect()
+    f = np.array([int(r["f"]) for r in pool], dtype=np.float64) / _BRIER_SCALE
+    o = np.array([r["hit"] for r in pool], dtype=np.float64)
+    n = len(f)
+    bins = np.minimum(_ISO_BINS - 1, (f * _ISO_BINS).astype(np.int64))
+    obar = o.mean()
+    rel = res = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        rel += m.sum() * (f[m].mean() - o[m].mean()) ** 2
+        res += m.sum() * (o[m].mean() - obar) ** 2
+    ref = {
+        "brier": ((f - o) ** 2).mean(),
+        "reliability": rel / n,
+        "resolution": res / n,
+        "uncertainty": obar * (1 - obar),
+        "base_rate": obar,
+    }
+    row = ssl_brier_decomposition(spark, SF).collect()[0]
+    for k, v in ref.items():
+        assert abs(row[k] - v) < 2e-6, (k, row[k], v)
+
+
+def test_record_linkage_truth_accounting(spark):
+    from tfm_semisup_spark.queries.linkage import (
+        _T_MATCH,
+        _T_POSSIBLE,
+        record_linkage_fs,
+    )
+    from tfm_semisup_spark.io import load_table
+
+    rows = record_linkage_fs(spark, SF).collect()
+    n_cust = load_table(spark, SF, "customer").count()
+    # every customer pairs with its own corrupted re-release exactly
+    # once (blocking fields are uncorrupted), so truth counts total N
+    assert sum(r["n_true_match"] for r in rows) == n_cust
+    assert all(r["n_true_match"] <= r["n_pairs"] for r in rows)
+    # decision labels are the FS threshold function of the score
+    for r in rows:
+        want = (
+            "match"
+            if r["score"] >= _T_MATCH
+            else "possible" if r["score"] >= _T_POSSIBLE else "nonmatch"
+        )
+        assert r["decision"] == want
+    # the all-agree score level exists and is truth-dominated: an
+    # uncorrupted B row agrees on all three fields with its A twin
+    top = max(rows, key=lambda r: r["score"])
+    assert top["decision"] == "match"
+    assert top["n_true_match"] > 0
+
+
+def test_proximity_window_semantics(spark):
+    from tfm_semisup_spark.queries.text_analysis3 import (
+        _PROX_K,
+        _PROX_PAIRS,
+        _PROX_TOP,
+        text_proximity_search,
+    )
+
+    rows = text_proximity_search(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert 0 <= r["min_dist"] <= _PROX_K
+        assert r["n_close"] >= 1
+        by_q.setdefault(r["query"], []).append(r)
+    assert set(by_q) <= set(_PROX_PAIRS)
+    for q, rs in by_q.items():
+        assert len(rs) <= _PROX_TOP
+        # ranking: min_dist asc, then n_close desc, then doc_id
+        key = [(r["min_dist"], -r["n_close"], r["doc_id"]) for r in rs]
+        assert key == sorted(key)
+    # determinism
+    again = text_proximity_search(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -140,6 +140,12 @@ _ORACLE_PRIORITY = [
     "streaming_fullouter_join_finalized",  # new r9 — first in line for r10
     "seasonal_naive_backtest",  # new r9 — first in line for r10
     "ab_test_cuped_adjusted",  # new r9 — first in line for r10
+    "ssl_isotonic_calibration",  # new r9 — first in line for r10
+    "ssl_brier_decomposition",  # new r9 — first in line for r10
+    "record_linkage_fs",  # new r9 — first in line for r10
+    "text_proximity_search",  # new r9 — first in line for r10
+    # (r10 window is now EXACTLY full: 29 r9-born + 21 r4-stale = 50 —
+    # no more oracles can be born before r10 without displacing one)
     "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
     "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
     "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot
@@ -262,5 +268,6 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import stats4  # noqa: F401
     from tfm_semisup_spark.queries import stats5  # noqa: F401
     from tfm_semisup_spark.queries import analytics3  # noqa: F401
+    from tfm_semisup_spark.queries import linkage  # noqa: F401
 
     _reorder_registries()

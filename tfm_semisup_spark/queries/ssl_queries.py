@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.ml import Pipeline
 from pyspark.ml.classification import DecisionTreeClassifier, RandomForestClassifier
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.featurization import ArrayToVector
@@ -1160,4 +1160,292 @@ def ssl_nb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("hit").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic recalibration of the NB scorer (PAVA on the binned grid)
+# ---------------------------------------------------------------------------
+#
+# ssl_nb_calibration_bins reads the reliability diagram; THIS entry
+# fits the monotone recalibration map over it — isotonic regression
+# (the PAV algorithm of Ayer et al. 1955; the calibration method of
+# Zadrozny & Elkan 2002, the standard alternative to Platt scaling for
+# tree/NB scorers like the reference's base classifiers,
+# ``BaseClassifiers.scala:46-193``). PAVA is sequential, but the L2
+# isotonic fit has a closed minimax form
+#
+#   fit_i = max_{j<=i} min_{k>=i} weightedMean(rate, j..k)
+#
+# which IS relational algebra on a BOUNDED bin grid (B=20 confidence
+# vigintiles): one fact-scale aggregate produces (bin, n_k, h_k);
+# every window/join after that runs on <= B(B+1)/2 = 210 segment rows
+# (two windows + one non-equi join on a broadcast-sized grid — the
+# equidepth/midhinge discipline, so the global ORDER BY window is
+# bounded and scale-free). Segment means are CAST(int)/CAST(int) —
+# one correctly-rounded double division from exact integer prefix-sum
+# differences, bit-equal cross-engine; MIN/MAX are order-free.
+
+_ISO_BINS = 20
+
+
+def _iso_oracle() -> str:
+    S = _KBEST_CONF_SCALE
+    return f"""
+WITH {_NB1_BASE_SQL},
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{_nb1_decided_sql("f1", 5, "v1")},
+conf AS (
+  SELECT LEAST({_ISO_BINS - 1},
+               (((t_max * {S}) // t_sum) * {_ISO_BINS}) // {S})::BIGINT AS bin,
+         CASE WHEN pred_class = o_orderstatus THEN 1 ELSE 0 END AS hit
+  FROM decided_v1
+),
+bins AS (
+  SELECT bin, COUNT(*)::HUGEINT AS n_k, SUM(hit)::HUGEINT AS h_k
+  FROM conf GROUP BY bin
+),
+pre AS (
+  SELECT bin, n_k, h_k,
+         SUM(n_k) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cn,
+         SUM(h_k) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ch
+  FROM bins
+),
+seg AS (
+  SELECT l.bin AS j, r.bin AS k,
+         CAST(r.ch - (l.ch - l.h_k) AS DOUBLE)
+           / CAST(r.cn - (l.cn - l.n_k) AS DOUBLE) AS m
+  FROM pre l JOIN pre r ON l.bin <= r.bin
+),
+sm AS (
+  SELECT j, k,
+         MIN(m) OVER (PARTITION BY j ORDER BY k
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sm
+  FROM seg
+),
+iso AS (SELECT k AS bin, MAX(sm) AS fit FROM sm GROUP BY k)
+SELECT b.bin,
+       b.n_k::BIGINT AS n,
+       b.h_k::BIGINT AS n_correct,
+       ROUND(CAST(b.h_k AS DOUBLE) / CAST(b.n_k AS DOUBLE), 6) AS rate_raw,
+       ROUND(i.fit, 6) AS rate_iso
+FROM bins b JOIN iso i ON b.bin = i.bin
+"""
+
+
+@register("ssl_isotonic_calibration", _iso_oracle())
+def ssl_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration of the exact-count NB scorer via
+    the closed minimax form on B=20 confidence vigintiles:
+    (bin, n, n_correct, rate_raw, rate_iso); rate_iso is the L2
+    monotone fit of accuracy-vs-confidence."""
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    decided = _nb1_decided(labeled, unlabeled, "f1", 5)
+    S = F.lit(_KBEST_CONF_SCALE)
+    num = F.col("t_max") * S
+    conf_q = ((num - F.pmod(num, F.col("t_sum"))) / F.col("t_sum")).cast(
+        "decimal(38,0)"
+    )
+    cb = conf_q * _ISO_BINS
+    conf = decided.select(
+        F.least(
+            F.lit(_ISO_BINS - 1).cast("bigint"),
+            ((cb - F.pmod(cb, S)) / S).cast("bigint"),
+        ).alias("bin"),
+        F.when(F.col("pred_class") == F.col("o_orderstatus"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    bins = conf.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("hit").cast("bigint").alias("h_k"),
+    )
+    # bounded-grid windows: <= B rows, so the global ORDER BY window
+    # is a single tiny partition by construction (equidepth precedent)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = bins.select(
+        "bin",
+        "n_k",
+        "h_k",
+        F.sum("n_k").over(w).alias("cn"),
+        F.sum("h_k").over(w).alias("ch"),
+    )
+    left = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n_k")).alias("cn0"),
+        (F.col("ch") - F.col("h_k")).alias("ch0"),
+    )
+    right = pre.select(F.col("bin").alias("k"), "cn", "ch")
+    seg = left.join(F.broadcast(right), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("ch") - F.col("ch0")).cast("double")
+            / (F.col("cn") - F.col("cn0")).cast("double")
+        ).alias("m"),
+    )
+    wsm = Window.partitionBy("j").orderBy("k").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    sm = seg.select("j", "k", F.min("m").over(wsm).alias("sm"))
+    iso = sm.groupBy(F.col("k").alias("bin")).agg(F.max("sm").alias("fit"))
+    return bins.join(iso, "bin").select(
+        "bin",
+        F.col("n_k").alias("n"),
+        F.col("h_k").alias("n_correct"),
+        F.round(
+            F.col("h_k").cast("double") / F.col("n_k").cast("double"), 6
+        ).alias("rate_raw"),
+        F.round(F.col("fit"), 6).alias("rate_iso"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score
+# ---------------------------------------------------------------------------
+#
+# The scalar companion of the reliability diagram: Brier score of the
+# (quantized) NB confidence forecast for the event "prediction
+# correct", decomposed per Murphy (1973) into reliability − resolution
+# + uncertainty over B=20 forecast bins. Arithmetic follows the
+# monthly_seasonal_index closure of the summation-order class: the
+# forecast is quantized to an exact integer grid f = floor(t_max·10^6
+# / t_sum); every sum (per-bin and global) is an exact integer; each
+# per-bin fraction is quantized to floor(num·10^9/den) with an EXACT
+# integer floor-division (pmod-subtract on Spark, ``//`` HUGEINT in
+# DuckDB) and summed as integers; ONE double division per output
+# column. Bin count is fixed (20), so every magnitude is bounded:
+# (s_fk − 10^6·s_ok)²·10^9 <= (n·10^6)²·10^9 < 10^34 at sf1 —
+# inside DECIMAL(38,0)/HUGEINT.
+
+_BRIER_SCALE = 1_000_000  # forecast quantizer (10^6ths)
+_BRIER_Q = 1_000_000_000  # per-bin term quantizer (10^-9 grid)
+
+
+def _brier_oracle() -> str:
+    S, Q, B = _BRIER_SCALE, _BRIER_Q, _ISO_BINS
+    return f"""
+WITH {_NB1_BASE_SQL},
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{_nb1_decided_sql("f1", 5, "v1")},
+conf AS (
+  SELECT (t_max * {S}) // t_sum AS f,
+         CASE WHEN pred_class = o_orderstatus THEN 1 ELSE 0 END AS hit
+  FROM decided_v1
+),
+per_bin AS (
+  SELECT LEAST({B - 1}, (f * {B}) // {S}) AS bin,
+         COUNT(*)::HUGEINT AS n_k,
+         SUM(hit)::HUGEINT AS s_ok,
+         SUM(f)::HUGEINT AS s_fk,
+         SUM((f - hit * {S}) * (f - hit * {S}))::HUGEINT AS sq_k
+  FROM conf GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_k) AS n, SUM(s_ok) AS s_o, SUM(sq_k) AS brier_num
+  FROM per_bin
+),
+terms AS (
+  SELECT SUM(((s_fk - {S} * s_ok) * (s_fk - {S} * s_ok) * {Q})
+             // (n_k * {S} * {S})) AS rel_q,
+         SUM(((t.n * s_ok - n_k * t.s_o) * (t.n * s_ok - n_k * t.s_o) * {Q})
+             // (n_k * t.n * t.n)) AS res_q
+  FROM per_bin CROSS JOIN tot t
+)
+SELECT t.n::BIGINT AS n,
+       ROUND(CAST(t.s_o AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS base_rate,
+       ROUND(CAST(t.brier_num AS DOUBLE)
+             / CAST(t.n * {S} * {S} AS DOUBLE), 6) AS brier,
+       ROUND(CAST(x.rel_q AS DOUBLE) / CAST(t.n * {Q} AS DOUBLE), 6)
+         AS reliability,
+       ROUND(CAST(x.res_q AS DOUBLE) / CAST(t.n * {Q} AS DOUBLE), 6)
+         AS resolution,
+       ROUND(CAST(t.s_o * (t.n - t.s_o) AS DOUBLE)
+             / CAST(t.n * t.n AS DOUBLE), 6) AS uncertainty
+FROM tot t CROSS JOIN terms x
+"""
+
+
+def _fd(num, den):
+    """Exact integer floor-division on DECIMAL(38,0) (operands
+    nonnegative): (num - pmod(num, den)) / den — the divisible
+    numerator makes the decimal division exact (never F.floor over a
+    rounded quotient)."""
+    return ((num - F.pmod(num, den)) / den).cast("decimal(38,0)")
+
+
+@register("ssl_brier_decomposition", _brier_oracle())
+def ssl_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the quantized NB confidence forecast's
+    Brier score over B=20 bins: one row (n, base_rate, brier,
+    reliability, resolution, uncertainty)."""
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    decided = _nb1_decided(labeled, unlabeled, "f1", 5)
+    S, Q, B = _BRIER_SCALE, _BRIER_Q, _ISO_BINS
+    f = _fd(F.col("t_max") * S, F.col("t_sum"))
+    conf = decided.select(
+        f.alias("f"),
+        F.when(F.col("pred_class") == F.col("o_orderstatus"), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    per_bin = conf.groupBy(
+        F.least(F.lit(B - 1).cast("bigint"), _fd(F.col("f") * B, F.lit(S)).cast("bigint")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_k"),
+        F.sum("hit").cast("decimal(38,0)").alias("s_ok"),
+        F.sum("f").cast("decimal(38,0)").alias("s_fk"),
+        F.sum((F.col("f") - F.col("hit") * S) * (F.col("f") - F.col("hit") * S))
+        .cast("decimal(38,0)")
+        .alias("sq_k"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_k").cast("decimal(38,0)").alias("n"),
+        F.sum("s_ok").cast("decimal(38,0)").alias("s_o"),
+        F.sum("sq_k").cast("decimal(38,0)").alias("brier_num"),
+    )
+    joined = per_bin.crossJoin(F.broadcast(tot))
+    rel_num = (F.col("s_fk") - S * F.col("s_ok")) * (
+        F.col("s_fk") - S * F.col("s_ok")
+    ) * Q
+    res_num = (F.col("n") * F.col("s_ok") - F.col("n_k") * F.col("s_o")) * (
+        F.col("n") * F.col("s_ok") - F.col("n_k") * F.col("s_o")
+    ) * Q
+    terms = joined.agg(
+        F.sum(_fd(rel_num, F.col("n_k") * S * S)).alias("rel_q"),
+        F.sum(_fd(res_num, F.col("n_k") * F.col("n") * F.col("n"))).alias(
+            "res_q"
+        ),
+    )
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("s_o").cast("double") / F.col("n").cast("double"), 6)
+            .alias("base_rate"),
+            F.round(
+                F.col("brier_num").cast("double")
+                / (F.col("n") * S * S).cast("double"),
+                6,
+            ).alias("brier"),
+            F.round(
+                F.col("rel_q").cast("double") / (F.col("n") * Q).cast("double"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.col("res_q").cast("double") / (F.col("n") * Q).cast("double"),
+                6,
+            ).alias("resolution"),
+            F.round(
+                (F.col("s_o") * (F.col("n") - F.col("s_o"))).cast("double")
+                / (F.col("n") * F.col("n")).cast("double"),
+                6,
+            ).alias("uncertainty"),
+        )
     )

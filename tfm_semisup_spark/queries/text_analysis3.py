@@ -401,3 +401,110 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Proximity search (terms within k token positions)
+# ---------------------------------------------------------------------------
+#
+# The fourth leg of the lexical-retrieval surface: BM25 ranks bags of
+# words, text_boolean_and_search tests presence, text_phrase_search
+# requires exact adjacency — THIS scores CLOSENESS (both terms within
+# a k-token window, the `term1 NEAR/k term2` operator of classical IR
+# engines). Token position streams are filtered to the broadcast
+# query workload BEFORE any shuffle (the phrase-search discipline), so
+# the position-pair join fans out only over occurrences of the query
+# terms — never the token stream — and its per-doc cost is bounded by
+# tf(w1)·tf(w2) of the two workload terms. Ranking is exact-integer
+# (min distance asc, pair count desc, doc_id) — no float anywhere.
+
+_PROX_PAIRS: dict[str, tuple[str, str]] = {
+    "x_spark_merge": ("spark", "merge"),
+    "x_vector_hash": ("vector", "hash"),
+    "x_query_stream": ("query", "stream"),
+}
+_PROX_K = 4  # |pos1 - pos2| <= k tokens
+_PROX_TOP = 10
+
+
+def _prox_values() -> str:
+    return ", ".join(
+        f"('{n}', '{w[0]}', '{w[1]}')" for n, w in sorted(_PROX_PAIRS.items())
+    )
+
+
+PROXIMITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(l))) AS t(i)
+),
+q AS (SELECT * FROM (VALUES {_prox_values()}) AS v(query, w1, w2)),
+p1 AS (SELECT q.query, p.doc_id, p.pos FROM q JOIN pos p ON p.tok = q.w1),
+p2 AS (SELECT q.query, p.doc_id, p.pos FROM q JOIN pos p ON p.tok = q.w2),
+hits AS (
+  SELECT p1.query, p1.doc_id,
+         COUNT(*)::BIGINT AS n_close,
+         MIN(ABS(p1.pos - p2.pos))::BIGINT AS min_dist
+  FROM p1 JOIN p2 ON p1.query = p2.query AND p1.doc_id = p2.doc_id
+  WHERE ABS(p1.pos - p2.pos) <= {_PROX_K}
+  GROUP BY p1.query, p1.doc_id
+)
+SELECT query, doc_id, n_close, min_dist FROM (
+  SELECT query, doc_id, n_close, min_dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query
+           ORDER BY min_dist, n_close DESC, doc_id
+         ) AS rk
+  FROM hits
+) WHERE rk <= {_PROX_TOP}
+"""
+
+
+@register("text_proximity_search", PROXIMITY_ORACLE)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/k proximity retrieval for a fixed two-term workload:
+    top-10 (query, doc_id, n_close, min_dist) per query, ranked by
+    closest co-occurrence then in-window pair count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode("l").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    q = spark.createDataFrame(
+        [(n, w[0], w[1]) for n, w in sorted(_PROX_PAIRS.items())],
+        "query string, w1 string, w2 string",
+    )
+    p1 = pos.join(
+        F.broadcast(q.select("query", F.col("w1").alias("tok"))), "tok"
+    ).select("query", "doc_id", "pos")
+    p2 = pos.join(
+        F.broadcast(q.select("query", F.col("w2").alias("tok"))), "tok"
+    ).select(
+        "query", "doc_id", F.col("pos").alias("pos2")
+    )
+    d = F.abs(F.col("pos") - F.col("pos2"))
+    hits = (
+        p1.join(p2, ["query", "doc_id"])
+        .where(d <= _PROX_K)
+        .groupBy("query", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_close"),
+            F.min(d).cast("bigint").alias("min_dist"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("min_dist"), F.col("n_close").desc(), F.col("doc_id")
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _PROX_TOP)
+        .select("query", "doc_id", "n_close", "min_dist")
+    )
