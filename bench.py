@@ -177,6 +177,11 @@ HEADLINE = [
     # power iteration
     "bloom_semijoin_volume",
     "event_markov_stationary",
+    # end-of-r9 families: blocked entity-resolution scoring (the
+    # Fellegi-Sunter pair join) and NEAR/k positional retrieval (the
+    # workload-filtered position-pair join)
+    "record_linkage_fs",
+    "text_proximity_search",
 ]
 
 
