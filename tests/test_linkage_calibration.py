@@ -183,3 +183,47 @@ def test_proximity_window_semantics(spark):
     # determinism
     again = text_proximity_search(spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_logreg_irls_grid_convergence_and_determinism(spark):
+    import numpy as np
+
+    from tfm_semisup_spark.queries.ssl_queries import (
+        _IRLS_STEPS,
+        ssl_logreg_irls_grid,
+    )
+    from pyspark.sql import functions as F
+    from tfm_semisup_spark.io import load_table
+
+    rows = sorted(
+        ssl_logreg_irls_grid(spark, SF).collect(), key=lambda r: r["step"]
+    )
+    assert [r["step"] for r in rows] == list(range(1, _IRLS_STEPS + 1))
+    # NLL non-increasing across Newton steps (allow float wiggle)
+    nlls = [r["nll"] for r in rows]
+    assert all(a >= b - 1e-3 for a, b in zip(nlls, nlls[1:]))
+    # gradient ~ 0 at the final iterate (recomputed from the raw grid)
+    li = load_table(spark, SF, "lineitem").select(
+        F.round(F.col("l_quantity"), 0).cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("d"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    grid = li.groupBy("q", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    ).collect()
+    X = np.array([[1.0, r["q"], r["d"]] for r in grid])
+    n = np.array([float(r["n"]) for r in grid])
+    pos = np.array([float(r["pos"]) for r in grid])
+    b = np.array([rows[-1]["beta0"], rows[-1]["beta1"], rows[-1]["beta2"]])
+    p = 1.0 / (1.0 + np.exp(-(X @ b)))
+    g = X.T @ (pos - n * p)
+    assert np.abs(g).max() / max(n.sum(), 1.0) < 1e-3
+    # determinism under a different shuffle parallelism
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = sorted(
+            ssl_logreg_irls_grid(spark, SF).collect(), key=lambda r: r["step"]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert list(map(tuple, rows)) == list(map(tuple, again))

@@ -1449,3 +1449,89 @@ def ssl_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uncertainty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression via IRLS on a sufficient-stats grid
+# ---------------------------------------------------------------------------
+#
+# The LR member of the reference's base-classifier family
+# (``BaseClassifiers.scala:46-193`` wraps MLlib LogisticRegression)
+# re-expressed Spark-first: when the features live on a BOUNDED grid
+# (here quantity x discount, <= 50*11 = 550 cells), the full Newton /
+# IRLS fit needs only the per-cell (n, pos) contingency table — ONE
+# fact-scale groupBy; every iteration is then O(cells) on the driver,
+# zero further passes over the data. This is the classical
+# sufficient-statistics GLM decomposition: at 100 TB the shuffle is
+# one map-side-combinable aggregate to 550 rows, and the iteration
+# cost is data-scale-free.
+#
+# Rows-only by design, deterministic by construction: the grid counts
+# are exact integers (partitioning-independent), the cells are sorted
+# before the driver-side Newton loop, and numpy evaluates a FIXED
+# operation order — no distributed double summation anywhere.
+
+_IRLS_STEPS = 4
+
+
+def _logreg_grid_fit(cells):
+    """Newton/IRLS on sorted (q, d, n, pos) cells -> per-iteration
+    (beta, nll). Pure numpy, fixed order; ridge 1e-6 for a safely
+    invertible 3x3 Hessian."""
+    import numpy as np
+
+    cells = sorted(cells)
+    X = np.array([[1.0, q, d] for q, d, _, _ in cells])
+    n = np.array([float(c[2]) for c in cells])
+    pos = np.array([float(c[3]) for c in cells])
+    beta = np.zeros(3)
+    out = []
+    for _ in range(_IRLS_STEPS):
+        eta = X @ beta
+        p = 1.0 / (1.0 + np.exp(-eta))
+        g = X.T @ (pos - n * p)
+        w = n * p * (1.0 - p)
+        H = (X * w[:, None]).T @ X + 1e-6 * np.eye(3)
+        beta = beta + np.linalg.solve(H, g)
+        eta = X @ beta
+        # stable binomial NLL: sum n*log1p(exp(eta)) - pos*eta
+        nll = float(
+            np.sum(n * np.logaddexp(0.0, eta) - pos * eta)
+        )
+        out.append((beta.copy(), nll))
+    return out
+
+
+@register("ssl_logreg_irls_grid")
+def ssl_logreg_irls_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(returnflag='R') ~ quantity + discount via
+    IRLS over the bounded sufficient-statistics grid: one row per
+    Newton step (step, beta0, beta1, beta2, nll)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity"), 0).cast("int").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("d"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    grid = (
+        li.groupBy("q", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .collect()  # bounded: <= 550 value-grid cells, data-scale-free
+    )
+    cells = [(r["q"], r["d"], r["n"], r["pos"]) for r in grid]
+    rows = [
+        (
+            step + 1,
+            float(round(beta[0], 6)),
+            float(round(beta[1], 6)),
+            float(round(beta[2], 6)),
+            float(round(nll, 3)),
+        )
+        for step, (beta, nll) in enumerate(_logreg_grid_fit(cells))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step int, beta0 double, beta1 double, beta2 double, nll double",
+    )
