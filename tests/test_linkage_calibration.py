@@ -227,3 +227,115 @@ def test_logreg_irls_grid_convergence_and_determinism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert list(map(tuple, rows)) == list(map(tuple, again))
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.queries.text_analysis3 import (
+        _BPE_MAX_WORD,
+        _BPE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    rows = sorted(
+        bpe_train_merges(spark, SF).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+
+    # pure-Python BPE over the same word-frequency table
+    docs = load_table(spark, SF, "documents")
+    wc = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if 2 <= len(w) <= _BPE_MAX_WORD:
+                wc[w] += 1
+    vocab = {w: list(w) for w in wc}
+    expect = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        counts = Counter()
+        for w, s in vocab.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += wc[w]
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expect.append((rnd, left, right, cnt))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in rows
+    ]
+    assert got == expect
+    # determinism
+    again = sorted(
+        bpe_train_merges(spark, SF).collect(), key=lambda r: r["round"]
+    )
+    assert list(map(tuple, rows)) == list(map(tuple, again))
+
+
+def test_conformal_nb_coverage_and_reference(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.queries.ssl_queries import (
+        _BRIER_SCALE,
+        _fd,
+        _nb1_base,
+        _nb1_voted,
+        ssl_conformal_nb,
+    )
+
+    row = ssl_conformal_nb(spark, SF).collect()[0]
+    assert row["n_cal"] > 100 and row["n_eval"] > 100
+    # split-conformal marginal guarantee (ties make it conservative)
+    assert 0.88 <= row["coverage"] <= 1.0
+    assert row["coverage"] <= row["avg_set_size"] <= 3.0
+    assert row["n_covered"] == round(row["coverage"] * row["n_eval"])
+
+    # numpy reference: recompute q_hat as the ceil(0.9(n+1))-th
+    # smallest calibration nonconformity
+    labeled, pool = _nb1_base(spark, SF)
+    cal = pool.where(F.col("mask").isin(1, 2))
+    v = _nb1_voted(labeled, cal, "f1", 5).withColumn(
+        "t_sum", F.col("t_F") + F.col("t_O") + F.col("t_P")
+    )
+    t_true = (
+        F.when(F.col("o_orderstatus") == "F", F.col("t_F"))
+        .when(F.col("o_orderstatus") == "O", F.col("t_O"))
+        .otherwise(F.col("t_P"))
+    )
+    alphas = np.sort(
+        np.array(
+            v.select(
+                (
+                    _BRIER_SCALE - _fd(t_true * _BRIER_SCALE, F.col("t_sum"))
+                ).cast("bigint").alias("a")
+            )
+            .toPandas()["a"]
+            .to_numpy()
+        )
+    )
+    n = len(alphas)
+    k = -(-9 * (n + 1) // 10)  # ceil(0.9 (n+1))
+    assert row["q_hat"] == int(alphas[k - 1])
+    # determinism under a different shuffle parallelism
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = ssl_conformal_nb(spark, SF).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert tuple(row) == tuple(again)

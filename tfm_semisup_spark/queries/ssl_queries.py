@@ -755,15 +755,15 @@ def _nb1_base(spark: SparkSession, sf_dir: str):
     return base.where(F.col("mask") == 0), base.where(F.col("mask") != 0)
 
 
-def _nb1_decided(labeled: DataFrame, unlabeled: DataFrame, feat: str, V: int) -> DataFrame:
-    """Single-feature exact-count NB argmax over the unlabeled pool:
-    (o_orderkey, o_orderstatus, pred_class, t_max, t_sum) — all-integer
-    DECIMAL(38,0) scores, F>=O>=P tie precedence (class ascending)."""
+def _nb1_voted(labeled: DataFrame, pool: DataFrame, feat: str, V: int) -> DataFrame:
+    """Single-feature exact-count NB per-class score vector over a
+    pool: (o_orderkey, o_orderstatus, t_F, t_O, t_P) — all-integer
+    DECIMAL(38,0) cross-multiplied scores."""
     lik = labeled.groupBy(feat).agg(
         *[_nb1_csum(c, f"nf_{c}") for c in _NB1_CLS]
     )
     prior = labeled.agg(*[_nb1_csum(c, f"n_{c}") for c in _NB1_CLS])
-    s = unlabeled.join(F.broadcast(lik), feat, "left").crossJoin(
+    s = pool.join(F.broadcast(lik), feat, "left").crossJoin(
         F.broadcast(prior)
     )
     for c in _NB1_CLS:
@@ -771,13 +771,20 @@ def _nb1_decided(labeled: DataFrame, unlabeled: DataFrame, feat: str, V: int) ->
             f"a_{c}",
             F.col(f"n_{c}") * (F.coalesce(F.col(f"nf_{c}"), F.lit(0)) + 1),
         ).withColumn(f"b_{c}", F.col(f"n_{c}") + V)
-    v = s.select(
+    return s.select(
         "o_orderkey",
         "o_orderstatus",
         (F.col("a_F") * F.col("b_O") * F.col("b_P")).alias("t_F"),
         (F.col("a_O") * F.col("b_F") * F.col("b_P")).alias("t_O"),
         (F.col("a_P") * F.col("b_F") * F.col("b_O")).alias("t_P"),
     )
+
+
+def _nb1_decided(labeled: DataFrame, unlabeled: DataFrame, feat: str, V: int) -> DataFrame:
+    """Single-feature exact-count NB argmax over the unlabeled pool:
+    (o_orderkey, o_orderstatus, pred_class, t_max, t_sum) — all-integer
+    DECIMAL(38,0) scores, F>=O>=P tie precedence (class ascending)."""
+    v = _nb1_voted(labeled, unlabeled, feat, V)
     is_f = (F.col("t_F") >= F.col("t_O")) & (F.col("t_F") >= F.col("t_P"))
     is_o = F.col("t_O") >= F.col("t_P")
     return v.select(
@@ -1534,4 +1541,101 @@ def ssl_logreg_irls_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "step int, beta0 double, beta1 double, beta2 double, nll double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction sets for the NB scorer
+# ---------------------------------------------------------------------------
+#
+# The distribution-free uncertainty layer on top of the promotion
+# machinery (Vovk's conformal prediction, split/inductive form per
+# Papadopoulos 2002 / Lei et al. 2018): calibrate a nonconformity
+# quantile on a held-out hash split, then emit PREDICTION SETS
+# {c : alpha_c <= q_hat} on the eval split — marginal coverage
+# >= 1 - alpha guaranteed regardless of how miscalibrated the NB
+# posteriors are (the model-free counterpart of the isotonic/Brier
+# recalibration entries).
+#
+# Everything is exact integer arithmetic: nonconformity alpha_i =
+# 10^6 - floor(t_true·10^6 / t_sum) (the kBest confidence quantization
+# at Brier scale), the conformal rank k = ceil(0.9·(n_cal+1)) via
+# integer floor-division, and q_hat = the k-th smallest alpha read off
+# the counted alpha-value grid (bounded: f1 has 5 values, so <= 15
+# distinct score vectors) — no global sort, no float boundary.
+# Rows-only this round purely for window-budget reasons (the r10
+# driver window is exactly full); the math is fully SQL-expressible
+# and queued for oracle promotion in r10 (ROADMAP).
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # miscoverage alpha = 0.1
+
+
+@register("ssl_conformal_nb")
+def ssl_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction sets for the exact-count NB scorer
+    (calibration = masks 1-2, eval = masks 3-4): one row (n_cal,
+    q_hat, n_eval, n_covered, coverage, avg_set_size)."""
+    labeled, pool = _nb1_base(spark, sf_dir)
+    cal = pool.where(F.col("mask").isin(1, 2))
+    ev = pool.where(F.col("mask").isin(3, 4))
+    S6 = _BRIER_SCALE
+
+    def _alphas(df: DataFrame) -> DataFrame:
+        v = _nb1_voted(labeled, df, "f1", 5)
+        t_sum = F.col("t_F") + F.col("t_O") + F.col("t_P")
+        out = v.withColumn("t_sum", t_sum)
+        for c in _NB1_CLS:
+            out = out.withColumn(
+                f"al_{c}",
+                (S6 - _fd(F.col(f"t_{c}") * S6, F.col("t_sum"))).cast(
+                    "bigint"
+                ),
+            )
+        t_true = (
+            F.when(F.col("o_orderstatus") == "F", F.col("al_F"))
+            .when(F.col("o_orderstatus") == "O", F.col("al_O"))
+            .otherwise(F.col("al_P"))
+        )
+        return out.withColumn("al_true", t_true)
+
+    acal = _alphas(cal)
+    # q_hat from the counted alpha-value grid (bounded, <= 15 cells)
+    grid = acal.groupBy(F.col("al_true").alias("alpha")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("alpha").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select("alpha", F.sum("cnt").over(w).alias("cum"))
+    tot = acal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    k = F.expr(
+        f"(({_CONF_ALPHA_DEN - _CONF_ALPHA_NUM} * (n_cal + 1)) + "
+        f"{_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}"
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= k)
+        .agg(
+            F.min("alpha").alias("q_hat"),
+            F.first(F.col("n_cal")).alias("n_cal"),
+        )
+    )
+    aev = _alphas(ev).crossJoin(F.broadcast(qhat))
+    in_set = [
+        F.when(F.col(f"al_{c}") <= F.col("q_hat"), 1).otherwise(0)
+        for c in _NB1_CLS
+    ]
+    set_size = in_set[0] + in_set[1] + in_set[2]
+    covered = F.when(F.col("al_true") <= F.col("q_hat"), 1).otherwise(0)
+    return aev.groupBy("n_cal", "q_hat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(covered).cast("bigint").alias("n_covered"),
+        F.round(
+            F.sum(covered).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage"),
+        F.round(
+            F.sum(set_size).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_set_size"),
     )

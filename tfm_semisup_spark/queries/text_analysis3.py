@@ -508,3 +508,84 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PROX_TOP)
         .select("query", "doc_id", "n_close", "min_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE vocabulary training (multi-round merge loop)
+# ---------------------------------------------------------------------------
+#
+# bpe_merge_candidates oracle-checks ONE pair-counting round; this is
+# the actual tokenizer-training loop (Sennrich et al. 2016): R rounds
+# of count-pairs -> argmax merge -> apply merge to the symbol streams.
+# Spark-first/100 TB shape: after the single corpus-scale wordcount,
+# ALL iteration state is the vocab-bounded (word-count, symbol-array)
+# table — pair counting explodes |vocab|*maxlen rows per round, the
+# winning merge is a bounded top-1 collect, and the merge APPLY is an
+# in-row left-to-right `aggregate` fold over <=20-symbol arrays (the
+# sanctioned interpreted-HOF case: per-item sequential semantics on a
+# tiny bounded array, on a vocabulary-scale — not corpus-scale —
+# relation). Each round localCheckpoints the symbol table: O(1)
+# lineage across rounds, the PageRank discipline.
+#
+# Rows-only (the merge loop is inherently iterative), deterministic:
+# exact integer pair counts, full (count desc, left, right) tie-break,
+# hash-free throughout. Reference-checked against a pure-Python BPE
+# in tests/test_linkage_calibration.py.
+
+_BPE_ROUNDS = 3
+
+
+@register("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R={r} rounds of BPE merge training over the word-frequency
+    table: (round, left_sym, right_sym, pair_count) — the learned
+    merge sequence.""".format(r=_BPE_ROUNDS)
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("w")
+        )
+        .where((F.length("w") >= 2) & (F.length("w") <= _BPE_MAX_WORD))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    syms = words.select("n", F.split("w", "").alias("s"))
+    syms = truncate(syms, eager=True)
+
+    pair_struct = F.expr(
+        "zip_with(slice(s, 1, greatest(size(s) - 1, 0)),"
+        "         slice(s, 2, greatest(size(s) - 1, 0)),"
+        "         (a, b) -> struct(a AS l, b AS r))"
+    )
+    merges = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            syms.where(F.size("s") >= 2)
+            .select("n", F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("bigint").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rnd, left, right, cnt))
+        # left-to-right non-overlapping merge apply: fold the symbol
+        # array, replacing a trailing `left` when `right` arrives
+        # (init = slice(s,1,0): a correctly-TYPED empty string array)
+        merge_sql = (
+            "aggregate(s, slice(s, 1, 0), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
+            f"AND x = '{right}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{left}{right}')) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        syms = syms.select("n", F.expr(merge_sql).alias("s"))
+        syms = truncate(syms, eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count bigint"
+    )
