@@ -2,24 +2,31 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (252 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (284 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (221 entries — all verified hash-matching at
-sf0.01 AND at an alternate shuffle-partition count, so no oracle is
-driver-environment-dependent; provenance: 152 via driver CORRECTNESS
-rows through r7, 23 judge-run driver_sim-verified in r7 and windowed
-first for the r8 driver pass, 46 new-in-r8 entries queued first for
-r9 — rotation policed by tests/test_window_rotation.py +
+equivalent DuckDB SQL (250 entries — all verified hash-matching at
+sf0.01 AND at an alternate shuffle-partition count AND under
+codegen.fallback=false, so no oracle is driver-environment-dependent
+or silently interpreted; provenance: 175 via driver CORRECTNESS rows
+through r8, 46 judge-run driver_sim-verified in r8 and windowed first
+for the r9 driver pass, 29 new-in-r9 entries queued first for r10 —
+rotation policed by tests/test_window_rotation.py +
 driver_history.json).
 
-The 31 rows-only entries (no oracle) are each non-SQL-expressible for
-one of four reasons, and all are deterministic under fixed seeds and
-independent of partitioning (locally verified by the 350+ test suite):
+The 34 rows-only entries (no oracle) are each non-SQL-expressible or
+inherently iterative, and all are deterministic under fixed seeds and
+independent of partitioning (locally verified by the 640+ test suite):
 
-- ``ssl_*`` (11): MLlib training loops (DT/RF/NB/LR fits, CV folds,
+- ``ssl_*`` (14): MLlib training loops (DT/RF/NB/LR fits, CV folds,
   instance- and feature-split co-training) — model fitting is not
   SQL; checked against BASELINE.md quality anchors and hand-computed
-  metrics instead.
+  metrics instead. The three r9 analytic-ML tiers
+  (``ssl_logreg_irls_grid`` sufficient-stats Newton,
+  ``ssl_conformal_nb`` split-conformal sets, the iterative
+  ``bpe_train_merges`` counted under text below) carry numpy/
+  pure-Python reference-parity tests and shuffle-7 determinism
+  checks; the conformal entry is fully SQL-expressible and queued for
+  oracle promotion in r10 (window budget, ROADMAP).
 - ``similarity_ann_* / _ivf* / _pq* / _embedding_neardup_lsh`` (7):
   ANN index tiers (LSH hyperplanes, k-means coarse/product
   quantizers) — engine-side models; recall-vs-exact >= 0.9 tested.
@@ -31,10 +38,12 @@ independent of partitioning (locally verified by the 350+ test suite):
   (``dedup_minhash_portable_pairs``, ``dedup_simhash_portable_pairs``)
   that drive the same math through DuckDB.
 - ``sketch_*`` (3), ``profile_orders_columns_approx``,
-  ``pack_first_fit_bins``, ``text_tfidf_norms``: approximate sketches
+  ``pack_first_fit_bins``, ``text_tfidf_norms``,
+  ``bpe_train_merges``: approximate sketches
   (HLL/GK — engine-specific estimates; the approx profile is HLL++
   with an error bound pinned vs its exact oracled twin), inherently
-  sequential per-bucket packing, and hashed TF-IDF —
+  sequential per-bucket packing, hashed TF-IDF, and the iterative
+  BPE merge loop (exact-match-tested vs a pure-Python reference) —
   accuracy/invariant-tested (sketch error bounds, merge==whole,
   packing never overflows).
 """

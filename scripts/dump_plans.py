@@ -329,6 +329,22 @@ PICKS = {
         "checkpointed co-order edge list, symmetric moment sums over "
         "the undirected list, broadcast/AQE degree joins"
     ),
+    "record_linkage_fs": (
+        "blocked entity resolution: ONE equi-join exchange on the "
+        "high-cardinality (nation, dollar) blocking key — candidate "
+        "pairs ~linear in customers, integer milli-bit FS scoring "
+        "fused into the join projection"
+    ),
+    "text_proximity_search": (
+        "NEAR/k: position streams joined to the BROADCAST workload "
+        "terms before any exchange — the pair join shuffles only "
+        "query-term occurrences, never the token stream"
+    ),
+    "ssl_isotonic_calibration": (
+        "PAVA-minimax: one fact-scale exchange to the B=20 bin grid; "
+        "segment/suffix-min/max windows all run on broadcast-sized "
+        "bounded relations"
+    ),
 }
 
 
