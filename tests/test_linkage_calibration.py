@@ -339,3 +339,38 @@ def test_conformal_nb_coverage_and_reference(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert tuple(row) == tuple(again)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_conformal_oracle_prestage_parity(spark, sf_dir):
+    """The pre-staged r10 oracle (ssl_queries._conformal_oracle) must
+    already hash-match the Spark side at both SFs — r10's promotion is
+    then pure registration."""
+    import math
+
+    import duckdb
+
+    from tfm_semisup_spark.queries.ssl_queries import (
+        _conformal_oracle,
+        ssl_conformal_nb,
+    )
+
+    def norm(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    sdf = ssl_conformal_nb(spark, sf_dir)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(norm(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    ddf = con.execute(_conformal_oracle()).fetchdf()
+    assert sorted(ddf.columns.tolist()) == cols
+    drows = sorted(
+        tuple(norm(rec[c]) for c in cols)
+        for rec in ddf.to_dict(orient="records")
+    )
+    assert srows == drows

@@ -131,3 +131,39 @@ def test_no_oracle_staler_than_bound_and_outside_window():
         f"{DRIVER_WINDOW}-slot window — rotate them into "
         f"_ORACLE_PRIORITY (queries/__init__.py): {stale}"
     )
+
+
+def test_rotation_proposal_satisfies_governance():
+    """scripts/propose_rotation.py must emit a window that would keep
+    both governance tests green at the NEXT round (mandatory sets
+    inside the window, full width)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from propose_rotation import GRACE, STALE, WINDOW, propose
+    finally:
+        sys.path.pop(0)
+
+    window, notes = propose()
+    assert not any("INFEASIBLE" in n for n in notes), notes
+    assert len(window) == WINDOW == DRIVER_WINDOW
+    assert len(set(window)) == WINDOW
+
+    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+
+    load_all_queries()
+    names = list(ORACLES)
+    hist = _history()
+    checked = _driver_rounds()
+    last = {n: max(r) for n, r in checked.items()}
+    this_round = _current_round()
+    for n in names[:WINDOW]:  # driver runs the CURRENT window first
+        last[n] = this_round
+    nxt = this_round + 1
+    wset = set(window)
+    for n in names:
+        if n not in last and nxt - hist.get(n, {}).get("added", nxt) >= GRACE:
+            assert n in wset, f"never-checked-past-grace outside window: {n}"
+        if n in last and nxt - last[n] >= STALE:
+            assert n in wset, f"staleness-bound entry outside window: {n}"

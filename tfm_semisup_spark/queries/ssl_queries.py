@@ -1639,3 +1639,81 @@ def ssl_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_set_size"),
     )
+
+
+def _conformal_oracle() -> str:
+    """DuckDB oracle for ssl_conformal_nb — PRE-STAGED for the r10
+    promotion (the r10 driver window is already exactly full, so the
+    oracle is not registered this round; r10 flips the register() call
+    to pass this string and records the promotion birth round in
+    driver_history.json). Verified hash-matching against the Spark
+    side at sf0.001 and sf0.01 in tests/test_linkage_calibration.py::
+    test_conformal_oracle_prestage_parity."""
+    S6 = _BRIER_SCALE
+    ab = " , ".join(
+        f"p.n_{c} * (COALESCE(nf_{c}_v1, 0) + 1) AS a_{c}, "
+        f"(p.n_{c} + 5) AS b_{c}"
+        for c in _NB1_CLS
+    )
+
+    def pool_sql(tag: str) -> str:
+        return f"""scored_{tag} AS (
+  SELECT u.o_orderkey, u.o_orderstatus, {ab}
+  FROM {tag} u
+  LEFT JOIN lik_v1 l ON u.f1 = l.f1
+  CROSS JOIN prior p
+),
+al_{tag} AS (
+  SELECT o_orderkey, o_orderstatus,
+         {S6} - (t_F * {S6}) // (t_F + t_O + t_P) AS al_F,
+         {S6} - (t_O * {S6}) // (t_F + t_O + t_P) AS al_O,
+         {S6} - (t_P * {S6}) // (t_F + t_O + t_P) AS al_P,
+         CASE WHEN o_orderstatus = 'F'
+                THEN {S6} - (t_F * {S6}) // (t_F + t_O + t_P)
+              WHEN o_orderstatus = 'O'
+                THEN {S6} - (t_O * {S6}) // (t_F + t_O + t_P)
+              ELSE {S6} - (t_P * {S6}) // (t_F + t_O + t_P) END AS al_true
+  FROM (
+    SELECT o_orderkey, o_orderstatus,
+           a_F * b_O * b_P AS t_F, a_O * b_F * b_P AS t_O,
+           a_P * b_F * b_O AS t_P
+    FROM scored_{tag}
+  )
+)"""
+
+    return f"""
+WITH {_NB1_BASE_SQL},
+cal AS (SELECT * FROM base WHERE mask IN (1, 2)),
+ev AS (SELECT * FROM base WHERE mask IN (3, 4)),
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{pool_sql("cal")},
+{pool_sql("ev")},
+grid AS (
+  SELECT al_true AS alpha, COUNT(*)::HUGEINT AS cnt FROM al_cal GROUP BY 1
+),
+cum AS (
+  SELECT alpha, SUM(cnt) OVER (ORDER BY alpha ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW) AS cum
+  FROM grid
+),
+tot AS (SELECT COUNT(*)::HUGEINT AS n_cal FROM al_cal),
+qh AS (
+  SELECT MIN(alpha)::BIGINT AS q_hat, MIN(t.n_cal)::BIGINT AS n_cal
+  FROM cum CROSS JOIN tot t
+  WHERE cum >= (9 * (t.n_cal + 1) + 9) // 10
+)
+SELECT q.n_cal, q.q_hat,
+       COUNT(*)::BIGINT AS n_eval,
+       SUM(CASE WHEN al_true <= q.q_hat THEN 1 ELSE 0 END)::BIGINT
+         AS n_covered,
+       ROUND(CAST(SUM(CASE WHEN al_true <= q.q_hat THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage,
+       ROUND(CAST(SUM((CASE WHEN al_F <= q.q_hat THEN 1 ELSE 0 END)
+                      + (CASE WHEN al_O <= q.q_hat THEN 1 ELSE 0 END)
+                      + (CASE WHEN al_P <= q.q_hat THEN 1 ELSE 0 END))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_set_size
+FROM al_ev CROSS JOIN qh q
+GROUP BY q.n_cal, q.q_hat
+"""
