@@ -143,3 +143,91 @@ def test_chi2_quantized_terms_close_to_float_chi2(cells):
         chi_float += num / den
         q_sum += (num * 10**9) // den
     assert abs(q_sum / 1e9 - chi_float) <= len(obs) / 1e9 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Isotonic minimax form == PAVA (the ssl_isotonic_calibration formula)
+# ---------------------------------------------------------------------------
+
+bins_grids = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=50),  # n_k (weight)
+        st.integers(min_value=0, max_value=50),  # h_k (<= n_k enforced below)
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _minimax_fit(cells):
+    """The relational form ssl_isotonic_calibration computes:
+    fit_i = max_{j<=i} min_{k>=i} weightedMean(h/n, j..k), mirrored in
+    pure Python over the same prefix-sum algebra."""
+    B = len(cells)
+    cn = [0]
+    ch = [0]
+    for n, h in cells:
+        cn.append(cn[-1] + n)
+        ch.append(ch[-1] + h)
+    fits = []
+    for i in range(B):
+        best = None
+        for j in range(i + 1):
+            inner = min(
+                (ch[k + 1] - ch[j]) / (cn[k + 1] - cn[j])
+                for k in range(i, B)
+            )
+            best = inner if best is None else max(best, inner)
+        fits.append(best)
+    return fits
+
+
+def _pava_fit(cells):
+    blocks = [[n, h] for n, h in cells]
+    out = [[n, h, 1] for n, h in blocks]
+    i = 0
+    while i < len(out) - 1:
+        a, b = out[i], out[i + 1]
+        if a[1] * b[0] > b[1] * a[0]:
+            out[i] = [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+            del out[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fits = []
+    for w, s, width in out:
+        fits.extend([s / w] * width)
+    return fits
+
+
+@given(bins_grids)
+@settings(max_examples=300, deadline=None)
+def test_isotonic_minimax_equals_pava(grid):
+    cells = [(n, min(h, n)) for n, h in grid]
+    mm = _minimax_fit(cells)
+    pv = _pava_fit(cells)
+    assert len(mm) == len(pv)
+    for a, b in zip(mm, pv):
+        assert abs(a - b) < 1e-12
+    # and the fit is monotone non-decreasing
+    assert all(x <= y + 1e-12 for x, y in zip(mm, mm[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Conformal rank: integer ceil-division == math.ceil (ssl_conformal_nb)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=1, max_value=10_000_000))
+@settings(max_examples=300, deadline=None)
+def test_conformal_rank_integer_form(n_cal):
+    import math
+
+    k_int = (9 * (n_cal + 1) + 9) // 10
+    k_ref = math.ceil(0.9 * (n_cal + 1))
+    # the float form itself can be off by 1 ULP at large n; compare via
+    # exact rational ceil instead
+    k_exact = -((-9 * (n_cal + 1)) // 10)
+    assert k_int == k_exact
+    if n_cal < 10_000:  # float reference reliable in this range
+        assert k_int == k_ref
