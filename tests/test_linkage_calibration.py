@@ -374,3 +374,44 @@ def test_conformal_oracle_prestage_parity(spark, sf_dir):
         for rec in ddf.to_dict(orient="records")
     )
     assert srows == drows
+
+
+def test_isotonic_operator_pools_planted_violation(spark):
+    from tfm_semisup_spark.operators.calibration import isotonic_fit_binned
+
+    # bins 0..3 with a planted violation at bin 1 (rate 0.9 > bin 2's
+    # 0.1): PAVA pools bins 1-2 to (9+1)/(10+10) = 0.5
+    bins = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 9), (2, 10, 1), (3, 10, 10)],
+        "bin int, n_k long, h_k long",
+    )
+    fit = {
+        r["bin"]: r["fit"]
+        for r in isotonic_fit_binned(bins).collect()
+    }
+    assert abs(fit[0] - 0.1) < 1e-12
+    assert abs(fit[1] - 0.5) < 1e-12
+    assert abs(fit[2] - 0.5) < 1e-12
+    assert abs(fit[3] - 1.0) < 1e-12
+
+
+def test_conformal_threshold_operator_known_quantile(spark):
+    from tfm_semisup_spark.operators.calibration import conformal_threshold
+
+    # n=19, miscoverage 0.1: k = ceil(0.9*20) = 18 -> 18th smallest of
+    # 1..19 is 18
+    alphas = spark.createDataFrame(
+        [(i,) for i in range(1, 20)], "alpha long"
+    )
+    row = conformal_threshold(alphas).collect()[0]
+    assert row["n_cal"] == 19
+    assert row["q_hat"] == 18
+    # coarser miscoverage 0.5: k = ceil(0.5*20) = 10 -> q_hat = 10
+    row = conformal_threshold(alphas, miscoverage=(1, 2)).collect()[0]
+    assert row["q_hat"] == 10
+    # ties: duplicate scores collapse onto the counted grid
+    tied = spark.createDataFrame(
+        [(5,)] * 10 + [(7,)] * 9, "alpha long"
+    )
+    row = conformal_threshold(tied).collect()[0]
+    assert row["q_hat"] == 7

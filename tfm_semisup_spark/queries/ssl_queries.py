@@ -1270,37 +1270,11 @@ def ssl_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_k"),
         F.sum("hit").cast("bigint").alias("h_k"),
     )
-    # bounded-grid windows: <= B rows, so the global ORDER BY window
-    # is a single tiny partition by construction (equidepth precedent)
-    w = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    pre = bins.select(
-        "bin",
-        "n_k",
-        "h_k",
-        F.sum("n_k").over(w).alias("cn"),
-        F.sum("h_k").over(w).alias("ch"),
-    )
-    left = pre.select(
-        F.col("bin").alias("j"),
-        (F.col("cn") - F.col("n_k")).alias("cn0"),
-        (F.col("ch") - F.col("h_k")).alias("ch0"),
-    )
-    right = pre.select(F.col("bin").alias("k"), "cn", "ch")
-    seg = left.join(F.broadcast(right), F.col("j") <= F.col("k")).select(
-        "j",
-        "k",
-        (
-            (F.col("ch") - F.col("ch0")).cast("double")
-            / (F.col("cn") - F.col("cn0")).cast("double")
-        ).alias("m"),
-    )
-    wsm = Window.partitionBy("j").orderBy("k").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    sm = seg.select("j", "k", F.min("m").over(wsm).alias("sm"))
-    iso = sm.groupBy(F.col("k").alias("bin")).agg(F.max("sm").alias("fit"))
+    # bounded-grid minimax fit: <= B rows in, broadcast-sized windows
+    # throughout (operators/calibration.py — the reusable API form)
+    from tfm_semisup_spark.operators.calibration import isotonic_fit_binned
+
+    iso = isotonic_fit_binned(bins)
     return bins.join(iso, "bin").select(
         "bin",
         F.col("n_k").alias("n"),
@@ -1599,26 +1573,13 @@ def ssl_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.withColumn("al_true", t_true)
 
     acal = _alphas(cal)
-    # q_hat from the counted alpha-value grid (bounded, <= 15 cells)
-    grid = acal.groupBy(F.col("al_true").alias("alpha")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    w = Window.orderBy("alpha").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = grid.select("alpha", F.sum("cnt").over(w).alias("cum"))
-    tot = acal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
-    k = F.expr(
-        f"(({_CONF_ALPHA_DEN - _CONF_ALPHA_NUM} * (n_cal + 1)) + "
-        f"{_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}"
-    )
-    qhat = (
-        cum.crossJoin(F.broadcast(tot))
-        .where(F.col("cum") >= k)
-        .agg(
-            F.min("alpha").alias("q_hat"),
-            F.first(F.col("n_cal")).alias("n_cal"),
-        )
+    # q_hat from the counted alpha-value grid (bounded, <= 15 cells;
+    # operators/calibration.py — the reusable API form)
+    from tfm_semisup_spark.operators.calibration import conformal_threshold
+
+    qhat = conformal_threshold(
+        acal.select(F.col("al_true").alias("alpha")),
+        miscoverage=(_CONF_ALPHA_NUM, _CONF_ALPHA_DEN),
     )
     aev = _alphas(ev).crossJoin(F.broadcast(qhat))
     in_set = [
