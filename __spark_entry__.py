@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (284 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (286 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
 equivalent DuckDB SQL (250 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count AND under
@@ -13,7 +13,7 @@ for the r9 driver pass, 29 new-in-r9 entries queued first for r10 —
 rotation policed by tests/test_window_rotation.py +
 driver_history.json).
 
-The 34 rows-only entries (no oracle) are each non-SQL-expressible or
+The 36 rows-only entries (no oracle) are each non-SQL-expressible or
 inherently iterative, and all are deterministic under fixed seeds and
 independent of partitioning (locally verified by the 640+ test suite):
 

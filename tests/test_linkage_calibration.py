@@ -415,3 +415,71 @@ def test_conformal_threshold_operator_known_quantile(spark):
     )
     row = conformal_threshold(tied).collect()[0]
     assert row["q_hat"] == 7
+
+
+def test_hard_negatives_band_and_bruteforce(spark):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.queries.similarity import (
+        _HARDNEG_CEIL,
+        _HARDNEG_FLOOR,
+        _HARDNEG_K,
+        similarity_hard_negatives,
+    )
+
+    rows = similarity_hard_negatives(spark, SF).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["query_id"] != r["vec_id"]
+        assert _HARDNEG_FLOOR - 1e-4 <= r["cosine_sim"] <= _HARDNEG_CEIL + 1e-4
+        per_q.setdefault(r["query_id"], []).append(r)
+    # numpy brute force: same band, same top-k
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    M = np.stack(pdf["embedding"].to_numpy())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    for qid, rs in per_q.items():
+        assert len(rs) <= _HARDNEG_K
+        qi = int(np.where(ids == qid)[0][0])
+        sims = S[qi].copy()
+        sims[qi] = -2.0
+        in_band = np.where(
+            (sims >= _HARDNEG_FLOOR) & (sims < _HARDNEG_CEIL)
+        )[0]
+        order = sorted(
+            in_band, key=lambda j: (-round(sims[j], 6), ids[j])
+        )[: _HARDNEG_K]
+        assert [r["vec_id"] for r in rs] == [int(ids[j]) for j in order]
+    # determinism
+    again = similarity_hard_negatives(spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ppl_prune_band_accounting(spark):
+    import math
+
+    from tfm_semisup_spark.queries.corpus_prep import corpus_ppl_prune
+
+    rows = corpus_ppl_prune(spark, SF).collect()
+    assert rows
+    for r in rows:
+        n = r["n_docs"]
+        assert r["n_kept"] + r["n_dropped_low"] + r["n_dropped_high"] == n
+        # value-cut semantics: the low cut covers AT LEAST ceil(n/10)
+        # docs; the high remainder is AT MOST floor(n/10)
+        assert r["n_dropped_low"] >= math.ceil(n / 10)
+        assert r["n_dropped_high"] <= n - math.ceil(9 * n / 10)
+        assert r["n_kept"] > 0
+    # determinism under a different shuffle parallelism
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = corpus_ppl_prune(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

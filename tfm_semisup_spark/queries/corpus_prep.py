@@ -650,3 +650,82 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-band corpus pruning (model-based curation)
+# ---------------------------------------------------------------------------
+#
+# The CCNet/D4-style curation step downstream of the unigram LM score
+# (text_unigram_logppl): per source, drop the LOWEST-perplexity decile
+# (templated/duplicated common-word soup) and the HIGHEST decile
+# (rare-token noise), keep the middle band. Thresholds are per-source
+# VALUE cuts at the ceil(0.1n)/ceil(0.9n)-th smallest quantized score
+# — computed with integer ceil-division on the counted score grid (the
+# conformal-rank discipline), so band membership has no float
+# boundary beyond the score's own 6-dp rounding (the logppl oracle
+# convention). Scale shape: scoring is the LM join (term-keyed, never
+# fact-to-fact); thresholding is one window over the per-source score
+# grid; the keep decision is a broadcast threshold join.
+
+_PPL_LOW_NUM, _PPL_LOW_DEN = 1, 10  # drop lowest 10%
+_PPL_HIGH_NUM, _PPL_HIGH_DEN = 9, 10  # ...and above the 90% cut
+
+
+@register("corpus_ppl_prune")
+def corpus_ppl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source perplexity-band pruning report: (source, n_docs,
+    n_kept, n_dropped_low, n_dropped_high, kept_id_sum)."""
+    from tfm_semisup_spark.queries.text_analysis import text_unigram_logppl
+
+    scores = text_unigram_logppl(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("logppl") * 1000000).cast("bigint").alias("sq"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    s = docs.join(scores, "doc_id")
+    grid = s.groupBy("source", "sq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy("sq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select("source", "sq", F.sum("cnt").over(w).alias("cum"))
+    tot = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    j = cum.join(F.broadcast(tot), "source")
+    k_lo = F.expr(
+        f"(({_PPL_LOW_NUM} * n_docs) + {_PPL_LOW_DEN - 1}) div {_PPL_LOW_DEN}"
+    )
+    k_hi = F.expr(
+        f"(({_PPL_HIGH_NUM} * n_docs) + {_PPL_HIGH_DEN - 1}) "
+        f"div {_PPL_HIGH_DEN}"
+    )
+    th = j.groupBy("source").agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("sq"))).alias("lo_cut"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("sq"))).alias("hi_cut"),
+    )
+    flagged = s.join(F.broadcast(th), "source").select(
+        "source",
+        "doc_id",
+        F.when(F.col("sq") <= F.col("lo_cut"), F.lit("low"))
+        .when(F.col("sq") > F.col("hi_cut"), F.lit("high"))
+        .otherwise(F.lit("keep"))
+        .alias("band"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("band") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("band") == "low", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_low"),
+        F.sum(F.when(F.col("band") == "high", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_high"),
+        F.sum(F.when(F.col("band") == "keep", F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )

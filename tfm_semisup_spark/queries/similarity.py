@@ -407,3 +407,71 @@ def embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component long, eigenvalue double, explained_ratio double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+#
+# The embedding-training companion of batch retrieval: for each anchor,
+# the most USEFUL negatives are the nearest neighbors that are close
+# but not near-duplicates (the in-batch/ANCE hard-negative recipe —
+# Xiong et al. 2021). Same scale shape as similarity_topk_batch (ONE
+# broadcast-query corpus scan, per-anchor partitioned window), plus a
+# similarity BAND filter: sim >= the floor (informative) and < the
+# near-dup ceiling (would be a false negative). Rows-only bookkeeping:
+# the band edges compare unrounded per-pair doubles (fixed per pair —
+# no aggregation, so no ordering exposure); ranking reuses the
+# round-6/vec_id tie discipline. At corpus scale the exact scan is
+# replaced by the ANN tiers feeding the same band filter.
+#
+# Codegen discipline (the r8 cosine-pair lesson, re-hit here): per-side
+# norms are projected BEFORE the join and the band is folded into ONE
+# CASE expression (NULL outside the band) — a naive two-comparison
+# band filter collapsed into the BroadcastNestedLoopJoin residual
+# inlines the flat 64-dim dot once PER comparison and overflows
+# janino's 64 KB method limit (caught live: ERROR CodeGenerator +
+# silent interpreted fallback on the first cut of this query).
+
+_HARDNEG_K = 5
+_HARDNEG_FLOOR = 0.2
+_HARDNEG_CEIL = 0.95
+
+
+@register("similarity_hard_negatives")
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} banded hard negatives per anchor (anchors = vec_id %
+    100 == 1): (query_id, vec_id, cosine_sim) with sim in
+    [{lo}, {hi}).""".format(k=_HARDNEG_K, lo=_HARDNEG_FLOOR, hi=_HARDNEG_CEIL)
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    dim = embedding_dim(sf_dir)
+    corpus = emb.select(
+        "vec_id", F.col("emb_d").alias("cv"), l2_norm_fixed("emb_d", dim).alias("cn")
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("qv"),
+        l2_norm_fixed("emb_d", dim).alias("qn"),
+    )
+    sim = cosine_paired("cv", "qv", "cn", "qn", dim)
+    banded = F.when((sim >= _HARDNEG_FLOOR) & (sim < _HARDNEG_CEIL), sim)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", banded.alias("bsim"))
+        .where(F.col("bsim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("bsim", 6)), "vec_id"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _HARDNEG_K)
+        .select(
+            "query_id", "vec_id", F.round("bsim", 4).alias("cosine_sim")
+        )
+    )
