@@ -150,3 +150,38 @@ def test_random_walks_stay_on_edges(spark):
         path = [w.start_item, w.v1, w.v2, w.v3]
         for a, b in zip(path, path[1:]):
             assert (a, b) in und
+
+
+#: r9 rows-only entries have no driver_history birth record, so the
+#: auto-sweep above misses them — pin their strict compiles explicitly
+#: (the hard-negatives query's FIRST cut failed exactly this check:
+#: a two-comparison similarity band collapsed into the BNLJ residual
+#: inlined the flat dot per comparison and overflowed janino).
+_R9_ROWS_ONLY = [
+    "ssl_logreg_irls_grid",
+    "ssl_conformal_nb",
+    "bpe_train_merges",
+    "similarity_hard_negatives",
+    "corpus_ppl_prune",
+]
+
+
+@pytest.mark.parametrize("name", _R9_ROWS_ONLY)
+def test_r9_rows_only_compile_under_strict_codegen(strict_codegen, name):
+    assert QUERIES[name](strict_codegen, SF_DIR).count() >= 0
+
+
+def test_hard_negatives_dot_stays_out_of_join_residual(strict_codegen):
+    """The banded similarity must be computed ONCE in the projection
+    under the window — a band filter below the window collapses into
+    the BroadcastNestedLoopJoin residual and re-inlines the flat dot
+    per comparison (the first cut overflowed janino that way; even the
+    single-CASE form left 3 dot evaluations per pair in the join
+    condition). The window is the barrier: the join condition must
+    stay the cheap key inequality."""
+    plan = _plan(QUERIES["similarity_hard_negatives"](strict_codegen, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    join_line = next(
+        ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+    )
+    assert "element_at" not in join_line

@@ -463,14 +463,18 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", banded.alias("bsim"))
-        .where(F.col("bsim").isNotNull())
     )
+    # the band filter goes ABOVE the window, not here: a filter on
+    # bsim at this level collapses into the BNLJ residual and
+    # re-inlines the dot per comparison (plan pinned in
+    # tests/test_plan_shapes_r9.py). NULLS-LAST ordering makes
+    # rn <= K equivalent on the in-band prefix.
     w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("bsim", 6)), "vec_id"
+        F.round("bsim", 6).desc_nulls_last(), "vec_id"
     )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= _HARDNEG_K)
+        .where((F.col("__rn") <= _HARDNEG_K) & F.col("bsim").isNotNull())
         .select(
             "query_id", "vec_id", F.round("bsim", 4).alias("cosine_sim")
         )
