@@ -182,6 +182,11 @@ HEADLINE = [
     # workload-filtered position-pair join)
     "record_linkage_fs",
     "text_proximity_search",
+    # post-close r9 families: banded hard-negative mining (broadcast
+    # anchors + window-barrier band) and perplexity-band pruning (LM
+    # join + counted-grid value cuts)
+    "similarity_hard_negatives",
+    "corpus_ppl_prune",
 ]
 
 
