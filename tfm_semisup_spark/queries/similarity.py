@@ -440,9 +440,9 @@ _HARDNEG_CEIL = 0.95
 
 @register("similarity_hard_negatives")
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} banded hard negatives per anchor (anchors = vec_id %
+    """Top-5 banded hard negatives per anchor (anchors = vec_id %
     100 == 1): (query_id, vec_id, cosine_sim) with sim in
-    [{lo}, {hi}).""".format(k=_HARDNEG_K, lo=_HARDNEG_FLOOR, hi=_HARDNEG_CEIL)
+    [0.2, 0.95)."""
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(

@@ -537,9 +537,9 @@ _BPE_ROUNDS = 3
 
 @register("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R={r} rounds of BPE merge training over the word-frequency
+    """Three rounds of BPE merge training over the word-frequency
     table: (round, left_sym, right_sym, pair_count) — the learned
-    merge sequence.""".format(r=_BPE_ROUNDS)
+    merge sequence."""
     from tfm_semisup_spark.operators.lineage import truncate
 
     docs = load_table(spark, sf_dir, "documents")
