@@ -81,12 +81,59 @@ def propose() -> tuple[list[str], list[str]]:
     return window, notes
 
 
+def lookahead(rounds: int = 6) -> list[str]:
+    """Simulate ``rounds`` future windows (each one: mandatory set +
+    oldest-first fill, then assume it executes) and report per-round
+    slack — catches window-budget crunches like r11's
+    exactly-the-50-r5-rows situation BEFORE an oracle is born into an
+    infeasible grace deadline."""
+    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+
+    load_all_queries()
+    names = list(ORACLES)
+    hist = json.load(open(os.path.join(REPO, "driver_history.json")))
+    last: dict[str, int] = {}
+    rnds = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        rnds.append(rnd)
+        for n in json.load(open(path)):
+            last[n] = max(last.get(n, 0), rnd)
+    this_round = (max(rnds) if rnds else 0) + 1
+    for n in names[:WINDOW]:
+        last[n] = this_round
+    out = []
+    for step in range(1, rounds + 1):
+        cur = this_round + step
+        mand = [
+            n
+            for n in names
+            if (n not in last
+                and cur - hist.get(n, {}).get("added", cur) >= GRACE)
+            or (n in last and cur - last[n] >= STALE)
+        ]
+        slack = WINDOW - len(mand)
+        tag = "INFEASIBLE" if slack < 0 else f"slack {slack}"
+        out.append(f"r{cur}: mandatory {len(mand)} / {WINDOW} ({tag})")
+        if slack < 0:
+            break
+        fill = sorted(
+            (n for n in names if n not in mand),
+            key=lambda n: (last.get(n, 0), n),
+        )
+        for n in mand + fill[:slack]:
+            last[n] = cur
+    return out
+
+
 def main() -> int:
     window, notes = propose()
     for n in notes:
         print(f"# {n}")
     for name in window:
         print(f'    "{name}",')
+    for line in lookahead():
+        print(f"# lookahead {line}")
     return 1 if any("INFEASIBLE" in n for n in notes) else 0
 
 

@@ -167,3 +167,21 @@ def test_rotation_proposal_satisfies_governance():
             assert n in wset, f"never-checked-past-grace outside window: {n}"
         if n in last and nxt - last[n] >= STALE:
             assert n in wset, f"staleness-bound entry outside window: {n}"
+
+
+def test_rotation_lookahead_feasible_six_rounds():
+    """The 6-round window simulation must stay feasible (mandatory set
+    never exceeds the 50 slots) — an oracle born into an impossible
+    grace deadline would surface here as INFEASIBLE before it becomes
+    a red governance test two rounds later."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from propose_rotation import lookahead
+    finally:
+        sys.path.pop(0)
+
+    report = lookahead(6)
+    assert len(report) == 6, report
+    assert not any("INFEASIBLE" in line for line in report), report
