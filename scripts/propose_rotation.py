@@ -1,140 +1,123 @@
-"""Propose the next round's driver-window rotation.
+"""Inspect the computed driver-window rotation and its feasibility.
 
 The correctness driver checks the FIRST 50 oracled entries of
 ``queries()``; tests/test_window_rotation.py enforces (a) a 2-round
-never-checked grace and (b) a 6-round re-window staleness bound. The
-rotation itself has been hand-maintained list surgery in
-``queries/__init__.py::_ORACLE_PRIORITY`` — the exact step that
-silently slipped in r7. This script makes it mechanical: it recomputes
-the constraint sets from ``driver_history.json`` + the checked-in
-CORRECTNESS_r*.json files (assuming the CURRENT window receives its
-rows this round) and prints the proposed next-window ordering, ready
-to paste.
+never-checked grace and (b) a 7-round re-window staleness bound. Since
+round 10 the rotation is COMPUTED, not hand-maintained: the registry
+itself orders oracles earliest-deadline-first from the checked-in
+driver artifacts (``tfm_semisup_spark/queries/__init__.py::
+rotation_order``), so the window advances automatically the moment a
+new CORRECTNESS_r{N}.json lands — the exact "green at close, red on
+arrival" failure of rounds 7 and 9 can no longer occur. This script is
+the inspection tool: it prints the current window, the next round's
+projected window, and a 6-round feasibility lookahead.
 
 Usage: PYTHONPATH=. python scripts/propose_rotation.py
-Exit 1 if the mandatory set exceeds the 50 slots (infeasible — an
-addition must be displaced or deferred).
+Exit 1 if any simulated round's due-now set exceeds the 50 slots.
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-WINDOW = 50
-GRACE = 2  # rounds an oracle may stay never-checked
-STALE = 6  # rounds after which a checked oracle must re-window
+
+def _facts():
+    from tfm_semisup_spark.queries import (
+        ORACLES,
+        driver_facts,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    return list(ORACLES), *driver_facts()
 
 
 def propose() -> tuple[list[str], list[str]]:
-    """Returns (proposed_window, notes)."""
-    from tfm_semisup_spark.queries import ORACLES, load_all_queries
-
-    load_all_queries()
-    names = list(ORACLES)
-    hist = json.load(open(os.path.join(REPO, "driver_history.json")))
-
-    last: dict[str, int] = {}
-    rounds = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        rounds.append(rnd)
-        for n in json.load(open(path)):
-            last[n] = max(last.get(n, 0), rnd)
-    this_round = (max(rounds) if rounds else 0) + 1
-    # the driver will run the CURRENT first-50 window this round
-    for n in names[:WINDOW]:
-        last[n] = this_round
-    nxt = this_round + 1
-
-    must_new = sorted(
-        (n for n in names if n not in last
-         and nxt - hist.get(n, {}).get("added", nxt) >= GRACE),
-        key=lambda n: (hist.get(n, {}).get("added", nxt), n),
+    """Returns (projected window for the NEXT round, notes). Simulates
+    the current computed window receiving its rows this round — which
+    it always covers the mandatory set for, by EDF construction — then
+    recomputes the EDF order for the following round."""
+    from tfm_semisup_spark.queries import (
+        DRIVER_WINDOW,
+        GRACE_ROUNDS,
+        STALENESS_ROUNDS,
+        rotation_order,
     )
-    must_stale = sorted(
-        (n for n in names if n in last and nxt - last[n] >= STALE),
-        key=lambda n: (last[n], n),
-    )
-    mandatory = must_new + must_stale
-    notes = [
-        f"round about to run: r{this_round}; proposing window for r{nxt}",
-        f"mandatory: {len(must_new)} never-checked past grace + "
-        f"{len(must_stale)} staleness-bound = {len(mandatory)}",
+
+    names, current, newest, birth = _facts()
+    cur_window = rotation_order(names, newest, birth, current)[:DRIVER_WINDOW]
+    sim = dict(newest)
+    for n in cur_window:
+        sim[n] = current
+    nxt = current + 1
+    order = rotation_order(names, sim, birth, nxt)
+    window = order[:DRIVER_WINDOW]
+    due = [
+        n
+        for n in names
+        if (n in sim and nxt - sim[n] >= STALENESS_ROUNDS)
+        or (n not in sim and nxt - birth.get(n, nxt) >= GRACE_ROUNDS)
     ]
-    if len(mandatory) > WINDOW:
-        notes.append(
-            f"INFEASIBLE: {len(mandatory)} mandatory entries > {WINDOW} slots"
-        )
-        return mandatory, notes
-    # fill remaining slots oldest-checked-first (never-checked but
-    # still inside grace come before anything checked)
-    fill = sorted(
-        (n for n in names if n not in mandatory),
-        key=lambda n: (last.get(n, 0), n),
-    )
-    window = mandatory + fill[: WINDOW - len(mandatory)]
-    notes.append(f"filled {WINDOW - len(mandatory)} slots oldest-first")
+    notes = [
+        f"round about to run: r{current}; projecting window for r{nxt}",
+        f"due at r{nxt}: {len(due)} (grace- or staleness-bound)",
+    ]
+    if len(due) > DRIVER_WINDOW:
+        notes.append(f"INFEASIBLE: {len(due)} due entries > {DRIVER_WINDOW} slots")
     return window, notes
 
 
 def lookahead(rounds: int = 6) -> list[str]:
-    """Simulate ``rounds`` future windows (each one: mandatory set +
-    oldest-first fill, then assume it executes) and report per-round
-    slack — catches window-budget crunches like r11's
-    exactly-the-50-r5-rows situation BEFORE an oracle is born into an
-    infeasible grace deadline."""
-    from tfm_semisup_spark.queries import ORACLES, load_all_queries
+    """Simulate ``rounds`` future EDF windows (each one executes, then
+    the next is recomputed) and report per-round slack = 50 minus the
+    due-now set. Catches an oracle born into an impossible deadline
+    BEFORE it becomes a red governance test."""
+    from tfm_semisup_spark.queries import (
+        DRIVER_WINDOW,
+        GRACE_ROUNDS,
+        STALENESS_ROUNDS,
+        rotation_order,
+    )
 
-    load_all_queries()
-    names = list(ORACLES)
-    hist = json.load(open(os.path.join(REPO, "driver_history.json")))
-    last: dict[str, int] = {}
-    rnds = []
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        rnds.append(rnd)
-        for n in json.load(open(path)):
-            last[n] = max(last.get(n, 0), rnd)
-    this_round = (max(rnds) if rnds else 0) + 1
-    for n in names[:WINDOW]:
-        last[n] = this_round
+    names, current, newest, birth = _facts()
+    sim = dict(newest)
     out = []
-    for step in range(1, rounds + 1):
-        cur = this_round + step
-        mand = [
+    for step in range(rounds):
+        cur = current + step
+        window = rotation_order(names, sim, birth, cur)[:DRIVER_WINDOW]
+        due = [
             n
             for n in names
-            if (n not in last
-                and cur - hist.get(n, {}).get("added", cur) >= GRACE)
-            or (n in last and cur - last[n] >= STALE)
+            if (n in sim and cur - sim[n] >= STALENESS_ROUNDS)
+            or (n not in sim and cur - birth.get(n, cur) >= GRACE_ROUNDS)
         ]
-        slack = WINDOW - len(mand)
+        slack = DRIVER_WINDOW - len(due)
         tag = "INFEASIBLE" if slack < 0 else f"slack {slack}"
-        out.append(f"r{cur}: mandatory {len(mand)} / {WINDOW} ({tag})")
+        out.append(f"r{cur}: due-now {len(due)} / {DRIVER_WINDOW} ({tag})")
         if slack < 0:
             break
-        fill = sorted(
-            (n for n in names if n not in mand),
-            key=lambda n: (last.get(n, 0), n),
-        )
-        for n in mand + fill[:slack]:
-            last[n] = cur
+        for n in window:
+            sim[n] = cur
     return out
 
 
 def main() -> int:
+    from tfm_semisup_spark.queries import DRIVER_WINDOW, rotation_order
+
+    names, current, newest, birth = _facts()
+    print(f"# current computed window (r{current}):")
+    for name in rotation_order(names, newest, birth, current)[:DRIVER_WINDOW]:
+        print(f'    "{name}",')
     window, notes = propose()
     for n in notes:
         print(f"# {n}")
-    for name in window:
-        print(f'    "{name}",')
-    for line in lookahead():
+    report = lookahead()
+    for line in report:
         print(f"# lookahead {line}")
-    return 1 if any("INFEASIBLE" in n for n in notes) else 0
+    bad = any("INFEASIBLE" in n for n in notes) or any(
+        "INFEASIBLE" in line for line in report
+    )
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

@@ -73,13 +73,25 @@ def conformal_threshold(
     alphas: DataFrame,
     alpha_col: str = "alpha",
     miscoverage: tuple[int, int] = (1, 10),
+    infinite_score=None,
 ) -> DataFrame:
     """Split-conformal calibration threshold over integer
     nonconformity scores: ONE row (n_cal, q_hat) where q_hat is the
     ceil((1 - num/den)(n_cal + 1))-th smallest score. The quantile is
     taken from the counted value grid (bounded when scores are
     quantized), never a global sort; the rank uses exact integer
-    ceil-division, so there is no float boundary at any n."""
+    ceil-division, so there is no float boundary at any n.
+
+    When the conformal rank k exceeds n_cal (calibration sets smaller
+    than den/num - 1, or empty input) no score is a valid threshold and
+    the conventional answer is +infinity — every candidate enters the
+    prediction set (Vovk; ADVICE r9: the old NULL q_hat silently made
+    downstream coverage comparisons evaluate as UNcovered). Pass
+    ``infinite_score`` = the scale's maximum possible score to adopt
+    that convention on the score's own (integer) type; the default
+    ``None`` keeps NULL for callers that gate on n_cal themselves.
+    ``n_cal`` itself now always reports the true calibration count
+    (0 for empty input, never NULL)."""
     num, den = miscoverage
     grid = alphas.groupBy(F.col(alpha_col).alias("_a")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_cnt")
@@ -90,12 +102,16 @@ def conformal_threshold(
     cum = grid.select("_a", F.sum("_cnt").over(w).alias("_cum"))
     tot = alphas.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
     k = F.expr(f"(({den - num} * (n_cal + 1)) + {den - 1}) div {den}")
-    return (
+    # a global aggregate always yields exactly one row (NULL q_hat when
+    # no grid row reaches rank k — including empty input), so the
+    # n_cal-bearing cross join below never loses the count
+    q = (
         cum.crossJoin(F.broadcast(tot))
-        .where(F.col("_cum") >= k)
-        .agg(
-            F.min("_a").alias("q_hat"),
-            F.first(F.col("n_cal")).alias("n_cal"),
-        )
-        .select("n_cal", "q_hat")
+        .agg(F.min(F.when(F.col("_cum") >= k, F.col("_a"))).alias("q_hat"))
     )
+    out = tot.crossJoin(F.broadcast(q))
+    if infinite_score is not None:
+        out = out.withColumn(
+            "q_hat", F.coalesce("q_hat", F.lit(infinite_score))
+        )
+    return out.select("n_cal", "q_hat")

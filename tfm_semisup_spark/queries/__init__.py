@@ -19,6 +19,9 @@ value-hash compare):
 
 from __future__ import annotations
 
+import glob as _glob
+import json as _json
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,186 +46,110 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# Driver-verification priority: the correctness driver evaluates the
-# FIRST 50 oracled entries of queries() in dict order.
+# Driver-verification window: the correctness driver evaluates the
+# FIRST ``DRIVER_WINDOW`` oracled entries of ``queries()`` in dict
+# order.
 #
-# ROUND-9 ROTATION (VERDICT r8 #1): positions 1-46 are the 46 r8-born
-# oracles (judge re-verified green at sf0.01 in r8 — this surgery is
-# their promotion to driver CORRECTNESS rows); 47-50 are the 4 oldest
-# r4-last rows. tests/test_window_rotation.py enforces both the
-# never-checked grace (2 rounds) AND, new this round, a 6-round
-# re-window staleness bound (VERDICT r8 #4), so every oracle keeps
-# getting re-confirmed after plan changes.
-_ORACLE_PRIORITY = [
-    # -- 1-46: the 46 r8-born oracles, never driver-checked (every
-    # one judge-verified green at sf0.01 via driver_sim in r8) --
-    "streaming_rollup_sink_state",
-    "streaming_quality_gate_stats",
-    "domain_temperature_sample",
-    "zipf_token_audit",
-    "multimodal_resize_decode_stats",
-    "embedding_covariance_slice",
-    "streaming_neardup_minhash_ingest",
-    "item_bfs_hop_distance",
-    "item_cooccurrence_cosine",
-    "gini_revenue_concentration",
-    "theilsen_daily_revenue_slope",
-    "token_entropy_by_lang",
-    "text_bigram_addk_logppl",
-    "spatial_grid_radius_pairs",
-    "ab_test_conversion_ztest",
-    "acf_daily_revenue",
-    "cusum_changepoint_daily",
-    "kaplan_meier_conversion",
-    "multimodal_wav_frame_rms",
-    "spatial_nearest_neighbor",
-    "recursive_sql_reach_two_hop",
-    "text_phrase_search",
-    "half_sample_replicate_means",
-    "multimodal_video_framesample_stats",
-    "embedding_int8_quant_error",
-    "item_personalized_pagerank",
-    "streaming_leftouter_join_finalized",
-    "variant_props_extract",
-    "unpivot_daily_metrics",
-    "psi_price_by_segment",
-    "basket_part_lift",
-    "user_gap_p95",
-    "vocab_coverage_topk",
-    "embedding_pair_distance_histogram",
-    "equidepth_price_buckets",
-    "dedup_weighted_jaccard_pairs",
-    "funnel_window_sensitivity",
-    "cogroup_asof_reconciliation",
-    "open_orders_daily",
-    "join_key_skew_report",
-    "cohort_ltv_curve",
-    "error_burst_maxrun",
-    "monthly_seasonal_index",
-    "basket_part_triples",
-    "supplier_hhi_by_part",
-    "nation_trade_balance",
-    # -- 47-50: the 4 oldest r4-last rows (newest driver row = r4;
-    # the staleness bound in test_window_rotation.py forces the
-    # remaining 21 into the r10 window) --
-    "scalar_subquery_above_avg",
-    "in_subquery_urgent_lineitems",
-    "q18_large_volume_orders",
-    "q6_forecast_revenue",
-    # -- positions 51+: outside the window this round (locally green
-    # in test_oracle_parity + judge-verifiable via driver_sim).
-    # Queue for r10: the r9-born oracles lead (2-round never-checked
-    # grace), then the 21 remaining r4-last rows (their 6-round
-    # staleness bound expires at round 10), then the r8 driver-green
-    # window rows, then r5/r7 rows in registration order (unlisted). --
-    "ssl_selftrain_one_round_nb",  # new r9 — first in line for r10
-    "ssl_selftrain_one_round_kbest",  # new r9 — first in line for r10
-    "ssl_cotrain_one_round_nb",  # new r9 — first in line for r10
-    "ssl_tritrain_one_round_nb",  # new r9 — first in line for r10
-    "spearman_qty_disc",  # new r9 — first in line for r10
-    "mannwhitney_qty_flag",  # new r9 — first in line for r10
-    "chi2_status_priority",  # new r9 — first in line for r10
-    "ssl_nb_calibration_bins",  # new r9 — first in line for r10
-    "part_degree_assortativity",  # new r9 — first in line for r10
-    "max_drawdown_daily_revenue",  # new r9 — first in line for r10
-    "kendall_tau_qty_disc",  # new r9 — first in line for r10
-    "hodges_lehmann_qty_shift",  # new r9 — first in line for r10
-    "bpe_merge_candidates",  # new r9 — first in line for r10
-    "snapshot_diff_report",  # new r9 — first in line for r10
-    "per_segment_ols_r2",  # new r9 — first in line for r10
-    "split_leakage_audit",  # new r9 — first in line for r10
-    "augment_token_dropout",  # new r9 — first in line for r10
-    "attribution_linear",  # new r9 — first in line for r10
-    "event_markov_stationary",  # new r9 — first in line for r10
-    "bloom_semijoin_volume",  # new r9 — first in line for r10
-    "item_hash_random_walks",  # new r9 — first in line for r10
-    "spatial_dbscan_labels",  # new r9 — first in line for r10
-    "streaming_fullouter_join_finalized",  # new r9 — first in line for r10
-    "seasonal_naive_backtest",  # new r9 — first in line for r10
-    "ab_test_cuped_adjusted",  # new r9 — first in line for r10
-    "ssl_isotonic_calibration",  # new r9 — first in line for r10
-    "ssl_brier_decomposition",  # new r9 — first in line for r10
-    "record_linkage_fs",  # new r9 — first in line for r10
-    "text_proximity_search",  # new r9 — first in line for r10
-    # (r10 window is now EXACTLY full: 29 r9-born + 21 r4-stale = 50 —
-    # no more oracles can be born before r10 without displacing one)
-    "q7_volume_shipping",  # r4-last — staleness bound forces r10 slot
-    "q10_returned_item_reporting",  # r4-last — staleness bound forces r10 slot
-    "q12_late_shipment_priority",  # r4-last — staleness bound forces r10 slot
-    "dedup_exact_stats",  # r4-last — staleness bound forces r10 slot
-    "dedup_ngram_jaccard_pairs",  # r4-last — staleness bound forces r10 slot
-    "dedup_ngram_jaccard_capped",  # r4-last — staleness bound forces r10 slot
-    "dedup_cluster_components",  # r4-last — staleness bound forces r10 slot
-    "substring_dup_report",  # r4-last — staleness bound forces r10 slot
-    "similarity_cosine_topk",  # r4-last — staleness bound forces r10 slot
-    "similarity_topk_batch",  # r4-last — staleness bound forces r10 slot
-    "session_stats_daily",  # r4-last — staleness bound forces r10 slot
-    "corpus_stratified_sample",  # r4-last — staleness bound forces r10 slot
-    "training_shard_assignment",  # r4-last — staleness bound forces r10 slot
-    "text_bm25_topk",  # r4-last — staleness bound forces r10 slot
-    "dedup_editdist_pairs",  # r4-last — staleness bound forces r10 slot
-    "funnel_view_purchase",  # r4-last — staleness bound forces r10 slot
-    "retention_cohort_daily",  # r4-last — staleness bound forces r10 slot
-    "timeseries_gap_fill",  # r4-last — staleness bound forces r10 slot
-    "grouping_sets_status_priority",  # r4-last — staleness bound forces r10 slot
-    "item_pagerank",  # r4-last — staleness bound forces r10 slot
-    "boilerplate_line_removal",  # r4-last — staleness bound forces r10 slot
-    "streaming_new_docs_finalized",
-    "dedup_containment_pairs",
-    "ssl_label_propagation",
-    "per_nation_price_trend_ols",
-    "mi_status_priority",
-    "benford_price_audit",
-    "ewma_daily_revenue",
-    "text_bigram_pmi",
-    "text_boolean_and_search",
-    "item_kcore_membership",
-    "semantic_contamination_screen",
-    "funnel_three_step",
-    "segment_overlap_jaccard",
-    "hll_portable_distinct",
-    "target_encode_priority",
-    "point_in_time_order_state",
-    "time_to_convert_histogram",
-    "asof_forward_next_order",
-    "streaming_cdc_merge_state",
-    "vocab_id_stats",
-    "table_fingerprint_orders",
-    "dow_seasonal_residuals",
-    "ks_price_by_returnflag",
-    "sliding_window_2h_1h",
-    "session_window_30m",
-    "daily_rollup_by_type",
-    "multimodal_feature_stub",
-    "multimodal_resize_stub",
-    "doc_chunks_overlap",
-    "pack_token_bins",
-    "pii_redaction_report",
-    "contamination_screen",
-    "dedup_embedding_cosine_pairs",
-    "similarity_pairs_above",
-    "filter_range_outliers",
-    "binarize_when_otherwise",
-    "haversine_distance",
-    "ts_parts_histogram",
-    "json_extract_props",
-    "moving_avg_lag",
-    "cube_flag_status",
-    "pivot_status_by_priority",
-    "percentiles_extendedprice",
-    "dedup_incremental_new_docs",
-    "stats_aggregates",
-    "grouping_markers",
-    "string_function_battery",
-    "date_arithmetic",
-    "array_function_battery",
-    "posexplode_tokens",
-]
+# ROUND-10 MECHANISM (VERDICT r9 #1/#2): the rotation is COMPUTED, not
+# hand-pasted. Rounds 7 and 9 both proved that a static list goes red
+# the moment the driver\'s own CORRECTNESS_r{N}.json artifact lands
+# (the round counter advances but the list still holds the previous
+# window). The window is now derived, deterministically, from the
+# checked-in artifacts themselves:
+#
+#   deadline(oracle) = added_round + GRACE_ROUNDS        (never checked)
+#                    = newest_driver_row + STALENESS_ROUNDS (checked)
+#
+# and the priority order is earliest-deadline-first (name tiebreak).
+# The first DRIVER_WINDOW entries are the window. EDF is optimal for
+# this scheduling problem: if any schedule satisfies every deadline,
+# the EDF schedule does — and because each round\'s fill refreshes the
+# soonest-deadline cohort ahead of time, lumped 50-entry cohorts (the
+# r9 zero-slack crunch) smear out instead of all falling due at once.
+#
+# Feasibility math for STALENESS_ROUNDS = 7 (VERDICT r9 #2): capacity
+# is DRIVER_WINDOW per round = 350 slots per 7-round cycle vs demand
+# of ~250 live oracles + new births; average slack ~= 50 - 250/7 ~= 14
+# births/round sustained. The previous bound of 6 left mathematically
+# zero slack at r11/r13/r14/r15 (250 oracles in 50-entry cohorts / 50
+# slots is an exact 5-round cycle) — one windowing mistake away from
+# unsatisfiable. scripts/propose_rotation.py prints this order and a
+# 6-round lookahead; tests/test_window_rotation.py pins feasibility
+# WITH slack.
+
+DRIVER_WINDOW = 50
+#: rounds an oracle may stay never-driver-checked (1 = its birth round)
+GRACE_ROUNDS = 2
+#: rounds after which a checked oracle must be re-windowed
+STALENESS_ROUNDS = 7
+
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def driver_facts(repo: str | None = None) -> tuple[int, dict[str, int], dict[str, int]]:
+    """Read the driver\'s own artifacts: returns ``(current_round,
+    newest_row, birth_round)`` where ``newest_row`` maps oracle name ->
+    newest round with a CORRECTNESS row and ``birth_round`` maps name
+    -> the round it was registered (driver_history.json). Depends only
+    on checked-in files, so the computed window is identical for the
+    test suite, the bench, and the driver within a round — and advances
+    automatically when the next CORRECTNESS artifact lands."""
+    repo = repo or _REPO_ROOT
+    newest: dict[str, int] = {}
+    rounds: list[int] = []
+    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(_os.path.basename(path).split("_r")[1].split(".")[0])
+        rounds.append(rnd)
+        try:
+            with open(path) as fh:
+                names = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            newest[n] = max(newest.get(n, 0), rnd)
+    current = (max(rounds) if rounds else 0) + 1
+    birth: dict[str, int] = {}
+    try:
+        with open(_os.path.join(repo, "driver_history.json")) as fh:
+            birth = {n: v.get("added", current) for n, v in _json.load(fh).items()}
+    except (OSError, ValueError):
+        pass
+    return current, newest, birth
+
+
+def rotation_order(
+    names: list[str],
+    newest: dict[str, int],
+    birth: dict[str, int],
+    current_round: int,
+) -> list[str]:
+    """Earliest-deadline-first ordering of ``names``. Pure function of
+    its inputs so scripts/propose_rotation.py can simulate future
+    rounds with hypothetical ``newest`` maps."""
+
+    def deadline(n: str) -> int:
+        if n in newest:
+            return newest[n] + STALENESS_ROUNDS
+        return birth.get(n, current_round) + GRACE_ROUNDS
+
+    return sorted(names, key=lambda n: (deadline(n), n))
+
+
+#: full EDF ordering of every oracled entry — rebuilt by
+#: ``_reorder_registries()`` on each ``load_all_queries()`` call.
+_ORACLE_PRIORITY: list[str] = []
 
 
 def _reorder_registries() -> None:
-    """Rebuild QUERIES/ORACLES in priority order, in place (both dicts
-    are imported by reference elsewhere)."""
+    """Recompute the EDF rotation from the driver artifacts and rebuild
+    QUERIES/ORACLES in that order, in place (both dicts are imported by
+    reference elsewhere). Oracled entries lead in EDF order — the first
+    DRIVER_WINDOW of them are this round\'s driver window — followed by
+    rows-only entries in registration order."""
+    current, newest, birth = driver_facts()
+    _ORACLE_PRIORITY[:] = rotation_order(list(ORACLES), newest, birth, current)
     for registry in (QUERIES, ORACLES):
         ordered = {n: registry[n] for n in _ORACLE_PRIORITY if n in registry}
         ordered.update((n, v) for n, v in registry.items() if n not in ordered)

@@ -30,7 +30,7 @@ from tfm_semisup_spark.operators.grid import (
 from tfm_semisup_spark.operators.self_training import SelfTraining
 from tfm_semisup_spark.operators.supervised import Supervised
 from tfm_semisup_spark.operators.unlabeled import DeterministicLabelMasker
-from tfm_semisup_spark.queries import register
+from tfm_semisup_spark.queries import ORACLES, register
 
 
 def _labeled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,9 +1537,10 @@ def ssl_logreg_irls_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer floor-division, and q_hat = the k-th smallest alpha read off
 # the counted alpha-value grid (bounded: f1 has 5 values, so <= 15
 # distinct score vectors) — no global sort, no float boundary.
-# Rows-only this round purely for window-budget reasons (the r10
-# driver window is exactly full); the math is fully SQL-expressible
-# and queued for oracle promotion in r10 (ROADMAP).
+# Born rows-only in r9 purely for window-budget reasons; promoted to
+# oracled in r10 (VERDICT r9 #4) — the oracle string attaches at the
+# bottom of this module (its CTE helpers are defined after the query)
+# and the EDF rotation schedules its first driver window mechanically.
 
 _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # miscoverage alpha = 0.1
 
@@ -1577,9 +1578,15 @@ def ssl_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/calibration.py — the reusable API form)
     from tfm_semisup_spark.operators.calibration import conformal_threshold
 
+    # infinite_score = S6: alpha = S6 - p·S6/total is bounded by the
+    # Brier scale, so S6 is this scale's +infinity — with a tiny
+    # calibration pool every label enters the set (coverage 1) instead
+    # of NULL comparisons silently reading as uncovered (ADVICE r9);
+    # the oracle's qh CTE carries the same COALESCE
     qhat = conformal_threshold(
         acal.select(F.col("al_true").alias("alpha")),
         miscoverage=(_CONF_ALPHA_NUM, _CONF_ALPHA_DEN),
+        infinite_score=_BRIER_SCALE,
     )
     aev = _alphas(ev).crossJoin(F.broadcast(qhat))
     in_set = [
@@ -1603,13 +1610,12 @@ def ssl_conformal_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _conformal_oracle() -> str:
-    """DuckDB oracle for ssl_conformal_nb — PRE-STAGED for the r10
-    promotion (the r10 driver window is already exactly full, so the
-    oracle is not registered this round; r10 flips the register() call
-    to pass this string and records the promotion birth round in
-    driver_history.json). Verified hash-matching against the Spark
-    side at sf0.001 and sf0.01 in tests/test_linkage_calibration.py::
-    test_conformal_oracle_prestage_parity."""
+    """DuckDB oracle for ssl_conformal_nb (promoted from rows-only in
+    r10 per VERDICT r9 #4; verified hash-matching at sf0.001 and
+    sf0.01 before promotion). Attached to ORACLES at the bottom of
+    this module because its CTE helpers are defined after the query;
+    covered by the full tests/test_oracle_parity.py sweep like every
+    other oracle."""
     S6 = _BRIER_SCALE
     ab = " , ".join(
         f"p.n_{c} * (COALESCE(nf_{c}_v1, 0) + 1) AS a_{c}, "
@@ -1660,9 +1666,14 @@ cum AS (
 ),
 tot AS (SELECT COUNT(*)::HUGEINT AS n_cal FROM al_cal),
 qh AS (
-  SELECT MIN(alpha)::BIGINT AS q_hat, MIN(t.n_cal)::BIGINT AS n_cal
+  -- conformal +inf convention on the Brier scale: when rank k exceeds
+  -- n_cal no grid row qualifies and q_hat falls back to S6 (every
+  -- label enters the set), mirroring conformal_threshold's
+  -- infinite_score (ADVICE r9)
+  SELECT COALESCE(MIN(CASE WHEN cum >= (9 * (t.n_cal + 1) + 9) // 10
+                           THEN alpha END), {S6})::BIGINT AS q_hat,
+         COALESCE(MIN(t.n_cal), 0)::BIGINT AS n_cal
   FROM cum CROSS JOIN tot t
-  WHERE cum >= (9 * (t.n_cal + 1) + 9) // 10
 )
 SELECT q.n_cal, q.q_hat,
        COUNT(*)::BIGINT AS n_eval,
@@ -1678,3 +1689,9 @@ SELECT q.n_cal, q.q_hat,
 FROM al_ev CROSS JOIN qh q
 GROUP BY q.n_cal, q.q_hat
 """
+
+
+# r10 promotion (VERDICT r9 #4): attach the pre-staged, parity-tested
+# oracle to the already-registered query. register() forbids duplicate
+# names, so the late attachment writes the ORACLES registry directly.
+ORACLES["ssl_conformal_nb"] = _conformal_oracle()

@@ -535,6 +535,28 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
+def _bpe_merge_apply(left: str, right: str):
+    """Left-to-right non-overlapping merge apply over the symbol array
+    column ``s``: fold, replacing a trailing ``left`` when ``right``
+    arrives (init = slice(s,1,0): a correctly-TYPED empty string
+    array). The winning symbols bind as ``F.lit`` columns, never
+    interpolated into SQL text — corpus tokens containing a quote or
+    backslash used to generate invalid SQL and crash the round
+    (ADVICE r9; pinned in test_linkage_calibration.py)."""
+    left_c, right_c = F.lit(left), F.lit(right)
+    merged_c = F.lit(left + right)
+
+    def fold(acc, x):
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left_c)
+            & (x == right_c),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_c)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(F.col("s"), F.slice(F.col("s"), 1, 0), fold)
+
+
 @register("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of BPE merge training over the word-frequency
@@ -574,17 +596,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rnd, left, right, cnt))
-        # left-to-right non-overlapping merge apply: fold the symbol
-        # array, replacing a trailing `left` when `right` arrives
-        # (init = slice(s,1,0): a correctly-TYPED empty string array)
-        merge_sql = (
-            "aggregate(s, slice(s, 1, 0), (acc, x) -> "
-            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{left}' "
-            f"AND x = '{right}' "
-            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{left}{right}')) "
-            "ELSE concat(acc, array(x)) END)"
-        )
-        syms = syms.select("n", F.expr(merge_sql).alias("s"))
+        syms = syms.select("n", _bpe_merge_apply(left, right).alias("s"))
         syms = truncate(syms, eager=True)
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count bigint"
