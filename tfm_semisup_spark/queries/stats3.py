@@ -190,6 +190,8 @@ def theilsen_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Theil–Sen trend of daily revenue per priority:
     (priority, n_days, n_pairs, ts_slope_cents_per_day) — the median
     pairwise slope over day pairs ≤{g} days apart.""".format(g=_TS_MAX_GAP)
+    from tfm_semisup_spark.operators.lineage import truncate
+
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.select(
@@ -200,6 +202,12 @@ def theilsen_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority", "day")
         .agg(F.sum("c100").cast("bigint").alias("cents"))
     )
+    # materialize the tiny day grid ONCE (priorities x calendar days,
+    # ~12k rows at sf0.1): three consumers (band left, band right,
+    # n_days) otherwise each re-run the full orders scan + aggregate —
+    # measured 3 x 0.44s of the query's ~2.5s at sf0.1, and at 100 TB
+    # the corpus scan must happen exactly once
+    daily = truncate(daily, eager=True)
     # Band generation: explode gap 1..G on the left and equi-join the
     # right at (priority, day+gap) — produces exactly the band pairs.
     left = daily.select(
