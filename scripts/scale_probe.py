@@ -1,0 +1,186 @@
+"""Empirical scaling probe: sf0.1 vs a generated sf1 (VERDICT r9 #7).
+
+SCALE.md's 100 TB arguments were design-only; this script measures
+them. It materializes a 10x copy of the five fact-scale tables
+(orders, lineitem, events, documents, embeddings) under
+``.scale_probe/sf1/`` (git-ignored; dims copied verbatim), times the
+top-N most expensive headline queries at both SFs, and prints a
+per-query scaling exponent
+
+    exponent = log10(t_sf1 / t_sf0.1)
+
+(10x data: exponent 1.0 = linear, 2.0 = quadratic). Replication is
+key-remapped so relational fidelity holds:
+
+- ``o_orderkey``/``l_orderkey`` -> key*10 + replica (orders keep their
+  baskets; basket WIDTH stays constant, so pair-per-order fan-outs
+  must scale linearly);
+- ``event_id``/``user_id``/``doc_id``/``vec_id`` -> key*10 + replica
+  (per-user streams and per-doc sizes stay constant);
+- dates/text/vectors are kept VERBATIM per replica: the day grid stays
+  fixed (calendar-bounded pair counts must NOT grow), and each
+  document/vector gains 9 exact duplicates — a 100%-duplicate corpus
+  stress: banded/blocked dedup tiers must stay linear (bucket sizes
+  grow by the replica factor only), and cluster-size-targeting
+  (SemDeDup's N/TARGET derivation) must keep within-cluster pair
+  volume ~N.
+
+Timing protocol = bench.py's: warm every probed query once at
+sf0.001, then interleaved passes with clearCache + py/JVM GC between
+timings; per-query exponent uses the MEDIAN of ``--runs`` samples.
+
+Usage:
+  PYTHONPATH=. python scripts/scale_probe.py --generate   # build sf1
+  PYTHONPATH=. python scripts/scale_probe.py --measure    # time + report
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scale_probe", "sf1")
+REPLICAS = 10
+
+#: the top of the r9/r10 bench cost ranking (bench_spread.json medians)
+PROBE_QUERIES = [
+    "dedup_semantic_semdedup",
+    "part_degree_assortativity",
+    "ssl_selftrain_threshold",
+    "theilsen_daily_revenue_slope",
+    "dedup_cluster_components",
+    "similarity_ivfpq_topk",
+    "ssl_tritrain_one_round_nb",
+    "basket_part_lift",
+    "dedup_simhash_pairs",
+    "bloom_contamination_screen",
+]
+
+_SCALED_SQL = {
+    "orders": f"""
+        SELECT o_orderkey * {REPLICAS} + r.r AS o_orderkey,
+               o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM read_parquet('{SF01}/orders.parquet')
+        CROSS JOIN range({REPLICAS}) r(r)""",
+    "lineitem": f"""
+        SELECT l_orderkey * {REPLICAS} + r.r AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber, l_quantity,
+               l_extendedprice, l_discount, l_tax, l_returnflag,
+               l_linestatus, l_shipdate
+        FROM read_parquet('{SF01}/lineitem.parquet')
+        CROSS JOIN range({REPLICAS}) r(r)""",
+    "events": f"""
+        SELECT event_id * {REPLICAS} + r.r AS event_id, ts,
+               user_id * {REPLICAS} + r.r AS user_id,
+               event_type, value, props
+        FROM read_parquet('{SF01}/events.parquet')
+        CROSS JOIN range({REPLICAS}) r(r)""",
+    "documents": f"""
+        SELECT doc_id * {REPLICAS} + r.r AS doc_id, text, lang, source,
+               n_chars
+        FROM read_parquet('{SF01}/documents.parquet')
+        CROSS JOIN range({REPLICAS}) r(r)""",
+    "embeddings": f"""
+        SELECT vec_id * {REPLICAS} + r.r AS vec_id, embedding, label
+        FROM read_parquet('{SF01}/embeddings.parquet')
+        CROSS JOIN range({REPLICAS}) r(r)""",
+}
+
+_COPIED = ["region", "nation", "customer", "supplier", "part"]
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    for t, sql in _SCALED_SQL.items():
+        out = os.path.join(SF1, f"{t}.parquet")
+        con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+        print(f"{t}: {n} rows -> {out}", flush=True)
+    for t in _COPIED:
+        shutil.copyfile(
+            os.path.join(SF01, f"{t}.parquet"), os.path.join(SF1, f"{t}.parquet")
+        )
+        print(f"{t}: copied verbatim", flush=True)
+
+
+def measure(runs: int, queries: list[str]) -> dict:
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+    from tfm_semisup_spark.session import get_spark
+
+    load_all_queries()
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def isolate():
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+
+    for name in queries:  # warm families once at the tiny SF
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    isolate()
+    samples: dict[str, dict[str, list[float]]] = {
+        n: {"sf0.1": [], "sf1": []} for n in queries
+    }
+    for _ in range(runs):
+        for name in queries:
+            for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name][tag].append(time.perf_counter() - t0)
+                isolate()
+    report = {}
+    for name in queries:
+        t01 = statistics.median(samples[name]["sf0.1"])
+        t1 = statistics.median(samples[name]["sf1"])
+        report[name] = {
+            "sf0.1_sec": round(t01, 2),
+            "sf1_sec": round(t1, 2),
+            "ratio": round(t1 / t01, 2),
+            "exponent": round(math.log10(t1 / t01), 2),
+        }
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--measure", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", nargs="*", default=PROBE_QUERIES)
+    args = ap.parse_args()
+    if args.generate:
+        generate()
+    if args.measure:
+        if not os.path.isdir(SF1):
+            print("run --generate first", file=sys.stderr)
+            return 1
+        report = measure(args.runs, args.queries)
+        print(json.dumps(report, indent=1))
+        worst = max(report.values(), key=lambda r: r["exponent"])
+        print(
+            f"# worst exponent: {worst['exponent']} "
+            f"(bar: 1.3 — VERDICT r9 #7)"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -727,3 +727,109 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users_7d",
         )
     )
+
+
+# Event-path TRIGRAMS with second-order lift (r10): the 3-step
+# extension of event_path_bigrams. Lift compares the observed trigram
+# frequency against the first-order Markov prediction from its two
+# bigrams — lift = n(abc)·n(b) / (n(ab)·n(bc)) — i.e. how much
+# second-order memory the path carries (1.0 = the chain is
+# first-order). Counts come from the same ONE user-keyed window pass
+# (LEAD and LEAD,2 share the frame); all grids are |types|-bounded
+# (≤ 125 trigram cells), and the single double division happens per
+# output cell. The middle-state count n(b) deliberately counts rows
+# with a successor (bigram-start occurrences) so numerator and
+# denominator marginals agree.
+PATH_TRIGRAMS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS c
+  FROM events
+),
+tri AS (
+  SELECT a, b, c, COUNT(*)::HUGEINT AS n3 FROM seq
+  WHERE c IS NOT NULL GROUP BY a, b, c
+),
+bi AS (
+  SELECT a, b, COUNT(*)::HUGEINT AS n2 FROM seq
+  WHERE b IS NOT NULL GROUP BY a, b
+),
+uni AS (
+  SELECT a, COUNT(*)::HUGEINT AS n1 FROM seq
+  WHERE b IS NOT NULL GROUP BY a
+)
+SELECT tri.a AS step1, tri.b AS step2, tri.c AS step3,
+       tri.n3::BIGINT AS n,
+       ROUND(CAST(tri.n3 * u.n1 AS DOUBLE)
+             / CAST(ab.n2 * bc.n2 AS DOUBLE), 6) AS lift
+FROM tri
+JOIN bi ab ON tri.a = ab.a AND tri.b = ab.b
+JOIN bi bc ON tri.b = bc.a AND tri.c = bc.b
+JOIN uni u ON tri.b = u.a
+ORDER BY n DESC, step1, step2, step3
+LIMIT 20
+"""
+
+
+@register("event_path_trigrams", PATH_TRIGRAMS_ORACLE)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event sequences with second-order lift:
+    (step1, step2, step3, n, lift)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    tri = (
+        seq.where(F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n3"))
+    )
+    bi = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n2"))
+    )
+    uni = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n1"))
+    )
+    ab = bi.select(
+        F.col("a").alias("ab_a"), F.col("b").alias("ab_b"), F.col("n2").alias("n2_ab")
+    )
+    bc = bi.select(
+        F.col("a").alias("bc_a"), F.col("b").alias("bc_b"), F.col("n2").alias("n2_bc")
+    )
+    u = uni.select(F.col("a").alias("u_b"), "n1")
+    return (
+        tri.join(
+            F.broadcast(ab),
+            (F.col("a") == F.col("ab_a")) & (F.col("b") == F.col("ab_b")),
+        )
+        .join(
+            F.broadcast(bc),
+            (F.col("b") == F.col("bc_a")) & (F.col("c") == F.col("bc_b")),
+        )
+        .join(F.broadcast(u), F.col("b") == F.col("u_b"))
+        .select(
+            F.col("a").alias("step1"),
+            F.col("b").alias("step2"),
+            F.col("c").alias("step3"),
+            F.col("n3").cast("bigint").alias("n"),
+            F.round(
+                (F.col("n3") * F.col("n1")).cast("double")
+                / (F.col("n2_ab") * F.col("n2_bc")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(20)
+    )

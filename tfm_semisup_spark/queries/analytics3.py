@@ -1312,3 +1312,99 @@ def bloom_semijoin_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (r10)
+# ---------------------------------------------------------------------------
+#
+# The third attribution kernel next to last-touch and linear: touches
+# closer to the conversion earn exponentially more credit. Weights are
+# EXACT powers of two — w = 2^(20 − min(age_days // 7, 20)) (7-day
+# half-life, bit-shifted on both engines, never a double pow) — and
+# the per-(user, type) credit fraction is quantized to
+# floor(Σ n·w · 10^12 / W_u) exactly like attribution_linear, so every
+# cross-user sum is an order-free integer. Magnitude bound:
+# numer·10^12 ≤ touches·2^20·10^12 < 10^38 through sf10.
+#
+# 100 TB shape identical to the linear kernel: one user-keyed shuffle
+# for first purchases, one (user, type, week-bucket) aggregate, then
+# integer rollups.
+
+ATTR_DECAY_ORACLE = f"""
+WITH firstp AS (
+  SELECT user_id, MIN(ts) AS fp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+touches AS (
+  SELECT e.user_id, e.event_type,
+         (1::HUGEINT << (20 - LEAST(
+            date_diff('day', CAST(e.ts AS DATE), CAST(f.fp AS DATE)) // 7,
+            20)::INT)) AS w
+  FROM events e JOIN firstp f ON e.user_id = f.user_id
+  WHERE e.event_type <> 'purchase' AND e.ts <= f.fp
+),
+per_ut AS (
+  SELECT user_id, event_type, COUNT(*)::HUGEINT AS n_ut,
+         SUM(w)::HUGEINT AS w_ut
+  FROM touches GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, SUM(w_ut) AS w_u FROM per_ut GROUP BY user_id
+)
+SELECT p.event_type,
+       SUM(p.n_ut)::BIGINT AS n_touches,
+       COUNT(DISTINCT p.user_id)::BIGINT AS n_users,
+       ROUND(CAST(SUM((p.w_ut * {_ATTR_SCALE}) // t.w_u) AS DOUBLE)
+             / CAST({_ATTR_SCALE} AS DOUBLE), 6) AS credit
+FROM per_ut p JOIN tot t ON p.user_id = t.user_id
+GROUP BY p.event_type
+"""
+
+
+@register("attribution_time_decay", ATTR_DECAY_ORACLE)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution of first purchases
+    (7-day-half-life powers of two): (event_type, n_touches, n_users,
+    credit)."""
+    events = load_table(spark, sf_dir, "events")
+    firstp = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    # SQL form: the DataFrame shiftleft() only takes a literal bit
+    # count, the SQL function takes a column
+    w = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 20 - LEAST("
+        "CAST(FLOOR(datediff(to_date(fp), to_date(ts)) / 7) AS INT), 20))"
+        " AS DECIMAL(38,0))"
+    )
+    touches = (
+        events.where(F.col("event_type") != "purchase")
+        .join(firstp, "user_id")
+        .where(F.col("ts") <= F.col("fp"))
+        .select("user_id", "event_type", w.alias("w"))
+    )
+    per_ut = touches.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ut"),
+        F.sum("w").cast("decimal(38,0)").alias("w_ut"),
+    )
+    tot = per_ut.groupBy("user_id").agg(F.sum("w_ut").alias("w_u"))
+    scale = F.lit(_ATTR_SCALE).cast("decimal(38,0)")
+    num = (F.col("w_ut") * scale).cast("decimal(38,0)")
+    q_ut = ((num - F.pmod(num, F.col("w_u"))) / F.col("w_u")).cast(
+        "decimal(38,0)"
+    )
+    return (
+        per_ut.join(tot, "user_id")
+        .select("user_id", "event_type", "n_ut", q_ut.alias("q_ut"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ut").cast("bigint").alias("n_touches"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("q_ut").cast("double") / F.lit(float(_ATTR_SCALE)), 6
+            ).alias("credit"),
+        )
+    )

@@ -729,3 +729,130 @@ def corpus_ppl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table (word2vec unigram^0.75, r10)
+# ---------------------------------------------------------------------------
+#
+# The noise distribution used by skip-gram negative sampling and
+# contrastive losses (Mikolov et al. 2013): P(w) ∝ count(w)^0.75. The
+# fractional power is computed EXACTLY cross-engine as
+# w = floor(sqrt(sqrt(n³))): n³ is an exact integer (< 2^53 after the
+# 100k count cap, so the double holds it exactly) and IEEE-754 sqrt is
+# correctly rounded on both engines — no libm pow() divergence. Draws
+# are the usual md5-deterministic grid: draw i lands at position
+# (md5_uniform16('neg#'||i) · W) // 65536 on the cumulative weight
+# axis (stratified monotone mapping, exact integers), assigned to a
+# word by a range join against the vocab's [cum_lo, cum_hi) intervals.
+#
+# Scale shape: ONE wordcount aggregate over the corpus; everything
+# after runs on the VOCAB grid (bounded) × 1000 draws — the range join
+# is a bounded nested loop by construction, never corpus-scale.
+
+_NEG_DRAWS = 1000
+_NEG_COUNT_CAP = 100_000
+
+
+def _neg_w_sql(n: str) -> str:
+    return (
+        f"CAST(FLOOR(sqrt(sqrt("
+        f"CAST(LEAST({n}, {_NEG_COUNT_CAP}) AS DOUBLE)"
+        f" * LEAST({n}, {_NEG_COUNT_CAP})"
+        f" * LEAST({n}, {_NEG_COUNT_CAP})))) AS BIGINT)"
+    )
+
+
+NEG_SAMPLING_ORACLE = f"""
+WITH words AS (
+  SELECT w, COUNT(*)::BIGINT AS n
+  FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+weighted AS (
+  SELECT w, n, {_neg_w_sql('n')} AS wt FROM words
+),
+ranges AS (
+  SELECT w, n, wt,
+         SUM(wt) OVER (ORDER BY w) - wt AS cum_lo,
+         SUM(wt) OVER (ORDER BY w) AS cum_hi
+  FROM weighted
+),
+tot AS (SELECT SUM(wt)::BIGINT AS big_w FROM weighted),
+draws AS (
+  SELECT i, ({md5_uniform16_sql("md5('neg#' || CAST(i AS VARCHAR))")}
+             * t.big_w) // 65536 AS pos
+  FROM range({_NEG_DRAWS}) r(i) CROSS JOIN tot t
+),
+assigned AS (
+  SELECT r.w, r.n, r.wt
+  FROM draws d JOIN ranges r
+    ON d.pos >= r.cum_lo AND d.pos < r.cum_hi
+)
+SELECT w AS word, MIN(n)::BIGINT AS corpus_count,
+       MIN(wt)::BIGINT AS weight,
+       COUNT(*)::BIGINT AS n_sampled
+FROM assigned
+GROUP BY w
+ORDER BY n_sampled DESC, word
+LIMIT 15
+"""
+
+
+@register("negative_sampling_table", NEG_SAMPLING_ORACLE)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-drawn words under 1000 deterministic unigram^0.75
+    negative-sampling draws: (word, corpus_count, weight, n_sampled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "w"
+            )
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    weighted = words.withColumn("wt", F.expr(_neg_w_sql("n")))
+    wsum = Window.orderBy("w")
+    ranges = weighted.select(
+        "w",
+        "n",
+        "wt",
+        (F.sum("wt").over(wsum) - F.col("wt")).alias("cum_lo"),
+        F.sum("wt").over(wsum).alias("cum_hi"),
+    )
+    tot = weighted.agg(F.sum("wt").cast("bigint").alias("big_w"))
+    u = F.expr(
+        md5_uniform16_spark_sql("md5(concat('neg#', CAST(id AS STRING)))")
+    ).cast("bigint")
+    draws = (
+        spark.range(_NEG_DRAWS)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (u * F.col("big_w"))
+                - F.pmod(u * F.col("big_w"), F.lit(65536))
+            ).cast("bigint")
+            .alias("pos_num")
+        )
+        .select((F.col("pos_num") / 65536).cast("bigint").alias("pos"))
+    )
+    assigned = draws.join(
+        F.broadcast(ranges),
+        (F.col("pos") >= F.col("cum_lo")) & (F.col("pos") < F.col("cum_hi")),
+    )
+    return (
+        assigned.groupBy("w")
+        .agg(
+            F.min("n").cast("bigint").alias("corpus_count"),
+            F.min("wt").cast("bigint").alias("weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        )
+        .select(
+            F.col("w").alias("word"), "corpus_count", "weight", "n_sampled"
+        )
+        .orderBy(F.desc("n_sampled"), "word")
+        .limit(15)
+    )

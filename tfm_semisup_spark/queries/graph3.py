@@ -638,3 +638,90 @@ def item_hash_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk.select(
         "start_item", *[f"v{i}" for i in range(1, _WALK_STEPS + 1)]
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities, two unrolled iterations (r10)
+# ---------------------------------------------------------------------------
+#
+# Kleinberg's HITS (1999) on the weighted supplier->part bipartite
+# graph (edge weight = lineitem count): hubs are suppliers, authorities
+# parts. Two mutual-reinforcement iterations unrolled as aggregates —
+# the item_pagerank power-iteration discipline — with NORMALIZATION
+# DEFERRED: scores stay exact integers (DECIMAL(38,0)/HUGEINT)
+#   hub1(s)  = Σ_e w               (weighted out-degree)
+#   auth1(p) = Σ_{(s,p)} w·hub1(s)
+#   hub2(s)  = Σ_{(s,p)} w·auth1(p)
+#   auth2(p) = Σ_{(s,p)} w·hub2(s)
+# (the per-iteration L2 normalization of textbook HITS is a positive
+# scalar per side, so the RANKING after k integer iterations is
+# identical — and integer scores are the order-free, oracle-exact
+# form). Magnitude bound: auth2 ≤ (Σw)³ < 10^38 through sf10.
+#
+# Scale shape: the edge list aggregates once (one shuffle keyed
+# (supplier, part)) and is checkpointed; each iteration is a broadcast
+# join of the ≤|suppliers| or ≤|parts| score table onto the edges plus
+# one keyed aggregate — 1 shuffle per half-iteration, O(1) lineage,
+# exactly the pagerank cost model. Top-10 by (auth2 desc, part) is a
+# TakeOrderedAndProject, never a global sort.
+
+HITS_ORACLE = """
+WITH edges AS (
+  SELECT l_suppkey AS s, l_partkey AS p, COUNT(*)::HUGEINT AS w
+  FROM lineitem GROUP BY 1, 2
+),
+hub1 AS (SELECT s, SUM(w) AS h1 FROM edges GROUP BY s),
+auth1 AS (
+  SELECT e.p, SUM(e.w * hub1.h1) AS a1
+  FROM edges e JOIN hub1 ON e.s = hub1.s GROUP BY e.p
+),
+hub2 AS (
+  SELECT e.s, SUM(e.w * auth1.a1) AS h2
+  FROM edges e JOIN auth1 ON e.p = auth1.p GROUP BY e.s
+),
+auth2 AS (
+  SELECT e.p, SUM(e.w * hub2.h2) AS a2
+  FROM edges e JOIN hub2 ON e.s = hub2.s GROUP BY e.p
+)
+SELECT p AS part, a2::BIGINT AS authority_score
+FROM auth2
+ORDER BY a2 DESC, p
+LIMIT 10
+"""
+
+
+@register("part_hits_authorities", HITS_ORACLE)
+def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 HITS authorities after two exact-integer iterations on
+    the supplier->part graph: (part, authority_score)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = truncate(
+        li.groupBy(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("w")),
+        eager=True,
+    )
+    hub1 = edges.groupBy("s").agg(F.sum("w").alias("h1"))
+    auth1 = (
+        edges.join(F.broadcast(hub1), "s")
+        .groupBy("p")
+        .agg(F.sum(F.col("w") * F.col("h1")).alias("a1"))
+    )
+    hub2 = (
+        edges.join(F.broadcast(auth1), "p")
+        .groupBy("s")
+        .agg(F.sum(F.col("w") * F.col("a1")).alias("h2"))
+    )
+    auth2 = (
+        edges.join(F.broadcast(hub2), "s")
+        .groupBy("p")
+        .agg(F.sum(F.col("w") * F.col("h2")).alias("a2"))
+    )
+    return (
+        auth2.orderBy(F.col("a2").desc(), "p")
+        .limit(10)
+        .select(
+            F.col("p").alias("part"),
+            F.col("a2").cast("bigint").alias("authority_score"),
+        )
+    )

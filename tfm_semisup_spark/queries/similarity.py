@@ -617,3 +617,132 @@ def _hard_negatives_ann_pipeline(
         .select("query_id", "vec_id", F.round("bsim", 4).alias("cosine_sim"))
     )
     return out, assigned
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit (r10)
+# ---------------------------------------------------------------------------
+#
+# Matryoshka representation learning (Kusupati et al. 2022) serves
+# PREFIXES of an embedding as cheaper vectors; the operational question
+# is how much retrieval quality a prefix keeps. This audit ranks the
+# corpus against the fixed query (vec_id = 0) by full-dimension cosine
+# and by first-16-dims cosine, and reports top-k overlap at
+# k ∈ {1, 5, 10}: (k, n_overlap, recall_at_k).
+#
+# Scale shape: each ranking is the brute-force scan (narrow projection,
+# zero shuffle, TakeOrderedAndProject top-10) — the window ranks run
+# over the two 10-ROW results only (bounded-grid exception). Exact
+# doubles both engines; ties broken by (sim desc, vec_id).
+
+_MATRYOSHKA_PREFIX = 16
+_MATRYOSHKA_KS = [1, 5, 10]
+
+MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv,
+         (embedding::DOUBLE[])[1:{_MATRYOSHKA_PREFIX}] AS qt
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT e.vec_id,
+         list_inner_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS sim_full,
+         list_inner_product((e.embedding::DOUBLE[])[1:{_MATRYOSHKA_PREFIX}],
+                            q.qt)
+           / (sqrt(list_inner_product(
+                 (e.embedding::DOUBLE[])[1:{_MATRYOSHKA_PREFIX}],
+                 (e.embedding::DOUBLE[])[1:{_MATRYOSHKA_PREFIX}]))
+              * sqrt(list_inner_product(q.qt, q.qt))) AS sim_trunc
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+full10 AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_full DESC, vec_id)
+           AS r_full
+  FROM scored ORDER BY sim_full DESC, vec_id LIMIT 10
+),
+trunc10 AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_trunc DESC, vec_id)
+           AS r_trunc
+  FROM scored ORDER BY sim_trunc DESC, vec_id LIMIT 10
+),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in _MATRYOSHKA_KS)}]) AS k)
+SELECT ks.k::BIGINT AS k,
+       COALESCE(SUM(CASE WHEN f.r_full <= ks.k AND t.r_trunc <= ks.k
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_overlap,
+       ROUND(COALESCE(SUM(CASE WHEN f.r_full <= ks.k AND t.r_trunc <= ks.k
+                               THEN 1 ELSE 0 END), 0)
+             / CAST(ks.k AS DOUBLE), 6) AS recall_at_k
+FROM ks
+LEFT JOIN full10 f ON TRUE
+LEFT JOIN trunc10 t ON f.vec_id = t.vec_id
+GROUP BY ks.k
+"""
+
+
+@register("embedding_matryoshka_audit", MATRYOSHKA_ORACLE)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k overlap between full-dim and 16-dim-prefix cosine rankings
+    against vec_id 0: (k, n_overlap, recall_at_k)."""
+    from pyspark.sql.window import Window
+
+    dim = embedding_dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select(
+        F.col("emb_d").alias("qv"),
+        F.slice("emb_d", 1, _MATRYOSHKA_PREFIX).alias("qt"),
+    )
+    cand = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        "emb_d",
+        F.slice("emb_d", 1, _MATRYOSHKA_PREFIX).alias("et"),
+    )
+    scored = cand.crossJoin(F.broadcast(qrow)).select(
+        "vec_id",
+        cosine_similarity_fixed("emb_d", "qv", dim).alias("sim_full"),
+        cosine_similarity_fixed("et", "qt", _MATRYOSHKA_PREFIX).alias(
+            "sim_trunc"
+        ),
+    )
+    full10 = (
+        scored.orderBy(F.desc("sim_full"), "vec_id")
+        .limit(10)
+        .withColumn(
+            "r_full",
+            F.row_number().over(Window.orderBy(F.desc("sim_full"), "vec_id")),
+        )
+        .select("vec_id", "r_full")
+    )
+    trunc10 = (
+        scored.orderBy(F.desc("sim_trunc"), "vec_id")
+        .limit(10)
+        .withColumn(
+            "r_trunc",
+            F.row_number().over(Window.orderBy(F.desc("sim_trunc"), "vec_id")),
+        )
+        .select(F.col("vec_id").alias("t_vec"), "r_trunc")
+    )
+    ks = spark.createDataFrame([(k,) for k in _MATRYOSHKA_KS], "k long")
+    hit = (
+        F.when(
+            (F.col("r_full") <= F.col("k")) & (F.col("r_trunc") <= F.col("k")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ks.crossJoin(full10)
+        .join(trunc10, F.col("vec_id") == F.col("t_vec"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum(hit), F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.round(
+                F.coalesce(F.sum(hit), F.lit(0)) / F.col("k").cast("double"),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )

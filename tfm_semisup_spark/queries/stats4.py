@@ -661,3 +661,135 @@ def psi_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tc").cast("bigint").alias("n_comp"),
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard of view→purchase conversion (r10)
+# ---------------------------------------------------------------------------
+#
+# The hazard-side companion to kaplan_meier_conversion (Nelson 1972,
+# Aalen 1978): on the SAME duration grid and risk sets,
+#   H(t)  = Σ_{t_i ≤ t} d_i / n_i          (cumulative hazard)
+#   σ²(t) = Σ_{t_i ≤ t} d_i / n_i²         (Aalen's variance)
+#   S̃(t)  = exp(−H(t))                     (Fleming–Harrington)
+# Double trees are per-event-time rationals from exact integer
+# (d_i, n_i), accumulated by a window ORDERED BY the bounded day grid —
+# the same sequential-frame determinism argument as the KM log-sum, so
+# both engines add in the identical order. The risk-set window runs
+# over the duration GRID (calendar-bounded), never the user table.
+
+NELSON_AALEN_ORACLE = """
+WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events
+  GROUP BY user_id
+),
+durs AS (
+  SELECT CASE
+           WHEN f.first_buy IS NOT NULL AND f.first_buy >= f.first_view
+             THEN date_diff('day', CAST(f.first_view AS DATE),
+                            CAST(f.first_buy AS DATE))
+           ELSE date_diff('day', CAST(f.first_view AS DATE), b.max_day)
+         END AS dur,
+         CASE WHEN f.first_buy IS NOT NULL AND f.first_buy >= f.first_view
+              THEN 1 ELSE 0 END AS event
+  FROM firsts f CROSS JOIN bounds b
+  WHERE f.first_view IS NOT NULL
+),
+grid AS (
+  SELECT dur, COUNT(*)::BIGINT AS n_at,
+         SUM(event)::BIGINT AS d_at
+  FROM durs GROUP BY dur
+),
+risk AS (
+  SELECT dur, d_at,
+         SUM(n_at) OVER (ORDER BY dur DESC) AS n_risk
+  FROM grid
+),
+na AS (
+  SELECT dur, d_at, n_risk,
+         SUM(CAST(d_at AS DOUBLE) / n_risk)
+           OVER (ORDER BY dur) AS h,
+         SUM(CAST(d_at AS DOUBLE) / (CAST(n_risk AS DOUBLE) * n_risk))
+           OVER (ORDER BY dur) AS var_h
+  FROM risk
+  WHERE d_at > 0
+)
+SELECT CAST(dur AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       d_at AS n_events,
+       ROUND(h, 6) AS cum_hazard,
+       ROUND(var_h, 6) AS var_hazard,
+       ROUND(EXP(-h), 6) AS fh_survival
+FROM na
+"""
+
+
+@register("nelson_aalen_conversion", NELSON_AALEN_ORACLE)
+def nelson_aalen_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of view→purchase latency on the
+    Kaplan–Meier risk grid: (t_days, n_risk, n_events, cum_hazard,
+    var_hazard, fh_survival)."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    is_event = F.col("first_buy").isNotNull() & (
+        F.col("first_buy") >= F.col("first_view")
+    )
+    durs = (
+        firsts.where(F.col("first_view").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                is_event,
+                F.datediff(F.to_date("first_buy"), F.to_date("first_view")),
+            )
+            .otherwise(F.datediff(F.col("max_day"), F.to_date("first_view")))
+            .alias("dur"),
+            F.when(is_event, 1).otherwise(0).alias("event"),
+        )
+    )
+    grid = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum("event").cast("bigint").alias("d_at"),
+    )
+    risk = grid.select(
+        "dur",
+        "d_at",
+        F.sum("n_at")
+        .over(Window.orderBy(F.col("dur").desc()))
+        .alias("n_risk"),
+    )
+    wt = Window.orderBy("dur")
+    na = (
+        risk.where(F.col("d_at") > 0)
+        .withColumn(
+            "h",
+            F.sum(F.col("d_at").cast("double") / F.col("n_risk")).over(wt),
+        )
+        .withColumn(
+            "var_h",
+            F.sum(
+                F.col("d_at").cast("double")
+                / (F.col("n_risk").cast("double") * F.col("n_risk"))
+            ).over(wt),
+        )
+    )
+    return na.select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_at").alias("n_events"),
+        F.round("h", 6).alias("cum_hazard"),
+        F.round("var_h", 6).alias("var_hazard"),
+        F.round(F.exp(-F.col("h")), 6).alias("fh_survival"),
+    )

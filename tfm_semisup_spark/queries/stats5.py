@@ -901,3 +901,154 @@ def ab_test_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test on daily revenue (r10)
+# ---------------------------------------------------------------------------
+#
+# The non-parametric companion to the Theil–Sen slope already in
+# stats3: S = Σ_{i<j} sign(c_j − c_i) over the per-priority daily
+# revenue series, normal approximation with the tie correction
+# (Mann 1945, Kendall 1975):
+#   Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18
+#   z      = (S−1)/√Var  if S>0;  (S+1)/√Var  if S<0;  0 otherwise
+#
+# Scale shape: the pair join runs on the DAY GRID (priority × calendar
+# day — ~2.4k rows per priority at ANY corpus size, the theilsen
+# boundedness argument), equi-keyed on priority with the d1<d2
+# residual, so candidate volume is calendar²-bounded, never
+# corpus-scale. All counting is exact integer (S, the tie sums, 18·Var
+# as DECIMAL(38,0)/HUGEINT); the single double tree is the final
+# (S∓1)/sqrt(Var) — both engines CAST the exact integers and apply one
+# correctly-rounded sqrt, so there is no summation-order exposure.
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::HUGEINT AS cents
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT a.priority,
+         SUM(CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END)::HUGEINT AS s_stat
+  FROM daily a JOIN daily b
+    ON a.priority = b.priority AND a.day < b.day
+  GROUP BY a.priority
+),
+n AS (
+  SELECT priority, COUNT(*)::HUGEINT AS n_days FROM daily GROUP BY priority
+),
+ties AS (
+  SELECT priority,
+         COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::HUGEINT AS tie_sum
+  FROM (
+    SELECT priority, cents, COUNT(*)::HUGEINT AS t
+    FROM daily GROUP BY priority, cents
+  ) GROUP BY priority
+),
+v AS (
+  SELECT n.priority, n.n_days, ties.tie_sum,
+         (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_sum)
+           AS var18
+  FROM n JOIN ties ON n.priority = ties.priority
+)
+SELECT v.priority,
+       v.n_days::BIGINT AS n_days,
+       s.s_stat::BIGINT AS s_stat,
+       ROUND(CASE WHEN s.s_stat > 0
+                    THEN CAST(s.s_stat - 1 AS DOUBLE)
+                         / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                  WHEN s.s_stat < 0
+                    THEN CAST(s.s_stat + 1 AS DOUBLE)
+                         / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                  ELSE 0.0 END, 6) AS z_score,
+       CASE WHEN s.s_stat > 0 THEN 'increasing'
+            WHEN s.s_stat < 0 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM v JOIN s ON v.priority = s.priority
+"""
+
+
+@register("mann_kendall_daily_trend", MANN_KENDALL_ORACLE)
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test of daily revenue per priority:
+    (priority, n_days, s_stat, z_score, trend)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = truncate(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c100"),
+        )
+        .groupBy("priority", "day")
+        .agg(F.sum("c100").cast("decimal(38,0)").alias("cents")),
+        eager=True,
+    )
+    b = daily.select(
+        F.col("priority").alias("bp"),
+        F.col("day").alias("bday"),
+        F.col("cents").alias("bcents"),
+    )
+    sign = (
+        F.when(F.col("bcents") > F.col("cents"), 1)
+        .when(F.col("bcents") < F.col("cents"), -1)
+        .otherwise(0)
+    )
+    s = (
+        daily.join(
+            b, (F.col("priority") == F.col("bp")) & (F.col("day") < F.col("bday"))
+        )
+        .groupBy("priority")
+        .agg(F.sum(sign).cast("decimal(38,0)").alias("s_stat"))
+    )
+    n = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("priority", "cents")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .groupBy("priority")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("tie_sum")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_sum")
+    ).cast("double") / 18.0
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var18),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var18),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    trend = (
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no trend")
+    )
+    return (
+        n.join(ties, "priority")
+        .join(s, "priority")
+        .select(
+            "priority",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("s_stat").cast("bigint").alias("s_stat"),
+            F.round(z, 6).alias("z_score"),
+            trend.alias("trend"),
+        )
+    )

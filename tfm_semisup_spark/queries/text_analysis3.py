@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
@@ -600,4 +601,180 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms = truncate(syms, eager=True)
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (r10)
+# ---------------------------------------------------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal delimiter-free token runs (length 2-4); word
+# score = degree/frequency where degree counts phrase-mates (Σ phrase
+# length over every phrase instance containing the word) and frequency
+# counts occurrences; phrase score = Σ member-word scores. RAKE needs
+# a stoplist to delimit phrases; this corpus has no natural-language
+# function words, so the stoplist is DERIVED — the top-20 tokens by
+# corpus frequency ((count desc, word) tie-break, exact integers,
+# computed identically in both engines), the standard
+# frequency-stoplist fallback of the paper.
+#
+# Cross-engine arithmetic: word scores are quantized to exact integer
+# micro-units swq = (degree · 10^6) // freq (pmod-subtract vs HUGEINT
+# //), so the per-phrase sum is an order-free integer and the single
+# double division happens once per output row.
+#
+# Scale shape: one token explode with positions (narrow), the stoplist
+# is a 20-row broadcast, islands via a doc-keyed running stopword
+# count (user-keyed-window class), word/phrase stats are vocabulary-
+# and phrase-grid aggregates; the final top-10 is
+# TakeOrderedAndProject.
+
+_RAKE_N_STOPS = 20
+_RAKE_MIN_LEN, _RAKE_MAX_LEN = 2, 4
+_RAKE_SCALE = 1_000_000
+
+RAKE_ORACLE = f"""
+WITH allw AS (
+  -- parallel UNNESTs zip element-wise in DuckDB (no WITH ORDINALITY)
+  SELECT doc_id, w, pos
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split(text, ' ')) AS w,
+           UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+  )
+  WHERE w <> ''
+),
+stops AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM allw GROUP BY w
+    ORDER BY c DESC, w LIMIT {_RAKE_N_STOPS}
+  )
+),
+toks AS (
+  SELECT a.doc_id, a.w, a.pos,
+         CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END AS is_stop
+  FROM allw a LEFT JOIN stops s ON a.w = s.w
+),
+isl AS (
+  -- the running stop-count must see the STOP rows too: window first,
+  -- filter outside (WHERE runs before window functions)
+  SELECT doc_id, w, pos, island FROM (
+    SELECT doc_id, w, pos, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM toks
+  )
+  WHERE is_stop = 0
+),
+phrase_inst AS (
+  SELECT doc_id, island,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         COUNT(*)::BIGINT AS plen
+  FROM isl GROUP BY doc_id, island
+  HAVING COUNT(*) BETWEEN {_RAKE_MIN_LEN} AND {_RAKE_MAX_LEN}
+),
+word_stats AS (
+  SELECT u.w, COUNT(*)::HUGEINT AS freq, SUM(p.plen)::HUGEINT AS deg
+  FROM phrase_inst p, UNNEST(string_split(p.phrase, ' ')) AS u(w)
+  GROUP BY u.w
+),
+swq AS (
+  SELECT w, (deg * {_RAKE_SCALE}) // freq AS q FROM word_stats
+),
+phrases AS (
+  SELECT phrase, COUNT(*)::BIGINT AS n_occ FROM phrase_inst GROUP BY phrase
+),
+scored AS (
+  SELECT p.phrase, p.n_occ, SUM(s.q)::HUGEINT AS qsum
+  FROM phrases p, UNNEST(string_split(p.phrase, ' ')) AS u(w)
+  JOIN swq s ON u.w = s.w
+  GROUP BY p.phrase, p.n_occ
+)
+SELECT phrase, n_occ,
+       ROUND(CAST(qsum AS DOUBLE) / {_RAKE_SCALE}, 6) AS rake_score
+FROM scored
+ORDER BY qsum DESC, phrase
+LIMIT 10
+"""
+
+
+@register("keyword_rake_top", RAKE_ORACLE)
+def keyword_rake_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 RAKE keyword phrases (2-4 word runs between the derived
+    top-20-frequency stopwords): (phrase, n_occ, rake_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    allw = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).where(F.col("w") != "")
+    stops = (
+        allw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_RAKE_N_STOPS)
+        .select(F.col("w").alias("stop_w"))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos0")
+    isl = (
+        allw.join(F.broadcast(stops), F.col("w") == F.col("stop_w"), "left")
+        .withColumn(
+            "is_stop", F.when(F.col("stop_w").isNotNull(), 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("is_stop").over(wdoc))
+        .where(F.col("is_stop") == 0)
+    )
+    phrase_inst = (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .where(F.col("plen").between(_RAKE_MIN_LEN, _RAKE_MAX_LEN))
+    )
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    phrase_inst = truncate(phrase_inst, eager=True)
+    word_stats = (
+        phrase_inst.select(F.explode(F.split("phrase", " ")).alias("w"), "plen")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("freq"),
+            F.sum("plen").cast("decimal(38,0)").alias("deg"),
+        )
+    )
+    num = (F.col("deg") * _RAKE_SCALE).cast("decimal(38,0)")
+    swq = word_stats.select(
+        "w",
+        ((num - F.pmod(num, F.col("freq"))) / F.col("freq"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    phrases = phrase_inst.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    scored = (
+        phrases.select(
+            "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(swq), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("q").cast("decimal(38,0)").alias("qsum"))
+    )
+    return (
+        scored.orderBy(F.desc("qsum"), "phrase")
+        .limit(10)
+        .select(
+            "phrase",
+            "n_occ",
+            F.round(
+                F.col("qsum").cast("double") / _RAKE_SCALE, 6
+            ).alias("rake_score"),
+        )
     )
