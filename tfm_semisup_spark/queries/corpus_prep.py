@@ -856,3 +856,93 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sampled"), "word")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing collision audit (r10)
+# ---------------------------------------------------------------------------
+#
+# The hashing trick (Weinberger et al. 2009) maps vocabulary to 2^b
+# buckets and accepts collisions; the operational question per corpus
+# is how much token mass collides at a given width. Buckets use the
+# portable md5 slice (% 1024 here), so the audit is bit-identical
+# cross-engine: (n_buckets_used, max_vocab_per_bucket, n_collided_words,
+# n_vocab, pct_token_mass_collided) — one row.
+#
+# Scale shape: one wordcount aggregate, then everything on the vocab
+# grid; the bucket histogram is <= 1024 rows.
+
+_FHASH_BUCKETS = 1024
+
+FEATURE_HASHING_ORACLE = f"""
+WITH wc AS (
+  SELECT w, COUNT(*)::BIGINT AS n
+  FROM (
+    SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+      AS w
+    FROM documents
+  ) GROUP BY w
+),
+bucketed AS (
+  SELECT w, n,
+         ({md5_uniform16_sql("md5(w)")} % {_FHASH_BUCKETS}) AS bucket
+  FROM wc
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*)::BIGINT AS vocab_in_bucket,
+         SUM(n)::BIGINT AS mass
+  FROM bucketed GROUP BY bucket
+)
+SELECT COUNT(*)::BIGINT AS n_buckets_used,
+       MAX(vocab_in_bucket)::BIGINT AS max_vocab_per_bucket,
+       SUM(CASE WHEN vocab_in_bucket >= 2 THEN vocab_in_bucket
+                ELSE 0 END)::BIGINT AS n_collided_words,
+       SUM(vocab_in_bucket)::BIGINT AS n_vocab,
+       ROUND(CAST(SUM(CASE WHEN vocab_in_bucket >= 2 THEN mass ELSE 0 END)
+                  AS DOUBLE) * 100.0 / CAST(SUM(mass) AS DOUBLE), 6)
+         AS pct_token_mass_collided
+FROM per_bucket
+"""
+
+
+@register("feature_hashing_audit", FEATURE_HASHING_ORACLE)
+def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of the 1024-bucket hashing trick over the corpus
+    vocabulary: one row (n_buckets_used, max_vocab_per_bucket,
+    n_collided_words, n_vocab, pct_token_mass_collided)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "w"
+            )
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    bucket = (
+        F.expr(md5_uniform16_spark_sql("md5(w)")) % _FHASH_BUCKETS
+    ).alias("bucket")
+    per_bucket = (
+        wc.select("w", "n", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_in_bucket"),
+            F.sum("n").cast("bigint").alias("mass"),
+        )
+    )
+    collided = F.col("vocab_in_bucket") >= 2
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.max("vocab_in_bucket").cast("bigint").alias("max_vocab_per_bucket"),
+        F.sum(F.when(collided, F.col("vocab_in_bucket")).otherwise(0))
+        .cast("bigint")
+        .alias("n_collided_words"),
+        F.sum("vocab_in_bucket").cast("bigint").alias("n_vocab"),
+        F.round(
+            F.sum(F.when(collided, F.col("mass")).otherwise(0)).cast("double")
+            * 100.0
+            / F.sum("mass").cast("double"),
+            6,
+        ).alias("pct_token_mass_collided"),
+    )

@@ -1463,3 +1463,235 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept.unpersist()
     shingled.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-vs-exact calibration audit (r10)
+# ---------------------------------------------------------------------------
+#
+# How good is the 8-slice estimate the portable tier promotes on? For
+# every banded candidate pair this audit computes BOTH the signature
+# estimate (n_match/8) and the exact 3-gram Jaccard, and reports
+# per-agreement-level calibration:
+#   (n_match, n_pairs, avg_est_sim, avg_exact_jaccard, mean_abs_err)
+# — the sketch-quality counterpart of the banded-vs-exact equality
+# tests, but as a first-class auditable query (the operational answer
+# to "can I trust a 6/8 promotion at this shingle size").
+#
+# Order-free arithmetic: per-pair exact Jaccard is quantized to
+# integer micro-units (inter·10^6 // union, pmod-subtract vs HUGEINT
+# //) and the estimate to n_match·125000, so all cross-pair averages
+# sum exact integers; the two 6-dp divisions happen once per output
+# row. Scale shape: candidates come from the SAME band join as the
+# portable tier (never all-pairs); the exact-intersection join moves
+# only candidate-pair grams.
+
+_MH_EST_SCALE = 1_000_000
+
+
+def _mh_calibration_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN({md5_uniform16_sql('md5(gram)', start=1 + 4 * j)}) AS m{j}"
+        for j in range(_MH_SLICES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" CAST(m{2 * b} AS BIGINT) * 65536 + m{2 * b + 1} AS k FROM sig"
+        for b in range(_MH_SLICES // 2)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+        for j in range(_MH_SLICES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.k = b.k AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.id1, c.id2, ({matches}) AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id1
+  JOIN sig sb ON sb.doc_id = c.id2
+),
+gsz AS (SELECT doc_id, COUNT(*)::HUGEINT AS g FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT s.id1, s.id2, COUNT(*)::HUGEINT AS ni
+  FROM scored s
+  JOIN grams g1 ON g1.doc_id = s.id1
+  JOIN grams g2 ON g2.doc_id = s.id2 AND g1.gram = g2.gram
+  GROUP BY s.id1, s.id2
+),
+pairq AS (
+  SELECT s.n_match,
+         (s.n_match * {_MH_EST_SCALE // 8}) AS est_q,
+         (COALESCE(i.ni, 0) * {_MH_EST_SCALE})
+           // (ga.g + gb.g - COALESCE(i.ni, 0)) AS ji_q
+  FROM scored s
+  LEFT JOIN inter i ON s.id1 = i.id1 AND s.id2 = i.id2
+  JOIN gsz ga ON ga.doc_id = s.id1
+  JOIN gsz gb ON gb.doc_id = s.id2
+)
+SELECT CAST(n_match AS BIGINT) AS n_match,
+       COUNT(*)::BIGINT AS n_pairs,
+       ROUND(CAST(SUM(est_q) AS DOUBLE)
+             / (COUNT(*) * {_MH_EST_SCALE}.0), 6) AS avg_est_sim,
+       ROUND(CAST(SUM(ji_q) AS DOUBLE)
+             / (COUNT(*) * {_MH_EST_SCALE}.0), 6) AS avg_exact_jaccard,
+       ROUND(CAST(SUM(ABS(est_q - ji_q)) AS DOUBLE)
+             / (COUNT(*) * {_MH_EST_SCALE}.0), 6) AS mean_abs_err
+FROM pairq
+GROUP BY n_match
+"""
+
+
+@register("minhash_calibration_audit", _mh_calibration_oracle())
+def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-agreement-level calibration of the portable MinHash tier
+    against exact 3-gram Jaccard on its own banded candidates:
+    (n_match, n_pairs, avg_est_sim, avg_exact_jaccard, mean_abs_err)."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = truncate(
+        docs.withColumn("w", toks)
+        .select("doc_id", F.explode(word_ngrams(F.col("w"), 3)).alias("gram"))
+        .distinct()
+    )
+    sig = truncate(
+        grams.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
+                ).alias(f"m{j}")
+                for j in range(_MH_SLICES)
+            ]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"m{2 * b}").cast("long") * 65536
+                            + F.col(f"m{2 * b + 1}")
+                        ).alias("k"),
+                    )
+                    for b in range(_MH_SLICES // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k")
+    b2 = bands.select(
+        F.col("doc_id").alias("id2"), F.col("band").alias("b2"), F.col("k").alias("k2")
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("id1"), "band", "k")
+        .join(
+            b2,
+            (F.col("band") == F.col("b2"))
+            & (F.col("k") == F.col("k2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id1"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(_MH_SLICES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id2"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(_MH_SLICES)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_MH_SLICES)
+    )
+    scored = truncate(
+        cand.join(sa, "id1").join(sb, "id2").select(
+            "id1", "id2", n_match.alias("n_match")
+        )
+    )
+    gsz = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("g")
+    )
+    g1 = grams.select(F.col("doc_id").alias("id1"), "gram")
+    g2 = grams.select(
+        F.col("doc_id").alias("id2g"), F.col("gram").alias("gram2")
+    )
+    inter = (
+        scored.select("id1", "id2")
+        .join(g1, "id1")
+        .join(
+            g2,
+            (F.col("id2") == F.col("id2g")) & (F.col("gram") == F.col("gram2")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("ni"))
+    )
+    ga = gsz.select(F.col("doc_id").alias("id1"), F.col("g").alias("ga"))
+    gb = gsz.select(F.col("doc_id").alias("id2"), F.col("g").alias("gb"))
+    ni = F.coalesce(F.col("ni"), F.lit(0).cast("decimal(38,0)"))
+    uni = (F.col("ga") + F.col("gb") - ni).cast("decimal(38,0)")
+    num = (ni * _MH_EST_SCALE).cast("decimal(38,0)")
+    ji_q = ((num - F.pmod(num, uni)) / uni).cast("decimal(38,0)")
+    est_q = (F.col("n_match") * (_MH_EST_SCALE // 8)).cast("decimal(38,0)")
+    pairq = (
+        scored.join(inter, ["id1", "id2"], "left")
+        .join(ga, "id1")
+        .join(gb, "id2")
+        .select("n_match", est_q.alias("est_q"), ji_q.alias("ji_q"))
+    )
+    out = truncate(
+        pairq.groupBy("n_match").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum("est_q").cast("double")
+                / (F.count(F.lit(1)) * float(_MH_EST_SCALE)),
+                6,
+            ).alias("avg_est_sim"),
+            F.round(
+                F.sum("ji_q").cast("double")
+                / (F.count(F.lit(1)) * float(_MH_EST_SCALE)),
+                6,
+            ).alias("avg_exact_jaccard"),
+            F.round(
+                F.sum(F.abs(F.col("est_q") - F.col("ji_q"))).cast("double")
+                / (F.count(F.lit(1)) * float(_MH_EST_SCALE)),
+                6,
+            ).alias("mean_abs_err"),
+        ).select(
+            F.col("n_match").cast("bigint").alias("n_match"),
+            "n_pairs",
+            "avg_est_sim",
+            "avg_exact_jaccard",
+            "mean_abs_err",
+        )
+    )
+    release(grams)
+    release(sig)
+    release(scored)
+    return out

@@ -403,3 +403,115 @@ def table_fingerprint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s2").cast("bigint").alias("fp_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (r10)
+# ---------------------------------------------------------------------------
+#
+# The privacy-governance counterpart of the expectations battery
+# (Sweeney 2002; Machanavajjhala 2007): treat (priority, order month,
+# customer nation) as the quasi-identifier, o_orderstatus as the
+# sensitive attribute, and report per-k-threshold how much of the
+# table would survive k-anonymity and whether equivalence classes
+# carry sensitive diversity:
+#   (k, n_classes_below_k, n_rows_below_k, pct_rows_at_risk,
+#    min_l_diversity)
+# where min_l_diversity = the minimum count of DISTINCT sensitive
+# values over classes of size >= k. All counting is exact integer; the
+# one double is the 6-dp percentage.
+#
+# Scale shape: ONE groupBy onto the quasi-identifier grid (bounded:
+# 5 priorities x 12 months x 25 nations), then per-threshold rollups on
+# that grid against a 3-row broadcast threshold list.
+
+_KANON_KS = [2, 5, 10]
+
+K_ANONYMITY_ORACLE = f"""
+WITH qi AS (
+  SELECT o.o_orderpriority AS qi_priority,
+         EXTRACT(month FROM o.o_orderdate)::BIGINT AS qi_month,
+         c.c_nationkey AS qi_nation,
+         o.o_orderstatus AS sensitive
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+classes AS (
+  SELECT qi_priority, qi_month, qi_nation,
+         COUNT(*)::BIGINT AS csize,
+         COUNT(DISTINCT sensitive)::BIGINT AS ldiv
+  FROM qi GROUP BY 1, 2, 3
+),
+tot AS (SELECT SUM(csize)::BIGINT AS n_rows FROM classes),
+ks AS (SELECT UNNEST([{", ".join(str(k) for k in _KANON_KS)}]) AS k)
+SELECT ks.k::BIGINT AS k,
+       SUM(CASE WHEN c.csize < ks.k THEN 1 ELSE 0 END)::BIGINT
+         AS n_classes_below_k,
+       SUM(CASE WHEN c.csize < ks.k THEN c.csize ELSE 0 END)::BIGINT
+         AS n_rows_below_k,
+       ROUND(CAST(SUM(CASE WHEN c.csize < ks.k THEN c.csize ELSE 0 END)
+                  AS DOUBLE) * 100.0 / CAST(MIN(t.n_rows) AS DOUBLE), 6)
+         AS pct_rows_at_risk,
+       COALESCE(MIN(CASE WHEN c.csize >= ks.k THEN c.ldiv END), 0)::BIGINT
+         AS min_l_diversity
+FROM ks CROSS JOIN classes c CROSS JOIN tot t
+GROUP BY ks.k
+"""
+
+
+@register("k_anonymity_audit", K_ANONYMITY_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the (priority, month,
+    nation) quasi-identifier: (k, n_classes_below_k, n_rows_below_k,
+    pct_rows_at_risk, min_l_diversity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    qi = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.month("o_orderdate").cast("bigint").alias("qi_month"),
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("o_orderstatus").alias("sensitive"),
+    )
+    classes = qi.groupBy("qi_priority", "qi_month", "qi_nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("csize"),
+        F.countDistinct("sensitive").cast("bigint").alias("ldiv"),
+    )
+    tot = classes.agg(F.sum("csize").cast("bigint").alias("n_rows"))
+    ks = spark.createDataFrame([(k,) for k in _KANON_KS], "k long")
+    below = F.col("csize") < F.col("k")
+    return (
+        ks.crossJoin(classes)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(below, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_classes_below_k"),
+            F.sum(F.when(below, F.col("csize")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_below_k"),
+            F.round(
+                F.sum(F.when(below, F.col("csize")).otherwise(0)).cast(
+                    "double"
+                )
+                * 100.0
+                / F.min("n_rows").cast("double"),
+                6,
+            ).alias("pct_rows_at_risk"),
+            F.coalesce(
+                F.min(F.when(~below, F.col("ldiv"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("min_l_diversity"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_classes_below_k",
+            "n_rows_below_k",
+            "pct_rows_at_risk",
+            "min_l_diversity",
+        )
+    )

@@ -356,3 +356,88 @@ def zipf_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round(F.avg("ly") - slope * F.avg("lx"), 4).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language vocabulary Jaccard (r10)
+# ---------------------------------------------------------------------------
+#
+# Corpus-contamination / language-mixing audit: pairwise Jaccard
+# similarity of the per-language VOCABULARIES. A high overlap between
+# two languages' token sets flags mislabeled documents or
+# code-switching floods — the set-level companion of
+# ``lang_id_confusion``. One corpus-scale explode into a DISTINCT
+# (lang, word) aggregate; the pair join then runs on the
+# vocabulary-sized relation keyed on the word (equi-join, a < b
+# canonical), and the Jaccard arithmetic is exact integers until the
+# one 6-dp division.
+
+LANG_VOCAB_JACCARD_ORACLE = """
+WITH lw AS (
+  SELECT DISTINCT lang, w FROM (
+    SELECT lang,
+           UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+    FROM documents
+  )
+),
+sizes AS (SELECT lang, COUNT(*)::BIGINT AS vocab FROM lw GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*)::BIGINT AS n_shared
+  FROM lw a JOIN lw b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b,
+       sa.vocab AS vocab_a, sb.vocab AS vocab_b, i.n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.vocab + sb.vocab - i.n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.lang_a = sa.lang
+JOIN sizes sb ON i.lang_b = sb.lang
+"""
+
+
+@register("lang_vocab_jaccard", LANG_VOCAB_JACCARD_ORACLE)
+def lang_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard of per-language vocabularies:
+    (lang_a, lang_b, vocab_a, vocab_b, n_shared, jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = lw.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    b = lw.select(F.col("lang").alias("lang_b"), F.col("w").alias("wb"))
+    inter = (
+        lw.select(F.col("lang").alias("lang_a"), "w")
+        .join(b, (F.col("w") == F.col("wb")) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
