@@ -187,6 +187,16 @@ HEADLINE = [
     # join + counted-grid value cuts)
     "similarity_hard_negatives",
     "corpus_ppl_prune",
+    # r10 families: IVF-mined hard negatives (the bounded sibling of
+    # the brute tier above), the two-round self-training refit, the
+    # Mann-Kendall grid-pair trend, two-iteration HITS, the MinHash
+    # estimate-vs-exact calibration join, and RAKE phrase extraction
+    "similarity_hard_negatives_ann",
+    "ssl_selftrain_two_round_nb",
+    "mann_kendall_daily_trend",
+    "part_hits_authorities",
+    "minhash_calibration_audit",
+    "keyword_rake_top",
 ]
 
 

@@ -1052,3 +1052,262 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             trend.alias("trend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran–Armitage trend test (r10)
+# ---------------------------------------------------------------------------
+#
+# Trend in a binomial proportion across ORDERED groups (Cochran 1954,
+# Armitage 1955): is the return rate (l_returnflag = 'R') monotone in
+# order priority (scores s = 1..5 from the priority prefix)? With
+# r_i/n_i per group, R = Σr, N = Σn:
+#   T' = N·Σ s_i r_i − R·Σ s_i n_i                (integer numerator)
+#   V' = N·Σ n_i s_i² − (Σ s_i n_i)²              (integer variance core)
+#   z  = T' / sqrt(R·(N−R)·V' / N)
+# Every sum is an exact integer on the 5-cell group grid; the z
+# denominator is ONE fixed double tree with identical parenthesization
+# in both engines (the product exceeds 64-bit range, so it multiplies
+# as doubles — correctly-rounded ops in a fixed order, no summation
+# exposure). Scale shape: one join + one 5-cell aggregate.
+
+COCHRAN_ARMITAGE_ORACLE = """
+WITH cells AS (
+  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS s,
+         COUNT(*)::HUGEINT AS n,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT
+           AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n) AS big_n, SUM(r) AS big_r,
+         SUM(s * r) AS sr, SUM(s * n) AS sn, SUM(n * s * s) AS snss
+  FROM cells
+)
+SELECT big_n::BIGINT AS n_total,
+       big_r::BIGINT AS n_returned,
+       (big_n * sr - big_r * sn)::BIGINT AS t_num,
+       ROUND(CAST(big_n * sr - big_r * sn AS DOUBLE)
+             / sqrt(((CAST(big_r AS DOUBLE) * CAST(big_n - big_r AS DOUBLE))
+                     * CAST(big_n * snss - sn * sn AS DOUBLE))
+                    / CAST(big_n AS DOUBLE)), 6) AS z_score
+FROM agg
+"""
+
+
+@register("cochran_armitage_trend", COCHRAN_ARMITAGE_ORACLE)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage trend of return rate across ordered priorities:
+    one row (n_total, n_returned, t_num, z_score)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s"),
+    )
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("r"),
+        )
+    )
+    agg = cells.agg(
+        F.sum("n").alias("big_n"),
+        F.sum("r").alias("big_r"),
+        F.sum(F.col("s") * F.col("r")).alias("sr"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("n") * F.col("s") * F.col("s")).alias("snss"),
+    )
+    t_num = F.col("big_n") * F.col("sr") - F.col("big_r") * F.col("sn")
+    vcore = F.col("big_n") * F.col("snss") - F.col("sn") * F.col("sn")
+    denom = F.sqrt(
+        (
+            F.col("big_r").cast("double")
+            * (F.col("big_n") - F.col("big_r")).cast("double")
+            * vcore.cast("double")
+        )
+        / F.col("big_n").cast("double")
+    )
+    return agg.select(
+        F.col("big_n").cast("bigint").alias("n_total"),
+        F.col("big_r").cast("bigint").alias("n_returned"),
+        t_num.cast("bigint").alias("t_num"),
+        F.round(t_num.cast("double") / denom, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over the per-nation conversion z-tests (r10)
+# ---------------------------------------------------------------------------
+#
+# Multiple-testing control for fleet-style dashboards (Benjamini &
+# Hochberg 1995): run one two-proportion z-test per user cohort
+# (cohort = user_id % 25, a stand-in nation key; tested metric = the
+# cohort's share of PURCHASE events vs the complement — event-level,
+# ~0.2, so the pooled variance never degenerates at small SFs the way
+# a per-user conversion flag does), convert to two-sided p-values, and
+# mark BH discoveries at FDR q = 0.10 — reject H(1..k*) where
+# k* = max{k: p(k) ≤ q·k/m}.
+#
+# Determinism: the z and p values are fixed double trees from exact
+# integer counts (erfc is libm, so p-values round to 9 dp on BOTH
+# sides BEFORE the BH ranking, making the rank compare
+# engine-identical); the BH threshold compare is integer-exact
+# (10·m·p_q ≤ k where p_q is the 9-dp-quantized integer). The whole
+# battery is grid-sized (≤ 25 nations) after one user-keyed aggregate.
+
+BH_FDR_Q_NUM, BH_FDR_Q_DEN = 1, 10  # q = 0.1
+_BH_P_SCALE = 1_000_000_000  # 9-dp p-value quantization
+
+
+def _p_two_sided_sql(z: str) -> str:
+    """Two-sided normal p-value as ONE SQL expression string used
+    VERBATIM by both engines (neither ships erf/erfc as SQL builtins):
+    Abramowitz & Stegun 26.2.17, |error| < 7.5e-8 — far inside the
+    9-dp quantization. The text being identical pins the evaluation
+    tree, and exp/sqrt resolve to the same host libm, the established
+    ln()/round precedent of this repo."""
+    t = f"(1.0 / (1.0 + 0.2316419 * abs({z})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    phi = f"(exp(-(abs({z}) * abs({z})) / 2.0) / sqrt(2.0 * pi()))"
+    return f"(2.0 * {phi} * {poly})"
+
+
+def _bh_oracle() -> str:
+    return f"""
+WITH cells AS (
+  SELECT (CAST(user_id AS BIGINT) % 25) AS nation,
+         COUNT(*)::HUGEINT AS n1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::HUGEINT
+           AS x1
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n1) AS n_all, SUM(x1) AS x_all FROM cells),
+tests AS (
+  SELECT c.nation, c.n1::BIGINT AS n1, c.x1::BIGINT AS x1,
+         (t.n_all - c.n1)::BIGINT AS n2, (t.x_all - c.x1)::BIGINT AS x2
+  FROM cells c CROSS JOIN tot t
+),
+z AS (
+  SELECT nation, n1, x1,
+         (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1.0 / n1 + 1.0 / n2)) AS zv
+  FROM tests
+),
+p AS (
+  SELECT nation, n1, x1,
+         ROUND(zv, 6) AS z_score,
+         CAST(ROUND({_p_two_sided_sql('zv')} * {_BH_P_SCALE}, 0)
+              AS BIGINT) AS p_q
+  FROM z
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_q, nation) AS k,
+         COUNT(*) OVER () AS m
+  FROM p
+),
+cutoff AS (
+  SELECT COALESCE(MAX(CASE WHEN CAST(p_q AS HUGEINT) * m
+                                * {BH_FDR_Q_DEN}
+                             <= CAST(k AS HUGEINT) * {BH_FDR_Q_NUM}
+                                * {_BH_P_SCALE}
+                           THEN k END), 0) AS k_star
+  FROM ranked
+)
+SELECT r.nation::BIGINT AS nation, r.n1 AS n_events, r.x1 AS n_purchases,
+       r.z_score,
+       ROUND(CAST(r.p_q AS DOUBLE) / {_BH_P_SCALE}, 9) AS p_value,
+       (r.k <= c.k_star) AS bh_discovery
+FROM ranked r CROSS JOIN cutoff c
+"""
+
+
+@register("bh_fdr_nation_conversion", _bh_oracle())
+def bh_fdr_nation_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR (q=0.1) over per-cohort two-proportion
+    purchase-share z-tests: (nation, n_events, n_purchases, z_score,
+    p_value, bh_discovery)."""
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            (F.col("user_id").cast("bigint") % 25).alias("nation"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n1"),
+            F.sum("is_p").cast("decimal(38,0)").alias("x1"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n1").alias("n_all"), F.sum("x1").alias("x_all")
+    )
+    tests = cells.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        (F.col("n_all") - F.col("n1")).cast("bigint").alias("n2"),
+        (F.col("x_all") - F.col("x1")).cast("bigint").alias("x2"),
+    )
+    pool = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    zv = (
+        F.col("x1").cast("double") / F.col("n1").cast("double")
+        - F.col("x2").cast("double") / F.col("n2").cast("double")
+    ) / F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (
+            1.0 / F.col("n1").cast("double")
+            + 1.0 / F.col("n2").cast("double")
+        )
+    )
+    # two-sided normal p via erfc, quantized to an exact 9-dp integer
+    # BEFORE ranking so the BH order is engine-identical
+    p_q = F.round(
+        F.expr(_p_two_sided_sql("__zv")) * _BH_P_SCALE, 0
+    ).cast("bigint")
+    p = tests.withColumn("__zv", zv).select(
+        "nation",
+        F.col("n1").alias("n_users_i"),
+        F.col("x1").alias("n_conv_i"),
+        F.round("__zv", 6).alias("z_score"),
+        p_q.alias("p_q"),
+    )
+    wk = Window.orderBy("p_q", "nation")
+    ranked = p.withColumn("k", F.row_number().over(wk)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    passes = (
+        F.col("p_q").cast("decimal(38,0)") * F.col("m") * BH_FDR_Q_DEN
+        <= F.col("k").cast("decimal(38,0)") * BH_FDR_Q_NUM * _BH_P_SCALE
+    )
+    cutoff = ranked.agg(
+        F.coalesce(F.max(F.when(passes, F.col("k"))), F.lit(0)).alias(
+            "k_star"
+        )
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        F.col("nation").cast("bigint").alias("nation"),
+        F.col("n_users_i").alias("n_events"),
+        F.col("n_conv_i").alias("n_purchases"),
+        "z_score",
+        F.round(F.col("p_q").cast("double") / _BH_P_SCALE, 9).alias(
+            "p_value"
+        ),
+        (F.col("k") <= F.col("k_star")).alias("bh_discovery"),
+    )
