@@ -2,34 +2,37 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (286 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (302 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (250 entries — all verified hash-matching at
+equivalent DuckDB SQL (266 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count AND under
 codegen.fallback=false, so no oracle is driver-environment-dependent
-or silently interpreted; provenance: 175 via driver CORRECTNESS rows
-through r8, 46 judge-run driver_sim-verified in r8 and windowed first
-for the r9 driver pass, 29 new-in-r9 entries queued first for r10 —
-rotation policed by tests/test_window_rotation.py +
-driver_history.json).
+or silently interpreted; provenance: 221 via driver CORRECTNESS rows
+through r9, 29 r9-born judge-verified in r9, 16 new-in-r10 verified by
+per-query driver-sim at both SFs + shuffle-7 + strict-codegen). Since
+r10 the 50-slot driver window is COMPUTED earliest-deadline-first from
+driver_history.json + the CORRECTNESS_r*.json artifacts
+(``queries/__init__.py::rotation_order``) and advances automatically
+when a new artifact lands — governance pinned by
+tests/test_window_rotation.py.
 
 The 36 rows-only entries (no oracle) are each non-SQL-expressible or
 inherently iterative, and all are deterministic under fixed seeds and
 independent of partitioning (locally verified by the 640+ test suite):
 
-- ``ssl_*`` (14): MLlib training loops (DT/RF/NB/LR fits, CV folds,
+- ``ssl_*`` (13): MLlib training loops (DT/RF/NB/LR fits, CV folds,
   instance- and feature-split co-training) — model fitting is not
   SQL; checked against BASELINE.md quality anchors and hand-computed
-  metrics instead. The three r9 analytic-ML tiers
-  (``ssl_logreg_irls_grid`` sufficient-stats Newton,
-  ``ssl_conformal_nb`` split-conformal sets, the iterative
+  metrics instead. The analytic-ML tiers
+  (``ssl_logreg_irls_grid`` sufficient-stats Newton, the iterative
   ``bpe_train_merges`` counted under text below) carry numpy/
   pure-Python reference-parity tests and shuffle-7 determinism
-  checks; the conformal entry is fully SQL-expressible and queued for
-  oracle promotion in r10 (window budget, ROADMAP).
-- ``similarity_ann_* / _ivf* / _pq* / _embedding_neardup_lsh`` (7):
-  ANN index tiers (LSH hyperplanes, k-means coarse/product
-  quantizers) — engine-side models; recall-vs-exact >= 0.9 tested.
+  checks; ``ssl_conformal_nb`` was PROMOTED to oracled in r10.
+- ``similarity_ann_* / _ivf* / _pq* / _embedding_neardup_lsh`` and
+  the r10 ``similarity_hard_negatives_ann`` (8): ANN index tiers (LSH
+  hyperplanes, k-means coarse/product quantizers, IVF-mined hard
+  negatives) — engine-side models; recall-vs-exact >= 0.9 tested
+  (the hard-negative tier against its oracled brute sibling).
 - ``dedup_minhash_* / _simhash_* / _semantic_*`` (5): keyed on
   xxhash64 (no DuckDB equivalent) or k-means; the banded MinHash pair
   set is equality-tested against the ORACLED exact-Jaccard tier,

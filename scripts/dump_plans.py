@@ -345,6 +345,37 @@ PICKS = {
         "segment/suffix-min/max windows all run on broadcast-sized "
         "bounded relations"
     ),
+    "similarity_hard_negatives_ann": (
+        "IVF-mined hard negatives (VERDICT r9 #3): candidates arrive "
+        "via a BroadcastHashJoin on the probed bucket — the only "
+        "nested loop is anchors x the BOUNDED k-row centroid table, "
+        "never the corpus"
+    ),
+    "ssl_selftrain_two_round_nb": (
+        "two-round self-training: round-1 decisions localCheckpointed "
+        "once and consumed by summary + refit + round-2 pool; all "
+        "likelihood tables broadcast, scores exact DECIMAL(38,0)"
+    ),
+    "mann_kendall_daily_trend": (
+        "pair join runs on the CHECKPOINTED calendar-bounded day grid "
+        "(priority-keyed equi-join, d1<d2 residual) — candidate volume "
+        "is calendar^2, independent of corpus size"
+    ),
+    "part_hits_authorities": (
+        "HITS: edge list aggregated+checkpointed once; each "
+        "half-iteration is one broadcast score join + one keyed "
+        "aggregate; top-10 is TakeOrderedAndProject"
+    ),
+    "minhash_calibration_audit": (
+        "estimate-vs-exact calibration joins grams only for BANDED "
+        "candidate pairs; per-pair Jaccard quantized to integers so "
+        "the per-level averages are order-free"
+    ),
+    "keyword_rake_top": (
+        "RAKE: islands from one doc-keyed running-stop-count window; "
+        "stoplist and word-score tables broadcast; final top-10 is "
+        "TakeOrderedAndProject on the integer phrase score"
+    ),
 }
 
 
