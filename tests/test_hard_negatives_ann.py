@@ -25,13 +25,22 @@ def test_ann_recall_vs_brute_tier(spark):
     assert brute, "brute tier returned nothing — band constants drifted?"
     recall = len(brute & ann) / len(brute)
     assert recall >= 0.9, f"ANN hard-negative recall {recall:.3f} < 0.9"
-    # the ANN tier mines from a pruned candidate set: it may not invent
-    # pairs outside the band, and per-anchor output stays capped at K
-    assert ann <= brute | ann  # same (query_id, vec_id) contract
+    # the ANN tier may not invent pairs outside the band: every emitted
+    # similarity must sit inside [floor, ceil), and per-anchor output
+    # stays capped at K
     from collections import Counter
 
-    per_anchor = Counter(q for q, _ in ann)
-    assert max(per_anchor.values()) <= 5
+    from tfm_semisup_spark.queries.similarity import (
+        _HARDNEG_CEIL,
+        _HARDNEG_FLOOR,
+        _HARDNEG_K,
+    )
+
+    rows = QUERIES["similarity_hard_negatives_ann"](spark, SF_DIR).collect()
+    for r in rows:
+        assert _HARDNEG_FLOOR <= r["cosine_sim"] < _HARDNEG_CEIL, tuple(r)
+    per_anchor = Counter(r["query_id"] for r in rows)
+    assert max(per_anchor.values()) <= _HARDNEG_K
 
 
 def test_ann_plan_has_no_corpus_scale_nested_loop(spark):

@@ -100,16 +100,25 @@ def conformal_threshold(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = grid.select("_a", F.sum("_cnt").over(w).alias("_cum"))
-    tot = alphas.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
-    k = F.expr(f"(({den - num} * (n_cal + 1)) + {den - 1}) div {den}")
-    # a global aggregate always yields exactly one row (NULL q_hat when
-    # no grid row reaches rank k — including empty input), so the
-    # n_cal-bearing cross join below never loses the count
-    q = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(F.min(F.when(F.col("_cum") >= k, F.col("_a"))).alias("q_hat"))
+    # n_cal = the LAST cumulative count — an unpartitioned max window
+    # over the bounded value grid (the established exception), so the
+    # caller's alphas lineage is scanned exactly ONCE (a separate
+    # count() aggregate used to re-run it per consumer)
+    n_cal = F.max("_cum").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    out = tot.crossJoin(F.broadcast(q))
+    k = F.expr(f"(({den - num} * (__n_cal + 1)) + {den - 1}) div {den}")
+    out = (
+        cum.withColumn("__n_cal", n_cal)
+        .agg(
+            # a global aggregate yields exactly one row even on empty
+            # input (NULL q_hat / NULL max), so the coalesces below
+            # define both conventions
+            F.min(F.when(F.col("_cum") >= k, F.col("_a"))).alias("q_hat"),
+            F.max("__n_cal").alias("n_cal"),
+        )
+        .withColumn("n_cal", F.coalesce("n_cal", F.lit(0).cast("bigint")))
+    )
     if infinite_score is not None:
         out = out.withColumn(
             "q_hat", F.coalesce("q_hat", F.lit(infinite_score))

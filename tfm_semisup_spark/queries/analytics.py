@@ -780,6 +780,8 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (step1, step2, step3, n, lift)."""
     from pyspark.sql import Window
 
+    from tfm_semisup_spark.operators.lineage import truncate
+
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
@@ -787,21 +789,22 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("b"),
         F.lead("event_type", 2).over(w).alias("c"),
     )
-    tri = (
-        seq.where(F.col("c").isNotNull())
+    # ONE corpus-scale window pass: aggregate straight onto the
+    # (a, b, c-nullable) grid (<= 150 cells) and checkpoint it; tri, bi
+    # and uni all derive from the grid — three un-materialized
+    # consumers would re-run the user-keyed sort + LEAD per consumer,
+    # the theilsen redundant-scan class
+    seqg = truncate(
+        seq.where(F.col("b").isNotNull())
         .groupBy("a", "b", "c")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n3"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")),
+        eager=True,
     )
-    bi = (
-        seq.where(F.col("b").isNotNull())
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n2"))
+    tri = seqg.where(F.col("c").isNotNull()).select(
+        "a", "b", "c", F.col("cnt").alias("n3")
     )
-    uni = (
-        seq.where(F.col("b").isNotNull())
-        .groupBy("a")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n1"))
-    )
+    bi = seqg.groupBy("a", "b").agg(F.sum("cnt").alias("n2"))
+    uni = seqg.groupBy("a").agg(F.sum("cnt").alias("n1"))
     ab = bi.select(
         F.col("a").alias("ab_a"), F.col("b").alias("ab_b"), F.col("n2").alias("n2_ab")
     )

@@ -779,7 +779,7 @@ ranges AS (
          SUM(wt) OVER (ORDER BY w) AS cum_hi
   FROM weighted
 ),
-tot AS (SELECT SUM(wt)::BIGINT AS big_w FROM weighted),
+tot AS (SELECT SUM(wt)::HUGEINT AS big_w FROM weighted),
 draws AS (
   SELECT i, ({md5_uniform16_sql("md5('neg#' || CAST(i AS VARCHAR))")}
              * t.big_w) // 65536 AS pos
@@ -824,20 +824,23 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wt").over(wsum).alias("cum_hi"),
     )
     tot = weighted.agg(F.sum("wt").cast("bigint").alias("big_w"))
-    u = F.expr(
-        md5_uniform16_spark_sql("md5(concat('neg#', CAST(id AS STRING)))")
-    ).cast("bigint")
+    # decimal(38,0) BEFORE the multiply: u*big_w in raw int64 wraps once
+    # Σwt exceeds 2^63/65535 (~2.5e10 distinct tokens — reachable at the
+    # 100 TB design point) while the HUGEINT oracle doesn't — the silent
+    # engine-divergence class every sibling quantization here avoids
+    u = (
+        F.expr(md5_uniform16_spark_sql("md5(concat('neg#', CAST(id AS STRING)))"))
+        .cast("decimal(38,0)")
+    )
+    bw = F.col("big_w").cast("decimal(38,0)")
     draws = (
         spark.range(_NEG_DRAWS)
         .crossJoin(F.broadcast(tot))
         .select(
-            (
-                (u * F.col("big_w"))
-                - F.pmod(u * F.col("big_w"), F.lit(65536))
-            ).cast("bigint")
+            ((u * bw) - F.pmod(u * bw, F.lit(65536))).cast("decimal(38,0)")
             .alias("pos_num")
         )
-        .select((F.col("pos_num") / 65536).cast("bigint").alias("pos"))
+        .select((F.col("pos_num") / 65536).cast("decimal(38,0)").alias("pos"))
     )
     assigned = draws.join(
         F.broadcast(ranges),

@@ -539,7 +539,7 @@ def _hard_negatives_ann_pipeline(
     from pyspark.sql.window import Window
 
     from tfm_semisup_spark.functions.vector import dot_fixed
-    from tfm_semisup_spark.operators.lineage import truncate
+    from tfm_semisup_spark.operators.lineage import release, truncate
     from tfm_semisup_spark.operators.semantic_dedup import (
         assign_clusters,
         train_semantic_centroids,
@@ -553,16 +553,12 @@ def _hard_negatives_ann_pipeline(
         "emb_d", F.col("embedding").cast("array<double>")
     )
     dim = embedding_dim(sf_dir)
-    approx_n = emb.agg(F.approx_count_distinct("vec_id").alias("n")).head()["n"]
-    k = resolve_num_centroids(approx_n)
-    # probe deeper than plain IVF retrieval: hard negatives live in the
-    # MIDDLE of the similarity range (band ceiling excludes near-dups),
-    # so the target items sit several buckets out — 4x the sqrt(k)
-    # retrieval default keeps recall >= 0.9 while the probed fraction
-    # (~4/sqrt(k)) still shrinks as the corpus grows
-    n_probe = min(k, 4 * resolve_n_probe(k))
     norm = l2_norm_fixed("emb_d", dim)
-    unit = (
+    # checkpoint the normalized projection ONCE: three consumers (the
+    # size probe, the training-sample collect, the bucket assignment)
+    # otherwise each re-run the scan + normalize lineage — measured
+    # ~7.1s -> ~5s at sf0.1
+    unit = truncate(
         emb.withColumn("__n", norm)
         .where(F.col("__n") > 0)
         .select(
@@ -570,10 +566,19 @@ def _hard_negatives_ann_pipeline(
             F.transform(F.col("emb_d"), lambda v: v / F.col("__n")).alias("u"),
         )
     )
+    approx_n = unit.agg(F.approx_count_distinct("vec_id").alias("n")).head()["n"]
+    k = resolve_num_centroids(approx_n)
+    # probe deeper than plain IVF retrieval: hard negatives live in the
+    # MIDDLE of the similarity range (band ceiling excludes near-dups),
+    # so the target items sit several buckets out — 4x the sqrt(k)
+    # retrieval default keeps recall >= 0.9 while the probed fraction
+    # (~4/sqrt(k)) still shrinks as the corpus grows
+    n_probe = min(k, 4 * resolve_n_probe(k))
     centroids = train_semantic_centroids(
         unit, array_col="u", id_col="vec_id", num_clusters=k, approx_n=approx_n
     )
     assigned = truncate(assign_clusters(unit, centroids, "u", out_col="bucket"))
+    release(unit)
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cand_bucket int, center array<double>",

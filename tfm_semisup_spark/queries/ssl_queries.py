@@ -577,36 +577,27 @@ GROUP BY pred_class
 """
 
 
-@register("ssl_selftrain_one_round_nb", _st1_oracle())
-def ssl_selftrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One exact-arithmetic SelfTraining threshold-promotion round with
-    an aggregate-expressed Naive Bayes scorer: (pred_class, n_scored,
-    n_promoted, n_promoted_correct, promoted_key_sum)."""
+def _st_nb_score(train: DataFrame, pool: DataFrame) -> DataFrame:
+    """Exact-integer two-feature NB scoring shared by the one- and
+    two-round SelfTraining oracles: fit on ``train`` (f1, f2, label),
+    score ``pool`` (o_orderkey, o_orderstatus, f1, f2) -> decided rows
+    (pred_class, t_max, t_sum as DECIMAL(38,0)) carrying f1/f2 for a
+    later refit. One shared body so the algebra can never diverge
+    between the entries (r10 review)."""
     cls = ["F", "O", "P"]
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_orderpriority").alias("f1"),
-        F.month("o_orderdate").cast("bigint").alias("f2"),
-        F.expr(_ST1_MASK_SPARK).alias("mask"),
-    )
-    labeled = base.where(F.col("mask") == 0)
-    unlabeled = base.where(F.col("mask") != 0)
 
-    def _csum(c: str, alias: str):
+    def csum(c: str, alias: str):
         return (
-            F.sum(F.when(F.col("o_orderstatus") == c, 1).otherwise(0))
+            F.sum(F.when(F.col("label") == c, 1).otherwise(0))
             .cast("decimal(38,0)")
             .alias(alias)
         )
 
-    lik1 = labeled.groupBy("f1").agg(*[_csum(c, f"n1_{c}") for c in cls])
-    lik2 = labeled.groupBy("f2").agg(*[_csum(c, f"n2_{c}") for c in cls])
-    prior = labeled.agg(*[_csum(c, f"n_{c}") for c in cls])
-
+    lik1 = train.groupBy("f1").agg(*[csum(c, f"n1_{c}") for c in cls])
+    lik2 = train.groupBy("f2").agg(*[csum(c, f"n2_{c}") for c in cls])
+    prior = train.agg(*[csum(c, f"n_{c}") for c in cls])
     scored = (
-        unlabeled.join(F.broadcast(lik1), "f1", "left")
+        pool.join(F.broadcast(lik1), "f1", "left")
         .join(F.broadcast(lik2), "f2", "left")
         .crossJoin(F.broadcast(prior))
     )
@@ -621,15 +612,19 @@ def ssl_selftrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     voted = scored.select(
         "o_orderkey",
         "o_orderstatus",
+        "f1",
+        "f2",
         (F.col("a_F") * F.col("b_O") * F.col("b_P")).alias("t_F"),
         (F.col("a_O") * F.col("b_F") * F.col("b_P")).alias("t_O"),
         (F.col("a_P") * F.col("b_F") * F.col("b_O")).alias("t_P"),
     )
     is_f = (F.col("t_F") >= F.col("t_O")) & (F.col("t_F") >= F.col("t_P"))
     is_o = F.col("t_O") >= F.col("t_P")
-    decided = voted.select(
+    return voted.select(
         "o_orderkey",
         "o_orderstatus",
+        "f1",
+        "f2",
         F.when(is_f, "F").when(is_o, "O").otherwise("P").alias("pred_class"),
         F.when(is_f, F.col("t_F"))
         .when(is_o, F.col("t_O"))
@@ -637,10 +632,20 @@ def ssl_selftrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_max"),
         (F.col("t_F") + F.col("t_O") + F.col("t_P")).alias("t_sum"),
     )
-    promoted = 10 * F.col("t_max") >= 7 * F.col("t_sum")
-    return decided.groupBy("pred_class").agg(
+
+
+def _st_nb_summary(
+    decided: DataFrame, thr_num: int, thr_den: int, rnd: int | None = None
+) -> DataFrame:
+    """Per-class promotion summary at posterior >= thr_num/thr_den
+    (den·t_max >= num·t_sum, exact integers); prepends a ``rnd``
+    column when unrolling multiple rounds."""
+    promoted = thr_den * F.col("t_max") >= thr_num * F.col("t_sum")
+    out = decided.groupBy("pred_class").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
-        F.sum(F.when(promoted, 1).otherwise(0)).cast("bigint").alias("n_promoted"),
+        F.sum(F.when(promoted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_promoted"),
         F.sum(
             F.when(
                 promoted & (F.col("pred_class") == F.col("o_orderstatus")), 1
@@ -652,6 +657,41 @@ def ssl_selftrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("promoted_key_sum"),
     )
+    if rnd is None:
+        return out
+    return out.select(
+        F.lit(rnd).cast("bigint").alias("rnd"),
+        "pred_class",
+        "n_scored",
+        "n_promoted",
+        "n_promoted_correct",
+        "promoted_key_sum",
+    )
+
+
+@register("ssl_selftrain_one_round_nb", _st1_oracle())
+def ssl_selftrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-arithmetic SelfTraining threshold-promotion round with
+    an aggregate-expressed Naive Bayes scorer: (pred_class, n_scored,
+    n_promoted, n_promoted_correct, promoted_key_sum). Scoring/summary
+    algebra shared with the two-round entry (``_st_nb_score`` /
+    ``_st_nb_summary``) so the two oracles cannot silently diverge;
+    threshold stays the reference default 0.7
+    (``SelfTraining.scala:121-149``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("f1"),
+        F.month("o_orderdate").cast("bigint").alias("f2"),
+        F.expr(_ST1_MASK_SPARK).alias("mask"),
+    )
+    labeled = base.where(F.col("mask") == 0)
+    unlabeled = base.where(F.col("mask") != 0).select(
+        "o_orderkey", "o_orderstatus", "f1", "f2"
+    )
+    train = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
+    return _st_nb_summary(_st_nb_score(train, unlabeled), 7, 10)
 
 
 # ---------------------------------------------------------------------------
@@ -784,8 +824,11 @@ def ssl_selftrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled SelfTraining threshold rounds with an NB refit on
     the round-1 promotions (pseudo-labels): (rnd, pred_class, n_scored,
     n_promoted, n_promoted_correct, promoted_key_sum) — exercises the
-    refit-on-promoted step no single-round oracle reaches."""
-    cls = ["F", "O", "P"]
+    refit-on-promoted step no single-round oracle reaches. Scoring and
+    summary algebra shared with the one-round entry via
+    ``_st_nb_score`` / ``_st_nb_summary``."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
@@ -798,91 +841,11 @@ def ssl_selftrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlabeled = base.where(F.col("mask") != 0).select(
         "o_orderkey", "o_orderstatus", "f1", "f2"
     )
-
-    def _score(train: DataFrame, pool: DataFrame) -> DataFrame:
-        """NB fit on train (f1, f2, label) -> decided pool rows carrying
-        f1/f2 for the next refit."""
-
-        def csum(c: str, alias: str):
-            return (
-                F.sum(F.when(F.col("label") == c, 1).otherwise(0))
-                .cast("decimal(38,0)")
-                .alias(alias)
-            )
-
-        lik1 = train.groupBy("f1").agg(*[csum(c, f"n1_{c}") for c in cls])
-        lik2 = train.groupBy("f2").agg(*[csum(c, f"n2_{c}") for c in cls])
-        prior = train.agg(*[csum(c, f"n_{c}") for c in cls])
-        scored = (
-            pool.join(F.broadcast(lik1), "f1", "left")
-            .join(F.broadcast(lik2), "f2", "left")
-            .crossJoin(F.broadcast(prior))
-        )
-        for c in cls:
-            a = (
-                F.col(f"n_{c}")
-                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1)
-                * (F.coalesce(F.col(f"n2_{c}"), F.lit(0)) + 1)
-            )
-            b = (F.col(f"n_{c}") + _ST1_V1) * (F.col(f"n_{c}") + _ST1_V2)
-            scored = scored.withColumn(f"a_{c}", a).withColumn(f"b_{c}", b)
-        voted = scored.select(
-            "o_orderkey",
-            "o_orderstatus",
-            "f1",
-            "f2",
-            (F.col("a_F") * F.col("b_O") * F.col("b_P")).alias("t_F"),
-            (F.col("a_O") * F.col("b_F") * F.col("b_P")).alias("t_O"),
-            (F.col("a_P") * F.col("b_F") * F.col("b_O")).alias("t_P"),
-        )
-        is_f = (F.col("t_F") >= F.col("t_O")) & (F.col("t_F") >= F.col("t_P"))
-        is_o = F.col("t_O") >= F.col("t_P")
-        return voted.select(
-            "o_orderkey",
-            "o_orderstatus",
-            "f1",
-            "f2",
-            F.when(is_f, "F").when(is_o, "O").otherwise("P").alias("pred_class"),
-            F.when(is_f, F.col("t_F"))
-            .when(is_o, F.col("t_O"))
-            .otherwise(F.col("t_P"))
-            .alias("t_max"),
-            (F.col("t_F") + F.col("t_O") + F.col("t_P")).alias("t_sum"),
-        )
-
-    def _summary(decided: DataFrame, rnd: int) -> DataFrame:
-        promoted = _ST2_THR_DEN * F.col("t_max") >= _ST2_THR_NUM * F.col("t_sum")
-        return decided.groupBy("pred_class").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
-            F.sum(F.when(promoted, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_promoted"),
-            F.sum(
-                F.when(
-                    promoted & (F.col("pred_class") == F.col("o_orderstatus")), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_promoted_correct"),
-            F.sum(F.when(promoted, F.col("o_orderkey")).otherwise(0))
-            .cast("bigint")
-            .alias("promoted_key_sum"),
-        ).select(
-            F.lit(rnd).cast("bigint").alias("rnd"),
-            "pred_class",
-            "n_scored",
-            "n_promoted",
-            "n_promoted_correct",
-            "promoted_key_sum",
-        )
-
-    from tfm_semisup_spark.operators.lineage import release, truncate
-
     train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
     # materialize the round-1 decisions ONCE: three consumers (summary,
     # promoted refit rows, round-2 pool) would otherwise re-run the
     # whole scoring join tree per consumer
-    decided_r1 = truncate(_score(train_r1, unlabeled))
+    decided_r1 = truncate(_st_nb_score(train_r1, unlabeled))
     promoted_flag = (
         _ST2_THR_DEN * F.col("t_max") >= _ST2_THR_NUM * F.col("t_sum")
     )
@@ -894,9 +857,11 @@ def ssl_selftrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_r2 = decided_r1.where(~promoted_flag).select(
         "o_orderkey", "o_orderstatus", "f1", "f2"
     )
-    decided_r2 = _score(train_r2, pool_r2)
+    decided_r2 = _st_nb_score(train_r2, pool_r2)
     out = truncate(
-        _summary(decided_r1, 1).unionByName(_summary(decided_r2, 2))
+        _st_nb_summary(decided_r1, _ST2_THR_NUM, _ST2_THR_DEN, rnd=1).unionByName(
+            _st_nb_summary(decided_r2, _ST2_THR_NUM, _ST2_THR_DEN, rnd=2)
+        )
     )
     release(decided_r1)
     return out

@@ -401,15 +401,20 @@ JOIN sizes sb ON i.lang_b = sb.lang
 def lang_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jaccard of per-language vocabularies:
     (lang_a, lang_b, vocab_a, vocab_b, n_shared, jaccard)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
     docs = load_table(spark, sf_dir, "documents")
-    lw = (
+    # the distinct (lang, word) relation is VOCAB-sized but its lineage
+    # is the corpus scan + explode; three consumers (sizes + both pair
+    # sides) would re-run that scan — checkpoint the grid once
+    lw = truncate(
         docs.select(
             "lang",
             F.explode(
                 F.filter(F.split("text", " "), lambda t: t != "")
             ).alias("w"),
-        )
-        .distinct()
+        ).distinct(),
+        eager=True,
     )
     sizes = lw.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("vocab")

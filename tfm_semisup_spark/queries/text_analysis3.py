@@ -704,6 +704,13 @@ def keyword_rake_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 RAKE keyword phrases (2-4 word runs between the derived
     top-20-frequency stopwords): (phrase, n_occ, rake_score)."""
     docs = load_table(spark, sf_dir, "documents")
+    # DELIBERATELY two corpus scans (stoplist wordcount + island pass),
+    # NOT a checkpoint of `allw`: the exploded (doc, pos, token) stream
+    # is corpus-sized, so materializing it would store a second copy of
+    # the corpus to save one narrow columnar scan — the opposite trade
+    # of the day-grid/vocab-grid checkpoints elsewhere (tiny grid,
+    # expensive lineage). phrase_inst below IS checkpointed (3
+    # consumers, phrase-grid-sized).
     allw = docs.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos0", "w"),
