@@ -949,3 +949,85 @@ def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_token_mass_collided"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum training manifest (r10)
+# ---------------------------------------------------------------------------
+#
+# Curriculum learning (Bengio et al. 2009) orders training data
+# easy-to-hard; the pipeline artifact is a MANIFEST: per (difficulty
+# decile, shard) row counts the loader consumes in decile order. The
+# difficulty proxy here is document length (n_chars); deciles come
+# from counted-grid CDF inversion on the bounded n_chars value grid
+# (the equidepth/ks discipline — no global sort):
+#   dec(x) = ((cum(x) − 1) · 10) // N     (0..9, exact integers,
+# value-level so ties share a decile deterministically); shards are
+# the portable md5 % 8. One corpus aggregate onto the value grid + one
+# grid join back; the manifest is ≤ 80 rows.
+
+_CURR_SHARDS = 8
+
+CURRICULUM_ORACLE = f"""
+WITH grid AS (
+  SELECT n_chars, COUNT(*)::BIGINT AS cnt FROM documents GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars,
+         SUM(cnt) OVER (ORDER BY n_chars) AS c,
+         SUM(cnt) OVER () AS n
+  FROM grid
+),
+dec AS (
+  SELECT n_chars, ((c - 1) * 10) // n AS decile FROM cum
+)
+SELECT d.decile::BIGINT AS decile,
+       ({md5_uniform16_sql("md5(CAST(doc_id AS STRING))")}
+          % {_CURR_SHARDS})::BIGINT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(doc.n_chars)::BIGINT AS chars_sum,
+       SUM(doc_id)::BIGINT AS id_sum
+FROM documents doc JOIN dec d ON doc.n_chars = d.n_chars
+GROUP BY 1, 2
+"""
+
+
+@register("curriculum_training_manifest", CURRICULUM_ORACLE)
+def curriculum_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile x md5-shard curriculum manifest:
+    (decile, shard, n_docs, chars_sum, id_sum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = docs.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("n_chars")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = grid.select(
+        "n_chars",
+        (
+            ((F.sum("cnt").over(wc) - 1) * 10)
+            - F.pmod(
+                (F.sum("cnt").over(wc) - 1) * 10, F.sum("cnt").over(wall)
+            )
+        ).alias("__num"),
+        F.sum("cnt").over(wall).alias("__n"),
+    ).select(
+        F.col("n_chars").alias("g_chars"),
+        (F.col("__num") / F.col("__n")).cast("bigint").alias("decile"),
+    )
+    shard = (
+        F.expr(md5_uniform16_spark_sql("md5(CAST(doc_id AS STRING))"))
+        % _CURR_SHARDS
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(dec), docs.n_chars == F.col("g_chars"))
+        .select("doc_id", "n_chars", "decile", shard.alias("shard"))
+        .groupBy("decile", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
