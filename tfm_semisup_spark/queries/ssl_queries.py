@@ -1908,3 +1908,310 @@ GROUP BY q.n_cal, q.q_hat
 # oracle to the already-registered query. register() forbids duplicate
 # names, so the late attachment writes the ORACLES registry directly.
 ORACLES["ssl_conformal_nb"] = _conformal_oracle()
+
+
+# ---------------------------------------------------------------------------
+# TWO CoTraining cross-teach rounds, oracle-checked end-to-end
+# (VERDICT r10 #1)
+# ---------------------------------------------------------------------------
+#
+# The one-round co-training oracle exercises the exchange (each view
+# promotes to the other) but not the part that makes co-training
+# co-training: view 1 REFITS on view 2's pseudo-labels (and vice
+# versa), after which the two models diverge from any self-training
+# trajectory (``CoTraining.scala:158-237`` — cross-teach at
+# :172-173,215-216, refit at :158-160). This entry unrolls two full
+# exchange->refit->exchange rounds as CTEs, the way
+# ``ssl_selftrain_two_round_nb`` unrolled self-training.
+#
+# Promotion criterion: kBest (top n_pool/10 by exact quantized
+# confidence, o_orderkey tie-break), NOT threshold. Measured reason:
+# the single-feature NB posterior on this data caps at 0.38 (sf0.01,
+# priority view) / 0.44 (sf0.001), so the reference's 0.7 default —
+# and ANY fixed threshold robust across SFs — promotes zero rows for
+# at least one view at some SF, reducing round 2 to a verbatim re-run
+# of round 1 and exercising nothing. kBest is the reference's other
+# first-class criterion (``CoTraining.scala`` kBest branch, same
+# surface as ``SelfTraining.scala:173``) and promotes exactly
+# max(1, n/10) rows per view at every SF, so the cross-teach refit
+# and the pool shrink are exercised unconditionally.
+#
+# All arithmetic exact-integer (DECIMAL(38,0)/HUGEINT): single-feature
+# NB scores are bounded by n^4 (~7e24 at sf1) and the quantized
+# confidence numerator by n^4 * 10^12 < 10^38 through sf1.
+
+_CT2_K_DIV = 10  # promote top n_pool/10 per view per round
+_CT2_SCALE = 1_000_000_000_000  # 10^12 confidence quantization
+
+
+def _ct2_round_sql(train: str, pool: str, feat: str, V: int, tag: str) -> str:
+    """CTEs fitting a single-feature exact-count NB on ``train``
+    (f1, f2, label) and ranking ``pool`` (o_orderkey, o_orderstatus,
+    f1, f2) by quantized confidence: lik_{tag}, prior_{tag},
+    scored_{tag}, ranked_{tag} (rn over conf_q DESC / okey, np)."""
+    cls = ["F", "O", "P"]
+    lik = ", ".join(
+        f"SUM(CASE WHEN label = '{c}' THEN 1 ELSE 0 END)::HUGEINT AS nf_{c}"
+        for c in cls
+    )
+    pri = ", ".join(
+        f"SUM(CASE WHEN label = '{c}' THEN 1 ELSE 0 END)::HUGEINT AS n_{c}"
+        for c in cls
+    )
+    ab = ", ".join(
+        f"p.n_{c} * (COALESCE(l.nf_{c}, 0) + 1) AS a_{c}, "
+        f"(p.n_{c} + {V}) AS b_{c}"
+        for c in cls
+    )
+    return f"""lik_{tag} AS (SELECT {feat}, {lik} FROM {train} GROUP BY {feat}),
+prior_{tag} AS (SELECT {pri} FROM {train}),
+scored_{tag} AS (
+  SELECT u.o_orderkey, u.o_orderstatus, u.f1, u.f2, {ab}
+  FROM {pool} u
+  LEFT JOIN lik_{tag} l ON u.{feat} = l.{feat}
+  CROSS JOIN prior_{tag} p
+),
+ranked_{tag} AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY conf_q DESC, o_orderkey) AS rn,
+         COUNT(*) OVER () AS np
+  FROM (
+    SELECT o_orderkey, o_orderstatus, f1, f2,
+           CASE WHEN t_F >= t_O AND t_F >= t_P THEN 'F'
+                WHEN t_O >= t_P THEN 'O' ELSE 'P' END AS pred_class,
+           ((CASE WHEN t_F >= t_O AND t_F >= t_P THEN t_F
+                  WHEN t_O >= t_P THEN t_O ELSE t_P END)
+            * {_CT2_SCALE}) // (t_F + t_O + t_P) AS conf_q
+    FROM (
+      SELECT o_orderkey, o_orderstatus, f1, f2,
+             a_F * b_O * b_P AS t_F, a_O * b_F * b_P AS t_O,
+             a_P * b_F * b_O AS t_P
+      FROM scored_{tag}
+    )
+  )
+)"""
+
+
+def _ct2_summary_sql(tag: str, rnd: int, view: str) -> str:
+    k = f"GREATEST(1, np // {_CT2_K_DIV})"
+    return f"""SELECT {rnd}::BIGINT AS rnd, '{view}' AS view_name, pred_class,
+       COUNT(*)::BIGINT AS n_scored,
+       SUM(CASE WHEN rn <= {k} THEN 1 ELSE 0 END)::BIGINT AS n_promoted,
+       SUM(CASE WHEN rn <= {k} AND pred_class = o_orderstatus
+                THEN 1 ELSE 0 END)::BIGINT AS n_promoted_correct,
+       SUM(CASE WHEN rn <= {k} THEN o_orderkey ELSE 0 END)::BIGINT
+         AS promoted_key_sum,
+       COALESCE(MIN(CASE WHEN rn <= {k} THEN conf_q END), -1)::BIGINT
+         AS min_conf_q
+FROM ranked_{tag} GROUP BY pred_class"""
+
+
+def _cotrain2_oracle() -> str:
+    k = f"GREATEST(1, np // {_CT2_K_DIV})"
+    return f"""
+WITH {_NB1_BASE_SQL},
+train_r1 AS (SELECT f1, f2, o_orderstatus AS label FROM labeled),
+pool_r1 AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM unlabeled),
+{_ct2_round_sql("train_r1", "pool_r1", "f1", 5, "v1r1")},
+{_ct2_round_sql("train_r1", "pool_r1", "f2", 12, "v2r1")},
+prom_v1r1 AS (SELECT * FROM ranked_v1r1 WHERE rn <= {k}),
+prom_v2r1 AS (SELECT * FROM ranked_v2r1 WHERE rn <= {k}),
+pool_r2 AS (
+  SELECT a.o_orderkey, a.o_orderstatus, a.f1, a.f2
+  FROM ranked_v1r1 a JOIN ranked_v2r1 b ON a.o_orderkey = b.o_orderkey
+  WHERE a.rn > GREATEST(1, a.np // {_CT2_K_DIV})
+    AND b.rn > GREATEST(1, b.np // {_CT2_K_DIV})
+),
+train_v1_r2 AS (
+  SELECT * FROM train_r1
+  UNION ALL SELECT f1, f2, pred_class AS label FROM prom_v2r1
+),
+train_v2_r2 AS (
+  SELECT * FROM train_r1
+  UNION ALL SELECT f1, f2, pred_class AS label FROM prom_v1r1
+),
+{_ct2_round_sql("train_v1_r2", "pool_r2", "f1", 5, "v1r2")},
+{_ct2_round_sql("train_v2_r2", "pool_r2", "f2", 12, "v2r2")}
+{_ct2_summary_sql("v1r1", 1, "priority")}
+UNION ALL
+{_ct2_summary_sql("v2r1", 1, "month")}
+UNION ALL
+{_ct2_summary_sql("v1r2", 2, "priority")}
+UNION ALL
+{_ct2_summary_sql("v2r2", 2, "month")}
+"""
+
+
+def _ct2_conf(train: DataFrame, pool: DataFrame, feat: str, V: int) -> DataFrame:
+    """Spark mirror of one ``_ct2_round_sql`` fit+score: single-feature
+    exact-count NB fitted on ``train`` (f1, f2, label), pool rows with
+    (pred_class, conf_q) — conf_q = floor(t_max * 10^12 / t_sum) via
+    the pmod-subtract exact floor-division pattern."""
+    lik = train.groupBy(feat).agg(
+        *[
+            F.sum(F.when(F.col("label") == c, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"nf_{c}")
+            for c in _NB1_CLS
+        ]
+    )
+    prior = train.agg(
+        *[
+            F.sum(F.when(F.col("label") == c, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"n_{c}")
+            for c in _NB1_CLS
+        ]
+    )
+    s = pool.join(F.broadcast(lik), feat, "left").crossJoin(F.broadcast(prior))
+    for c in _NB1_CLS:
+        s = s.withColumn(
+            f"a_{c}",
+            F.col(f"n_{c}") * (F.coalesce(F.col(f"nf_{c}"), F.lit(0)) + 1),
+        ).withColumn(f"b_{c}", F.col(f"n_{c}") + V)
+    v = s.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "f1",
+        "f2",
+        (F.col("a_F") * F.col("b_O") * F.col("b_P")).alias("t_F"),
+        (F.col("a_O") * F.col("b_F") * F.col("b_P")).alias("t_O"),
+        (F.col("a_P") * F.col("b_F") * F.col("b_O")).alias("t_P"),
+    )
+    is_f = (F.col("t_F") >= F.col("t_O")) & (F.col("t_F") >= F.col("t_P"))
+    is_o = F.col("t_O") >= F.col("t_P")
+    t_max = (
+        F.when(is_f, F.col("t_F")).when(is_o, F.col("t_O")).otherwise(F.col("t_P"))
+    )
+    t_sum = F.col("t_F") + F.col("t_O") + F.col("t_P")
+    num = t_max * F.lit(_CT2_SCALE)
+    return v.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "f1",
+        "f2",
+        F.when(is_f, "F").when(is_o, "O").otherwise("P").alias("pred_class"),
+        ((num - F.pmod(num, t_sum)) / t_sum)
+        .cast("decimal(38,0)")
+        .alias("conf_q"),
+    )
+
+
+def _ct2_kbest_flag(conf: DataFrame, k: int):
+    """Promotion predicate column equal to rn <= k under the
+    (conf_q DESC, o_orderkey ASC) total order — found with
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    global sort shuffle) + one bounded scalar collect, the
+    ``ssl_selftrain_one_round_kbest`` boundary pattern."""
+    bound = (
+        conf.orderBy(F.col("conf_q").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("conf_q").alias("c"),
+                    (-F.col("o_orderkey")).alias("neg_k"),
+                )
+            ).alias("b")
+        )
+        .collect()[0]["b"]
+    )
+    c_star, k_star = bound["c"], -bound["neg_k"]
+    return (F.col("conf_q") > F.lit(c_star)) | (
+        (F.col("conf_q") == F.lit(c_star)) & (F.col("o_orderkey") <= F.lit(k_star))
+    )
+
+
+def _ct2_summary(conf: DataFrame, flag, rnd: int, view: str) -> DataFrame:
+    correct = F.col("pred_class") == F.col("o_orderstatus")
+    return (
+        conf.groupBy("pred_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias("n_promoted"),
+            F.sum(F.when(flag & correct, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_promoted_correct"),
+            F.sum(F.when(flag, F.col("o_orderkey")).otherwise(0))
+            .cast("bigint")
+            .alias("promoted_key_sum"),
+            F.coalesce(F.min(F.when(flag, F.col("conf_q"))), F.lit(-1))
+            .cast("bigint")
+            .alias("min_conf_q"),
+        )
+        .select(
+            F.lit(rnd).cast("bigint").alias("rnd"),
+            F.lit(view).alias("view_name"),
+            "pred_class",
+            "n_scored",
+            "n_promoted",
+            "n_promoted_correct",
+            "promoted_key_sum",
+            "min_conf_q",
+        )
+    )
+
+
+@register("ssl_cotrain_two_round_nb", _cotrain2_oracle())
+def ssl_cotrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled CoTraining kBest exchange rounds with cross-teach
+    refits (view 1 refits on view 2's round-1 pseudo-labels and vice
+    versa; both views' promotions leave the shared pool): (rnd,
+    view_name, pred_class, n_scored, n_promoted, n_promoted_correct,
+    promoted_key_sum, min_conf_q). Mirrors ``CoTraining.scala:158-237``
+    (cross-teach :172-173,215-216) the way
+    ``ssl_selftrain_two_round_nb`` mirrors ``SelfTraining.scala``.
+
+    Scale notes: NB fits are tiny broadcast aggregates; kBest uses
+    TakeOrderedAndProject + a bounded scalar collect per view/round;
+    the only data-scale shuffles are the round-2 pool equi-join on
+    o_orderkey and the summary groupBys. Each round's scored pool is
+    checkpointed once (three consumers each)."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
+    pool_r1 = unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2")
+    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5))
+    conf_v2r1 = truncate(_ct2_conf(train_r1, pool_r1, "f2", 12))
+    n1 = conf_v1r1.count()  # both views rank the same pool
+    k1 = max(1, n1 // _CT2_K_DIV)
+    flag1_v1 = _ct2_kbest_flag(conf_v1r1, k1)
+    flag1_v2 = _ct2_kbest_flag(conf_v2r1, k1)
+    # cross-teach: each view's round-2 training pool takes the OTHER
+    # view's promoted rows, labeled with that view's predictions
+    train_v1_r2 = train_r1.unionByName(
+        conf_v2r1.where(flag1_v2).select(
+            "f1", "f2", F.col("pred_class").alias("label")
+        )
+    )
+    train_v2_r2 = train_r1.unionByName(
+        conf_v1r1.where(flag1_v1).select(
+            "f1", "f2", F.col("pred_class").alias("label")
+        )
+    )
+    # rows promoted by EITHER view leave the shared pool
+    pool_r2 = truncate(
+        conf_v1r1.where(~flag1_v1)
+        .select("o_orderkey", "o_orderstatus", "f1", "f2")
+        .join(
+            conf_v2r1.where(~flag1_v2).select("o_orderkey"),
+            "o_orderkey",
+            "semi",
+        )
+    )
+    conf_v1r2 = truncate(_ct2_conf(train_v1_r2, pool_r2, "f1", 5))
+    conf_v2r2 = truncate(_ct2_conf(train_v2_r2, pool_r2, "f2", 12))
+    n2 = conf_v1r2.count()
+    k2 = max(1, n2 // _CT2_K_DIV)
+    flag2_v1 = _ct2_kbest_flag(conf_v1r2, k2)
+    flag2_v2 = _ct2_kbest_flag(conf_v2r2, k2)
+    out = truncate(
+        _ct2_summary(conf_v1r1, flag1_v1, 1, "priority")
+        .unionByName(_ct2_summary(conf_v2r1, flag1_v2, 1, "month"))
+        .unionByName(_ct2_summary(conf_v1r2, flag2_v1, 2, "priority"))
+        .unionByName(_ct2_summary(conf_v2r2, flag2_v2, 2, "month"))
+    )
+    for df in (conf_v1r1, conf_v2r1, pool_r2, conf_v1r2, conf_v2r2):
+        release(df)
+    return out
