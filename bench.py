@@ -197,6 +197,9 @@ HEADLINE = [
     "part_hits_authorities",
     "minhash_calibration_audit",
     "keyword_rake_top",
+    # r11 family: the two-round co-training cross-teach (4 NB fits,
+    # 2 kBest boundary probes per round, one pool equi-join)
+    "ssl_cotrain_two_round_nb",
 ]
 
 
@@ -206,17 +209,71 @@ HEADLINE = [
 #: the JSON out of the capture again.
 STDOUT_LINE_BUDGET = 1400
 
+#: machine-calibration anchors (VERDICT r10 #2). The r10 round-over-
+#: round comparison found a uniform 1.18x drift on UNCHANGED code and
+#: could only attribute it to machine conditions by code-diff
+#: argument — unfalsifiable from the bench output alone. These two
+#: fixed-work probes make the claim checkable: their wall time depends
+#: ONLY on machine state (single-core speed + memory for the hash;
+#: JVM/parallel throughput for the range-agg), never on repo code, so
+#:   normalized_ratio(q) = (t_q^rN / t_q^rN-1) / (calib^rN / calib^rN-1)
+#: deconfounds machine drift from plan drift (rule recorded in
+#: SCALE.md "bench calibration"). Probe sizes target ~0.3-0.8 s
+#: (measured: sha256 ~1.6 GB/s single-core, range-agg ~1e9 rows/s on
+#: local[32]): large enough that timer noise is <1%, small enough to
+#: rerun 6x.
+_CALIB_HASH_BYTES = 512 * 1024 * 1024  # sha256 over 512 MiB of zeros
+_CALIB_RANGE_ROWS = 400_000_000  # codegen'd sum(id*id) over range()
 
-def stdout_payload(timings: dict[str, float], total: float, sf: float) -> dict:
-    """The driver-parsed stdout record: headline total + as many of the
-    SLOWEST per-query timings as fit in STDOUT_LINE_BUDGET rendered
-    chars. Deterministic (sort by -time then name); the full map is in
-    bench_spread.json. n_queries/queries_omitted make the truncation
-    visible to the driver rather than silent."""
+
+def _calib_probe_cpu() -> float:
+    import hashlib
+
+    chunk = bytes(1024 * 1024)
+    start = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(_CALIB_HASH_BYTES // len(chunk)):
+        h.update(chunk)
+    h.hexdigest()
+    return time.perf_counter() - start
+
+
+def _calib_probe_spark(spark) -> float:
+    start = time.perf_counter()
+    # double accumulator: id*id overflows BIGINT past ~3e9 total work
+    spark.range(_CALIB_RANGE_ROWS).selectExpr(
+        "sum(cast(id AS double) * cast(id AS double)) AS s"
+    ).collect()
+    return time.perf_counter() - start
+
+
+def measure_calibration(spark, samples: dict[str, list[float]]) -> None:
+    """Append one (cpu, spark) calibration sample pair to ``samples``
+    — called before the first timed pass and after the last, so the
+    reported median brackets the timed region."""
+    samples.setdefault("cpu_sha256_sec", []).append(_calib_probe_cpu())
+    samples.setdefault("spark_range_agg_sec", []).append(
+        _calib_probe_spark(spark)
+    )
+
+
+def stdout_payload(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    calib: dict[str, float] | None = None,
+) -> dict:
+    """The driver-parsed stdout record: headline total, the machine-
+    calibration anchors, and as many of the SLOWEST per-query timings
+    as fit in STDOUT_LINE_BUDGET rendered chars. Deterministic (sort
+    by -time then name); the full map is in bench_spread.json.
+    n_queries/queries_omitted make the truncation visible to the
+    driver rather than silent."""
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "calib": dict(sorted((calib or {}).items())),
         "queries": {},
         "sf": sf,
         "n_queries": len(timings),
@@ -267,6 +324,12 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # calibration anchors bracket the timed region: 3 sample pairs
+    # before pass 1, 3 after the last pass — a machine-state episode
+    # confined to one end still moves the median visibly
+    calib_samples: dict[str, list[float]] = {}
+    for _ in range(3):
+        measure_calibration(spark, calib_samples)
     # run-major interleaving: the outer loop is PASSES, the inner loop
     # queries — never all N samples of one query back-to-back
     for _ in range(runs):
@@ -286,6 +349,13 @@ def main() -> None:
             gc.collect()
             spark._jvm.System.gc()
 
+    for _ in range(3):
+        measure_calibration(spark, calib_samples)
+    calib = {
+        name: round(statistics.median(s), 3)
+        for name, s in calib_samples.items()
+    }
+
     timings = {
         name: round(statistics.median(samples[name]), 3) for name in HEADLINE
     }
@@ -303,6 +373,9 @@ def main() -> None:
         "metric": "per_query_min_median_max_sec",
         "runs": runs,
         "sf": sf,
+        "calib_samples": {
+            n: [round(v, 3) for v in s] for n, s in calib_samples.items()
+        },
         "spread": spread,
     }
     run_id = os.environ.get("SPARK_GRAFT_BENCH_RUN_ID")
@@ -318,7 +391,7 @@ def main() -> None:
     # ERROR-level shutdown log landing after the JSON would re-break
     # parsing (the BENCH_r06 failure class)
     spark.stop()
-    print(json.dumps(stdout_payload(timings, total, sf)), flush=True)
+    print(json.dumps(stdout_payload(timings, total, sf, calib)), flush=True)
 
 
 if __name__ == "__main__":

@@ -22,10 +22,16 @@ def _worst_case_timings() -> dict[str, float]:
     return {name: 123.456 for name in bench.HEADLINE}
 
 
+def _worst_case_calib() -> dict[str, float]:
+    return {"cpu_sha256_sec": 123.456, "spark_range_agg_sec": 123.456}
+
+
 def test_stdout_line_fits_tail_capture():
     timings = _worst_case_timings()
     total = round(sum(timings.values()), 3)
-    line = json.dumps(bench.stdout_payload(timings, total, 0.1))
+    line = json.dumps(
+        bench.stdout_payload(timings, total, 0.1, _worst_case_calib())
+    )
     assert len(line) <= 1500, (
         f"bench stdout line is {len(line)} chars — the driver's tail "
         f"capture is 2000 chars of MERGED stdout+stderr and the head "
@@ -37,7 +43,9 @@ def test_stdout_line_fits_tail_capture():
 def test_stdout_payload_parses_and_carries_headline():
     timings = _worst_case_timings()
     total = round(sum(timings.values()), 3)
-    payload = json.loads(json.dumps(bench.stdout_payload(timings, total, 0.1)))
+    payload = json.loads(
+        json.dumps(bench.stdout_payload(timings, total, 0.1, _worst_case_calib()))
+    )
     assert payload["metric"] == "headline_queries_total_sec"
     assert payload["value"] == total
     assert payload["unit"] == "sec"
@@ -48,6 +56,15 @@ def test_stdout_payload_parses_and_carries_headline():
     )
     # the map is a subset of the real headline set
     assert set(payload["queries"]) <= set(bench.HEADLINE)
+    # the machine-calibration anchor ships in the driver record
+    # (VERDICT r10 #2) — without it round-over-round wall drift on
+    # unchanged code cannot be deconfounded from plan regressions
+    assert payload["calib"] == _worst_case_calib()
+
+
+def test_stdout_payload_always_carries_calib_key():
+    payload = bench.stdout_payload({}, 0.0, 0.1)
+    assert "calib" in payload
 
 
 def test_stdout_payload_keeps_slowest_queries():
