@@ -507,10 +507,11 @@ def similarity_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame
        driver at any corpus size);
     3. corpus bucket assignment is ONE narrow Arrow argmin pass
        (``assign_clusters``);
-    4. each anchor's probe list = its ``n_probe`` nearest centroids via
-       a broadcast join against the k-row centroid table + partitioned
-       rank (the ``ivf_top_k_batch`` shape — broadcast side is the
-       BOUNDED centroid table, never the anchor set);
+    4. each anchor's probe list = its ``n_probe`` nearest centroids
+       from the same vectorized Arrow kernel family as step 3
+       (``probe_buckets`` — the centroid matrix ships in the closure,
+       bounded by ``resolve_num_centroids``; never a corpus-scale
+       broadcast);
     5. candidates come from an EQUI-join on the probed bucket
        (~n_probe/k of the corpus per anchor), then the same band +
        rank as the brute tier.
@@ -542,7 +543,9 @@ def _hard_negatives_ann_pipeline(
     from tfm_semisup_spark.operators.lineage import release, truncate
     from tfm_semisup_spark.operators.semantic_dedup import (
         assign_clusters,
+        probe_buckets,
         train_semantic_centroids,
+        unit_normalize,
     )
     from tfm_semisup_spark.operators.similarity import (
         resolve_n_probe,
@@ -553,20 +556,21 @@ def _hard_negatives_ann_pipeline(
         "emb_d", F.col("embedding").cast("array<double>")
     )
     dim = embedding_dim(sf_dir)
-    norm = l2_norm_fixed("emb_d", dim)
     # checkpoint the normalized projection ONCE: three consumers (the
     # size probe, the training-sample collect, the bucket assignment)
     # otherwise each re-run the scan + normalize lineage — measured
-    # ~7.1s -> ~5s at sf0.1
+    # ~7.1s -> ~5s at sf0.1. Normalization runs in the shared Arrow
+    # kernel (unit_normalize — the declarative transform(v/__n) form
+    # re-evaluates the norm per element interpreted), and the LAZY
+    # checkpoint + exact count folds the size probe INTO the
+    # materialization job (VERDICT r10 #4): the count action is what
+    # computes and pins the blocks, so sizing the index costs zero
+    # extra passes.
     unit = truncate(
-        emb.withColumn("__n", norm)
-        .where(F.col("__n") > 0)
-        .select(
-            "vec_id",
-            F.transform(F.col("emb_d"), lambda v: v / F.col("__n")).alias("u"),
-        )
+        unit_normalize(emb.select("vec_id", "emb_d"), "emb_d", out_col="u"),
+        eager=False,
     )
-    approx_n = unit.agg(F.approx_count_distinct("vec_id").alias("n")).head()["n"]
+    approx_n = unit.count()
     k = resolve_num_centroids(approx_n)
     # probe deeper than plain IVF retrieval: hard negatives live in the
     # MIDDLE of the similarity range (band ceiling excludes near-dups),
@@ -579,30 +583,20 @@ def _hard_negatives_ann_pipeline(
     )
     assigned = truncate(assign_clusters(unit, centroids, "u", out_col="bucket"))
     release(unit)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cand_bucket int, center array<double>",
-    )
     anchors = assigned.where(F.col("vec_id") % 100 == 1).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
     )
     # unit vectors: squared euclidean to a centroid is monotone in
-    # cosine, so nearest-centroid probing targets the cosine band
-    d2 = F.aggregate(
-        F.zip_with("qu", "center", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pw = Window.partitionBy("query_id").orderBy("__d2", "cand_bucket")
-    probes = (
-        # bounded broadcast cross join: the build side is the k-row
-        # centroid table (k <= 65_536 by resolve_num_centroids), never
-        # the anchor set
-        anchors.crossJoin(F.broadcast(cent_df))
-        .withColumn("__d2", d2)
-        .withColumn("__pr", F.row_number().over(pw))
-        .where(F.col("__pr") <= n_probe)
-        .select("query_id", "qu", "cand_bucket")
+    # cosine, so nearest-centroid probing targets the cosine band.
+    # The probe list comes from the SAME vectorized Arrow kernel family
+    # as the corpus assignment (probe_buckets = multi-probe
+    # assign_clusters) instead of the r10 anchors x broadcast-centroid
+    # cross join + interpreted zip_with distance + window rank: same
+    # buckets, same (d2, bucket) tie-break, but no interpreted
+    # per-centroid expression, no window shuffle, and no k-row driver
+    # DataFrame build (VERDICT r10 #4).
+    probes = probe_buckets(anchors, centroids, "qu", n_probe, "__pb").select(
+        "query_id", "qu", F.explode("__pb").alias("cand_bucket")
     )
     sim = dot_fixed("u", "qu", dim)
     banded = F.when((sim >= _HARDNEG_FLOOR) & (sim < _HARDNEG_CEIL), sim)
