@@ -165,3 +165,45 @@ def test_holdout_adult_config_multinomial_nb_maxbins42(spark, nonneg_points):
         assert 0.7 <= r["accuracy"] <= 1.0, (clf, r["accuracy"])
         for col in ("AUC", "PR", "F1score"):
             assert 0.0 <= r[col] <= 1.0
+
+
+def test_holdout_lsvm_baseline_anchor(spark, nonneg_points):
+    """LSVM holdout parity anchor (VERDICT r10 #6): the reference's
+    supervised baseline grid includes LinearSVC
+    (`BaseClassifiers.scala:334,573`); its published BCW anchor 0.9653
+    (`resultsClasificadoresBase.csv:20`) sits 0.0208 under LR's 0.9861
+    on the same split. Structural claims on the synthetic analog, same
+    tolerance scheme as the other anchors: LSVM trains through the
+    holdout runner, reaches working-classifier accuracy, and tracks LR
+    within the 0.05 band."""
+    from tfm_semisup_spark.operators.grid import baseline_classifiers
+
+    hold = run_holdout_baselines(
+        spark,
+        nonneg_points,
+        "embeddings",
+        [],
+        baseline_classifiers(max_bins=ADULT_MAX_BINS),
+        percentages=[0.3],
+    )
+    rows = {r["clasificador"]: r for r in hold.collect()}
+    assert set(rows) == set(CLASSIFIERS) | {"LSVM"}
+    lsvm = rows["LSVM"]
+    assert 0.7 <= lsvm["accuracy"] <= 1.0, lsvm["accuracy"]
+    for col in ("AUC", "PR", "F1score"):
+        assert 0.0 <= lsvm[col] <= 1.0
+    assert abs(lsvm["accuracy"] - rows["LR"]["accuracy"]) <= 0.05, (
+        lsvm["accuracy"],
+        rows["LR"]["accuracy"],
+    )
+
+
+def test_lsvm_still_excluded_from_ssc(spark):
+    """The baseline factory adds LSVM for holdouts ONLY — the SSC
+    exclusion rule (`SelfTraining.scala:17-24`) must still reject it."""
+    from pyspark.ml.classification import LinearSVC
+
+    from tfm_semisup_spark.operators.self_training import require_probabilistic
+
+    with pytest.raises(TypeError):
+        require_probabilistic(LinearSVC())

@@ -100,6 +100,27 @@ def reference_classifiers(
     }
 
 
+def baseline_classifiers(
+    seed: int = 5,
+    max_bins: int = 32,
+    nb_model_type: str = "multinomial",
+) -> dict[str, Callable[[], Estimator]]:
+    """The reference's SUPERVISED-baseline classifier set: the four SSL
+    classifiers plus LinearSVC (``BaseClassifiers.scala:334,573`` — LSVM
+    appears in the hold-out baseline grid only; published BCW anchor
+    0.9653 ``resultsClasificadoresBase.csv:20``). Kept separate from
+    ``reference_classifiers`` because LinearSVC has no probabilityCol
+    and is excluded from the SSC families (``SelfTraining.scala:17-24``,
+    enforced by ``require_probabilistic``)."""
+    from pyspark.ml.classification import LinearSVC
+
+    clfs = reference_classifiers(
+        seed=seed, max_bins=max_bins, nb_model_type=nb_model_type
+    )
+    clfs["LSVM"] = lambda: LinearSVC()
+    return clfs
+
+
 @dataclass(frozen=True)
 class GridCell:
     classifier_name: str
