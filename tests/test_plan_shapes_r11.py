@@ -118,3 +118,61 @@ def test_two_round_cotrain_exercises_cross_teach(spark):
     # and the query's own round-2 output must match the crossed refit
     key_sum = tot(2, "priority", "promoted_key_sum")
     assert key_sum == sum(with_cross)
+
+
+def test_full_chain_composes_and_releases(spark):
+    """corpus_pipeline_full_chain (VERDICT r10 #7): the manifest's
+    totals must reconcile with the standalone stages run independently,
+    the within-shard positions must be exactly triangular per shard
+    (any leaked pre-filter row or double-counted survivor breaks the
+    closed form), and the query must leave no pinned RDD blocks
+    (the release/truncate audit pattern)."""
+    from tfm_semisup_spark.operators.lineage import release
+    from tfm_semisup_spark.operators.quality import filter_quality_gopher
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.queries.corpus_prep import (
+        _STRAT_H_SPARK,
+        _stratified_threshold_sql,
+    )
+
+    def _cached_rdd_ids(s):
+        return {
+            info.id() for info in s.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = _cached_rdd_ids(spark)
+    df = QUERIES["corpus_pipeline_full_chain"](spark, SF_DIR)
+    rows = df.collect()
+    release(df)
+    assert not (_cached_rdd_ids(spark) - before), "pinned RDDs leaked"
+
+    # totals reconcile with the standalone stages composed by hand
+    docs = load_table(spark, SF_DIR, "documents")
+    q = filter_quality_gopher(docs)
+    dd = q.groupBy(F.md5("text").alias("__fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = (
+        q.join(dd.select("doc_id"), "doc_id", "semi")
+        .where(F.expr(_STRAT_H_SPARK) < F.expr(_stratified_threshold_sql()))
+    )
+    n_expected = survivors.count()
+    assert n_expected > 0, "chain filtered everything — constants drifted"
+    assert sum(r["n_docs"] for r in rows) == n_expected
+    assert sum(r["id_sum"] for r in rows) == (
+        survivors.agg(F.sum("doc_id")).collect()[0][0]
+    )
+
+    # per-shard positions are a permutation of 1..k_s: sum of pos over
+    # a shard == k_s (k_s + 1) / 2
+    from collections import defaultdict
+
+    n_by_shard, pos_by_shard = defaultdict(int), defaultdict(int)
+    for r in rows:
+        n_by_shard[r["shard"]] += r["n_docs"]
+        pos_by_shard[r["shard"]] += r["pos_sum"]
+    for s, k in n_by_shard.items():
+        assert pos_by_shard[s] == k * (k + 1) // 2, (s, k, pos_by_shard[s])
+    # deciles span 0..9 on any non-trivial survivor set
+    deciles = {r["decile"] for r in rows}
+    assert deciles <= set(range(10)) and len(deciles) >= 5

@@ -1031,3 +1031,157 @@ def curriculum_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full LLM-corpus path as ONE oracled lineage (r11, VERDICT r10 #7)
+# ---------------------------------------------------------------------------
+#
+# corpus_pipeline_end_to_end chains dedup + language + quality filters;
+# this entry composes the WHOLE preparation path in a single Catalyst
+# plan: Gopher quality-rule filter -> exact-dedup keepers (min doc_id
+# per md5(text)) -> stratified language sample (md5 threshold) ->
+# length-decile curriculum (counted-grid CDF inversion, computed over
+# the SAMPLED survivors — the grid re-derives from the chain output,
+# not the raw corpus) -> md5 shard assignment with within-shard
+# positions. Output manifest: (decile, shard, n_docs, chars_sum,
+# id_sum, pos_sum) — pos_sum pins the shard window having run on the
+# final lineage (any leaked pre-filter row would shift positions).
+#
+# Scale shape, per stage: quality filter is a narrow columnar pass;
+# keepers shuffle once on md5(text) (text itself never re-shuffles —
+# only the projected survivor columns move); the sampler is a narrow
+# hash-threshold filter; the decile grid is one bounded aggregate
+# (distinct n_chars values) broadcast back; the shard window is ONE
+# hash exchange on shard + per-shard sort — the training-shard write
+# path. The sampled survivor set feeds three consumers (grid, join,
+# window), so it is checkpointed once and released after the manifest
+# materializes (the leaked-checkpoint audit pattern).
+
+_CHAIN_SHARDS = 8
+_CHAIN_SHARD_EXPR = shard_bucket_sql(
+    "md5(CAST(doc_id AS STRING))", _CHAIN_SHARDS
+)
+_CHAIN_SHARD_SPARK = shard_bucket_spark_sql(
+    "md5(CAST(doc_id AS STRING))", _CHAIN_SHARDS
+)
+
+FULL_CHAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, n_chars,
+         list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, text, n_chars FROM toks
+  WHERE len(w) BETWEEN 20 AND 1000
+    AND list_avg(list_transform(w, x -> len(x))) >= 3.0
+    AND list_avg(list_transform(w, x -> len(x))) <= 8.0
+    AND len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(w) >= 0.8
+    AND len(list_distinct(w)) * 1.0 / len(w) >= 0.35
+    AND len(list_distinct(list_filter(w, x -> x IN ('the', 'a')))) >= 2
+),
+keepers AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q
+),
+dd AS (SELECT doc_id, lang, n_chars FROM keepers WHERE rn = 1),
+sampled AS (
+  SELECT doc_id, n_chars FROM dd
+  WHERE {_STRAT_H_SQL} < {_stratified_threshold_sql()}
+),
+grid AS (
+  SELECT n_chars, COUNT(*)::BIGINT AS cnt FROM sampled GROUP BY n_chars
+),
+cum AS (
+  SELECT n_chars,
+         SUM(cnt) OVER (ORDER BY n_chars) AS c,
+         SUM(cnt) OVER () AS n
+  FROM grid
+),
+dec AS (SELECT n_chars, ((c - 1) * 10) // n AS decile FROM cum),
+sharded AS (
+  SELECT s.doc_id, s.n_chars, d.decile,
+         {_CHAIN_SHARD_EXPR} AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY {_CHAIN_SHARD_EXPR}
+           ORDER BY md5(CAST(doc_id AS STRING)), s.doc_id
+         ) AS pos
+  FROM sampled s JOIN dec d ON s.n_chars = d.n_chars
+)
+SELECT decile::BIGINT AS decile, shard::BIGINT AS shard,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS chars_sum,
+       SUM(doc_id)::BIGINT AS id_sum,
+       SUM(pos)::BIGINT AS pos_sum
+FROM sharded
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_pipeline_full_chain", FULL_CHAIN_ORACLE)
+def corpus_pipeline_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filter -> exact-dedup keepers -> stratified sample ->
+    curriculum deciles (over the sampled set) -> shard assignment, one
+    lineage: (decile, shard, n_docs, chars_sum, id_sum, pos_sum)."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+    from tfm_semisup_spark.operators.quality import filter_quality_gopher
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = filter_quality_gopher(docs)
+    wk = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (
+        q.withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    h = F.expr(_STRAT_H_SPARK)
+    thr = F.expr(_stratified_threshold_sql())
+    # three consumers below (grid aggregate, grid join, shard window):
+    # checkpoint the surviving rows once, release after materializing
+    sampled = truncate(dd.where(h < thr).select("doc_id", "n_chars"))
+    grid = sampled.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("n_chars")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = grid.select(
+        "n_chars",
+        (
+            ((F.sum("cnt").over(wc) - 1) * 10)
+            - F.pmod(
+                (F.sum("cnt").over(wc) - 1) * 10, F.sum("cnt").over(wall)
+            )
+        ).alias("__num"),
+        F.sum("cnt").over(wall).alias("__n"),
+    ).select(
+        F.col("n_chars").alias("g_chars"),
+        (F.col("__num") / F.col("__n")).cast("bigint").alias("decile"),
+    )
+    wsh = Window.partitionBy("shard").orderBy("__h", "doc_id")
+    sharded = (
+        sampled.join(F.broadcast(dec), sampled.n_chars == F.col("g_chars"))
+        .select(
+            "doc_id",
+            "n_chars",
+            "decile",
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+            F.expr(_CHAIN_SHARD_SPARK).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(wsh).cast("long"))
+    )
+    out = truncate(
+        sharded.groupBy(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("shard").cast("bigint").alias("shard"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("pos").cast("bigint").alias("pos_sum"),
+        )
+    )
+    release(sampled)
+    return out
