@@ -1695,3 +1695,125 @@ def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     release(sig)
     release(scored)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LSH band-collision expectation audit (r11, VERDICT r10 #8)
+# ---------------------------------------------------------------------------
+#
+# The banded MinHash tiers promote on band-key collisions; the audit
+# question is how the bucket structure actually behaves: how many
+# buckets per band, how large the worst bucket is (the join-key skew
+# bound), how many docs collide at all, and how many candidate pairs
+# the band contributes — against the uniform-hash baseline
+# C(n,2)/2^32 (each band key is two 16-bit md5 slices = 32 bits, so a
+# uniform corpus would collide ~never; every observed pair above that
+# is signal, not hash accident). Same portable signature construction
+# as ``minhash_calibration_audit`` (md5 4-hex slices over distinct
+# 3-gram shingles), all-integer aggregates, 4 output rows.
+
+def _lsh_band_audit_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN({md5_uniform16_sql('md5(gram)', start=1 + 4 * j)}) AS m{j}"
+        for j in range(_MH_SLICES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band,"
+        f" CAST(m{2 * b} AS BIGINT) * 65536 + m{2 * b + 1} AS k FROM sig"
+        for b in range(_MH_SLICES // 2)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 3
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM grams GROUP BY doc_id
+),
+bands AS (
+{bands}
+),
+buckets AS (
+  SELECT band, k, COUNT(*)::BIGINT AS c FROM bands GROUP BY band, k
+)
+SELECT CAST(band AS BIGINT) AS band,
+       SUM(c)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_buckets,
+       MAX(c)::BIGINT AS max_bucket,
+       SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_collided_docs,
+       SUM((c * (c - 1)) // 2)::BIGINT AS n_candidate_pairs,
+       ROUND(CAST((SUM(c) * (SUM(c) - 1)) // 2 AS DOUBLE)
+             / 4294967296.0, 6) AS expected_uniform_pairs
+FROM buckets
+GROUP BY band
+"""
+
+
+@register("lsh_band_collision_audit", _lsh_band_audit_oracle())
+def lsh_band_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket statistics of the portable MinHash banding:
+    (band, n_docs, n_buckets, max_bucket, n_collided_docs,
+    n_candidate_pairs, expected_uniform_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    grams = (
+        docs.withColumn("w", toks)
+        .select("doc_id", F.explode(word_ngrams(F.col("w"), 3)).alias("gram"))
+        .distinct()
+    )
+    sig = grams.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
+            ).alias(f"m{j}")
+            for j in range(_MH_SLICES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"m{2 * b}").cast("long") * 65536
+                            + F.col(f"m{2 * b + 1}")
+                        ).alias("k"),
+                    )
+                    for b in range(_MH_SLICES // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k")
+    buckets = bands.groupBy("band", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n_docs = F.sum("c").cast("bigint")
+    return buckets.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        n_docs.alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_collided_docs"),
+        F.sum(F.expr("(c * (c - 1)) DIV 2"))
+        .cast("bigint")
+        .alias("n_candidate_pairs"),
+        F.round(
+            F.expr(
+                "CAST((sum(c) * (sum(c) - 1)) DIV 2 AS DOUBLE)"
+                " / 4294967296.0D"
+            ),
+            6,
+        ).alias("expected_uniform_pairs"),
+    )

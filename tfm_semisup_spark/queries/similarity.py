@@ -745,3 +745,166 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-code (1-bit PQ) estimate-vs-exact calibration audit (r11,
+# VERDICT r10 #8)
+# ---------------------------------------------------------------------------
+#
+# The PQ/IVF-PQ tiers are rows-only (k-means codebooks are not SQL-
+# expressible), so their estimate quality was pinned only by recall
+# tests. This audit oracles the CALIBRATION question for the family's
+# portable sibling: the 1-bit product code (one sign bit per dimension
+# — binary hashing, the degenerate PQ with 2 centroids per 1-dim
+# subspace). For every corpus vector vs the fixed query (vec_id 0) it
+# computes the sign-code similarity estimate (2·n_sign_match/dim − 1,
+# the Hamming-to-cosine map) AND the exact cosine, and reports
+# per-agreement-octile calibration — the same estimate-vs-exact shape
+# as ``minhash_calibration_audit``.
+#
+# Cross-engine arithmetic (the exact-until-one-double-tree rule):
+# components quantize to integers via floor(v·1024) — v is float32
+# from parquet, ·1024 is a power-of-two multiply (exact), floor is
+# unambiguous (no round() HALF_UP-vs-binary divergence). n_match, the
+# integer dot and the squared norms are exact integers; the single
+# double tree per row is dotq/(sqrt(na)·sqrt(nq)) — every op IEEE
+# exact-rounded, so the doubles are bit-identical across engines —
+# then shifted/floored to micro-units before the cross-row sums.
+# Scale shape: one narrow corpus scan against a broadcast 1-row query,
+# per-side quantized columns projected BEFORE the join (codegen: the
+# fused post-join method holds column arithmetic only), ≤ 9 output
+# rows.
+
+_PQS_QUANT = 1024
+_PQS_SCALE = 1_000_000
+
+
+def _pqs_quant_sql(arr: str, i: int) -> str:
+    return f"CAST(FLOOR(element_at({arr}, {i}) * {_PQS_QUANT}.0) AS BIGINT)"
+
+
+def _pqs_quant_duck(arr: str, i: int) -> str:
+    return f"CAST(FLOOR(({arr})[{i}] * {_PQS_QUANT}.0) AS BIGINT)"
+
+
+def _pq_sign_calibration_oracle(dim: int = 64) -> str:
+    qa = ",\n         ".join(
+        f"{_pqs_quant_duck('embedding::DOUBLE[]', i)} AS a{i}"
+        for i in range(1, dim + 1)
+    )
+    qq = ",\n         ".join(
+        f"{_pqs_quant_duck('embedding::DOUBLE[]', i)} AS q{i}"
+        for i in range(1, dim + 1)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN (a{i} >= 0) = (q{i} >= 0) THEN 1 ELSE 0 END"
+        for i in range(1, dim + 1)
+    )
+    dotq = " + ".join(f"a{i} * q{i}" for i in range(1, dim + 1))
+    na = " + ".join(f"a{i} * a{i}" for i in range(1, dim + 1))
+    nq = " + ".join(f"q{i} * q{i}" for i in range(1, dim + 1))
+    est = f"(({n_match}) * {2 * _PQS_SCALE // 64})"
+    return f"""
+WITH a AS (
+  SELECT vec_id,
+         {qa}
+  FROM embeddings WHERE vec_id <> 0
+),
+q AS (
+  SELECT {qq}
+  FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT a.vec_id,
+         ({n_match}) AS n_match,
+         ({dotq}) AS dotq,
+         ({na}) AS na,
+         ({nq}) AS nq
+  FROM a CROSS JOIN q
+),
+rowq AS (
+  SELECT n_match // 8 AS match_level,
+         {est.replace('(' + n_match + ')', 'n_match')} AS est_cq,
+         CAST(FLOOR((CAST(dotq AS DOUBLE)
+                      / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE)))
+                      + 1.0) * {_PQS_SCALE}.0) AS BIGINT) AS exact_cq
+  FROM scored WHERE na > 0 AND nq > 0
+)
+SELECT CAST(match_level AS BIGINT) AS match_level,
+       COUNT(*)::BIGINT AS n_vecs,
+       ROUND(CAST(SUM(est_cq) AS DOUBLE)
+             / (COUNT(*) * {_PQS_SCALE}.0) - 1.0, 6) AS avg_est_cos,
+       ROUND(CAST(SUM(exact_cq) AS DOUBLE)
+             / (COUNT(*) * {_PQS_SCALE}.0) - 1.0, 6) AS avg_exact_cos,
+       ROUND(CAST(SUM(ABS(est_cq - exact_cq)) AS DOUBLE)
+             / (COUNT(*) * {_PQS_SCALE}.0), 6) AS mean_abs_err
+FROM rowq
+GROUP BY match_level
+"""
+
+
+@register("pq_sign_calibration_audit", _pq_sign_calibration_oracle())
+def pq_sign_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-agreement-octile calibration of the 1-bit product code
+    (sign per dimension) against exact cosine vs the fixed query:
+    (match_level, n_vecs, avg_est_cos, avg_exact_cos, mean_abs_err)."""
+    dim = embedding_dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    a = emb.where(F.col("vec_id") != 0).selectExpr(
+        "vec_id",
+        *[f"{_pqs_quant_sql('emb_d', i)} AS a{i}" for i in range(1, dim + 1)],
+    )
+    q = emb.where(F.col("vec_id") == 0).selectExpr(
+        *[f"{_pqs_quant_sql('emb_d', i)} AS q{i}" for i in range(1, dim + 1)]
+    )
+    n_match = " + ".join(
+        f"CASE WHEN (a{i} >= 0) = (q{i} >= 0) THEN 1 ELSE 0 END"
+        for i in range(1, dim + 1)
+    )
+    dotq = " + ".join(f"a{i} * q{i}" for i in range(1, dim + 1))
+    na = " + ".join(f"a{i} * a{i}" for i in range(1, dim + 1))
+    nq = " + ".join(f"q{i} * q{i}" for i in range(1, dim + 1))
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    # checkpoint the 5-integer row reduction BEFORE the filter: a
+    # Filter above this projection makes Catalyst's constraint
+    # propagation substitute every alias with its ~64-term child tree
+    # and pairwise semanticEquals them — OOMs a default-heap driver.
+    # The materialized frame is 5 longs/row (narrower than the scan).
+    scored = truncate(
+        a.crossJoin(F.broadcast(q)).selectExpr(
+            "vec_id",
+            f"({n_match}) AS n_match",
+            f"({dotq}) AS dotq",
+            f"({na}) AS na",
+            f"({nq}) AS nq",
+        )
+    )
+    rowq = scored.where("na > 0 AND nq > 0").selectExpr(
+        "CAST(n_match DIV 8 AS BIGINT) AS match_level",
+        f"n_match * {2 * _PQS_SCALE // 64} AS est_cq",
+        f"CAST(FLOOR((CAST(dotq AS DOUBLE)"
+        f" / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nq AS DOUBLE)))"
+        f" + 1.0D) * {_PQS_SCALE}.0D) AS BIGINT) AS exact_cq",
+    )
+    n = F.count(F.lit(1))
+    out = rowq.groupBy("match_level").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum("est_cq").cast("double") / (n * float(_PQS_SCALE)) - 1.0, 6
+        ).alias("avg_est_cos"),
+        F.round(
+            F.sum("exact_cq").cast("double") / (n * float(_PQS_SCALE)) - 1.0, 6
+        ).alias("avg_exact_cos"),
+        F.round(
+            F.sum(F.abs(F.col("est_cq") - F.col("exact_cq"))).cast("double")
+            / (n * float(_PQS_SCALE)),
+            6,
+        ).alias("mean_abs_err"),
+    )
+    out = truncate(out)
+    release(scored)
+    return out
