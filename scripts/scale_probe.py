@@ -98,6 +98,17 @@ _SCALED_SQL = {
 
 _COPIED = ["region", "nation", "customer", "supplier", "part"]
 
+# Second leg (r11, VERDICT r10 #3): sf1 -> sf2 (2x sf1 = 20x sf0.1),
+# embeddings only — the leg exists to measure dedup_semantic_semdedup
+# ABOVE the cluster-floor regime transition the first leg straddled
+# (sf0.1: N=2k -> k floors at 16; sf1: N=20k -> k=20; sf2: N=40k ->
+# k=40 — both legs of sf1->sf2 sit above the floor, so the measured
+# exponent tests the design claim Σ|c|² ≈ N·TARGET_CLUSTER_SIZE
+# directly). Exponent base is log2 (2x data).
+SF2 = os.path.join(REPO, ".scale_probe", "sf2")
+SF2_REPLICAS = 2
+SECOND_LEG_QUERIES = ["dedup_semantic_semdedup"]
+
 
 def generate() -> None:
     import duckdb
@@ -116,7 +127,36 @@ def generate() -> None:
         print(f"{t}: copied verbatim", flush=True)
 
 
-def measure(runs: int, queries: list[str]) -> dict:
+def generate_sf2() -> None:
+    """2x replica of sf1's EMBEDDINGS (key-remapped; vectors verbatim,
+    so every vector now has 19 exact duplicates — the adversarial
+    100%-dup stress at double the corpus). Embeddings only: the
+    second-leg query reads no other table, and the other fact tables
+    at 20x would cost disk for nothing."""
+    import duckdb
+
+    if not os.path.isdir(SF1):
+        raise SystemExit("run --generate first")
+    os.makedirs(SF2, exist_ok=True)
+    con = duckdb.connect()
+    out = os.path.join(SF2, "embeddings.parquet")
+    con.execute(
+        f"""COPY (
+        SELECT vec_id * {SF2_REPLICAS} + r.r AS vec_id, embedding, label
+        FROM read_parquet('{SF1}/embeddings.parquet')
+        CROSS JOIN range({SF2_REPLICAS}) r(r)
+    ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"embeddings: {n} rows -> {out}", flush=True)
+
+
+def measure(
+    runs: int,
+    queries: list[str],
+    legs: tuple[tuple[str, str], tuple[str, str]] = (("sf0.1", SF01), ("sf1", SF1)),
+    exponent_base: float = 10.0,
+) -> dict:
     from tfm_semisup_spark.queries import QUERIES, load_all_queries
     from tfm_semisup_spark.session import get_spark
 
@@ -134,12 +174,13 @@ def measure(runs: int, queries: list[str]) -> dict:
             "overwrite"
         ).save()
     isolate()
+    (tag_a, dir_a), (tag_b, dir_b) = legs
     samples: dict[str, dict[str, list[float]]] = {
-        n: {"sf0.1": [], "sf1": []} for n in queries
+        n: {tag_a: [], tag_b: []} for n in queries
     }
     for _ in range(runs):
         for name in queries:
-            for tag, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            for tag, sf_dir in legs:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -148,13 +189,13 @@ def measure(runs: int, queries: list[str]) -> dict:
                 isolate()
     report = {}
     for name in queries:
-        t01 = statistics.median(samples[name]["sf0.1"])
-        t1 = statistics.median(samples[name]["sf1"])
+        ta = statistics.median(samples[name][tag_a])
+        tb = statistics.median(samples[name][tag_b])
         report[name] = {
-            "sf0.1_sec": round(t01, 2),
-            "sf1_sec": round(t1, 2),
-            "ratio": round(t1 / t01, 2),
-            "exponent": round(math.log10(t1 / t01), 2),
+            f"{tag_a}_sec": round(ta, 2),
+            f"{tag_b}_sec": round(tb, 2),
+            "ratio": round(tb / ta, 2),
+            "exponent": round(math.log(tb / ta) / math.log(exponent_base), 2),
         }
     return report
 
@@ -162,17 +203,36 @@ def measure(runs: int, queries: list[str]) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--generate-sf2", action="store_true")
     ap.add_argument("--measure", action="store_true")
+    ap.add_argument(
+        "--second-leg",
+        action="store_true",
+        help="measure sf1 -> sf2 (log2 exponents) instead of sf0.1 -> sf1",
+    )
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--queries", nargs="*", default=PROBE_QUERIES)
+    ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
     if args.generate:
         generate()
-    if args.measure:
-        if not os.path.isdir(SF1):
-            print("run --generate first", file=sys.stderr)
-            return 1
-        report = measure(args.runs, args.queries)
+    if args.generate_sf2:
+        generate_sf2()
+    if args.measure or args.second_leg:
+        if args.second_leg:
+            if not os.path.isdir(SF2):
+                print("run --generate-sf2 first", file=sys.stderr)
+                return 1
+            report = measure(
+                args.runs,
+                args.queries or SECOND_LEG_QUERIES,
+                legs=(("sf1", SF1), ("sf2", SF2)),
+                exponent_base=2.0,
+            )
+        else:
+            if not os.path.isdir(SF1):
+                print("run --generate first", file=sys.stderr)
+                return 1
+            report = measure(args.runs, args.queries or PROBE_QUERIES)
         print(json.dumps(report, indent=1))
         worst = max(report.values(), key=lambda r: r["exponent"])
         print(
