@@ -2172,7 +2172,10 @@ def ssl_cotrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled, unlabeled = _nb1_base(spark, sf_dir)
     train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
     pool_r1 = unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2")
-    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5))
+    # lazy checkpoint + count folds the pool-size probe into the
+    # materialization job (the hard-negatives-ANN pattern): the count
+    # action is what computes and pins the blocks
+    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5), eager=False)
     conf_v2r1 = truncate(_ct2_conf(train_r1, pool_r1, "f2", 12))
     n1 = conf_v1r1.count()  # both views rank the same pool
     k1 = max(1, n1 // _CT2_K_DIV)
@@ -2200,7 +2203,7 @@ def ssl_cotrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semi",
         )
     )
-    conf_v1r2 = truncate(_ct2_conf(train_v1_r2, pool_r2, "f1", 5))
+    conf_v1r2 = truncate(_ct2_conf(train_v1_r2, pool_r2, "f1", 5), eager=False)
     conf_v2r2 = truncate(_ct2_conf(train_v2_r2, pool_r2, "f2", 12))
     n2 = conf_v1r2.count()
     k2 = max(1, n2 // _CT2_K_DIV)
