@@ -51,18 +51,19 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale_probe", "sf1")
 REPLICAS = 10
 
-#: the top of the r9/r10 bench cost ranking (bench_spread.json medians)
+#: the top of the r11 bench cost ranking (bench_spread.json medians,
+#: refreshed per VERDICT r10 #9; previous list was the r9/r10 ranking)
 PROBE_QUERIES = [
+    "ssl_cotrain_two_round_nb",
+    "mann_kendall_daily_trend",
     "dedup_semantic_semdedup",
     "part_degree_assortativity",
+    "ssl_selftrain_two_round_nb",
+    "similarity_hard_negatives_ann",
     "ssl_selftrain_threshold",
-    "theilsen_daily_revenue_slope",
-    "dedup_cluster_components",
-    "similarity_ivfpq_topk",
     "ssl_tritrain_one_round_nb",
+    "dedup_cluster_components",
     "basket_part_lift",
-    "dedup_simhash_pairs",
-    "bloom_contamination_screen",
 ]
 
 _SCALED_SQL = {

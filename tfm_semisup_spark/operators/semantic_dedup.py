@@ -99,6 +99,17 @@ def assign_clusters_mllib(
     return (assigned, model) if return_model else assigned
 
 
+#: faiss-style training-sample bound: ~this many sample points per
+#: centroid suffice for stable k-means codebooks (faiss warns below
+#: ~39/centroid and subsamples above 256/centroid; 64 sits in-band).
+#: Without it the trainer pulls min(N, max_train_rows) rows however
+#: small k is, and driver Lloyd's cost — sample x k x dim x iters —
+#: grows super-linearly with the corpus until the 100k cap (measured:
+#: 33 s of the ANN miner's 52 s at a 20k x k=141 corpus; 64/centroid
+#: trains on 9k rows for the same recall).
+MAX_POINTS_PER_CENTROID = 64
+
+
 def train_semantic_centroids(
     embeddings: DataFrame,
     array_col: str = "embedding",
@@ -107,6 +118,7 @@ def train_semantic_centroids(
     seed: int = 42,
     max_train_rows: int = 100_000,
     approx_n: int | None = None,
+    max_points_per_centroid: int = MAX_POINTS_PER_CENTROID,
 ):
     """Driver-side seeded Lloyd's on a hash-mod bounded sample (the
     faiss-style training shape shared with build_pq_index); returns a
@@ -114,7 +126,8 @@ def train_semantic_centroids(
     cluster count from the corpus size (``resolve_num_clusters``).
     Pass ``approx_n`` when the caller already aggregated it — the
     corpus-size probe is a full scan job, and semantic_dedup was
-    paying it twice per call."""
+    paying it twice per call. The sample is additionally capped at
+    ``max_points_per_centroid * num_clusters`` (see the constant)."""
     import numpy as np
 
     from tfm_semisup_spark.operators.similarity import _lloyd
@@ -125,6 +138,9 @@ def train_semantic_centroids(
         ).head()["n"]
     if num_clusters is None:
         num_clusters = resolve_num_clusters(approx_n)
+    max_train_rows = min(
+        max_train_rows, max_points_per_centroid * int(num_clusters)
+    )
     train_mod = max(1, -(-int(approx_n) // max_train_rows))
     train = embeddings
     if train_mod > 1:

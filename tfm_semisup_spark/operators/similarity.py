@@ -165,11 +165,23 @@ def ivf_top_k(
     )
 
 
+#: bound on the (rows x centroid-block x dim) temporary inside one
+#: Lloyd distance block — ~128 MB of float64. The unblocked broadcast
+#: form allocates rows x k x dim PER ITERATION (1.4 GB at a 20k x 141
+#: x 64 training set) and turns the trainer memory-bandwidth-bound;
+#: blocking over centroids computes the IDENTICAL per-(row, centroid)
+#: values (no cross-block reduction exists), so assignments — and the
+#: trained centroids — are bit-equal to the unblocked form.
+_LLOYD_BLOCK_ELEMS = 16_777_216
+
+
 def _lloyd(points, k: int, seed: int, iters: int = 25):
     """Seeded deterministic Lloyd's k-means on a driver-side numpy
     sample (the standard way PQ codebooks are trained — e.g. faiss
     trains on a bounded in-memory sample, never the full corpus).
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid. Distances are
+    computed in centroid blocks (see _LLOYD_BLOCK_ELEMS) — bit-equal
+    to the naive broadcast, bounded temporaries."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -177,8 +189,15 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     centroids = points[rng.choice(n, size=min(k, n), replace=False)].copy()
     if centroids.shape[0] < k:  # degenerate tiny sample: pad by repeat
         centroids = np.vstack([centroids] * (k // centroids.shape[0] + 1))[:k]
+    dim = points.shape[1] if points.ndim == 2 else 1
+    step = max(1, _LLOYD_BLOCK_ELEMS // max(1, n * dim))
     for _ in range(iters):
-        d2 = ((points[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.empty((n, k), dtype=np.float64)
+        for s in range(0, k, step):
+            block = centroids[s : s + step]
+            d2[:, s : s + step] = (
+                (points[:, None, :] - block[None, :, :]) ** 2
+            ).sum(axis=2)
         assign = d2.argmin(axis=1)
         for c in range(k):
             mask = assign == c
