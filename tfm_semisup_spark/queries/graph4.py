@@ -1,0 +1,161 @@
+"""Graph analytics #4: neighborhood-based link prediction.
+
+``item_link_prediction_ra`` scores NON-edges of the co-engagement
+graph by their shared-neighborhood structure — the classic
+link-prediction / related-item-candidate readout (Liben-Nowell &
+Kleinberg 2003). Three standard scores per candidate pair:
+
+- common-neighbor count |Γ(x) ∩ Γ(y)|;
+- resource-allocation index Σ_z 1/deg(z) over common neighbors z
+  (Zhou, Lü & Zhang 2009 — the rational-arithmetic cousin of
+  Adamic-Adar's Σ 1/ln deg, chosen here because 1/deg quantizes to an
+  EXACT integer, where 1/ln(deg) would hang a floor() on a libm ULP);
+- Jaccard |Γ(x) ∩ Γ(y)| / |Γ(x) ∪ Γ(y)|.
+
+No reference analog (Dguipla/TFM-SemiSup has no graph surface); the
+edge derivation is the shared capped co-visitation graph of
+``analytics._cooc_pairs`` (same CTEs as the triangle/PageRank/k-core
+family).
+
+Spark-first / 100 TB shape:
+- the wedge join (adjacency self-join on the shared neighbor z) is
+  the triangle query's bounded shape: per-user engagement sets are
+  capped at COOC_CAP before pairing and edges need >= LP_MIN_USERS
+  supporting users, so Σ deg(z)² is bounded; at web scale the extra
+  lever is the same degree-orientation trick noted on the triangle
+  query.
+- scores are exact BIGINT arithmetic end-to-end (integer floor
+  division: ``div`` on Spark, ``//`` on DuckDB) — no doubles, so no
+  rounding convention is even needed.
+- the final top-k is an (order, limit) = TakeOrderedAndProject with a
+  total tie-break order (scores DESC, then the unique pair key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.queries import register
+from tfm_semisup_spark.queries.analytics import COOC_CAP, _cooc_pairs
+
+LP_MIN_USERS = 2
+LP_TOP = 20
+_RA_SCALE = 1_000_000_000  # 10^9 / deg per common neighbor
+_JAC_SCALE = 1_000_000  # 10^6 · cn / (deg_x + deg_y − cn)
+
+LINKPRED_ORACLE = f"""
+WITH engaged AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*)::BIGINT AS cnt
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item
+           ) AS rk
+    FROM engaged
+  ) WHERE rk <= {COOC_CAP}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS n_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+edges AS (
+  SELECT item_a, item_b FROM pairs WHERE n_users >= {LP_MIN_USERS}
+),
+adj AS (
+  SELECT item_a AS z, item_b AS x FROM edges
+  UNION ALL SELECT item_b, item_a FROM edges
+),
+deg AS (SELECT z, COUNT(*)::BIGINT AS deg FROM adj GROUP BY z),
+wedge AS (
+  SELECT a1.x AS item_a, a2.x AS item_b, a1.z AS z
+  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+),
+cand AS (
+  SELECT w.item_a, w.item_b,
+         COUNT(*)::BIGINT AS cn,
+         SUM({_RA_SCALE} // d.deg)::BIGINT AS ra_q
+  FROM wedge w JOIN deg d ON w.z = d.z
+  GROUP BY w.item_a, w.item_b
+),
+nonedge AS (
+  SELECT c.item_a, c.item_b, c.cn, c.ra_q
+  FROM cand c
+  LEFT JOIN edges e ON e.item_a = c.item_a AND e.item_b = c.item_b
+  WHERE e.item_a IS NULL
+)
+SELECT n.item_a, n.item_b,
+       n.cn AS common_neighbors,
+       n.ra_q AS ra_score_q,
+       CAST((n.cn * {_JAC_SCALE}) // (da.deg + db.deg - n.cn) AS BIGINT)
+         AS jaccard_q
+FROM nonedge n
+JOIN deg da ON da.z = n.item_a
+JOIN deg db ON db.z = n.item_b
+ORDER BY common_neighbors DESC, ra_score_q DESC, n.item_a, n.item_b
+LIMIT {LP_TOP}
+"""
+
+
+@register("item_link_prediction_ra", LINKPRED_ORACLE)
+def item_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOP} predicted links of the co-engagement graph:
+    (item_a, item_b, common_neighbors, ra_score_q, jaccard_q) over
+    candidate non-edges sharing >= 1 neighbor — exact BIGINT scores."""
+    edges = (
+        _cooc_pairs(spark, sf_dir)
+        .where(F.col("n_users") >= LP_MIN_USERS)
+        .select("item_a", "item_b")
+    )
+    # one upstream evaluation feeds adjacency, degrees, and the
+    # anti-join probe (the triangle-query discipline)
+    edges = edges.localCheckpoint(eager=True)
+    adj = edges.select(
+        F.col("item_a").alias("z"), F.col("item_b").alias("x")
+    ).unionAll(
+        edges.select(F.col("item_b").alias("z"), F.col("item_a").alias("x"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    a1 = adj.select(F.col("z"), F.col("x").alias("item_a"))
+    a2 = adj.select(F.col("z").alias("z2"), F.col("x").alias("item_b"))
+    wedge = a1.join(a2, (F.col("z") == F.col("z2"))).where(
+        F.col("item_a") < F.col("item_b")
+    )
+    cand = (
+        wedge.join(F.broadcast(deg), "z")
+        .groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr(f"{_RA_SCALE} div deg")).alias("ra_q"),
+        )
+    )
+    nonedge = cand.join(edges, ["item_a", "item_b"], "left_anti")
+    da = deg.select(F.col("z").alias("item_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("z").alias("item_b"), F.col("deg").alias("deg_b"))
+    scored = (
+        nonedge.join(F.broadcast(da), "item_a")
+        .join(F.broadcast(db), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("cn").alias("common_neighbors"),
+            F.col("ra_q").alias("ra_score_q"),
+            F.expr(f"(cn * {_JAC_SCALE}) div (deg_a + deg_b - cn)")
+            .cast("bigint")
+            .alias("jaccard_q"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(),
+        F.col("ra_score_q").desc(),
+        "item_a",
+        "item_b",
+    ).limit(LP_TOP)
