@@ -671,8 +671,71 @@ def augment_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_LOW_NUM, _PPL_LOW_DEN = 1, 10  # drop lowest 10%
 _PPL_HIGH_NUM, _PPL_HIGH_DEN = 9, 10  # ...and above the 90% cut
 
+# Promoted rows-only -> oracled in r11: every stage is SQL-expressible
+# (the unigram LM score is the oracle-green text_unigram_logppl
+# algebra; the band cuts are integer ceil-division ranks on the
+# counted score grid). The only float in the chain is the logppl
+# round-6 the LM oracle already stands on.
+PPL_PRUNE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, COUNT(*)::BIGINT AS c FROM toks GROUP BY term),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM toks),
+ppl AS (
+  SELECT doc_id, round(-avg(ln(c * 1.0 / n)), 6) AS logppl
+  FROM toks JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+),
+sq AS (
+  SELECT doc_id, CAST(ROUND(logppl * 1000000, 0) AS BIGINT) AS sq FROM ppl
+),
+s AS (
+  SELECT d.source, d.doc_id, q.sq
+  FROM documents d JOIN sq q USING (doc_id)
+),
+grid AS (SELECT source, sq, COUNT(*)::BIGINT AS cnt FROM s GROUP BY 1, 2),
+cum AS (
+  SELECT source, sq,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY sq) AS cum
+  FROM grid
+),
+tots AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM s GROUP BY source),
+th AS (
+  SELECT c.source,
+         MIN(CASE WHEN c.cum >= (({_PPL_LOW_NUM} * t.n_docs)
+                                 + {_PPL_LOW_DEN - 1}) // {_PPL_LOW_DEN}
+                  THEN c.sq END) AS lo_cut,
+         MIN(CASE WHEN c.cum >= (({_PPL_HIGH_NUM} * t.n_docs)
+                                 + {_PPL_HIGH_DEN - 1}) // {_PPL_HIGH_DEN}
+                  THEN c.sq END) AS hi_cut
+  FROM cum c JOIN tots t USING (source)
+  GROUP BY c.source
+),
+flagged AS (
+  SELECT s.source, s.doc_id,
+         CASE WHEN s.sq <= th.lo_cut THEN 'low'
+              WHEN s.sq > th.hi_cut THEN 'high'
+              ELSE 'keep' END AS band
+  FROM s JOIN th USING (source)
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN band = 'keep' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       SUM(CASE WHEN band = 'low' THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped_low,
+       SUM(CASE WHEN band = 'high' THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped_high,
+       SUM(CASE WHEN band = 'keep' THEN doc_id ELSE 0 END)::BIGINT
+         AS kept_id_sum
+FROM flagged
+GROUP BY source
+"""
 
-@register("corpus_ppl_prune")
+
+@register("corpus_ppl_prune", PPL_PRUNE_ORACLE)
 def corpus_ppl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source perplexity-band pruning report: (source, n_docs,
     n_kept, n_dropped_low, n_dropped_high, kept_id_sum)."""

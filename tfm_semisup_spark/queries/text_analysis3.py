@@ -528,12 +528,67 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relation). Each round localCheckpoints the symbol table: O(1)
 # lineage across rounds, the PageRank discipline.
 #
-# Rows-only (the merge loop is inherently iterative), deterministic:
-# exact integer pair counts, full (count desc, left, right) tie-break,
-# hash-free throughout. Reference-checked against a pure-Python BPE
-# in tests/test_linkage_calibration.py.
+# Promoted rows-only -> oracled in r11: the FIXED round count makes
+# the loop unrollable as a CTE chain (the PageRank/k-core discipline).
+# The oracle encodes each word's symbol sequence as wrapped markers
+# '<sym><sym>…' (the corpus alphabet is lowercase letters + space,
+# TESTDATA.md, so '<'/'>' cannot collide with content), under which
+# DuckDB's leftmost-non-overlapping replace('<l><r>' -> '<lr>') is
+# EXACTLY the Spark fold's merge-apply semantics: a consumed symbol
+# cannot re-merge within the same pass, and wrapped boundaries make
+# substring confusion ('xa b' matching 'a b') impossible. Exact
+# integer pair counts, full (count desc, left, right) tie-break.
+# Reference-checked against a pure-Python BPE in
+# tests/test_linkage_calibration.py.
 
 _BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled training round: pair counts of s{i-1}, top-1 merge
+    m{i}, merged symbol table s{i}."""
+    return f"""
+p{i} AS (
+  SELECT p[1] AS l, p[2] AS r, SUM(n)::BIGINT AS c FROM (
+    SELECT n, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+    FROM (
+      SELECT n, regexp_extract_all(seq, '<([^>]*)>', 1) AS l
+      FROM s{i - 1}
+    ) WHERE len(l) >= 2
+  ) GROUP BY 1, 2
+),
+m{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT n,
+         replace(seq,
+                 '<' || (SELECT l FROM m{i}) || '><'
+                     || (SELECT r FROM m{i}) || '>',
+                 '<' || (SELECT l FROM m{i})
+                     || (SELECT r FROM m{i}) || '>') AS seq
+  FROM s{i - 1}
+)"""
+
+
+def _bpe_train_oracle() -> str:
+    rounds = "".join("," + _bpe_round_sql(i) for i in range(1, _BPE_ROUNDS + 1))
+    unions = "\nUNION ALL ".join(
+        f"SELECT {i}::INTEGER AS round, l AS left_sym, r AS right_sym,"
+        f" c AS pair_count FROM m{i}"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, COUNT(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2 AND len(w) <= {_BPE_MAX_WORD}
+  GROUP BY w
+),
+s0 AS (
+  SELECT n, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
+){rounds}
+{unions}
+"""
 
 
 def _bpe_merge_apply(left: str, right: str):
@@ -558,7 +613,7 @@ def _bpe_merge_apply(left: str, right: str):
     return F.aggregate(F.col("s"), F.slice(F.col("s"), 1, 0), fold)
 
 
-@register("bpe_train_merges")
+@register("bpe_train_merges", _bpe_train_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of BPE merge training over the word-frequency
     table: (round, left_sym, right_sym, pair_count) — the learned
