@@ -200,6 +200,17 @@ HEADLINE = [
     # r11 family: the two-round co-training cross-teach (4 NB fits,
     # 2 kBest boundary probes per round, one pool equi-join)
     "ssl_cotrain_two_round_nb",
+    # r11 continuation: survival/rank/causal inference, link
+    # prediction, winnowing, DSIR selection, hybrid RRF retrieval,
+    # and the two promotions' newly-oracled plans
+    "logrank_conversion_ab",
+    "kruskal_wallis_qty_flag",
+    "did_order_value",
+    "item_link_prediction_ra",
+    "dedup_winnowing_pairs",
+    "dsir_importance_select",
+    "retrieval_rrf_hybrid",
+    "bpe_train_merges",
 ]
 
 
