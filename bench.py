@@ -211,6 +211,9 @@ HEADLINE = [
     "dsir_importance_select",
     "retrieval_rrf_hybrid",
     "bpe_train_merges",
+    "rmst_conversion_ab",
+    "item_community_lpa",
+    "domain_mixture_plan",
 ]
 
 

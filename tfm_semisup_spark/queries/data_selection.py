@@ -168,3 +168,105 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores.orderBy(F.col("logweight_q").desc(), "doc_id").limit(
         _DSIR_TOP
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted domain mixture plan (epochs-per-source readout)
+# ---------------------------------------------------------------------------
+#
+# The mixture-planning arithmetic behind multilingual/multi-domain
+# sampling (the p^α, α = 0.75 rule of XLM-R / mT5; the quantity DoReMi
+# optimizes per-domain): given per-source token counts n_s, the
+# temperature weight w_s = n_s^0.75, the sampled share w_s/Σw, and the
+# implied EPOCH COUNT over each source when drawing a one-epoch-
+# equivalent budget T = Σn: epochs_s = T·(w_s/Σw)/n_s — the upsampling
+# factor a small domain pays (the repetition-risk readout of
+# Muennighoff et al. 2023). Distinct from domain_temperature_sample
+# (which draws rows): this is the PLAN over the bounded source grid.
+#
+# Arithmetic parity: n^0.75 uses the negative_sampling_table idiom —
+# floor(sqrt(sqrt(n³))) with n capped at 200 000 so n³ stays exactly
+# representable in a double (2^53 bound) and IEEE sqrt is correctly
+# rounded on both engines, no libm pow(); shares and epochs are exact
+# integer floor divisions in DECIMAL(38,0)/HUGEINT. Production scale
+# would rescale to kilotokens before the cap; the cap IS the
+# double-exactness bound, not a modeling choice.
+
+_MIX_CAP = 200_000  # 200000³ < 2^53
+_MIX_SCALE = 1_000_000
+
+
+def _mix_w_sql(n: str) -> str:
+    return (
+        f"CAST(FLOOR(sqrt(sqrt("
+        f"CAST(LEAST({n}, {_MIX_CAP}) AS DOUBLE)"
+        f" * LEAST({n}, {_MIX_CAP})"
+        f" * LEAST({n}, {_MIX_CAP})))) AS BIGINT)"
+    )
+
+
+MIXTURE_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT
+           AS n_toks
+  FROM documents
+),
+per_source AS (
+  SELECT source, SUM(n_toks)::HUGEINT AS n_tokens FROM toks GROUP BY source
+),
+weighted AS (
+  SELECT source, n_tokens, {_mix_w_sql('n_tokens')} AS w FROM per_source
+),
+tot AS (
+  SELECT SUM(w)::HUGEINT AS sw, SUM(n_tokens)::HUGEINT AS t FROM weighted
+)
+SELECT w.source,
+       w.n_tokens::BIGINT AS n_tokens,
+       w.w::BIGINT AS weight,
+       CAST((w.w * {_MIX_SCALE}) // o.sw AS BIGINT) AS share_ppm,
+       CAST((o.t * w.w * {_MIX_SCALE}) // (o.sw * w.n_tokens) AS BIGINT)
+         AS epochs_ppm
+FROM weighted w CROSS JOIN tot o
+"""
+
+
+@register("domain_mixture_plan", MIXTURE_ORACLE)
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-mixture plan: (source, n_tokens, weight,
+    share_ppm, epochs_ppm) — exact integer shares/epochs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    per_source = toks.groupBy("source").agg(
+        F.sum("n_toks").cast(_DEC).alias("n_tokens")
+    )
+    weighted = per_source.select(
+        "source", "n_tokens", F.expr(_mix_w_sql("n_tokens")).cast(_DEC).alias("w")
+    )
+    tot = weighted.agg(
+        F.sum("w").alias("sw"), F.sum("n_tokens").alias("t")
+    )
+
+    def _floordiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast(_DEC)
+
+    j = weighted.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("w").cast("bigint").alias("weight"),
+        _floordiv((F.col("w") * F.lit(_MIX_SCALE)).cast(_DEC), F.col("sw"))
+        .cast("bigint")
+        .alias("share_ppm"),
+        _floordiv(
+            (F.col("t") * F.col("w") * F.lit(_MIX_SCALE)).cast(_DEC),
+            (F.col("sw") * F.col("n_tokens")).cast(_DEC),
+        )
+        .cast("bigint")
+        .alias("epochs_ppm"),
+    )

@@ -44,6 +44,40 @@ LP_TOP = 20
 _RA_SCALE = 1_000_000_000  # 10^9 / deg per common neighbor
 _JAC_SCALE = 1_000_000  # 10^6 · cn / (deg_x + deg_y − cn)
 
+_LPA_ROUNDS = 3
+_LPA_TOP = 15
+
+_EDGE_CTES = f"""
+engaged AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*)::BIGINT AS cnt
+  FROM events
+  WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY cnt DESC, item
+           ) AS rk
+    FROM engaged
+  ) WHERE rk <= {COOC_CAP}
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS n_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+edges AS (
+  SELECT item_a, item_b FROM pairs WHERE n_users >= {LP_MIN_USERS}
+),
+adj AS (
+  SELECT item_a AS u, item_b AS v FROM edges
+  UNION ALL SELECT item_b, item_a FROM edges
+)"""
+
 LINKPRED_ORACLE = f"""
 WITH engaged AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
@@ -159,3 +193,114 @@ def item_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item_a",
         "item_b",
     ).limit(LP_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (fixed rounds)
+# ---------------------------------------------------------------------------
+#
+# Raghavan, Albert & Kumara 2007 made deterministic: labels start as
+# the node id; each SYNCHRONOUS round every node adopts its neighbor
+# multiset's most frequent label with the (count DESC, label ASC)
+# total tie-break (the paper breaks ties randomly; a deterministic
+# tie-break is what makes the operator oracle-checkable and
+# partitioning-independent). Fixed _LPA_ROUNDS rounds — not
+# run-to-convergence — so the oracle is the same loop unrolled as a
+# CTE chain (the PageRank/k-core/BFS discipline). Complements the
+# family: components find CONNECTIVITY, k-core finds density, LPA
+# finds label-majority communities inside a component.
+#
+# 100 TB shape: per round, one |adj|-keyed join against the bounded
+# label table + one (node, label) hash aggregate + one per-node top-1
+# window — two shuffles per round, O(1) lineage via per-round
+# localCheckpoint on Spark.
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+nb{i} AS (
+  SELECT a.u AS node, l.lab, COUNT(*)::BIGINT AS c
+  FROM adj a JOIN l{i - 1} l ON a.v = l.node
+  GROUP BY a.u, l.lab
+),
+l{i} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab) AS rk
+    FROM nb{i}
+  ) WHERE rk = 1
+)"""
+
+
+def _lpa_oracle() -> str:
+    rounds = "".join("," + _lpa_round_sql(i) for i in range(1, _LPA_ROUNDS + 1))
+    return f"""
+WITH {_EDGE_CTES},
+l0 AS (SELECT DISTINCT u AS node, u AS lab FROM adj){rounds}
+SELECT lab AS community,
+       COUNT(*)::BIGINT AS n_members,
+       MIN(node) AS min_item,
+       MAX(node) AS max_item
+FROM l{_LPA_ROUNDS}
+GROUP BY lab
+ORDER BY n_members DESC, community
+LIMIT {_LPA_TOP}
+"""
+
+
+@register("item_community_lpa", _lpa_oracle())
+def item_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LPA_TOP} label-propagation communities after
+    {_LPA_ROUNDS} synchronous rounds: (community, n_members, min_item,
+    max_item)."""
+    from pyspark.sql import Window
+
+    edges = (
+        _cooc_pairs(spark, sf_dir)
+        .where(F.col("n_users") >= LP_MIN_USERS)
+        .select("item_a", "item_b")
+    )
+    adj = edges.select(
+        F.col("item_a").alias("u"), F.col("item_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("item_b").alias("u"), F.col("item_a").alias("v"))
+    )
+    adj = adj.localCheckpoint(eager=True)
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    wn = Window.partitionBy("node")
+    for _ in range(_LPA_ROUNDS):
+        nb = (
+            adj.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lab")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            nb.withColumn(
+                "rk",
+                F.row_number().over(
+                    wn.orderBy(F.col("c").desc(), F.col("lab"))
+                ),
+            )
+            .where(F.col("rk") == 1)
+            .select("node", "lab")
+        )
+        # O(1) lineage across rounds (the PageRank discipline)
+        labels = labels.localCheckpoint(eager=True)
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").alias("min_item"),
+            F.max("node").alias("max_item"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(_LPA_TOP)
+    )

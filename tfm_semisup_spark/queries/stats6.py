@@ -231,6 +231,201 @@ def logrank_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Restricted mean survival time (RMST) per A/B bucket
+# ---------------------------------------------------------------------------
+#
+# The estimand regulators ask for when proportional hazards is
+# doubtful (Royston & Parmar 2013): RMST(τ) = ∫₀^τ S(t) dt, the area
+# under the Kaplan-Meier step curve up to a fixed horizon. Computed
+# per md5 A/B bucket on the same duration grid as the log-rank test:
+# S(t) via the KM exp(Σ ln) convention (cumsum in day order on both
+# engines, each step rounded to 6 dp), then the step-area sum is an
+# ORDERED window cumsum over the calendar-bounded step grid — the
+# same fixed evaluation sequence on both engines — plus the initial
+# S=1 segment [0, first_event_day).
+
+_RMST_TAU = 30  # days
+
+RMST_ORACLE = f"""
+WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events
+  GROUP BY user_id
+),
+durs AS (
+  SELECT {md5_uniform16_sql(_AB_MD5)} % 2 AS variant,
+         CASE WHEN f.fp IS NOT NULL AND f.fp >= f.fv
+              THEN date_diff('day', CAST(f.fv AS DATE), CAST(f.fp AS DATE))
+              ELSE date_diff('day', CAST(f.fv AS DATE), b.max_day)
+         END AS dur,
+         CASE WHEN f.fp IS NOT NULL AND f.fp >= f.fv THEN 1 ELSE 0 END
+           AS event
+  FROM firsts f CROSS JOIN bounds b
+  WHERE f.fv IS NOT NULL
+),
+grid AS (
+  SELECT variant, dur,
+         COUNT(*)::HUGEINT AS n_at, SUM(event)::HUGEINT AS d_at
+  FROM durs GROUP BY variant, dur
+),
+risk AS (
+  SELECT variant, dur, d_at,
+         SUM(n_at) OVER (PARTITION BY variant ORDER BY dur DESC) AS n_risk
+  FROM grid
+),
+km AS (
+  SELECT variant, dur,
+         ROUND(EXP(SUM(LN(1.0 - CAST(d_at AS DOUBLE) / n_risk))
+                   OVER (PARTITION BY variant ORDER BY dur)), 6) AS s
+  FROM risk WHERE d_at > 0
+),
+steps AS (
+  SELECT variant, dur, s,
+         LEAD(dur) OVER (PARTITION BY variant ORDER BY dur) AS next_dur
+  FROM km
+),
+areas AS (
+  SELECT variant, dur,
+         s * (LEAST(COALESCE(next_dur, {_RMST_TAU}), {_RMST_TAU}) - dur)
+           AS seg,
+         MIN(dur) OVER (PARTITION BY variant) AS first_dur
+  FROM steps
+  WHERE dur <= {_RMST_TAU}
+),
+-- ordered accumulation (the KM cumsum discipline): cumsum in dur
+-- order, take the last row — ONE evaluation order on both engines
+cum AS (
+  SELECT variant, first_dur,
+         SUM(seg) OVER (PARTITION BY variant ORDER BY dur) AS cum_seg,
+         ROW_NUMBER() OVER (PARTITION BY variant ORDER BY dur DESC) AS rk
+  FROM areas
+),
+rmst AS (
+  SELECT variant,
+         LEAST(first_dur, {_RMST_TAU}) + cum_seg AS rmst_days
+  FROM cum WHERE rk = 1
+),
+pops AS (
+  SELECT variant, COUNT(*)::BIGINT AS n_users,
+         SUM(CASE WHEN event = 1 AND dur <= {_RMST_TAU} THEN 1 ELSE 0 END)
+           ::BIGINT AS events_within_tau
+  FROM durs GROUP BY variant
+)
+SELECT p.variant::BIGINT AS variant, p.n_users, p.events_within_tau,
+       ROUND(r.rmst_days, 4) AS rmst_days
+FROM pops p JOIN rmst r ON p.variant = r.variant
+"""
+
+
+@register("rmst_conversion_ab", RMST_ORACLE)
+def rmst_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at τ={_RMST_TAU} days per md5 A/B
+    bucket: (variant, n_users, events_within_tau, rmst_days)."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    )
+    is_event = F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    durs = (
+        firsts.where(F.col("fv").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.expr(md5_uniform16_spark_sql(_AB_MD5)) % 2).alias("variant"),
+            F.when(
+                is_event, F.datediff(F.to_date("fp"), F.to_date("fv"))
+            )
+            .otherwise(F.datediff(F.col("max_day"), F.to_date("fv")))
+            .alias("dur"),
+            F.when(is_event, 1).otherwise(0).alias("event"),
+        )
+    )
+    grid = durs.groupBy("variant", "dur").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("event").alias("d_at")
+    )
+    wv = Window.partitionBy("variant")
+    risk = grid.select(
+        "variant",
+        "dur",
+        "d_at",
+        F.sum("n_at").over(wv.orderBy(F.col("dur").desc())).alias("n_risk"),
+    )
+    km = risk.where(F.col("d_at") > 0).select(
+        "variant",
+        "dur",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d_at").cast("double") / F.col("n_risk")
+                    )
+                ).over(wv.orderBy("dur"))
+            ),
+            6,
+        ).alias("s"),
+    )
+    steps = km.withColumn(
+        "next_dur", F.lead("dur").over(wv.orderBy("dur"))
+    )
+    areas = steps.where(F.col("dur") <= _RMST_TAU).select(
+        "variant",
+        "dur",
+        (
+            F.col("s")
+            * (
+                F.least(
+                    F.coalesce(F.col("next_dur"), F.lit(_RMST_TAU)),
+                    F.lit(_RMST_TAU),
+                )
+                - F.col("dur")
+            )
+        ).alias("seg"),
+        F.min("dur")
+        .over(wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("first_dur"),
+    )
+    # ordered accumulation (the KM cumsum discipline): take the last
+    # cumulative row per variant so the scalar sum has ONE evaluation
+    # order on both engines
+    cum = areas.select(
+        "variant",
+        "first_dur",
+        F.sum("seg").over(wv.orderBy("dur")).alias("cum_seg"),
+        F.row_number()
+        .over(wv.orderBy(F.col("dur").desc()))
+        .alias("rk_d"),
+    ).where(F.col("rk_d") == 1)
+    rmst = cum.select(
+        "variant",
+        (
+            F.least(F.col("first_dur"), F.lit(_RMST_TAU)) + F.col("cum_seg")
+        ).alias("rmst_days"),
+    )
+    pops = durs.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(
+            F.when((F.col("event") == 1) & (F.col("dur") <= _RMST_TAU), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("events_within_tau"),
+    )
+    return pops.join(rmst, "variant").select(
+        F.col("variant").cast("bigint").alias("variant"),
+        "n_users",
+        "events_within_tau",
+        F.round("rmst_days", 4).alias("rmst_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Tie-corrected Kruskal-Wallis H across the three return flags
 # ---------------------------------------------------------------------------
 #
