@@ -214,6 +214,7 @@ HEADLINE = [
     "rmst_conversion_ab",
     "item_community_lpa",
     "domain_mixture_plan",
+    "text_collocation_g2",
 ]
 
 

@@ -1,0 +1,130 @@
+"""Text analysis #4: log-likelihood-ratio collocations.
+
+``text_collocation_g2`` ranks adjacent-token bigrams by Dunning's G²
+log-likelihood ratio (Dunning 1993) — the significance-based
+collocation measure that fixes PMI's rare-event inflation
+(``text_bigram_pmi`` ranks by association strength; G² by evidence).
+Per bigram (w1, w2) the 2×2 contingency table over bigram positions is
+
+    a = n(w1 w2)        b = n(w1 ·) − a
+    c = n(· w2) − a     d = N − n1 − n2 + a
+
+and G² = 2·Σ O·ln(O/E) over the four cells (0·ln 0 = 0).
+
+Spark-first / 100 TB shape: one corpus-scale bigram groupBy, then
+everything runs on the bigram grid with broadcast marginals (the PMI
+plan). Arithmetic parity: every ln argument is a ratio of two EXACT
+integer products (DECIMAL(38,0)/HUGEINT — cell×N products square the
+bigram total, past BIGINT at ~3·10⁹ bigrams) divided once in doubles;
+the four-term tree is FIXED, so the pre-round double is bit-equal
+cross-engine; ordering keys on the rounded statistic + the bigram (the
+BM25 sort-key discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+
+_G2_MIN_COUNT = 5
+_G2_TOP = 25
+_DEC = "decimal(38,0)"
+
+
+def _g2_term_sql(o: str, num: str, den: str) -> str:
+    """One O·ln(O·N/E-product) cell term with the 0·ln0 = 0 convention
+    (portable SQL text: CAST/CASE/LN behave identically)."""
+    return (
+        f"CASE WHEN {o} = 0 THEN 0.0 ELSE CAST({o} AS DOUBLE)"
+        f" * LN(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) END"
+    )
+
+
+# cell counts in terms of a, n1, n2, nn (all exact integers)
+_G2_CELLS = [
+    ("a", "a * nn", "n1 * n2"),
+    ("(n1 - a)", "(n1 - a) * nn", "n1 * (nn - n2)"),
+    ("(n2 - a)", "(n2 - a) * nn", "(nn - n1) * n2"),
+    ("(nn - n1 - n2 + a)", "(nn - n1 - n2 + a) * nn",
+     "(nn - n1) * (nn - n2)"),
+]
+
+_G2_EXPR = "2.0 * (" + " + ".join(
+    _g2_term_sql(o, num, den) for o, num, den in _G2_CELLS
+) + ")"
+
+G2_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*)::HUGEINT AS a
+  FROM (
+    SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+    FROM toks WHERE len(l) >= 2
+  )
+  GROUP BY p[1], p[2]
+),
+tot AS (SELECT SUM(a)::HUGEINT AS nn FROM big),
+lhs AS (SELECT w1, SUM(a)::HUGEINT AS n1 FROM big GROUP BY w1),
+rhs AS (SELECT w2, SUM(a)::HUGEINT AS n2 FROM big GROUP BY w2),
+scored AS (
+  SELECT b.w1, b.w2, b.a, l.n1, r.n2, t.nn,
+         ROUND({_G2_EXPR}, 6) AS g2
+  FROM big b
+  JOIN lhs l ON b.w1 = l.w1
+  JOIN rhs r ON b.w2 = r.w2
+  CROSS JOIN tot t
+  WHERE b.a >= {_G2_MIN_COUNT}
+)
+SELECT w1, w2, a::BIGINT AS n, g2
+FROM scored
+ORDER BY g2 DESC, w1, w2
+LIMIT {_G2_TOP}
+"""
+
+
+@register("text_collocation_g2", G2_ORACLE)
+def text_collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_G2_TOP} bigram collocations by Dunning G²:
+    (w1, w2, n, g2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "zip_with("
+        "  slice(l, 1, greatest(size(l) - 1, 0)),"
+        "  slice(l, 2, greatest(size(l) - 1, 0)),"
+        "  (a, b) -> struct(a AS w1, b AS w2))"
+    )
+    big = (
+        docs.select(
+            F.filter(F.split("text", " "), lambda t: t != "").alias("l")
+        )
+        .where(F.size("l") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("a"))
+    )
+    tot = big.agg(F.sum("a").alias("nn"))
+    lhs = big.groupBy("w1").agg(F.sum("a").alias("n1"))
+    rhs = big.groupBy(F.col("w2").alias("rw2")).agg(F.sum("a").alias("n2"))
+    scored = (
+        big.where(F.col("a") >= _G2_MIN_COUNT)
+        .join(F.broadcast(lhs), "w1")
+        .join(F.broadcast(rhs), F.col("w2") == F.col("rw2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "a",
+            F.round(F.expr(_G2_EXPR), 6).alias("g2"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("g2"), "w1", "w2")
+        .limit(_G2_TOP)
+        .select("w1", "w2", F.col("a").cast("bigint").alias("n"), "g2")
+    )
