@@ -215,6 +215,7 @@ HEADLINE = [
     "item_community_lpa",
     "domain_mixture_plan",
     "text_collocation_g2",
+    "ssl_mcnemar_feature_ablation",
 ]
 
 
