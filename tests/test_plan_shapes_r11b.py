@@ -1,0 +1,122 @@
+"""Round-11 continuation behavior pins: closed-form invariants the
+oracle hash can't express (cross-row/cross-query consistency), one per
+new family. Strict-codegen compilation for these entries is already
+covered by test_plan_shapes_r11.py's added==11 sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tfm_semisup_spark.queries import QUERIES, load_all_queries
+from tfm_semisup_spark.queries.analytics import _cooc_pairs
+from tfm_semisup_spark.queries.fusion import _CAND, _FUSED_TOP, _RRF_K
+from tfm_semisup_spark.queries.graph4 import LP_MIN_USERS
+from tfm_semisup_spark.queries.stats6 import _RMST_TAU
+
+load_all_queries()
+
+
+def test_link_prediction_returns_nonedges_with_consistent_scores(spark):
+    rows = QUERIES["item_link_prediction_ra"](spark, SF_DIR).collect()
+    assert rows, "candidate non-edges must exist"
+    edges = {
+        (r["item_a"], r["item_b"])
+        for r in _cooc_pairs(spark, SF_DIR)
+        .where(F.col("n_users") >= LP_MIN_USERS)
+        .collect()
+    }
+    for r in rows:
+        assert (r["item_a"], r["item_b"]) not in edges, "output must be a non-edge"
+        assert r["item_a"] < r["item_b"]
+        assert r["common_neighbors"] >= 1
+        # each common neighbor contributes 1e9/deg <= 1e9/2 (deg >= 2
+        # for any shared neighbor) and > 0
+        assert 0 < r["ra_score_q"] <= r["common_neighbors"] * 500_000_000
+        assert 0 < r["jaccard_q"] <= 1_000_000
+
+
+def test_winnowing_pairs_detect_planted_duplicates(spark):
+    rows = QUERIES["dedup_winnowing_pairs"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["shared_fps"] <= min(r["n_fp_a"], r["n_fp_b"])
+        assert 0 < r["containment_q"] <= 1_000_000
+    # the corpus plants exact duplicates: the top pair must be a full
+    # containment match
+    assert rows[0]["containment_q"] == 1_000_000
+
+
+def test_rrf_fused_scores_recompute_from_ranks(spark):
+    rows = QUERIES["retrieval_rrf_hybrid"](spark, SF_DIR).collect()
+    assert rows
+    per_query: dict[int, int] = {}
+    for r in rows:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+        for rank in (r["rank_dense"], r["rank_lex"]):
+            assert 0 <= rank <= _CAND
+        expect = sum(
+            1_000_000_000 // (_RRF_K + rank)
+            for rank in (r["rank_dense"], r["rank_lex"])
+            if rank > 0
+        )
+        assert r["rrf_q"] == expect
+        assert r["rank_dense"] > 0 or r["rank_lex"] > 0
+    assert all(n <= _FUSED_TOP for n in per_query.values())
+
+
+def test_rmst_bounded_by_horizon(spark):
+    rows = QUERIES["rmst_conversion_ab"](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r["rmst_days"] <= _RMST_TAU
+        assert 0 <= r["events_within_tau"] <= r["n_users"]
+
+
+def test_mcnemar_counts_are_consistent(spark):
+    (r,) = QUERIES["ssl_mcnemar_feature_ablation"](spark, SF_DIR).collect()
+    assert r["disc_b"] <= r["n_correct_a"]
+    assert r["disc_c"] <= r["n_correct_b"]
+    assert r["n_agree"] <= r["n_pool"]
+    # discordant pairs disagree, so they sit outside the agree set
+    assert r["disc_b"] + r["disc_c"] <= r["n_pool"] - r["n_agree"]
+    assert r["mcnemar_chi2"] >= 0.0
+    # accuracy identity: correct_a - correct_b == b - c
+    assert r["n_correct_a"] - r["n_correct_b"] == r["disc_b"] - r["disc_c"]
+
+
+def test_lpa_communities_are_nonoverlapping_summaries(spark):
+    rows = QUERIES["item_community_lpa"](spark, SF_DIR).collect()
+    assert rows
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True), "ordered by size desc"
+    for r in rows:
+        assert r["n_members"] >= 1
+        assert r["min_item"] <= r["max_item"]
+
+
+def test_dsir_selects_only_nontarget_docs_deterministically(spark):
+    fn = QUERIES["dsir_importance_select"]
+    a = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    assert a == b, "deterministic"
+    assert a
+    for r in fn(spark, SF_DIR).collect():
+        assert r["lang"] != "en"
+        assert r["n_tokens"] > 0
+
+
+def test_mixture_plan_shares_sum_to_one_and_balance_epochs(spark):
+    rows = QUERIES["domain_mixture_plan"](spark, SF_DIR).collect()
+    assert rows
+    total_share = sum(r["share_ppm"] for r in rows)
+    # floor-division shares: within n_sources ppm below 1.0
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+    n = {r["source"]: r["n_tokens"] for r in rows}
+    e = {r["source"]: r["epochs_ppm"] for r in rows}
+    small = min(n, key=n.get)
+    big = max(n, key=n.get)
+    if n[small] < n[big]:
+        # temperature < 1 upsamples small domains
+        assert e[small] >= e[big]
