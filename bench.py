@@ -216,6 +216,7 @@ HEADLINE = [
     "domain_mixture_plan",
     "text_collocation_g2",
     "ssl_mcnemar_feature_ablation",
+    "t_closeness_audit",
 ]
 
 

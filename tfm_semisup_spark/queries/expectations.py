@@ -18,11 +18,13 @@ Two queries:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
+
+_DEC = "decimal(38,0)"
 
 CONSTRAINT_ORACLE = """
 WITH m AS (
@@ -515,3 +517,174 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_l_diversity",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (r11) — the third leg of the privacy tier
+# ---------------------------------------------------------------------------
+#
+# Li, Li & Venkatasubramanian 2007: k-anonymity bounds class size,
+# l-diversity bounds distinct sensitive values, t-closeness bounds the
+# DISTANCE between each equivalence class's sensitive-attribute
+# distribution and the global one — for an ORDERED attribute the Earth
+# Mover's Distance
+#
+#   EMD(p, q) = (1/(m-1)) · Σ_{i<m} | Σ_{j<=i} (p_j - q_j) |
+#
+# over m ordered buckets. Classes are the (priority, month) QI grid;
+# the sensitive attribute is order value bucketed into m=8 equal-width
+# cent ranges (bucket = (cents·8) // (max+1), exact integer).
+#
+# Arithmetic parity: per prefix i the signed mass difference is the
+# exact integer cum_c_i·N − cum_g_i·n_c (clearing both denominators),
+# so EMD quantizes to t_ppm = Σ|d_i|·10⁶ // (n_c·N·(m−1)) with one
+# exact integer division — no doubles anywhere. The partial sums run
+# on the completed class×bucket grid (bounded: ≤ 60·8 rows at any
+# data scale; completion via cross join so missing buckets carry
+# p_j = 0 correctly).
+
+_TCLOSE_M = 8
+_TCLOSE_TOP = 10
+_TCLOSE_SCALE = 1_000_000
+
+T_CLOSENESS_ORACLE = f"""
+WITH vals AS (
+  SELECT o_orderpriority AS qi_priority,
+         EXTRACT(month FROM o_orderdate)::BIGINT AS qi_month,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+mx AS (SELECT MAX(cents)::HUGEINT AS maxc FROM vals),
+bucketed AS (
+  SELECT qi_priority, qi_month,
+         CAST((v.cents * {_TCLOSE_M}) // (m.maxc + 1) AS BIGINT) AS b
+  FROM vals v CROSS JOIN mx m
+),
+classes AS (
+  SELECT DISTINCT qi_priority, qi_month FROM bucketed
+),
+buckets AS (SELECT UNNEST(range({_TCLOSE_M})) AS b),
+cell AS (
+  SELECT c.qi_priority, c.qi_month, k.b,
+         COALESCE(cnt.n, 0)::HUGEINT AS n
+  FROM classes c CROSS JOIN buckets k
+  LEFT JOIN (
+    SELECT qi_priority, qi_month, b, COUNT(*)::HUGEINT AS n
+    FROM bucketed GROUP BY 1, 2, 3
+  ) cnt ON cnt.qi_priority = c.qi_priority
+       AND cnt.qi_month = c.qi_month AND cnt.b = k.b
+),
+gcum AS (
+  SELECT b, SUM(SUM(n)) OVER (ORDER BY b) AS cum_g
+  FROM cell GROUP BY b
+),
+gtot AS (SELECT SUM(n)::HUGEINT AS nn FROM cell),
+ccum AS (
+  SELECT qi_priority, qi_month, b,
+         SUM(n) OVER (PARTITION BY qi_priority, qi_month ORDER BY b)
+           AS cum_c,
+         SUM(n) OVER (PARTITION BY qi_priority, qi_month) AS n_c
+  FROM cell
+),
+diffs AS (
+  SELECT c.qi_priority, c.qi_month, c.n_c,
+         SUM(ABS(c.cum_c * t.nn - g.cum_g * c.n_c)) AS d_sum
+  FROM ccum c
+  JOIN gcum g ON c.b = g.b
+  CROSS JOIN gtot t
+  WHERE c.b < {_TCLOSE_M - 1}
+  GROUP BY c.qi_priority, c.qi_month, c.n_c
+)
+SELECT d.qi_priority, d.qi_month,
+       d.n_c::BIGINT AS class_size,
+       CAST((d.d_sum * {_TCLOSE_SCALE})
+            // (d.n_c * t.nn * {_TCLOSE_M - 1}) AS BIGINT)
+         AS t_closeness_ppm
+FROM diffs d CROSS JOIN gtot t
+ORDER BY t_closeness_ppm DESC, d.qi_priority, d.qi_month
+LIMIT {_TCLOSE_TOP}
+"""
+
+
+@register("t_closeness_audit", T_CLOSENESS_ORACLE)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TCLOSE_TOP} equivalence classes by ordered-EMD
+    t-closeness: (qi_priority, qi_month, class_size,
+    t_closeness_ppm) — exact integer EMD on the completed
+    class×bucket grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.month("o_orderdate").cast("bigint").alias("qi_month"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mx = vals.agg(F.max("cents").alias("maxc"))
+    bucketed = vals.crossJoin(F.broadcast(mx)).select(
+        "qi_priority",
+        "qi_month",
+        F.expr(f"(cents * {_TCLOSE_M}) div (maxc + 1)").alias("b"),
+    )
+    counts = bucketed.groupBy("qi_priority", "qi_month", "b").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n")
+    )
+    classes = counts.select("qi_priority", "qi_month").distinct()
+    buckets = spark.range(_TCLOSE_M).select(F.col("id").alias("b"))
+    cell = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(counts, ["qi_priority", "qi_month", "b"], "left_outer")
+        .select(
+            "qi_priority",
+            "qi_month",
+            "b",
+            F.coalesce(F.col("n"), F.lit(0).cast(_DEC)).alias("n"),
+        )
+    )
+    cell = cell.localCheckpoint(eager=True)
+    wg = Window.orderBy("b")
+    gcum = (
+        cell.groupBy("b")
+        .agg(F.sum("n").alias("nb"))
+        .select("b", F.sum("nb").over(wg).alias("cum_g"))
+    )
+    gtot = cell.agg(F.sum("n").alias("nn"))
+    wc = Window.partitionBy("qi_priority", "qi_month")
+    ccum = cell.select(
+        "qi_priority",
+        "qi_month",
+        "b",
+        F.sum("n").over(wc.orderBy("b")).alias("cum_c"),
+        F.sum("n")
+        .over(wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n_c"),
+    )
+    diffs = (
+        ccum.where(F.col("b") < _TCLOSE_M - 1)
+        .join(F.broadcast(gcum), "b")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("qi_priority", "qi_month", "n_c")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("nn")
+                    - F.col("cum_g") * F.col("n_c")
+                )
+            ).alias("d_sum")
+        )
+    )
+    num = (F.col("d_sum") * F.lit(_TCLOSE_SCALE)).cast(_DEC)
+    den = (
+        F.col("n_c") * F.col("nn2") * F.lit(_TCLOSE_M - 1)
+    ).cast(_DEC)
+    scored = diffs.crossJoin(
+        F.broadcast(gtot.select(F.col("nn").alias("nn2")))
+    ).select(
+        "qi_priority",
+        "qi_month",
+        F.col("n_c").cast("bigint").alias("class_size"),
+        ((num - F.pmod(num, den)) / den)
+        .cast("bigint")
+        .alias("t_closeness_ppm"),
+    )
+    return scored.orderBy(
+        F.col("t_closeness_ppm").desc(), "qi_priority", "qi_month"
+    ).limit(_TCLOSE_TOP)
