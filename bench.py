@@ -217,6 +217,7 @@ HEADLINE = [
     "text_collocation_g2",
     "ssl_mcnemar_feature_ablation",
     "t_closeness_audit",
+    "pacf_daily_revenue",
 ]
 
 
