@@ -218,6 +218,7 @@ HEADLINE = [
     "ssl_mcnemar_feature_ablation",
     "t_closeness_audit",
     "pacf_daily_revenue",
+    "ssl_tritrain_two_round_nb",
 ]
 
 

@@ -120,3 +120,20 @@ def test_mixture_plan_shares_sum_to_one_and_balance_epochs(spark):
     if n[small] < n[big]:
         # temperature < 1 upsamples small domains
         assert e[small] >= e[big]
+
+
+def test_two_round_tritrain_exercises_the_refit(spark):
+    rows = QUERIES["ssl_tritrain_two_round_nb"](spark, SF_DIR).collect()
+    by_round: dict[int, dict] = {1: {}, 2: {}}
+    for r in rows:
+        by_round[r["rnd"]][(r["target_view"], r["pred_class"])] = (
+            r["n_promoted"],
+            r["promoted_key_sum"],
+        )
+    assert by_round[1] and by_round[2], "both rounds must emit summaries"
+    # the refit on pseudo-labels must move at least one view's
+    # agreement set (identical rounds would mean the refit is dead code)
+    assert by_round[1] != by_round[2]
+    for rnd in (1, 2):
+        for (view, _), (n, ksum) in by_round[rnd].items():
+            assert n >= 1 and ksum >= n

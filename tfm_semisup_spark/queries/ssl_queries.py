@@ -2434,3 +2434,220 @@ def ssl_mcnemar_feature_ablation(
         )
         .alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-round TriTraining with per-view refits (r11)
+# ---------------------------------------------------------------------------
+#
+# The multi-round closure of ssl_tritrain_one_round_nb, symmetric to
+# what ssl_cotrain_two_round_nb did for co-training: round 1 promotes
+# for view i the rows the OTHER TWO views agree on (Zhou & Li 2005);
+# round 2 REFITS each view's single-feature NB on labeled ∪ its own
+# round-1 pseudo-labeled set (pseudo-label = the agreed class, NOT the
+# truth — the defining tri-training mechanic) and re-scores the FULL
+# unlabeled pool (tri-training refreshes pseudo-labels each round
+# rather than consuming the pool). Output is the per-round, per-view
+# promotion summary; a plan pin asserts the refit actually moved at
+# least one view's promotion set.
+#
+# Arithmetic: the st1/tritrain exact-integer NB algebra throughout —
+# priors and likelihoods of the AUGMENTED training sets are still
+# plain conditional counts, so everything stays DECIMAL(38,0)/HUGEINT
+# cross-multiplied compares with zero doubles.
+
+
+def _tt2_train_sql(feat: str, tag: str, pred: str) -> str:
+    """Round-2 training set for one view: labeled rows plus the
+    round-1 pseudo set (agreed class as the label)."""
+    return f"""train2_{tag} AS (
+  SELECT {feat} AS feat, o_orderstatus FROM labeled
+  UNION ALL
+  SELECT {feat} AS feat, {pred} AS o_orderstatus FROM pseudo_{tag}
+)"""
+
+
+def _tt2_decided_sql(feat: str, V: int, tag: str) -> str:
+    cells = ", ".join(
+        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
+        f" AS nf_{c}_{tag}2"
+        for c in _NB1_CLS
+    )
+    pri = ", ".join(
+        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
+        f" AS n_{c}"
+        for c in _NB1_CLS
+    )
+    ab = ", ".join(
+        f"p.n_{c} * (COALESCE(nf_{c}_{tag}2, 0) + 1) AS a_{c}, "
+        f"(p.n_{c} + {V}) AS b_{c}"
+        for c in _NB1_CLS
+    )
+    return f"""lik2_{tag} AS (
+  SELECT feat, {cells} FROM train2_{tag} GROUP BY feat
+),
+prior2_{tag} AS (SELECT {pri} FROM train2_{tag}),
+scored2_{tag} AS (
+  SELECT u.o_orderkey, u.o_orderstatus, {ab}
+  FROM unlabeled u
+  LEFT JOIN lik2_{tag} l ON u.{feat} = l.feat
+  CROSS JOIN prior2_{tag} p
+),
+decided2_{tag} AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN a_F * b_O * b_P >= a_O * b_F * b_P
+               AND a_F * b_O * b_P >= a_P * b_F * b_O THEN 'F'
+              WHEN a_O * b_F * b_P >= a_P * b_F * b_O THEN 'O'
+              ELSE 'P' END AS pred_class
+  FROM scored2_{tag}
+)"""
+
+
+def _tritrain2_oracle() -> str:
+    grp = (
+        "SELECT {r} AS rnd, '{v}' AS target_view, {p} AS pred_class, "
+        "COUNT(*)::BIGINT AS n_promoted, "
+        "SUM(CASE WHEN {p} = o_orderstatus THEN 1 ELSE 0 END)::BIGINT"
+        " AS n_promoted_correct, "
+        "SUM(o_orderkey)::BIGINT AS promoted_key_sum "
+        "FROM {src} WHERE {j} = {k} GROUP BY {p}"
+    )
+    return f"""
+WITH {_NB1_BASE3_SQL},
+{_NB1_PRIOR_SQL},
+{_nb1_lik_sql("f1", "v1")},
+{_nb1_decided_sql("f1", 5, "v1")},
+{_nb1_lik_sql("f2", "v2")},
+{_nb1_decided_sql("f2", 12, "v2")},
+{_nb1_lik_sql("f3", "v3")},
+{_nb1_decided_sql("f3", 5, "v3")},
+joined AS (
+  SELECT u.o_orderkey, u.o_orderstatus, u.f1, u.f2, u.f3,
+         d1.pred_class AS p1, d2.pred_class AS p2, d3.pred_class AS p3
+  FROM unlabeled u
+  JOIN decided_v1 d1 ON u.o_orderkey = d1.o_orderkey
+  JOIN decided_v2 d2 ON u.o_orderkey = d2.o_orderkey
+  JOIN decided_v3 d3 ON u.o_orderkey = d3.o_orderkey
+),
+pseudo_v1 AS (SELECT f1, p2 AS agreed FROM joined WHERE p2 = p3),
+pseudo_v2 AS (SELECT f2, p1 AS agreed FROM joined WHERE p1 = p3),
+pseudo_v3 AS (SELECT f3, p1 AS agreed FROM joined WHERE p1 = p2),
+{_tt2_train_sql("f1", "v1", "agreed")},
+{_tt2_train_sql("f2", "v2", "agreed")},
+{_tt2_train_sql("f3", "v3", "agreed")},
+{_tt2_decided_sql("f1", 5, "v1")},
+{_tt2_decided_sql("f2", 12, "v2")},
+{_tt2_decided_sql("f3", 5, "v3")},
+joined2 AS (
+  SELECT d1.o_orderkey, d1.o_orderstatus,
+         d1.pred_class AS p1, d2.pred_class AS p2, d3.pred_class AS p3
+  FROM decided2_v1 d1
+  JOIN decided2_v2 d2 ON d1.o_orderkey = d2.o_orderkey
+  JOIN decided2_v3 d3 ON d1.o_orderkey = d3.o_orderkey
+)
+{grp.format(r=1, v="priority", p="p2", j="p2", k="p3", src="joined")}
+UNION ALL
+{grp.format(r=1, v="month", p="p1", j="p1", k="p3", src="joined")}
+UNION ALL
+{grp.format(r=1, v="segment", p="p1", j="p1", k="p2", src="joined")}
+UNION ALL
+{grp.format(r=2, v="priority", p="p2", j="p2", k="p3", src="joined2")}
+UNION ALL
+{grp.format(r=2, v="month", p="p1", j="p1", k="p3", src="joined2")}
+UNION ALL
+{grp.format(r=2, v="segment", p="p1", j="p1", k="p2", src="joined2")}
+"""
+
+
+@register("ssl_tritrain_two_round_nb", _tritrain2_oracle())
+def ssl_tritrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tri-training rounds with per-view refits on pseudo-labeled
+    agreement sets: (rnd, target_view, pred_class, n_promoted,
+    n_promoted_correct, promoted_key_sum)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("f1"),
+            F.month("o_orderdate").cast("bigint").alias("f2"),
+            F.col("c_mktsegment").alias("f3"),
+            F.expr(_ST1_MASK_SPARK).alias("mask"),
+        )
+    )
+    base = truncate(base, eager=True)
+    labeled = base.where(F.col("mask") == 0)
+    unlabeled = base.where(F.col("mask") != 0)
+    views = [("v1", "f1", 5), ("v2", "f2", 12), ("v3", "f3", 5)]
+    preds = {}
+    for tag, feat, v_card in views:
+        preds[tag] = _nb1_decided(labeled, unlabeled, feat, v_card).select(
+            "o_orderkey", F.col("pred_class").alias(f"p{tag[1]}")
+        )
+    joined = (
+        unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2", "f3")
+        .join(preds["v1"], "o_orderkey")
+        .join(preds["v2"], "o_orderkey")
+        .join(preds["v3"], "o_orderkey")
+    )
+    joined = truncate(joined, eager=True)
+
+    agree = {
+        "v1": (F.col("p2") == F.col("p3"), "p2"),
+        "v2": (F.col("p1") == F.col("p3"), "p1"),
+        "v3": (F.col("p1") == F.col("p2"), "p1"),
+    }
+    preds2 = {}
+    for tag, feat, v_card in views:
+        cond, pcol = agree[tag]
+        pseudo = joined.where(cond).select(
+            F.col(feat), F.col(pcol).alias("o_orderstatus")
+        )
+        train2 = labeled.select(feat, "o_orderstatus").unionAll(pseudo)
+        preds2[tag] = _nb1_decided(train2, unlabeled, feat, v_card).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("pred_class").alias(f"p{tag[1]}"),
+        )
+    joined2 = (
+        preds2["v1"]
+        .join(preds2["v2"].select("o_orderkey", "p2"), "o_orderkey")
+        .join(preds2["v3"].select("o_orderkey", "p3"), "o_orderkey")
+    )
+
+    def _grp(src: DataFrame, rnd: int, view: str, pred: str, j: str, k: str):
+        return (
+            src.where(F.col(j) == F.col(k))
+            .groupBy(F.col(pred).alias("pred_class"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
+                F.sum(
+                    F.when(
+                        F.col(pred) == F.col("o_orderstatus"), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_promoted_correct"),
+                F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
+            )
+            .select(
+                F.lit(rnd).cast("bigint").alias("rnd"),
+                F.lit(view).alias("target_view"),
+                "*",
+            )
+        )
+
+    return (
+        _grp(joined, 1, "priority", "p2", "p2", "p3")
+        .unionAll(_grp(joined, 1, "month", "p1", "p1", "p3"))
+        .unionAll(_grp(joined, 1, "segment", "p1", "p1", "p2"))
+        .unionAll(_grp(joined2, 2, "priority", "p2", "p2", "p3"))
+        .unionAll(_grp(joined2, 2, "month", "p1", "p1", "p3"))
+        .unionAll(_grp(joined2, 2, "segment", "p1", "p1", "p2"))
+    )
