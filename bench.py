@@ -219,6 +219,7 @@ HEADLINE = [
     "t_closeness_audit",
     "pacf_daily_revenue",
     "ssl_tritrain_two_round_nb",
+    "competing_risks_incidence",
 ]
 
 

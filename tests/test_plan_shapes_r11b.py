@@ -137,3 +137,20 @@ def test_two_round_tritrain_exercises_the_refit(spark):
     for rnd in (1, 2):
         for (view, _), (n, ksum) in by_round[rnd].items():
             assert n >= 1 and ksum >= n
+
+
+def test_competing_risks_aalen_johansen_identity(spark):
+    rows = sorted(
+        QUERIES["competing_risks_incidence"](spark, SF_DIR).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows
+    prev1 = prev2 = 0.0
+    for r in rows:
+        # CIFs are nondecreasing and the AJ identity holds at every
+        # event time: CIF_1 + CIF_2 + S_all-cause == 1
+        assert r["cif_purchase"] >= prev1 - 1e-9
+        assert r["cif_signup"] >= prev2 - 1e-9
+        prev1, prev2 = r["cif_purchase"], r["cif_signup"]
+        total = r["cif_purchase"] + r["cif_signup"] + r["survival_all_cause"]
+        assert abs(total - 1.0) < 1e-4, r

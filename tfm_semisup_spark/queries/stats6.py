@@ -710,3 +710,190 @@ def did_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("se2"), 4).alias("se_cents"),
         F.round((dt - dc) / F.sqrt("se2"), 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Competing-risks cumulative incidence (Aalen-Johansen)
+# ---------------------------------------------------------------------------
+#
+# The third survival estimand: after a user's first view, TWO events
+# compete for "what happens first" — purchase or signup — and naive
+# per-cause 1−KM overestimates both (it treats the competing event as
+# censoring). The Aalen-Johansen estimator fixes this:
+#
+#   CIF_k(t) = Σ_{s<=t} S(s⁻) · d_k(s) / n(s)
+#
+# with S the OVERALL (all-cause) KM survival and S(s⁻) its value just
+# before s (the LAG of the log-cumsum). The estimator satisfies the
+# identity CIF_1 + CIF_2 + S = 1 at every event time — pinned in
+# tests/test_plan_shapes_r11b.py.
+#
+# Parity: the duration grid is calendar-bounded; S and both CIFs are
+# ORDERED window cumsums in dur order (one evaluation sequence on both
+# engines, the KM/RMST convention); outputs rounded at 6 dp.
+
+_CR_TAU = 30  # report horizon (days)
+
+COMPETING_RISKS_ORACLE = """
+WITH bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS fs
+  FROM events
+  GROUP BY user_id
+),
+durs AS (
+  SELECT CASE
+           WHEN fp IS NOT NULL AND fp >= fv
+                AND (fs IS NULL OR fs < fv OR fp <= fs)
+             THEN date_diff('day', CAST(fv AS DATE), CAST(fp AS DATE))
+           WHEN fs IS NOT NULL AND fs >= fv
+             THEN date_diff('day', CAST(fv AS DATE), CAST(fs AS DATE))
+           ELSE date_diff('day', CAST(fv AS DATE), b.max_day)
+         END AS dur,
+         CASE
+           WHEN fp IS NOT NULL AND fp >= fv
+                AND (fs IS NULL OR fs < fv OR fp <= fs) THEN 1
+           WHEN fs IS NOT NULL AND fs >= fv THEN 2
+           ELSE 0
+         END AS cause
+  FROM firsts f CROSS JOIN bounds b
+  WHERE fv IS NOT NULL
+),
+grid AS (
+  SELECT dur,
+         COUNT(*)::HUGEINT AS n_at,
+         SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END)::HUGEINT AS d1_at,
+         SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END)::HUGEINT AS d2_at
+  FROM durs GROUP BY dur
+),
+risk AS (
+  SELECT dur, d1_at, d2_at,
+         SUM(n_at) OVER (ORDER BY dur DESC) AS n_risk
+  FROM grid
+),
+steps AS (
+  SELECT dur, d1_at, d2_at, n_risk,
+         SUM(LN(1.0 - CAST(d1_at + d2_at AS DOUBLE) / n_risk))
+           OVER (ORDER BY dur) AS log_s
+  FROM risk
+  WHERE d1_at + d2_at > 0
+),
+cifs AS (
+  SELECT dur, d1_at, d2_at, n_risk, log_s,
+         EXP(COALESCE(LAG(log_s) OVER (ORDER BY dur), 0.0)) AS s_prev
+  FROM steps
+),
+acc AS (
+  SELECT dur, d1_at, d2_at, n_risk, log_s,
+         SUM(s_prev * CAST(d1_at AS DOUBLE) / n_risk)
+           OVER (ORDER BY dur) AS cif1,
+         SUM(s_prev * CAST(d2_at AS DOUBLE) / n_risk)
+           OVER (ORDER BY dur) AS cif2
+  FROM cifs
+)
+SELECT CAST(dur AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d1_at AS BIGINT) AS d_purchase,
+       CAST(d2_at AS BIGINT) AS d_signup,
+       ROUND(cif1, 6) AS cif_purchase,
+       ROUND(cif2, 6) AS cif_signup,
+       ROUND(EXP(log_s), 6) AS survival_all_cause
+FROM acc
+WHERE dur <= {tau}
+""".format(tau=_CR_TAU)
+
+
+@register("competing_risks_incidence", COMPETING_RISKS_ORACLE)
+def competing_risks_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence of purchase vs signup after
+    first view, right-censored at end-of-data: (t_days, n_risk,
+    d_purchase, d_signup, cif_purchase, cif_signup,
+    survival_all_cause) at event days <= τ."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "fs"
+        ),
+    )
+    p_first = (
+        F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+        & (
+            F.col("fs").isNull()
+            | (F.col("fs") < F.col("fv"))
+            | (F.col("fp") <= F.col("fs"))
+        )
+    )
+    s_first = F.col("fs").isNotNull() & (F.col("fs") >= F.col("fv"))
+    durs = (
+        firsts.where(F.col("fv").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(p_first, F.datediff(F.to_date("fp"), F.to_date("fv")))
+            .when(s_first, F.datediff(F.to_date("fs"), F.to_date("fv")))
+            .otherwise(F.datediff(F.col("max_day"), F.to_date("fv")))
+            .alias("dur"),
+            F.when(p_first, 1).when(s_first, 2).otherwise(0).alias("cause"),
+        )
+    )
+    grid = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0)).alias("d1_at"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0)).alias("d2_at"),
+    )
+    risk = grid.select(
+        "dur",
+        "d1_at",
+        "d2_at",
+        F.sum("n_at").over(Window.orderBy(F.col("dur").desc())).alias(
+            "n_risk"
+        ),
+    )
+    wd = Window.orderBy("dur")
+    steps = risk.where(F.col("d1_at") + F.col("d2_at") > 0).select(
+        "dur",
+        "d1_at",
+        "d2_at",
+        "n_risk",
+        F.sum(
+            F.log(
+                F.lit(1.0)
+                - (F.col("d1_at") + F.col("d2_at")).cast("double")
+                / F.col("n_risk")
+            )
+        ).over(wd).alias("log_s"),
+    )
+    cifs = steps.withColumn(
+        "s_prev",
+        F.exp(F.coalesce(F.lag("log_s").over(wd), F.lit(0.0))),
+    )
+    acc = cifs.select(
+        "dur",
+        "d1_at",
+        "d2_at",
+        "n_risk",
+        "log_s",
+        F.sum(
+            F.col("s_prev") * F.col("d1_at").cast("double") / F.col("n_risk")
+        ).over(wd).alias("cif1"),
+        F.sum(
+            F.col("s_prev") * F.col("d2_at").cast("double") / F.col("n_risk")
+        ).over(wd).alias("cif2"),
+    )
+    return acc.where(F.col("dur") <= _CR_TAU).select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d1_at").cast("bigint").alias("d_purchase"),
+        F.col("d2_at").cast("bigint").alias("d_signup"),
+        F.round("cif1", 6).alias("cif_purchase"),
+        F.round("cif2", 6).alias("cif_signup"),
+        F.round(F.exp("log_s"), 6).alias("survival_all_cause"),
+    )
