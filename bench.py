@@ -220,6 +220,7 @@ HEADLINE = [
     "pacf_daily_revenue",
     "ssl_tritrain_two_round_nb",
     "competing_risks_incidence",
+    "bpe_fertility_by_lang",
 ]
 
 

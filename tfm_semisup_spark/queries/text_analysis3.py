@@ -840,3 +840,145 @@ def keyword_rake_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rake_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer fertility by language (train -> apply -> measure, r11)
+# ---------------------------------------------------------------------------
+#
+# The readout that closes the tokenizer-training loop: after learning
+# the _BPE_ROUNDS merges on the GLOBAL word-frequency table (exactly
+# bpe_train_merges' algebra), apply them to every BPE-eligible word
+# and report per-language fertility — symbols per word token before
+# and after merging, and the compression ratio. The multilingual-
+# tokenizer-equity metric (a language whose frequent words never win
+# merges pays more symbols per word).
+#
+# Oracle: the same wrapped-marker unrolled chain as bpe_train_merges,
+# but s0..s3 KEEP the word key so the per-(lang, word) counts join
+# back to the merged symbol sequences; symbol counts come from
+# len(regexp_extract_all(seq, '<([^>]*)>')). All integer sums; the
+# single compression division is an exact integer floor division.
+
+
+def _bpe_fertility_oracle() -> str:
+    rounds = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+p{i} AS (
+  SELECT p[1] AS l, p[2] AS r, SUM(n)::BIGINT AS c FROM (
+    SELECT n, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS p
+    FROM (
+      SELECT n, regexp_extract_all(seq, '<([^>]*)>', 1) AS l
+      FROM s{i - 1}
+    ) WHERE len(l) >= 2
+  ) GROUP BY 1, 2
+),
+m{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT w, n,
+         replace(seq,
+                 '<' || (SELECT l FROM m{i}) || '><'
+                     || (SELECT r FROM m{i}) || '>',
+                 '<' || (SELECT l FROM m{i})
+                     || (SELECT r FROM m{i}) || '>') AS seq
+  FROM s{i - 1}
+)""")
+    return f"""
+WITH words AS (
+  SELECT w, COUNT(*)::BIGINT AS n FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2 AND len(w) <= {_BPE_MAX_WORD}
+  GROUP BY w
+),
+s0 AS (
+  SELECT w, n, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq FROM words
+),{",".join(rounds)},
+langwords AS (
+  SELECT lang, w, COUNT(*)::BIGINT AS n FROM (
+    SELECT lang,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2 AND len(w) <= {_BPE_MAX_WORD}
+  GROUP BY lang, w
+),
+merged AS (
+  SELECT w, len(regexp_extract_all(seq, '<([^>]*)>', 1))::BIGINT
+           AS len_after
+  FROM s{_BPE_ROUNDS}
+)
+SELECT lw.lang,
+       SUM(lw.n)::BIGINT AS n_word_tokens,
+       SUM(lw.n * len(lw.w))::BIGINT AS symbols_before,
+       SUM(lw.n * m.len_after)::BIGINT AS symbols_after,
+       CAST((SUM(lw.n * m.len_after) * 1000000)
+            // SUM(lw.n * len(lw.w)) AS BIGINT) AS compression_ppm
+FROM langwords lw JOIN merged m ON lw.w = m.w
+GROUP BY lw.lang
+"""
+
+
+@register("bpe_fertility_by_lang", _bpe_fertility_oracle())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility after the {_BPE_ROUNDS} learned
+    merges: (lang, n_word_tokens, symbols_before, symbols_after,
+    compression_ppm)."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split("text", " "), lambda t: t != "")
+    eligible = (F.length("w") >= 2) & (F.length("w") <= _BPE_MAX_WORD)
+    words = (
+        docs.select(F.explode(tok).alias("w"))
+        .where(eligible)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    syms = truncate(words.select("w", "n", F.split("w", "").alias("s")),
+                    eager=True)
+    pair_struct = F.expr(
+        "zip_with(slice(s, 1, greatest(size(s) - 1, 0)),"
+        "         slice(s, 2, greatest(size(s) - 1, 0)),"
+        "         (a, b) -> struct(a AS l, b AS r))"
+    )
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            syms.where(F.size("s") >= 2)
+            .select("n", F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("bigint").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        syms = truncate(
+            syms.select(
+                "w", "n", _bpe_merge_apply(top[0]["l"], top[0]["r"]).alias("s")
+            ),
+            eager=True,
+        )
+    merged = syms.select("w", F.size("s").cast("bigint").alias("len_after"))
+    langwords = (
+        docs.select("lang", F.explode(tok).alias("w"))
+        .where(eligible)
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        langwords.join(F.broadcast(merged), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_word_tokens"),
+            F.sum(F.col("n") * F.length("w"))
+            .cast("bigint")
+            .alias("symbols_before"),
+            F.sum(F.col("n") * F.col("len_after"))
+            .cast("bigint")
+            .alias("symbols_after"),
+            F.expr(
+                "CAST((SUM(n * len_after) * 1000000)"
+                " div SUM(n * length(w)) AS BIGINT)"
+            ).alias("compression_ppm"),
+        )
+    )
