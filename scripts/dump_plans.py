@@ -376,6 +376,22 @@ PICKS = {
         "stoplist and word-score tables broadcast; final top-10 is "
         "TakeOrderedAndProject on the integer phrase score"
     ),
+    "item_link_prediction_ra": (
+        "link prediction: checkpointed edge list feeds the wedge "
+        "self-join, a broadcast degree join, and the LeftAnti non-edge "
+        "probe; scores all-integer, top-k is TakeOrderedAndProject"
+    ),
+    "dedup_winnowing_pairs": (
+        "winnowing: explode(sequence)+element_at k-grams (codegen, no "
+        "interpreted HOF), one doc-keyed window-min, fingerprint-value "
+        "blocked pair join with a broadcast hot-fingerprint anti-join"
+    ),
+    "dsir_importance_select": (
+        "DSIR: two fact-scale groupBys to the constant 4096-bucket "
+        "grid; the quantized log-ratio table is a broadcast join side; "
+        "doc scores are one integer aggregate — corpus text never "
+        "joins corpus text"
+    ),
 }
 
 
