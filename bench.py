@@ -221,6 +221,7 @@ HEADLINE = [
     "ssl_tritrain_two_round_nb",
     "competing_risks_incidence",
     "bpe_fertility_by_lang",
+    "dedup_cascade_report",
 ]
 
 

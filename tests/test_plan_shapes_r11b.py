@@ -154,3 +154,23 @@ def test_competing_risks_aalen_johansen_identity(spark):
         prev1, prev2 = r["cif_purchase"], r["cif_signup"]
         total = r["cif_purchase"] + r["cif_signup"] + r["survival_all_cause"]
         assert abs(total - 1.0) < 1e-4, r
+
+
+def test_dedup_cascade_stages_reconcile(spark):
+    rows = {r["stage"]: r for r in
+            QUERIES["dedup_cascade_report"](spark, SF_DIR).collect()}
+    assert set(rows) == {"1_exact", "2_winnow_candidates",
+                         "3_jaccard_verified"}
+    e, c, v = (rows["1_exact"], rows["2_winnow_candidates"],
+               rows["3_jaccard_verified"])
+    # tier outputs feed tier inputs
+    assert e["n_out"] == e["n_in"] - e["n_dropped"]
+    assert c["n_in"] == e["n_out"] and c["n_dropped"] == 0
+    assert v["n_in"] == c["n_out"]
+    assert v["n_out"] == v["n_in"] - v["n_dropped"]
+    # verification can only shrink the candidate set, and each verified
+    # pair drops at most one doc (shared docs collapse the distinct set)
+    assert v["n_pairs"] <= c["n_pairs"]
+    assert v["n_dropped"] <= v["n_pairs"]
+    # the corpus plants near-duplicates: the verify tier must fire
+    assert v["n_dropped"] >= 1

@@ -1,0 +1,288 @@
+"""Production dedup cascade: exact → winnowing candidates → exact
+Jaccard verify, composed as ONE lineage.
+
+``dedup_cascade_report`` chains the three tiers the way a production
+corpus pipeline runs them — cheapest first, each tier only seeing the
+previous tier's survivors:
+
+1. EXACT: md5(text) groups; keeper = min doc_id per group (the
+   dedup_exact_keepers rule). On this corpus the planted duplicates
+   are NEAR-duplicates (Jaccard ≈ 0.99, zero byte-identical pairs),
+   so this tier drops nothing here — the stage is still exercised and
+   its row pins that fact.
+2. CANDIDATES: winnowing fingerprints (queries/winnowing.py
+   parameters: word 3-grams, window 4, boilerplate DF cap) over the
+   keepers; candidate pairs share >= _MIN_SHARED fingerprint values.
+   Blocking only — no verification claim.
+3. VERIFY: exact distinct word-3-gram Jaccard computed ONLY for the
+   candidate pairs (per-pair set intersection through the candidate
+   list), keep >= _CASCADE_JACC_PPM; from each verified pair the
+   larger doc_id drops.
+
+Output: one row per stage (stage, n_in, n_pairs, n_dropped, n_out,
+dropped_id_sum) — the stage-by-stage reconciliation a pipeline
+operator alarms on.
+
+100 TB shape: tier 1 bounds tier 2's work (the whole point of a
+cascade): the verify tier's fan-out is Σ over candidate pairs of the
+smaller shingle set, never corpus². Verify joins here use raw shingle
+strings for exactness (candidates are blocking-bounded); at corpus
+scale the strings would be hashed first (the dedup_ngram_jaccard
+trade, documented there). All counts and the Jaccard quantization are
+exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.queries import register
+from tfm_semisup_spark.queries.winnowing import (
+    _FP_DF_CAP,
+    _H32_SPARK,
+    _H32_SQL,
+    _K,
+    _MIN_SHARED,
+    _W,
+)
+
+_CASCADE_JACC_PPM = 600_000  # verify threshold (0.6 Jaccard)
+
+CASCADE_ORACLE = f"""
+WITH n0 AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+hashes0 AS (SELECT doc_id, md5(text) AS hh FROM documents),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM hashes0 GROUP BY hh
+),
+exact_drops AS (
+  SELECT h.doc_id FROM hashes0 h
+  LEFT JOIN keepers k ON h.doc_id = k.doc_id
+  WHERE k.doc_id IS NULL
+),
+kept_docs AS (
+  SELECT d.doc_id, list_filter(string_split(d.text, ' '), t -> t <> '') AS l
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+),
+kg AS (
+  SELECT doc_id, i,
+         l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS sh,
+         len(l) - {_K - 1} AS n_kg
+  FROM kept_docs, UNNEST(generate_series(1, len(l) - {_K - 1})) AS t(i)
+  WHERE len(l) >= {_K}
+),
+wh AS (
+  SELECT doc_id, i, n_kg, CAST({_H32_SQL} AS BIGINT) AS h FROM kg
+),
+mins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING) AS fp,
+         i, n_kg
+  FROM wh
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM mins WHERE i <= n_kg - {_W - 1}
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > {_FP_DF_CAP}),
+keptfp AS (
+  SELECT f.doc_id, f.fp FROM fps f
+  LEFT JOIN hot h ON f.fp = h.fp WHERE h.fp IS NULL
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keptfp a JOIN keptfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_MIN_SHARED}
+),
+shingle AS (SELECT DISTINCT doc_id, sh FROM kg),
+sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingle GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*)::BIGINT AS i
+  FROM cand c
+  JOIN shingle a ON a.doc_id = c.doc_a
+  JOIN shingle b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE (i.i * 1000000) // (sa.n + sb.n - i.i) >= {_CASCADE_JACC_PPM}
+),
+near_drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified),
+counts AS (
+  SELECT (SELECT n FROM n0) AS n0,
+         (SELECT COUNT(*) FROM exact_drops)::BIGINT AS d_exact,
+         (SELECT COALESCE(SUM(doc_id), 0) FROM exact_drops)::BIGINT
+           AS dsum_exact,
+         (SELECT COUNT(*) FROM keepers)::BIGINT AS n1,
+         (SELECT COUNT(*) FROM cand)::BIGINT AS n_cand,
+         (SELECT COUNT(*) FROM verified)::BIGINT AS n_ver,
+         (SELECT COUNT(*) FROM near_drops)::BIGINT AS d_near,
+         (SELECT COALESCE(SUM(doc_id), 0) FROM near_drops)::BIGINT
+           AS dsum_near
+)
+SELECT '1_exact' AS stage, n0 AS n_in, 0::BIGINT AS n_pairs,
+       d_exact AS n_dropped, n1 AS n_out, dsum_exact AS dropped_id_sum
+FROM counts
+UNION ALL
+SELECT '2_winnow_candidates', n1, n_cand, 0::BIGINT, n1, 0::BIGINT
+FROM counts
+UNION ALL
+SELECT '3_jaccard_verified', n1, n_ver, d_near, n1 - d_near, dsum_near
+FROM counts
+"""
+
+
+@register("dedup_cascade_report", CASCADE_ORACLE)
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage cascade reconciliation: (stage, n_in, n_pairs,
+    n_dropped, n_out, dropped_id_sum) for exact → winnowing
+    candidates → Jaccard-verified near-dup removal."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes0 = docs.select("doc_id", F.md5("text").alias("hh"))
+    keepers = hashes0.groupBy("hh").agg(F.min("doc_id").alias("doc_id"))
+    keepers = keepers.select("doc_id").localCheckpoint(eager=True)
+    exact_drops = hashes0.select("doc_id").join(
+        keepers, "doc_id", "left_anti"
+    )
+    kept_docs = docs.join(keepers, "doc_id").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    kg = (
+        kept_docs.where(F.size("l") >= _K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("l") - F.lit(_K - 1))
+            ).alias("i"),
+            "l",
+            (F.size("l") - F.lit(_K - 1)).alias("n_kg"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            "n_kg",
+            F.expr(
+                "element_at(l, i) || ' ' || element_at(l, i + 1)"
+                " || ' ' || element_at(l, i + 2)"
+            ).alias("sh"),
+        )
+    )
+    kg = kg.localCheckpoint(eager=True)
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _W - 1)
+    )
+    mins = kg.select(
+        "doc_id",
+        "i",
+        "n_kg",
+        F.min(F.expr(_H32_SPARK).cast("bigint")).over(wmin).alias("fp"),
+    )
+    fps = (
+        mins.where(F.col("i") <= F.col("n_kg") - (_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = fps.localCheckpoint(eager=True)
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") > _FP_DF_CAP
+    )
+    keptfp = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = keptfp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = keptfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    cand = cand.localCheckpoint(eager=True)
+    shingle = kg.select("doc_id", "sh").distinct()
+    shingle = shingle.localCheckpoint(eager=True)
+    sz = shingle.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingle.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingle.select(F.col("doc_id").alias("db2"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("db2")) & (F.col("sh") == F.col("shb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    verified = (
+        inter.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .where(
+            F.expr("(i * 1000000) div (n_a + n_b - i)") >= _CASCADE_JACC_PPM
+        )
+        .select("doc_a", "doc_b")
+    )
+    near_drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+
+    n0 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    d_exact = exact_drops.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("s"),
+    )
+    n1 = keepers.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    n_ver = verified.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    d_near = near_drops.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("s"),
+    )
+    counts = (
+        n0.select(F.col("v").alias("n0"))
+        .crossJoin(
+            d_exact.select(
+                F.col("v").alias("d_exact"), F.col("s").alias("dsum_exact")
+            )
+        )
+        .crossJoin(n1.select(F.col("v").alias("n1")))
+        .crossJoin(n_cand.select(F.col("v").alias("n_cand")))
+        .crossJoin(n_ver.select(F.col("v").alias("n_ver")))
+        .crossJoin(
+            d_near.select(
+                F.col("v").alias("d_near"), F.col("s").alias("dsum_near")
+            )
+        )
+    )
+    z = F.lit(0).cast("bigint")
+    row1 = counts.select(
+        F.lit("1_exact").alias("stage"),
+        F.col("n0").alias("n_in"),
+        z.alias("n_pairs"),
+        F.col("d_exact").alias("n_dropped"),
+        F.col("n1").alias("n_out"),
+        F.col("dsum_exact").alias("dropped_id_sum"),
+    )
+    row2 = counts.select(
+        F.lit("2_winnow_candidates").alias("stage"),
+        F.col("n1").alias("n_in"),
+        F.col("n_cand").alias("n_pairs"),
+        z.alias("n_dropped"),
+        F.col("n1").alias("n_out"),
+        z.alias("dropped_id_sum"),
+    )
+    row3 = counts.select(
+        F.lit("3_jaccard_verified").alias("stage"),
+        F.col("n1").alias("n_in"),
+        F.col("n_ver").alias("n_pairs"),
+        F.col("d_near").alias("n_dropped"),
+        (F.col("n1") - F.col("d_near")).alias("n_out"),
+        F.col("dsum_near").alias("dropped_id_sum"),
+    )
+    return row1.unionAll(row2).unionAll(row3)
