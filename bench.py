@@ -222,6 +222,7 @@ HEADLINE = [
     "competing_risks_incidence",
     "bpe_fertility_by_lang",
     "dedup_cascade_report",
+    "part_brand_assortativity",
 ]
 
 

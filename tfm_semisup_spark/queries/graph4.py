@@ -304,3 +304,114 @@ def item_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(_LPA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nominal-attribute assortativity (brand mixing matrix)
+# ---------------------------------------------------------------------------
+#
+# Newman 2003 ("Mixing patterns in networks") for a CATEGORICAL
+# attribute: over the co-ordered-parts graph (the degree-assortativity
+# edge derivation — pair fan-out bounded by basket width), build the
+# brand mixing matrix e_xy = fraction of directed edges joining brand
+# x to brand y and report
+#
+#   r = (Tr e − Σ_x a_x b_x) / (1 − Σ_x a_x b_x)
+#
+# with a = row sums = b (symmetrized edges). r > 0: brands co-order
+# within themselves (assortative); r < 0: cross-brand baskets.
+# Everything is exact integer until ONE double division:
+# r = (Tr·M − Σ rowsum²) / (M² − Σ rowsum²) clears all denominators
+# (DECIMAL(38,0)/HUGEINT — M² passes BIGINT at ~3·10⁹ directed edges).
+
+BRAND_ASSORT_ORACLE = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a.part AS pa, b.part AS pb
+  FROM op a JOIN op b ON a.okey = b.okey AND a.part < b.part
+),
+br AS (SELECT p_partkey AS part, p_brand AS brand FROM part),
+dir AS (
+  SELECT ba.brand AS bx, bb.brand AS by
+  FROM und JOIN br ba ON und.pa = ba.part JOIN br bb ON und.pb = bb.part
+  UNION ALL
+  SELECT bb.brand, ba.brand
+  FROM und JOIN br ba ON und.pa = ba.part JOIN br bb ON und.pb = bb.part
+),
+mix AS (SELECT bx, by, COUNT(*)::HUGEINT AS m FROM dir GROUP BY bx, by),
+tots AS (
+  SELECT SUM(m)::HUGEINT AS mm,
+         SUM(CASE WHEN bx = by THEN m ELSE 0 END)::HUGEINT AS tr
+  FROM mix
+),
+rows_ AS (SELECT bx, SUM(m)::HUGEINT AS rs FROM mix GROUP BY bx),
+ab AS (SELECT SUM(rs * rs)::HUGEINT AS sab FROM rows_)
+SELECT t.mm::BIGINT AS n_directed_edges,
+       (SELECT COUNT(*) FROM rows_)::BIGINT AS n_brands,
+       t.tr::BIGINT AS n_same_brand_edges,
+       ROUND(CAST(t.tr * t.mm - a.sab AS DOUBLE)
+             / CAST(t.mm * t.mm - a.sab AS DOUBLE), 6) AS assortativity
+FROM tots t CROSS JOIN ab a
+"""
+
+
+@register("part_brand_assortativity", BRAND_ASSORT_ORACLE)
+def part_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nominal brand assortativity of the co-ordered-parts graph:
+    one row (n_directed_edges, n_brands, n_same_brand_edges,
+    assortativity)."""
+    from tfm_semisup_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part"), F.col("p_brand").alias("brand")
+    )
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .distinct()
+    )
+    ba = part.select(F.col("part").alias("pa"), F.col("brand").alias("bxa"))
+    bb = part.select(F.col("part").alias("pb"), F.col("brand").alias("bxb"))
+    branded = und.join(F.broadcast(ba), "pa").join(F.broadcast(bb), "pb")
+    branded = branded.localCheckpoint(eager=True)
+    dirv = branded.select(
+        F.col("bxa").alias("bx"), F.col("bxb").alias("by")
+    ).unionAll(
+        branded.select(F.col("bxb").alias("bx"), F.col("bxa").alias("by"))
+    )
+    mix = dirv.groupBy("bx", "by").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m")
+    )
+    mix = mix.localCheckpoint(eager=True)
+    tots = mix.agg(
+        F.sum("m").alias("mm"),
+        F.sum(F.when(F.col("bx") == F.col("by"), F.col("m")).otherwise(0))
+        .alias("tr"),
+    )
+    rows_ = mix.groupBy("bx").agg(F.sum("m").alias("rs"))
+    ab = rows_.agg(
+        F.sum(F.col("rs") * F.col("rs")).alias("sab"),
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+    )
+    j = tots.crossJoin(F.broadcast(ab))
+    return j.select(
+        F.col("mm").cast("bigint").alias("n_directed_edges"),
+        F.col("n_brands"),
+        F.col("tr").cast("bigint").alias("n_same_brand_edges"),
+        F.round(
+            (F.col("tr") * F.col("mm") - F.col("sab")).cast("double")
+            / (F.col("mm") * F.col("mm") - F.col("sab")).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )
