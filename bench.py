@@ -223,6 +223,7 @@ HEADLINE = [
     "bpe_fertility_by_lang",
     "dedup_cascade_report",
     "part_brand_assortativity",
+    "revenue_lorenz_deciles",
 ]
 
 

@@ -24,7 +24,7 @@ the lag self-join, pivot, and recursion all run on ≤ K+1-row relations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
@@ -180,3 +180,120 @@ def pacf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Lorenz decile shares of customer revenue
+# ---------------------------------------------------------------------------
+#
+# The distributional readout behind gini_revenue_concentration's
+# scalar: rank customers by lifetime revenue, split into deciles, and
+# report each decile's revenue share plus the cumulative (Lorenz)
+# curve — the "top 10% hold X%" table. Everything is exact integer:
+# ranks come from the counted VALUE grid (distinct revenue cents →
+# cumulative counts), deciles by integer floor division on the
+# cumulative position (value-tied customers share a decile — the
+# deterministic convention both engines compute identically), shares
+# quantized by exact integer division.
+#
+# 100 TB shape: one fact-scale groupBy to per-customer revenue, one
+# groupBy to the distinct-value grid, then windows over the NARROW
+# (cents, cnt) relation — never a per-row global row_number (a global
+# rank window is a single-partition sort; the value-grid cumsum is
+# the equidepth/conformal-rank discipline).
+
+LORENZ_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))::HUGEINT AS cents
+  FROM orders GROUP BY o_custkey
+),
+grid AS (SELECT cents, COUNT(*)::HUGEINT AS cnt FROM cust GROUP BY cents),
+tot AS (
+  SELECT SUM(cnt)::HUGEINT AS n, SUM(cents * cnt)::HUGEINT AS total
+  FROM grid
+),
+cum AS (
+  SELECT cents, cnt,
+         SUM(cnt) OVER (ORDER BY cents) AS cum_n
+  FROM grid
+),
+binned AS (
+  SELECT ((c.cum_n - 1) * 10) // t.n + 1 AS decile,
+         c.cnt, c.cents * c.cnt AS rev
+  FROM cum c CROSS JOIN tot t
+),
+per AS (
+  SELECT decile,
+         SUM(cnt)::HUGEINT AS n_customers,
+         SUM(rev)::HUGEINT AS revenue_cents
+  FROM binned GROUP BY decile
+)
+SELECT CAST(p.decile AS BIGINT) AS decile,
+       p.n_customers::BIGINT AS n_customers,
+       p.revenue_cents::BIGINT AS revenue_cents,
+       CAST((p.revenue_cents * 1000000) // t.total AS BIGINT) AS share_ppm,
+       CAST((SUM(p.revenue_cents) OVER (ORDER BY p.decile) * 1000000)
+            // t.total AS BIGINT) AS cum_share_ppm
+FROM per p CROSS JOIN tot t
+"""
+
+
+@register("revenue_lorenz_deciles", LORENZ_ORACLE)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile table of customer lifetime revenue: (decile,
+    n_customers, revenue_cents, share_ppm, cum_share_ppm) — exact
+    integers throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast(dec)
+        .alias("cents")
+    )
+    grid = cust.groupBy("cents").agg(F.count(F.lit(1)).cast(dec).alias("cnt"))
+    tot = grid.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cents") * F.col("cnt")).alias("total"),
+    )
+    cum = grid.select(
+        "cents",
+        "cnt",
+        F.sum("cnt").over(Window.orderBy("cents")).alias("cum_n"),
+    )
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("CAST(((cum_n - 1) * 10) div n AS BIGINT) + 1").alias(
+            "decile"
+        ),
+        "cnt",
+        (F.col("cents") * F.col("cnt")).alias("rev"),
+        "total",
+    )
+    per = binned.groupBy("decile", "total").agg(
+        F.sum("cnt").alias("n_customers"),
+        F.sum("rev").alias("revenue_cents"),
+    )
+
+    def _floordiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast(dec)
+
+    wcum = Window.orderBy("decile")
+    return per.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("revenue_cents").cast("bigint").alias("revenue_cents"),
+        _floordiv(
+            (F.col("revenue_cents") * F.lit(1_000_000)).cast(dec),
+            F.col("total"),
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
+        _floordiv(
+            (
+                F.sum("revenue_cents").over(wcum) * F.lit(1_000_000)
+            ).cast(dec),
+            F.col("total"),
+        )
+        .cast("bigint")
+        .alias("cum_share_ppm"),
+    )
