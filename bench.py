@@ -224,6 +224,7 @@ HEADLINE = [
     "dedup_cascade_report",
     "part_brand_assortativity",
     "revenue_lorenz_deciles",
+    "error_pchart_daily",
 ]
 
 

@@ -202,6 +202,7 @@ def load_all_queries() -> None:
     from tfm_semisup_spark.queries import text_analysis4  # noqa: F401
     from tfm_semisup_spark.queries import stats7  # noqa: F401
     from tfm_semisup_spark.queries import dedup_cascade  # noqa: F401
+    from tfm_semisup_spark.queries import spc  # noqa: F401
     from tfm_semisup_spark.queries import analytics3  # noqa: F401
     from tfm_semisup_spark.queries import linkage  # noqa: F401
 
