@@ -225,6 +225,7 @@ HEADLINE = [
     "part_brand_assortativity",
     "revenue_lorenz_deciles",
     "error_pchart_daily",
+    "ssl_kappa_agreement",
 ]
 
 

@@ -174,3 +174,14 @@ def test_dedup_cascade_stages_reconcile(spark):
     assert v["n_dropped"] <= v["n_pairs"]
     # the corpus plants near-duplicates: the verify tier must fire
     assert v["n_dropped"] >= 1
+
+
+def test_kappa_and_mcnemar_share_the_decided_table(spark):
+    (k,) = QUERIES["ssl_kappa_agreement"](spark, SF_DIR).collect()
+    (m,) = QUERIES["ssl_mcnemar_feature_ablation"](spark, SF_DIR).collect()
+    # both derive from the identical two-model decided table
+    assert k["n_pool"] == m["n_pool"]
+    assert k["n_agree"] == m["n_agree"]
+    # kappa is bounded by the raw agreement rate and by 1
+    assert k["kappa"] <= k["n_agree"] / k["n_pool"] + 1e-9
+    assert -1.0 <= k["kappa"] <= 1.0

@@ -2651,3 +2651,186 @@ def ssl_tritrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_grp(joined2, 2, "month", "p1", "p1", "p3"))
         .unionAll(_grp(joined2, 2, "segment", "p1", "p1", "p2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between the two NB models (r11)
+# ---------------------------------------------------------------------------
+#
+# The agreement companion to ssl_mcnemar_feature_ablation: McNemar
+# tests whether the two classifiers' ERROR rates differ; kappa
+# (Cohen 1960) measures how much they AGREE beyond chance —
+# κ = (p_o − p_e)/(1 − p_e) with p_e from the prediction marginals.
+# Clearing denominators, κ = (agree·n − Σ_c row_c·col_c)
+# / (n² − Σ_c row_c·col_c) — an exact integer ratio with ONE double
+# division (n² passes BIGINT at ~3·10⁹ pool rows; DECIMAL/HUGEINT).
+
+
+def _kappa_oracle() -> str:
+    cls = ["F", "O", "P"]
+    n1 = ", ".join(
+        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
+        f" AS n1_{c}"
+        for c in cls
+    )
+    n2 = ", ".join(
+        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
+        f" AS n2_{c}"
+        for c in cls
+    )
+    pri = ", ".join(
+        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
+        f" AS n_{c}"
+        for c in cls
+    )
+    ab = " , ".join(
+        f"n_{c} * (COALESCE(n1_{c}, 0) + 1) * (COALESCE(n2_{c}, 0) + 1)"
+        f" AS a_{c}, "
+        f"(n_{c} + {_ST1_V1}) * (n_{c} + {_ST1_V2}) AS b_{c}, "
+        f"n_{c} * (COALESCE(n1_{c}, 0) + 1) AS sa_{c}, "
+        f"(n_{c} + {_ST1_V1}) AS sb_{c}"
+        for c in cls
+    )
+    rowcol = " + ".join(
+        f"(SELECT COUNT(*)::HUGEINT FROM decided WHERE pred_a = '{c}')"
+        f" * (SELECT COUNT(*)::HUGEINT FROM decided WHERE pred_b = '{c}')"
+        for c in cls
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_orderpriority AS f1,
+         EXTRACT(month FROM o_orderdate)::BIGINT AS f2,
+         {_ST1_MASK_SQL} AS mask
+  FROM orders
+),
+labeled AS (SELECT * FROM base WHERE mask = 0),
+unlabeled AS (SELECT * FROM base WHERE mask <> 0),
+lik1 AS (SELECT f1, {n1} FROM labeled GROUP BY f1),
+lik2 AS (SELECT f2, {n2} FROM labeled GROUP BY f2),
+prior AS (SELECT {pri} FROM labeled),
+scored AS (
+  SELECT u.o_orderkey, u.o_orderstatus, {ab}
+  FROM unlabeled u
+  LEFT JOIN lik1 ON u.f1 = lik1.f1
+  LEFT JOIN lik2 ON u.f2 = lik2.f2
+  CROSS JOIN prior
+),
+decided AS (
+  SELECT
+    CASE WHEN a_F * b_O * b_P >= a_O * b_F * b_P
+          AND a_F * b_O * b_P >= a_P * b_F * b_O THEN 'F'
+         WHEN a_O * b_F * b_P >= a_P * b_F * b_O THEN 'O'
+         ELSE 'P' END AS pred_a,
+    CASE WHEN sa_F * sb_O * sb_P >= sa_O * sb_F * sb_P
+          AND sa_F * sb_O * sb_P >= sa_P * sb_F * sb_O THEN 'F'
+         WHEN sa_O * sb_F * sb_P >= sa_P * sb_F * sb_O THEN 'O'
+         ELSE 'P' END AS pred_b
+  FROM scored
+),
+counts AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END)::HUGEINT
+           AS agree,
+         ({rowcol}) AS rowcol
+  FROM decided
+)
+SELECT n::BIGINT AS n_pool,
+       agree::BIGINT AS n_agree,
+       ROUND(CAST(agree * n - rowcol AS DOUBLE)
+             / CAST(n * n - rowcol AS DOUBLE), 6) AS kappa
+FROM counts
+"""
+
+
+@register("ssl_kappa_agreement", _kappa_oracle())
+def ssl_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two-feature NB and its f1-only
+    ablation on the shared pool: one row (n_pool, n_agree, kappa) —
+    the chance-corrected agreement next to McNemar's error-rate
+    contrast. Exact integer ratio, one double division."""
+    labeled, pool = _nb1_base(spark, sf_dir)
+    cls = ["F", "O", "P"]
+
+    def csum(c: str, alias: str):
+        return (
+            F.sum(F.when(F.col("o_orderstatus") == c, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(alias)
+        )
+
+    lik1 = labeled.groupBy("f1").agg(*[csum(c, f"n1_{c}") for c in cls])
+    lik2 = labeled.groupBy("f2").agg(*[csum(c, f"n2_{c}") for c in cls])
+    prior = labeled.agg(*[csum(c, f"n_{c}") for c in cls])
+    scored = (
+        pool.join(F.broadcast(lik1), "f1", "left")
+        .join(F.broadcast(lik2), "f2", "left")
+        .crossJoin(F.broadcast(prior))
+    )
+    for c in cls:
+        scored = (
+            scored.withColumn(
+                f"a_{c}",
+                F.col(f"n_{c}")
+                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1)
+                * (F.coalesce(F.col(f"n2_{c}"), F.lit(0)) + 1),
+            )
+            .withColumn(
+                f"b_{c}",
+                (F.col(f"n_{c}") + _ST1_V1) * (F.col(f"n_{c}") + _ST1_V2),
+            )
+            .withColumn(
+                f"sa_{c}",
+                F.col(f"n_{c}")
+                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1),
+            )
+            .withColumn(f"sb_{c}", F.col(f"n_{c}") + _ST1_V1)
+        )
+
+    def _argmax(pa: str, pb: str):
+        tf = F.col(f"{pa}F") * F.col(f"{pb}O") * F.col(f"{pb}P")
+        to = F.col(f"{pa}O") * F.col(f"{pb}F") * F.col(f"{pb}P")
+        tp = F.col(f"{pa}P") * F.col(f"{pb}F") * F.col(f"{pb}O")
+        return (
+            F.when((tf >= to) & (tf >= tp), "F")
+            .when(to >= tp, "O")
+            .otherwise("P")
+        )
+
+    decided = scored.select(
+        _argmax("a_", "b_").alias("pred_a"),
+        _argmax("sa_", "sb_").alias("pred_b"),
+    )
+    dec = "decimal(38,0)"
+    counts = decided.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.when(F.col("pred_a") == F.col("pred_b"), 1).otherwise(0))
+        .cast(dec)
+        .alias("agree"),
+        *[
+            F.sum(F.when(F.col("pred_a") == c, 1).otherwise(0))
+            .cast(dec)
+            .alias(f"ra_{c}")
+            for c in cls
+        ],
+        *[
+            F.sum(F.when(F.col("pred_b") == c, 1).otherwise(0))
+            .cast(dec)
+            .alias(f"rb_{c}")
+            for c in cls
+        ],
+    )
+    rowcol = (
+        F.col("ra_F") * F.col("rb_F")
+        + F.col("ra_O") * F.col("rb_O")
+        + F.col("ra_P") * F.col("rb_P")
+    )
+    return counts.select(
+        F.col("n").cast("bigint").alias("n_pool"),
+        F.col("agree").cast("bigint").alias("n_agree"),
+        F.round(
+            (F.col("agree") * F.col("n") - rowcol).cast("double")
+            / (F.col("n") * F.col("n") - rowcol).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
