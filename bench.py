@@ -59,173 +59,175 @@ import time
 from tfm_semisup_spark.queries import QUERIES, load_all_queries
 from tfm_semisup_spark.session import get_spark
 
-# Headline set: one per operator family (join+agg, wide agg, window fns,
-# event-time windows, as-of/range joins, rollup, grouped-pandas, dedup
-# exact->LSH, similarity, text, ML pipeline, multimodal plumbing).
+# Headline set: one-or-two representatives per operator family
+# (join+agg, wide agg, window fns, event-time windows, as-of/range
+# joins, rollup, grouped-pandas, dedup exact->LSH->semantic->cascade,
+# similarity/ANN, retrieval, text, SSL, graph, stats/inference,
+# multimodal, governance) PLUS the current round's new families.
+#
+# ROTATION RULE (VERDICT r11 #4): the headline wall grew linearly with
+# the registry (83 s -> 124 s -> 170 s over r9-r11) because every new
+# family joined HEADLINE forever; at that rate the per-query signal
+# drowns in run-length noise and the driver's budget is crowded out.
+# From r12 the set is capped at <= 70 entries: when a round's newcomers
+# join, older entries whose family keeps another representative move to
+# ``PARKED`` below. Parked queries still have oracle/driver coverage
+# (correctness is unaffected); their timings are captured by the
+# periodic FULL sweep — ``SPARK_GRAFT_BENCH_FULL=1 python bench.py``
+# runs HEADLINE + PARKED and records everything in bench_spread.json
+# (stdout totals stay HEADLINE-only so round-over-round comparisons
+# compare like with like).
 HEADLINE = [
+    # relational / TPC-H topologies (deepest join tree + the two agg
+    # archetypes + the per-order distinct-count correlated shape)
     "flagship_regional_revenue",
     "pricing_summary",
+    "q5_local_supplier_volume",
+    "q21_waiting_suppliers",
+    # window functions / event-time windows / integer-exact EWMA
     "window_rank_top_order",
     "tumbling_window_hourly",
     "session_window_30m",
+    "ewma_daily_revenue",
+    # temporal joins + rollup + the grouped-Arrow kernel
     "asof_join_latest_order",
     "range_join_event_pairs",
     "daily_rollup_by_type",
     "grouped_pandas_value_trend",
+    # dedup tiers: exact baseline, banded MinHash LSH (emits the
+    # identical verified pair set as the MLlib approxSimilarityJoin
+    # tier — equality-asserted in tests/test_dedup_skew.py — at ~2x
+    # its speed), embedding-space SemDeDup, winnowing fingerprints,
+    # and the three-tier composed cascade
     "dedup_exact_stats",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_cluster_components",
-    # MinHash headline tier = the pure-columnar banded variant: emits
-    # the IDENTICAL verified pair set as the MLlib approxSimilarityJoin
-    # tier (equality-asserted at sf0.01/0.1 in tests/test_dedup_skew.py)
-    # at ~2x the speed (r2 bench: 5.4s vs 11.5s). The MLlib path stays
-    # registered as a cross-check query but is no longer benched.
     "dedup_minhash_banded_pairs",
-    "dedup_simhash_pairs",
-    # r5: the fully-oracled portable minhash tier (md5-slice
-    # signatures) — visibility for the cross-engine dedup math path
-    "dedup_minhash_portable_pairs",
-    "similarity_cosine_topk",
-    # r4: ANN tier visibility (VERDICT r3 #7) — a regression in the PQ
-    # encode/ADC scan or the composed IVF-PQ probe path was previously
-    # invisible to the bench; recall is covered by tests, latency here.
-    "similarity_pq_topk",
+    "dedup_semantic_semdedup",
+    "dedup_winnowing_pairs",
+    "dedup_cascade_report",
+    # similarity / ANN: composed IVF-PQ probe path, IVF-mined hard
+    # negatives, and the pair-distance anisotropy audit
     "similarity_ivfpq_topk",
+    "similarity_hard_negatives_ann",
+    "embedding_pair_distance_histogram",
+    # retrieval: batch BM25 workload, hybrid dense+lexical RRF fusion,
+    # NEAR/k positional search
+    "text_bm25_workload_topk",
+    "retrieval_rrf_hybrid",
+    "text_proximity_search",
+    # text analysis: per-lang stats, unigram-LM ppl quality score,
+    # RAKE phrases, Dunning G² collocations; BPE training + fertility
     "text_stats_by_lang",
+    "text_unigram_logppl",
+    "keyword_rake_top",
+    "text_collocation_g2",
+    "bpe_train_merges",
+    "bpe_fertility_by_lang",
+    # governance: quality rules, PII redaction, bloom + embedding-space
+    # contamination screens
     "quality_rule_report",
     "pii_redaction_report",
-    "contamination_screen",
-    "domain_mix_sample",
-    "multimodal_feature_stub",
-    "ssl_selftrain_threshold",
-    # r3 families: semantic (embedding-space) dedup, deterministic
-    # training-shard shuffle, resize/thumbnail plumbing
-    "dedup_semantic_semdedup",
-    "training_shard_assignment",
-    "multimodal_resize_stub",
-    # r4 families: the deepest join tree in the suite (6-way snowflake),
-    # lexical BM25 retrieval, and the Levenshtein-verified dedup tier
-    "q5_local_supplier_volume",
-    "text_bm25_topk",
-    # r5: the workload shape — batch scoring against precomputed
-    # index stats (build_bm25_stats)
-    "text_bm25_workload_topk",
-    "dedup_editdist_pairs",
-    # r4 behavioral analytics: sequence-dependent conversion (user-keyed
-    # range join) and the per-order distinct-count Q21 formulation
-    "funnel_view_purchase",
-    "q21_waiting_suppliers",
-    # late-r4 families: line-level boilerplate removal (one corpus
-    # reassembly shuffle), the bloom membership screen (codegen bit
-    # probe), and iterative graph propagation (5 PageRank rounds)
-    "boilerplate_line_removal",
     "bloom_contamination_screen",
-    "item_pagerank",
-    # r6 families: oriented triangle enumeration (graph density), the
-    # unigram-LM quality score (wordcount + term-keyed prob join), the
-    # real Arrow decode path (encode -> numpy BMP/PPM parse), and the
-    # robust MAD outlier pass (two exact medians + counting scan)
-    "item_triangle_counts",
-    "text_unigram_logppl",
-    "multimodal_bmp_decode_stats",
-    "robust_outlier_mad",
-    # late-r6 families: collocation mining (full bigram aggregate over
-    # the token stream — the heaviest text shuffle in the suite),
-    # iterative k-core peeling (3 checkpointed semi-join rounds), the
-    # embedding-space contamination probe (broadcast cosine scan), and
-    # the integer-weighted EWMA contribution explode
-    "text_bigram_pmi",
-    "item_kcore_membership",
     "semantic_contamination_screen",
-    "ewma_daily_revenue",
-    # end-of-r6 families: the single-pass anti-entropy checksum and
-    # the tokenize-to-ids pipeline (wordcount + broadcast id map)
-    "table_fingerprint_orders",
-    "vocab_id_stats",
-    # r8 families: temperature source mixing (broadcast counts +
-    # integer md5 threshold), the Zipf vocab-head OLS audit, the
-    # 36-partial covariance slice, and the real decode+NN-resize
-    # Arrow kernel
+    # data selection / mixing: temperature resampling, mixture plan,
+    # DSIR importance selection, perplexity-band pruning
     "domain_temperature_sample",
-    "zipf_token_audit",
-    "embedding_covariance_slice",
+    "domain_mixture_plan",
+    "dsir_importance_select",
+    "corpus_ppl_prune",
+    # corpus prep: deterministic shard shuffle
+    "training_shard_assignment",
+    # multimodal Arrow kernels: decode+NN-resize and strided video
+    # frame sampling (BMP decode alone is a parked subset of resize)
     "multimodal_resize_decode_stats",
-    # r8 batch-5..8 families: fixed-round graph BFS, the banded
-    # Theil-Sen robust trend, the grid-blocked spatial radius join,
-    # Kaplan-Meier survival, and the strided video frame-sample kernel
-    "item_bfs_hop_distance",
-    "theilsen_daily_revenue_slope",
-    "spatial_grid_radius_pairs",
-    "kaplan_meier_conversion",
     "multimodal_video_framesample_stats",
-    # r8 late batches: drift gate, Spark-4 VARIANT path, basket lift,
-    # and the pair-distance embedding audit
+    # SSL: the two-round trajectories of all three disagreement
+    # families + the paired-model agreement readout
+    "ssl_selftrain_two_round_nb",
+    "ssl_cotrain_two_round_nb",
+    "ssl_tritrain_two_round_nb",
+    "ssl_kappa_agreement",
+    # graph: PageRank, HITS, link prediction, LPA communities
+    "item_pagerank",
+    "part_hits_authorities",
+    "item_link_prediction_ra",
+    "item_community_lpa",
+    # stats / inference: banded Theil-Sen, Mann-Kendall grid pairs,
+    # competing-risks CIF (generalizes the parked KM/logrank/RMST
+    # survival siblings), unrolled Durbin-Levinson PACF, diff-in-diff
+    "theilsen_daily_revenue_slope",
+    "mann_kendall_daily_trend",
+    "competing_risks_incidence",
+    "pacf_daily_revenue",
+    "did_order_value",
+    # behavioral: chained range-join funnel + quantized Markov chain
+    "funnel_view_purchase",
+    "event_markov_stationary",
+    # fingerprint / sketch-calibration, privacy, spatial, linkage,
+    # drift, VARIANT, runtime-filter, SPC, concentration families
+    "table_fingerprint_orders",
+    "minhash_calibration_audit",
+    "t_closeness_audit",
+    "spatial_grid_radius_pairs",
+    "record_linkage_fs",
     "psi_price_by_segment",
     "variant_props_extract",
-    "basket_part_lift",
-    "embedding_pair_distance_histogram",
-    # r9 families: the exact-integer NB promotion round (threshold
-    # criterion), the heaviest multi-view variant (tri-training's
-    # 3-scorer join), a bounded-grid rank statistic (Spearman), and
-    # the basket-width-bounded co-order graph statistic
+    "bloom_semijoin_volume",
+    "error_pchart_daily",
+    "revenue_lorenz_deciles",
+]
+
+# Parked bench entries (VERDICT r11 #4): every family above keeps a
+# representative in HEADLINE; these siblings are timed only by the
+# FULL sweep (SPARK_GRAFT_BENCH_FULL=1 — one extra pass, recorded in
+# bench_spread.json under "parked", never in the stdout totals).
+# Correctness coverage is unchanged — parked entries keep their
+# oracles, driver-window rotation, and plan-pin tests.
+PARKED = [
+    # dedup siblings (cascade/minhash/winnowing represent the family)
+    "dedup_ngram_jaccard_pairs",
+    "dedup_cluster_components",
+    "dedup_simhash_pairs",
+    "dedup_minhash_portable_pairs",
+    "dedup_editdist_pairs",
+    "boilerplate_line_removal",
+    # similarity siblings (ivfpq + ann-negatives represent)
+    "similarity_cosine_topk",
+    "similarity_pq_topk",
+    "similarity_hard_negatives",
+    # text/retrieval siblings
+    "text_bm25_topk",
+    "text_bigram_pmi",
+    "zipf_token_audit",
+    "vocab_id_stats",
+    # governance/mixing siblings
+    "contamination_screen",
+    "domain_mix_sample",
+    # multimodal plumbing subsets
+    "multimodal_feature_stub",
+    "multimodal_resize_stub",
+    "multimodal_bmp_decode_stats",
+    # SSL one-round/threshold siblings (two-round trajectories
+    # represent; McNemar shares the kappa paired-decided table)
+    "ssl_selftrain_threshold",
     "ssl_selftrain_one_round_nb",
     "ssl_tritrain_one_round_nb",
-    "spearman_qty_disc",
-    "part_degree_assortativity",
-    # late-r9 families: the bloom semi-join reduction (runtime-filter
-    # pushdown — the shuffle-volume lever) and the quantized Markov
-    # power iteration
-    "bloom_semijoin_volume",
-    "event_markov_stationary",
-    # end-of-r9 families: blocked entity-resolution scoring (the
-    # Fellegi-Sunter pair join) and NEAR/k positional retrieval (the
-    # workload-filtered position-pair join)
-    "record_linkage_fs",
-    "text_proximity_search",
-    # post-close r9 families: banded hard-negative mining (broadcast
-    # anchors + window-barrier band) and perplexity-band pruning (LM
-    # join + counted-grid value cuts)
-    "similarity_hard_negatives",
-    "corpus_ppl_prune",
-    # r10 families: IVF-mined hard negatives (the bounded sibling of
-    # the brute tier above), the two-round self-training refit, the
-    # Mann-Kendall grid-pair trend, two-iteration HITS, the MinHash
-    # estimate-vs-exact calibration join, and RAKE phrase extraction
-    "similarity_hard_negatives_ann",
-    "ssl_selftrain_two_round_nb",
-    "mann_kendall_daily_trend",
-    "part_hits_authorities",
-    "minhash_calibration_audit",
-    "keyword_rake_top",
-    # r11 family: the two-round co-training cross-teach (4 NB fits,
-    # 2 kBest boundary probes per round, one pool equi-join)
-    "ssl_cotrain_two_round_nb",
-    # r11 continuation: survival/rank/causal inference, link
-    # prediction, winnowing, DSIR selection, hybrid RRF retrieval,
-    # and the two promotions' newly-oracled plans
-    "logrank_conversion_ab",
-    "kruskal_wallis_qty_flag",
-    "did_order_value",
-    "item_link_prediction_ra",
-    "dedup_winnowing_pairs",
-    "dsir_importance_select",
-    "retrieval_rrf_hybrid",
-    "bpe_train_merges",
-    "rmst_conversion_ab",
-    "item_community_lpa",
-    "domain_mixture_plan",
-    "text_collocation_g2",
     "ssl_mcnemar_feature_ablation",
-    "t_closeness_audit",
-    "pacf_daily_revenue",
-    "ssl_tritrain_two_round_nb",
-    "competing_risks_incidence",
-    "bpe_fertility_by_lang",
-    "dedup_cascade_report",
+    # graph siblings
+    "item_triangle_counts",
+    "item_kcore_membership",
+    "item_bfs_hop_distance",
+    "part_degree_assortativity",
     "part_brand_assortativity",
-    "revenue_lorenz_deciles",
-    "error_pchart_daily",
-    "ssl_kappa_agreement",
+    # stats siblings (competing-risks/theilsen/mann-kendall represent)
+    "robust_outlier_mad",
+    "spearman_qty_disc",
+    "kaplan_meier_conversion",
+    "logrank_conversion_ab",
+    "rmst_conversion_ab",
+    "kruskal_wallis_qty_flag",
+    # single-pass aggregate siblings
+    "embedding_covariance_slice",
+    "basket_part_lift",
 ]
 
 
@@ -283,23 +285,46 @@ def measure_calibration(spark, samples: dict[str, list[float]]) -> None:
     )
 
 
+#: a calibration anchor whose worst sample exceeds its median by this
+#: factor marks the run "contaminated": at least one severe
+#: machine-state episode (co-tenant burst, GC storm) hit the timed
+#: region, so per-query deltas from this run are suspect even when the
+#: MEDIAN anchor looks nominal. Motivating incident (VERDICT r11 #3):
+#: the r11 driver run's spark_range_agg_sec samples were median 0.163 s
+#: but max 2.075 s (12x) — the median said "machine fine" while the
+#: episode inflated the 170 s wall vs the builder's 144 s close run.
+CALIB_EPISODE_RATIO = 3.0
+
+
+def calib_contaminated(calib: dict[str, list[float]]) -> bool:
+    """True if any anchor's max/median exceeds CALIB_EPISODE_RATIO."""
+    return any(
+        len(t) == 3 and t[1] > 0 and t[2] / t[1] > CALIB_EPISODE_RATIO
+        for t in calib.values()
+    )
+
+
 def stdout_payload(
     timings: dict[str, float],
     total: float,
     sf: float,
-    calib: dict[str, float] | None = None,
+    calib: dict[str, list[float]] | None = None,
 ) -> dict:
     """The driver-parsed stdout record: headline total, the machine-
-    calibration anchors, and as many of the SLOWEST per-query timings
-    as fit in STDOUT_LINE_BUDGET rendered chars. Deterministic (sort
-    by -time then name); the full map is in bench_spread.json.
-    n_queries/queries_omitted make the truncation visible to the
-    driver rather than silent."""
+    calibration anchors (each a [min, median, max] triple over the 6
+    bracketing samples — episode-aware per VERDICT r11 #3, with the
+    max/median > CALIB_EPISODE_RATIO contamination flag), and as many
+    of the SLOWEST per-query timings as fit in STDOUT_LINE_BUDGET
+    rendered chars. Deterministic (sort by -time then name); the full
+    map is in bench_spread.json. n_queries/queries_omitted make the
+    truncation visible to the driver rather than silent."""
+    calib = dict(sorted((calib or {}).items()))
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "calib": dict(sorted((calib or {}).items())),
+        "calib": calib,
+        "calib_contaminated": calib_contaminated(calib),
         "queries": {},
         "sf": sf,
         "n_queries": len(timings),
@@ -337,7 +362,10 @@ def main() -> None:
     # whole-stage-codegen compile) that a long-running cluster never
     # sees again.
     spark.range(1000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
+    warm_set = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        warm_set += PARKED
+    for name in warm_set:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
@@ -375,10 +403,26 @@ def main() -> None:
             gc.collect()
             spark._jvm.System.gc()
 
+    # optional FULL sweep (one untimed-protocol pass over the parked
+    # siblings — single sample each, spread-file only, never stdout)
+    parked_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        for name in PARKED:
+            fn = QUERIES[name]
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            parked_timings[name] = round(time.perf_counter() - start, 3)
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
+
     for _ in range(3):
         measure_calibration(spark, calib_samples)
+    # episode-aware triple (VERDICT r11 #3): min/median/max over the 6
+    # bracketing samples — a single severe contention episode moves the
+    # max even when the median stays nominal
     calib = {
-        name: round(statistics.median(s), 3)
+        name: [round(min(s), 3), round(statistics.median(s), 3), round(max(s), 3)]
         for name, s in calib_samples.items()
     }
 
@@ -404,6 +448,8 @@ def main() -> None:
         },
         "spread": spread,
     }
+    if parked_timings:
+        spread_payload["parked"] = parked_timings
     run_id = os.environ.get("SPARK_GRAFT_BENCH_RUN_ID")
     if run_id:
         spread_payload["run_id"] = run_id

@@ -22,8 +22,12 @@ def _worst_case_timings() -> dict[str, float]:
     return {name: 123.456 for name in bench.HEADLINE}
 
 
-def _worst_case_calib() -> dict[str, float]:
-    return {"cpu_sha256_sec": 123.456, "spark_range_agg_sec": 123.456}
+def _worst_case_calib() -> dict[str, list[float]]:
+    # episode-aware [min, median, max] triples (VERDICT r11 #3)
+    return {
+        "cpu_sha256_sec": [123.456, 123.456, 123.456],
+        "spark_range_agg_sec": [123.456, 123.456, 123.456],
+    }
 
 
 def test_stdout_line_fits_tail_capture():
@@ -60,6 +64,43 @@ def test_stdout_payload_parses_and_carries_headline():
     # (VERDICT r10 #2) — without it round-over-round wall drift on
     # unchanged code cannot be deconfounded from plan regressions
     assert payload["calib"] == _worst_case_calib()
+    # episode-aware flag (VERDICT r11 #3): flat triples are clean
+    assert payload["calib_contaminated"] is False
+
+
+def test_calib_contamination_flag_fires_on_episode():
+    # the r11 incident shape: nominal median, one 12x max sample
+    calib = {
+        "cpu_sha256_sec": [0.42, 0.43, 0.44],
+        "spark_range_agg_sec": [0.15, 0.163, 2.075],
+    }
+    assert bench.calib_contaminated(calib) is True
+    payload = bench.stdout_payload({}, 0.0, 0.1, calib)
+    assert payload["calib_contaminated"] is True
+    # a max within 3x of the median stays clean
+    assert not bench.calib_contaminated(
+        {"spark_range_agg_sec": [0.15, 0.163, 0.45]}
+    )
+
+
+def test_headline_capped_and_disjoint_from_parked():
+    # VERDICT r11 #4: the headline set stays <= 70 so the driver's
+    # bench wall stops growing linearly with the registry; parked
+    # siblings are disjoint and every entry in both lists resolves to
+    # a registered query
+    from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    assert len(bench.HEADLINE) <= 70, (
+        f"HEADLINE has {len(bench.HEADLINE)} entries — park a sibling "
+        f"(every family must keep a representative) instead of growing "
+        f"the driver's bench wall"
+    )
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert len(set(bench.PARKED)) == len(bench.PARKED)
+    assert not set(bench.HEADLINE) & set(bench.PARKED)
+    for name in bench.HEADLINE + bench.PARKED:
+        assert name in QUERIES, f"bench entry {name!r} not registered"
 
 
 def test_stdout_payload_always_carries_calib_key():

@@ -57,6 +57,36 @@ def anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Nonzero-membership anti-join variant (VERDICT r11 #5): the plain
+# orderless-customers anti join is legitimately EMPTY on the synthetic
+# data (every customer has orders), so its driver row passed without
+# exercising membership. Restricting the right side to URGENT orders
+# gives genuine anti-join members (customers who never placed an
+# urgent order) at every SF — the NOT-EXISTS logic is now data-driven.
+ANTI_NONZERO_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+@register("anti_join_no_urgent_customers", ANTI_NONZERO_ORACLE)
+def anti_join_no_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # PIVOT: order counts per status (rows) x priority (columns). Spark
 # .pivot with explicit values (no extra distinct-scan job); oracle uses
 # conditional aggregation — identical semantics, portable SQL.

@@ -202,6 +202,102 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Nonzero-membership Q11 variant (VERDICT r11 #5): the classic
+# fraction-of-total cutoff yields 0 rows at sf>=0.01 (part count grows
+# with SF while each part's share shrinks), so the driver row passed
+# vacuously — an engine bug that wrongly emptied the result would
+# still "match". This variant keeps the scalar-subquery-HAVING
+# topology (two-level supply aggregate, one-row total cross-joined in)
+# but cuts at 1.5x the MEAN part value: SF-invariant nonzero
+# membership (a skewed value distribution always has parts above 1.5x
+# mean). The math is EXACT INTEGER end-to-end: per-(part,supplier)
+# value = SUM of 2-dp extendedprice in cents (exact BIGINT — a first
+# cut reused _SUPPLY_SQL's ps_supplycost, but that is round(avg(),4)
+# of a double quotient, and the engines' avg summation order flipped
+# the 4th decimal on 4 of 275 parts at sf0.01); the compare clears
+# denominators (2*value*n > 3*total) in DECIMAL(38,0)/HUGEINT — no
+# summation-order ULP can flip a row or a value on either engine.
+Q11_TOP_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ps_value_c
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+regional AS (
+  SELECT ps.ps_partkey, ps.ps_value_c
+  FROM supply ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+byval AS (
+  SELECT ps_partkey, CAST(SUM(ps_value_c) AS BIGINT) AS value_c
+  FROM regional GROUP BY ps_partkey
+),
+total AS (
+  SELECT CAST(SUM(value_c) AS HUGEINT) AS total_c,
+         COUNT(*) AS n_parts
+  FROM byval
+)
+SELECT ps_partkey, value_c
+FROM byval CROSS JOIN total
+WHERE 2 * CAST(value_c AS HUGEINT) * n_parts > 3 * total_c
+ORDER BY value_c DESC, ps_partkey
+"""
+
+
+@register("q11_top_value_parts", Q11_TOP_ORACLE)
+def q11_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog with guaranteed-nonzero membership: ASIA parts
+    whose stock value exceeds 1.5x the mean per-part value (scalar-
+    subquery HAVING). Companion to ``q11_important_stock`` whose
+    fraction-of-total cutoff is legitimately empty at sf>=0.01; this
+    one exercises the membership logic with actual data at every SF
+    (VERDICT r11 #5). All-integer compare — see the oracle comment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "ps_value_c"
+        )
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    regional = supply.join(
+        sup, supply["ps_suppkey"] == sup["s_suppkey"]
+    ).select("ps_partkey", "ps_value_c")
+    byval = regional.groupBy("ps_partkey").agg(
+        F.sum("ps_value_c").alias("value_c")
+    )
+    total = F.broadcast(
+        byval.agg(
+            F.sum(F.col("value_c").cast("decimal(38,0)")).alias("total_c"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+    return (
+        byval.crossJoin(total)
+        .where(
+            F.lit(2) * F.col("value_c").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(3) * F.col("total_c")
+        )
+        .select("ps_partkey", "value_c")
+        .orderBy(F.col("value_c").desc(), "ps_partkey")
+    )
+
+
 Q20_ORACLE = """
 WITH shipped AS (
   SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
