@@ -144,6 +144,8 @@ HEADLINE = [
     # families + the paired-model agreement readout
     "ssl_selftrain_two_round_nb",
     "ssl_cotrain_two_round_nb",
+    # r12 newcomer: the threshold-branch two-round trajectory
+    "ssl_cotrain_two_round_threshold",
     "ssl_tritrain_two_round_nb",
     "ssl_kappa_agreement",
     # graph: PageRank, HITS, link prediction, LPA communities

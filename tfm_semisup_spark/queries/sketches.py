@@ -30,6 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.layout import (
+    md5_uniform16_spark_sql,
+    md5_uniform16_sql,
+)
 from tfm_semisup_spark.queries import register
 
 
@@ -71,6 +75,112 @@ def sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(q.getItem(2), 2).alias("p99"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable sampled-quantile audit — the ORACLED sibling of
+# sketch_value_quantiles (r12 promotion, VERDICT r11 #7)
+# ---------------------------------------------------------------------------
+#
+# GK summaries can't be oracled (merge-order-dependent internal state),
+# so this tier makes the same trade as hll_portable_distinct: a
+# deterministic approximate-quantile estimator whose math both engines
+# reproduce bit-identically. Estimator = exact positional quantiles of
+# a portable md5 row sample (keep iff u16(md5(event_id)) % 16 == 0 —
+# the textbook uniform-sample quantile sketch, mergeable by sample
+# union). Everything is selection and counting — the only arithmetic
+# is exact integer rank math (ceil(phi*m) with cleared denominators) —
+# so there is no ULP surface anywhere. The audit columns then measure
+# the estimator against the FULL data: rank_pXX = exact count of rows
+# <= the estimate, making the sampling error a driver-checked number
+# instead of a design claim.
+#
+# Scale: the sample sort is per-type over a 1/16 sample — this is the
+# documented AUDIT tier (the ANN brute-force trade); production
+# quantiles stay on the GK rows-only tier above. The full-data pass is
+# one broadcast join against the 5-row estimate table + one aggregate.
+
+_QSA_MOD = 16  # keep 1/16 of rows
+
+_QSA_RANKS = [
+    ("p50", "(m + 1) // 2"),
+    ("p95", "(19 * m + 19) // 20"),
+    ("p99", "(99 * m + 99) // 100"),
+]
+
+QUANTILE_SAMPLE_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, value, event_id
+  FROM events
+  WHERE {md5_uniform16_sql("md5(CAST(event_id AS VARCHAR))")} % {_QSA_MOD} = 0
+),
+r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM s
+),
+est AS (
+  SELECT event_type, MAX(m)::BIGINT AS m,
+         {", ".join(f"MAX(CASE WHEN rn = {rk} THEN value END) AS {nm}"
+                    for nm, rk in _QSA_RANKS)}
+  FROM r GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*)::BIGINT AS n,
+       MAX(est.m) AS m,
+       {", ".join(f"MAX(est.{nm}) AS {nm}_est" for nm, _ in _QSA_RANKS)},
+       {", ".join(
+           f"SUM(CASE WHEN e.value <= est.{nm} THEN 1 ELSE 0 END)::BIGINT"
+           f" AS rank_{nm}" for nm, _ in _QSA_RANKS)}
+FROM events e JOIN est ON e.event_type = est.event_type
+GROUP BY e.event_type
+"""
+
+
+@register("quantile_sample_audit", QUANTILE_SAMPLE_ORACLE)
+def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable sampled positional quantiles of event value per type,
+    audited against the full data: (event_type, n, m, p50/p95/p99_est,
+    rank_p50/p95/p99). The quantile-sketch MATH (sample membership,
+    rank selection, rank error) is driver-checked; production
+    quantiles remain on the GK tier (``sketch_value_quantiles``)."""
+    ev = load_table(spark, sf_dir, "events")
+    keep = F.expr(
+        f"{md5_uniform16_spark_sql('md5(CAST(event_id AS STRING))')}"
+        f" % {_QSA_MOD} = 0"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wm = Window.partitionBy("event_type")
+    ranked = (
+        ev.where(keep)
+        .select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wm))
+    )
+    est = ranked.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("m"),
+        *[
+            F.max(F.expr(f"CASE WHEN rn = {rk.replace('//', ' div ')} "
+                         f"THEN value END")).alias(nm)
+            for nm, rk in _QSA_RANKS
+        ],
+    )
+    joined = ev.join(F.broadcast(est), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("m").alias("m"),
+        *[F.max(nm).alias(f"{nm}_est") for nm, _ in _QSA_RANKS],
+        *[
+            F.sum(F.when(F.col("value") <= F.col(nm), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"rank_{nm}")
+            for nm, _ in _QSA_RANKS
+        ],
     )
 
 
@@ -121,11 +231,6 @@ def sketch_incremental_distinct_users(spark: SparkSession, sf_dir: str) -> DataF
 
 CMS_D = 3  # hash rows: md5 hex chars 1-4 / 5-8 / 9-12
 CMS_TOP = 10
-
-from tfm_semisup_spark.operators.layout import (  # noqa: E402
-    md5_uniform16_spark_sql,
-    md5_uniform16_sql,
-)
 
 _CMS_POS = [md5_uniform16_sql("md5(term)", start=1 + 4 * j) for j in range(CMS_D)]
 # Spark-side: value-identical single-reference conv decode

@@ -1992,16 +1992,22 @@ ranked_{tag} AS (
 )"""
 
 
-def _ct2_summary_sql(tag: str, rnd: int, view: str) -> str:
-    k = f"GREATEST(1, np // {_CT2_K_DIV})"
+def _ct2_summary_sql(
+    tag: str, rnd: int, view: str, flag_sql: str | None = None
+) -> str:
+    """Per-class promotion summary over ``ranked_{tag}``. ``flag_sql``
+    is the promotion predicate — defaults to the kBest rank cut; the
+    threshold variant passes ``conf_q > <thr>`` (one builder for both
+    criteria so their summary algebra cannot drift apart)."""
+    k = flag_sql or f"rn <= GREATEST(1, np // {_CT2_K_DIV})"
     return f"""SELECT {rnd}::BIGINT AS rnd, '{view}' AS view_name, pred_class,
        COUNT(*)::BIGINT AS n_scored,
-       SUM(CASE WHEN rn <= {k} THEN 1 ELSE 0 END)::BIGINT AS n_promoted,
-       SUM(CASE WHEN rn <= {k} AND pred_class = o_orderstatus
+       SUM(CASE WHEN {k} THEN 1 ELSE 0 END)::BIGINT AS n_promoted,
+       SUM(CASE WHEN {k} AND pred_class = o_orderstatus
                 THEN 1 ELSE 0 END)::BIGINT AS n_promoted_correct,
-       SUM(CASE WHEN rn <= {k} THEN o_orderkey ELSE 0 END)::BIGINT
+       SUM(CASE WHEN {k} THEN o_orderkey ELSE 0 END)::BIGINT
          AS promoted_key_sum,
-       COALESCE(MIN(CASE WHEN rn <= {k} THEN conf_q END), -1)::BIGINT
+       COALESCE(MIN(CASE WHEN {k} THEN conf_q END), -1)::BIGINT
          AS min_conf_q
 FROM ranked_{tag} GROUP BY pred_class"""
 
@@ -2214,6 +2220,121 @@ def ssl_cotrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_ct2_summary(conf_v2r1, flag1_v2, 1, "month"))
         .unionByName(_ct2_summary(conf_v1r2, flag2_v1, 2, "priority"))
         .unionByName(_ct2_summary(conf_v2r2, flag2_v2, 2, "month"))
+    )
+    for df in (conf_v1r1, conf_v2r1, pool_r2, conf_v1r2, conf_v2r2):
+        release(df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TWO CoTraining rounds under the THRESHOLD criterion (r12,
+# VERDICT r11 #6)
+# ---------------------------------------------------------------------------
+#
+# ``CoTraining.scala:158-196`` is the threshold branch; with the kBest
+# two-round trajectory above, this closes the last reference branch
+# without a multi-round oracle. Same cross-teach algebra, but the
+# promotion predicate is a FIXED quantized-confidence cut instead of
+# the top-k boundary — no bounded collect needed, the flag is a plain
+# filter. Threshold choice is data-constrained (the kBest entry's
+# comment documents why 0.7 promotes zero): conf_q > 0.37e12 is the
+# measured sweet spot where BOTH views promote nonzero-but-proper
+# subsets in round 1 AND round 2 stays non-vacuous at sf0.001 and
+# sf0.01 (0.35 promotes the whole pool at sf0.001 → empty round 2;
+# 0.39 promotes zero for the priority view at sf0.01). Round 2
+# promoting its whole residual pool at these SFs is the refit doing
+# real work: rows below the cut under the round-1 model cross the cut
+# after the cross-teach refit.
+
+_CT2T_THR = 370_000_000_000  # conf_q cut: 0.37 quantized at 10^12
+
+
+def _cotrain2_threshold_oracle() -> str:
+    thr = _CT2T_THR
+    flag = f"conf_q > {thr}"
+    return f"""
+WITH {_NB1_BASE_SQL},
+train_r1 AS (SELECT f1, f2, o_orderstatus AS label FROM labeled),
+pool_r1 AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM unlabeled),
+{_ct2_round_sql("train_r1", "pool_r1", "f1", 5, "v1r1")},
+{_ct2_round_sql("train_r1", "pool_r1", "f2", 12, "v2r1")},
+prom_v1r1 AS (SELECT * FROM ranked_v1r1 WHERE {flag}),
+prom_v2r1 AS (SELECT * FROM ranked_v2r1 WHERE {flag}),
+pool_r2 AS (
+  SELECT a.o_orderkey, a.o_orderstatus, a.f1, a.f2
+  FROM ranked_v1r1 a JOIN ranked_v2r1 b ON a.o_orderkey = b.o_orderkey
+  WHERE a.conf_q <= {thr} AND b.conf_q <= {thr}
+),
+train_v1_r2 AS (
+  SELECT * FROM train_r1
+  UNION ALL SELECT f1, f2, pred_class AS label FROM prom_v2r1
+),
+train_v2_r2 AS (
+  SELECT * FROM train_r1
+  UNION ALL SELECT f1, f2, pred_class AS label FROM prom_v1r1
+),
+{_ct2_round_sql("train_v1_r2", "pool_r2", "f1", 5, "v1r2")},
+{_ct2_round_sql("train_v2_r2", "pool_r2", "f2", 12, "v2r2")}
+{_ct2_summary_sql("v1r1", 1, "priority", flag)}
+UNION ALL
+{_ct2_summary_sql("v2r1", 1, "month", flag)}
+UNION ALL
+{_ct2_summary_sql("v1r2", 2, "priority", flag)}
+UNION ALL
+{_ct2_summary_sql("v2r2", 2, "month", flag)}
+"""
+
+
+@register("ssl_cotrain_two_round_threshold", _cotrain2_threshold_oracle())
+def ssl_cotrain_two_round_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two unrolled CoTraining THRESHOLD-criterion rounds with
+    cross-teach refits — the multi-round oracle for the reference's
+    threshold branch (``CoTraining.scala:158-196``; the kBest branch's
+    trajectory is ``ssl_cotrain_two_round_nb``). Same output shape:
+    (rnd, view_name, pred_class, n_scored, n_promoted,
+    n_promoted_correct, promoted_key_sum, min_conf_q).
+
+    Scale notes: identical to the kBest sibling minus the boundary
+    collects — the promotion flag is a stateless filter on the scored
+    pool, so the only driver-side action is the checkpoint
+    materialization; data-scale shuffles are the round-2 pool
+    equi-join and the summary groupBys."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
+    pool_r1 = unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2")
+    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5))
+    conf_v2r1 = truncate(_ct2_conf(train_r1, pool_r1, "f2", 12))
+    flag = F.col("conf_q") > F.lit(_CT2T_THR).cast("decimal(38,0)")
+    train_v1_r2 = train_r1.unionByName(
+        conf_v2r1.where(flag).select(
+            "f1", "f2", F.col("pred_class").alias("label")
+        )
+    )
+    train_v2_r2 = train_r1.unionByName(
+        conf_v1r1.where(flag).select(
+            "f1", "f2", F.col("pred_class").alias("label")
+        )
+    )
+    pool_r2 = truncate(
+        conf_v1r1.where(~flag)
+        .select("o_orderkey", "o_orderstatus", "f1", "f2")
+        .join(
+            conf_v2r1.where(~flag).select("o_orderkey"),
+            "o_orderkey",
+            "semi",
+        )
+    )
+    conf_v1r2 = truncate(_ct2_conf(train_v1_r2, pool_r2, "f1", 5))
+    conf_v2r2 = truncate(_ct2_conf(train_v2_r2, pool_r2, "f2", 12))
+    out = truncate(
+        _ct2_summary(conf_v1r1, flag, 1, "priority")
+        .unionByName(_ct2_summary(conf_v2r1, flag, 1, "month"))
+        .unionByName(_ct2_summary(conf_v1r2, flag, 2, "priority"))
+        .unionByName(_ct2_summary(conf_v2r2, flag, 2, "month"))
     )
     for df in (conf_v1r1, conf_v2r1, pool_r2, conf_v1r2, conf_v2r2):
         release(df)

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
+from tfm_semisup_spark.operators.layout import md5_uniform16_sql
 from tfm_semisup_spark.queries import register
 
 
@@ -181,6 +182,99 @@ def text_tfidf_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = vector_to_array(F.col("tfidf"))
     l2 = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v))
     return out.select("doc_id", F.round(l2, 4).alias("tfidf_l2"))
+
+
+# ---------------------------------------------------------------------------
+# Portable TF-IDF norms — the ORACLED sibling of text_tfidf_norms
+# (r12 promotion, VERDICT r11 #7; the dedup_minhash_portable_pairs
+# trade: the MLlib HashingTF/IDF tier above stays the production path,
+# this tier oracle-checks the hashed-TF-IDF MATH cross-engine)
+# ---------------------------------------------------------------------------
+#
+# Both engines derive the feature bucket from the SAME md5 digest
+# (u16 % 512 — 65536 % 512 == 0, exactly uniform), and the IDF weight
+# is the EXACT INTEGER quotient idf_q = (n_docs * 1024) // (df + 1) —
+# the dedup_weighted_jaccard move, chosen because a log-IDF under
+# floor() would hang the result on a libm ULP. Downstream everything
+# is integer: w = tf * idf_q, L1 = SUM(w) (BIGINT), L2² = SUM(w²)
+# summed in DECIMAL(38,0)/HUGEINT then cast once to DOUBLE (exact
+# int -> correctly-rounded double, identical on both engines).
+# 100 TB: two hash-keyed aggregates (doc×bucket, bucket) + one
+# broadcast join against the <= 512-row DF table — text never joins.
+
+_TFIDF_B = 512  # feature buckets
+_TFIDF_IDF_SCALE = 1024
+
+TFIDF_PORTABLE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         CAST({md5_uniform16_sql("md5(term)")} % {_TFIDF_B} AS BIGINT)
+           AS bucket,
+         COUNT(*)::BIGINT AS tf
+  FROM toks GROUP BY 1, 2
+),
+df AS (SELECT bucket, COUNT(*)::BIGINT AS df FROM tf GROUP BY bucket),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+w AS (
+  SELECT t.doc_id,
+         t.tf * ((n.n_docs * {_TFIDF_IDF_SCALE}) // (d.df + 1)) AS w
+  FROM tf t JOIN df d ON t.bucket = d.bucket CROSS JOIN n
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_buckets,
+       CAST(SUM(w) AS BIGINT) AS tfidf_l1_q,
+       CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE) AS tfidf_l2sq
+FROM w GROUP BY doc_id
+"""
+
+
+@register("text_tfidf_portable_norms", TFIDF_PORTABLE_ORACLE)
+def text_tfidf_portable_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-TF-IDF document norms with a portable md5 bucket hash and
+    exact integer IDF weights: (doc_id, n_buckets, tfidf_l1_q,
+    tfidf_l2sq) — the TF-IDF math is driver-checked; the MLlib
+    murmur-hash tier (``text_tfidf_norms``) remains the production
+    path with identical plan shape."""
+    from tfm_semisup_spark.operators.layout import md5_uniform16_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    bucket = F.expr(
+        f"CAST({md5_uniform16_spark_sql('md5(term)')} % {_TFIDF_B} AS BIGINT)"
+    )
+    tf = toks.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {_TFIDF_IDF_SCALE}) div (df + 1)")
+            ).alias("w"),
+        )
+    )
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("w").cast("bigint").alias("tfidf_l1_q"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w"))
+        .cast("double")
+        .alias("tfidf_l2sq"),
+    )
 
 
 # Fluent corpus pipeline end-to-end: exact dedup (keeper = min id) +
