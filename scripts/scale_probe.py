@@ -110,6 +110,18 @@ SF2 = os.path.join(REPO, ".scale_probe", "sf2")
 SF2_REPLICAS = 2
 SECOND_LEG_QUERIES = ["dedup_semantic_semdedup"]
 
+# Near-dup replica leg (r12, VERDICT r11 #8): the sf1 corpus is 100%
+# EXACT duplicates, so the cascade's cheap exact tier absorbed the
+# entire 10x growth (measured exponent 0.00) and the winnowing +
+# Jaccard-verify tiers never saw 10x survivors. This leg perturbs each
+# replica's text with a replica-unique trailing token: every copy gets
+# a distinct md5, the exact tier passes EVERYTHING through, and the
+# expensive tiers face the full 10x document load with ~C(10,2)
+# near-dup candidate pairs per original document. Documents only (the
+# probed dedup queries read no other table).
+SF1_NEARDUP = os.path.join(REPO, ".scale_probe", "sf1_neardup")
+NEARDUP_QUERIES = ["dedup_cascade_report", "dedup_winnowing_pairs"]
+
 
 def generate() -> None:
     import duckdb
@@ -150,6 +162,30 @@ def generate_sf2() -> None:
     )
     n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
     print(f"embeddings: {n} rows -> {out}", flush=True)
+
+
+def generate_neardup() -> None:
+    """10x documents replica where each copy's text is suffixed with a
+    replica-unique token (' zrepN') — exact-hash unique, n-gram/
+    fingerprint near-identical. The suffix perturbs only the last few
+    k-grams, so winnowing buckets the 10 copies of a document
+    together and the verify tier scores all ~45 intra-group pairs."""
+    import duckdb
+
+    os.makedirs(SF1_NEARDUP, exist_ok=True)
+    con = duckdb.connect()
+    out = os.path.join(SF1_NEARDUP, "documents.parquet")
+    con.execute(
+        f"""COPY (
+        SELECT doc_id * {REPLICAS} + r.r AS doc_id,
+               text || ' zrep' || CAST(r.r AS VARCHAR) AS text,
+               lang, source, n_chars + 6 AS n_chars
+        FROM read_parquet('{SF01}/documents.parquet')
+        CROSS JOIN range({REPLICAS}) r(r)
+    ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"documents (near-dup perturbed): {n} rows -> {out}", flush=True)
 
 
 def measure(
@@ -205,11 +241,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--generate-sf2", action="store_true")
+    ap.add_argument("--generate-neardup", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument(
         "--second-leg",
         action="store_true",
         help="measure sf1 -> sf2 (log2 exponents) instead of sf0.1 -> sf1",
+    )
+    ap.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="measure sf0.1 -> the perturbed 10x documents replica "
+        "(exact tier passes everything; stresses winnow/verify tiers)",
     )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
@@ -218,8 +261,19 @@ def main() -> int:
         generate()
     if args.generate_sf2:
         generate_sf2()
-    if args.measure or args.second_leg:
-        if args.second_leg:
+    if args.generate_neardup:
+        generate_neardup()
+    if args.measure or args.second_leg or args.near_dup:
+        if args.near_dup:
+            if not os.path.isdir(SF1_NEARDUP):
+                print("run --generate-neardup first", file=sys.stderr)
+                return 1
+            report = measure(
+                args.runs,
+                args.queries or NEARDUP_QUERIES,
+                legs=(("sf0.1", SF01), ("sf1_neardup", SF1_NEARDUP)),
+            )
+        elif args.second_leg:
             if not os.path.isdir(SF2):
                 print("run --generate-sf2 first", file=sys.stderr)
                 return 1

@@ -34,22 +34,24 @@ exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.queries import register
 from tfm_semisup_spark.queries.winnowing import (
-    _FP_DF_CAP,
-    _H32_SPARK,
-    _H32_SQL,
-    _K,
-    _MIN_SHARED,
-    _W,
+    WINNOW_PAIRS_CTE,
+    winnow_candidate_pairs,
+    winnow_fingerprints,
+    winnow_fp_ctes,
 )
 
 _CASCADE_JACC_PPM = 600_000  # verify threshold (0.6 Jaccard)
 
+# Tier-2 fingerprinting reuses winnowing.py's shared builders
+# (winnow_fp_ctes / WINNOW_PAIRS_CTE and their Spark twins) so a
+# selection-rule change there cannot desync this cascade's candidate
+# tier from dedup_winnowing_pairs (ADVICE r11).
 CASCADE_ORACLE = f"""
 WITH n0 AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
 hashes0 AS (SELECT doc_id, md5(text) AS hh FROM documents),
@@ -65,37 +67,9 @@ kept_docs AS (
   SELECT d.doc_id, list_filter(string_split(d.text, ' '), t -> t <> '') AS l
   FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
 ),
-kg AS (
-  SELECT doc_id, i,
-         l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS sh,
-         len(l) - {_K - 1} AS n_kg
-  FROM kept_docs, UNNEST(generate_series(1, len(l) - {_K - 1})) AS t(i)
-  WHERE len(l) >= {_K}
-),
-wh AS (
-  SELECT doc_id, i, n_kg, CAST({_H32_SQL} AS BIGINT) AS h FROM kg
-),
-mins AS (
-  SELECT doc_id,
-         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-             ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING) AS fp,
-         i, n_kg
-  FROM wh
-),
-fps AS (
-  SELECT DISTINCT doc_id, fp FROM mins WHERE i <= n_kg - {_W - 1}
-),
-hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > {_FP_DF_CAP}),
-keptfp AS (
-  SELECT f.doc_id, f.fp FROM fps f
-  LEFT JOIN hot h ON f.fp = h.fp WHERE h.fp IS NULL
-),
-cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM keptfp a JOIN keptfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING COUNT(*) >= {_MIN_SHARED}
-),
+{winnow_fp_ctes("kept_docs")},
+{WINNOW_PAIRS_CTE},
+cand AS (SELECT doc_a, doc_b FROM winnow_pairs),
 shingle AS (SELECT DISTINCT doc_id, sh FROM kg),
 sz AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingle GROUP BY doc_id),
 inter AS (
@@ -153,58 +127,8 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
     )
-    kg = (
-        kept_docs.where(F.size("l") >= _K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("l") - F.lit(_K - 1))
-            ).alias("i"),
-            "l",
-            (F.size("l") - F.lit(_K - 1)).alias("n_kg"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            "n_kg",
-            F.expr(
-                "element_at(l, i) || ' ' || element_at(l, i + 1)"
-                " || ' ' || element_at(l, i + 2)"
-            ).alias("sh"),
-        )
-    )
-    kg = kg.localCheckpoint(eager=True)
-    wmin = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, _W - 1)
-    )
-    mins = kg.select(
-        "doc_id",
-        "i",
-        "n_kg",
-        F.min(F.expr(_H32_SPARK).cast("bigint")).over(wmin).alias("fp"),
-    )
-    fps = (
-        mins.where(F.col("i") <= F.col("n_kg") - (_W - 1))
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    fps = fps.localCheckpoint(eager=True)
-    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") > _FP_DF_CAP
-    )
-    keptfp = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
-    a = keptfp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = keptfp.select(F.col("doc_id").alias("doc_b"), "fp")
-    cand = (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= _MIN_SHARED)
-        .select("doc_a", "doc_b")
-    )
+    kg, keptfp = winnow_fingerprints(kept_docs, checkpoint_kg=True)
+    cand = winnow_candidate_pairs(keptfp).select("doc_a", "doc_b")
     cand = cand.localCheckpoint(eager=True)
     shingle = kg.select("doc_id", "sh").distinct()
     shingle = shingle.localCheckpoint(eager=True)

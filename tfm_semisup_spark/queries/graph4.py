@@ -78,40 +78,15 @@ adj AS (
   UNION ALL SELECT item_b, item_a FROM edges
 )"""
 
+# Reuses _EDGE_CTES (the LPA oracle's edge derivation) verbatim —
+# adj(u, v) aliased to the z/x wedge roles downstream, so the shared
+# edge semantics exist ONCE (ADVICE r11).
 LINKPRED_ORACLE = f"""
-WITH engaged AS (
-  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
-         COUNT(*)::BIGINT AS cnt
-  FROM events
-  WHERE event_type IN ('view', 'click')
-  GROUP BY user_id, item
-),
-capped AS (
-  SELECT user_id, item FROM (
-    SELECT user_id, item,
-           ROW_NUMBER() OVER (
-             PARTITION BY user_id ORDER BY cnt DESC, item
-           ) AS rk
-    FROM engaged
-  ) WHERE rk <= {COOC_CAP}
-),
-pairs AS (
-  SELECT a.item AS item_a, b.item AS item_b, COUNT(*)::BIGINT AS n_users
-  FROM capped a JOIN capped b
-    ON a.user_id = b.user_id AND a.item < b.item
-  GROUP BY a.item, b.item
-),
-edges AS (
-  SELECT item_a, item_b FROM pairs WHERE n_users >= {LP_MIN_USERS}
-),
-adj AS (
-  SELECT item_a AS z, item_b AS x FROM edges
-  UNION ALL SELECT item_b, item_a FROM edges
-),
-deg AS (SELECT z, COUNT(*)::BIGINT AS deg FROM adj GROUP BY z),
+WITH {_EDGE_CTES},
+deg AS (SELECT u AS z, COUNT(*)::BIGINT AS deg FROM adj GROUP BY u),
 wedge AS (
-  SELECT a1.x AS item_a, a2.x AS item_b, a1.z AS z
-  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.x < a2.x
+  SELECT a1.v AS item_a, a2.v AS item_b, a1.u AS z
+  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
 ),
 cand AS (
   SELECT w.item_a, w.item_b,

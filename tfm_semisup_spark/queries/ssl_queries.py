@@ -2362,7 +2362,13 @@ def ssl_cotrain_two_round_threshold(
 # b + c = 0 degenerate case is pinned to 0.0 on both engines.
 
 
-def _mcnemar_oracle() -> str:
+def _paired_decided_sql() -> str:
+    """Shared CTE chain producing ``decided(o_orderstatus, pred_a,
+    pred_b)`` — the paired-prediction table of the two-feature NB
+    (model A) vs its f1-only ablation (model B) on the shared
+    unlabeled pool. ONE builder consumed by BOTH the McNemar and the
+    kappa oracles (ADVICE r11: the two copies could drift if one's
+    smoothing or tie-break were later edited)."""
     cls = ["F", "O", "P"]
     n1 = ", ".join(
         f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
@@ -2387,8 +2393,7 @@ def _mcnemar_oracle() -> str:
         f"(n_{c} + {_ST1_V1}) AS sb_{c}"
         for c in cls
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT o_orderkey, o_orderstatus,
          o_orderpriority AS f1,
          EXTRACT(month FROM o_orderdate)::BIGINT AS f2,
@@ -2418,41 +2423,13 @@ decided AS (
               WHEN sa_O * sb_F * sb_P >= sa_P * sb_F * sb_O THEN 'O'
               ELSE 'P' END AS pred_b
   FROM scored
-),
-counts AS (
-  SELECT COUNT(*)::BIGINT AS n_pool,
-         SUM(CASE WHEN pred_a = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
-           AS n_correct_a,
-         SUM(CASE WHEN pred_b = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
-           AS n_correct_b,
-         SUM(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END)::BIGINT
-           AS n_agree,
-         SUM(CASE WHEN pred_a = o_orderstatus
-                   AND pred_b <> o_orderstatus THEN 1 ELSE 0 END)::BIGINT
-           AS disc_b,
-         SUM(CASE WHEN pred_a <> o_orderstatus
-                   AND pred_b = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
-           AS disc_c
-  FROM decided
-)
-SELECT n_pool, n_correct_a, n_correct_b, n_agree, disc_b, disc_c,
-       CASE WHEN disc_b + disc_c = 0 THEN 0.0
-            ELSE ROUND(CAST((ABS(disc_b - disc_c) - 1)
-                            * (ABS(disc_b - disc_c) - 1) AS DOUBLE)
-                       / CAST(disc_b + disc_c AS DOUBLE), 6) END
-         AS mcnemar_chi2
-FROM counts
-"""
+)"""
 
 
-@register("ssl_mcnemar_feature_ablation", _mcnemar_oracle())
-def ssl_mcnemar_feature_ablation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """McNemar continuity-corrected test between the two-feature NB
-    and its f1-only ablation on the shared unlabeled pool: one row
-    (n_pool, n_correct_a, n_correct_b, n_agree, disc_b, disc_c,
-    mcnemar_chi2)."""
+def _paired_decided_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_paired_decided_sql``: the decided
+    (o_orderstatus, pred_a, pred_b) DataFrame consumed by both
+    ``ssl_mcnemar_feature_ablation`` and ``ssl_kappa_agreement``."""
     labeled, pool = _nb1_base(spark, sf_dir)
     cls = ["F", "O", "P"]
 
@@ -2491,7 +2468,7 @@ def ssl_mcnemar_feature_ablation(
             .withColumn(f"sb_{c}", F.col(f"n_{c}") + _ST1_V1)
         )
 
-    def _argmax(pa: str, pb: str) -> object:
+    def _argmax(pa: str, pb: str):
         tf = F.col(f"{pa}F") * F.col(f"{pb}O") * F.col(f"{pb}P")
         to = F.col(f"{pa}O") * F.col(f"{pb}F") * F.col(f"{pb}P")
         tp = F.col(f"{pa}P") * F.col(f"{pb}F") * F.col(f"{pb}O")
@@ -2501,11 +2478,51 @@ def ssl_mcnemar_feature_ablation(
             .otherwise("P")
         )
 
-    decided = scored.select(
+    return scored.select(
         "o_orderstatus",
         _argmax("a_", "b_").alias("pred_a"),
         _argmax("sa_", "sb_").alias("pred_b"),
     )
+
+
+def _mcnemar_oracle() -> str:
+    return f"""
+WITH {_paired_decided_sql()},
+counts AS (
+  SELECT COUNT(*)::BIGINT AS n_pool,
+         SUM(CASE WHEN pred_a = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
+           AS n_correct_a,
+         SUM(CASE WHEN pred_b = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
+           AS n_correct_b,
+         SUM(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END)::BIGINT
+           AS n_agree,
+         SUM(CASE WHEN pred_a = o_orderstatus
+                   AND pred_b <> o_orderstatus THEN 1 ELSE 0 END)::BIGINT
+           AS disc_b,
+         SUM(CASE WHEN pred_a <> o_orderstatus
+                   AND pred_b = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
+           AS disc_c
+  FROM decided
+)
+SELECT n_pool, n_correct_a, n_correct_b, n_agree, disc_b, disc_c,
+       CASE WHEN disc_b + disc_c = 0 THEN 0.0
+            ELSE ROUND(CAST((ABS(disc_b - disc_c) - 1)
+                            * (ABS(disc_b - disc_c) - 1) AS DOUBLE)
+                       / CAST(disc_b + disc_c AS DOUBLE), 6) END
+         AS mcnemar_chi2
+FROM counts
+"""
+
+
+@register("ssl_mcnemar_feature_ablation", _mcnemar_oracle())
+def ssl_mcnemar_feature_ablation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar continuity-corrected test between the two-feature NB
+    and its f1-only ablation on the shared unlabeled pool: one row
+    (n_pool, n_correct_a, n_correct_b, n_agree, disc_b, disc_c,
+    mcnemar_chi2)."""
+    decided = _paired_decided_df(spark, sf_dir)
     counts = decided.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pool"),
         F.sum(
@@ -2789,66 +2806,13 @@ def ssl_tritrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kappa_oracle() -> str:
     cls = ["F", "O", "P"]
-    n1 = ", ".join(
-        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
-        f" AS n1_{c}"
-        for c in cls
-    )
-    n2 = ", ".join(
-        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
-        f" AS n2_{c}"
-        for c in cls
-    )
-    pri = ", ".join(
-        f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
-        f" AS n_{c}"
-        for c in cls
-    )
-    ab = " , ".join(
-        f"n_{c} * (COALESCE(n1_{c}, 0) + 1) * (COALESCE(n2_{c}, 0) + 1)"
-        f" AS a_{c}, "
-        f"(n_{c} + {_ST1_V1}) * (n_{c} + {_ST1_V2}) AS b_{c}, "
-        f"n_{c} * (COALESCE(n1_{c}, 0) + 1) AS sa_{c}, "
-        f"(n_{c} + {_ST1_V1}) AS sb_{c}"
-        for c in cls
-    )
     rowcol = " + ".join(
         f"(SELECT COUNT(*)::HUGEINT FROM decided WHERE pred_a = '{c}')"
         f" * (SELECT COUNT(*)::HUGEINT FROM decided WHERE pred_b = '{c}')"
         for c in cls
     )
     return f"""
-WITH base AS (
-  SELECT o_orderkey, o_orderstatus,
-         o_orderpriority AS f1,
-         EXTRACT(month FROM o_orderdate)::BIGINT AS f2,
-         {_ST1_MASK_SQL} AS mask
-  FROM orders
-),
-labeled AS (SELECT * FROM base WHERE mask = 0),
-unlabeled AS (SELECT * FROM base WHERE mask <> 0),
-lik1 AS (SELECT f1, {n1} FROM labeled GROUP BY f1),
-lik2 AS (SELECT f2, {n2} FROM labeled GROUP BY f2),
-prior AS (SELECT {pri} FROM labeled),
-scored AS (
-  SELECT u.o_orderkey, u.o_orderstatus, {ab}
-  FROM unlabeled u
-  LEFT JOIN lik1 ON u.f1 = lik1.f1
-  LEFT JOIN lik2 ON u.f2 = lik2.f2
-  CROSS JOIN prior
-),
-decided AS (
-  SELECT
-    CASE WHEN a_F * b_O * b_P >= a_O * b_F * b_P
-          AND a_F * b_O * b_P >= a_P * b_F * b_O THEN 'F'
-         WHEN a_O * b_F * b_P >= a_P * b_F * b_O THEN 'O'
-         ELSE 'P' END AS pred_a,
-    CASE WHEN sa_F * sb_O * sb_P >= sa_O * sb_F * sb_P
-          AND sa_F * sb_O * sb_P >= sa_P * sb_F * sb_O THEN 'F'
-         WHEN sa_O * sb_F * sb_P >= sa_P * sb_F * sb_O THEN 'O'
-         ELSE 'P' END AS pred_b
-  FROM scored
-),
+WITH {_paired_decided_sql()},
 counts AS (
   SELECT COUNT(*)::HUGEINT AS n,
          SUM(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END)::HUGEINT
@@ -2870,58 +2834,8 @@ def ssl_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ablation on the shared pool: one row (n_pool, n_agree, kappa) —
     the chance-corrected agreement next to McNemar's error-rate
     contrast. Exact integer ratio, one double division."""
-    labeled, pool = _nb1_base(spark, sf_dir)
     cls = ["F", "O", "P"]
-
-    def csum(c: str, alias: str):
-        return (
-            F.sum(F.when(F.col("o_orderstatus") == c, 1).otherwise(0))
-            .cast("decimal(38,0)")
-            .alias(alias)
-        )
-
-    lik1 = labeled.groupBy("f1").agg(*[csum(c, f"n1_{c}") for c in cls])
-    lik2 = labeled.groupBy("f2").agg(*[csum(c, f"n2_{c}") for c in cls])
-    prior = labeled.agg(*[csum(c, f"n_{c}") for c in cls])
-    scored = (
-        pool.join(F.broadcast(lik1), "f1", "left")
-        .join(F.broadcast(lik2), "f2", "left")
-        .crossJoin(F.broadcast(prior))
-    )
-    for c in cls:
-        scored = (
-            scored.withColumn(
-                f"a_{c}",
-                F.col(f"n_{c}")
-                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1)
-                * (F.coalesce(F.col(f"n2_{c}"), F.lit(0)) + 1),
-            )
-            .withColumn(
-                f"b_{c}",
-                (F.col(f"n_{c}") + _ST1_V1) * (F.col(f"n_{c}") + _ST1_V2),
-            )
-            .withColumn(
-                f"sa_{c}",
-                F.col(f"n_{c}")
-                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1),
-            )
-            .withColumn(f"sb_{c}", F.col(f"n_{c}") + _ST1_V1)
-        )
-
-    def _argmax(pa: str, pb: str):
-        tf = F.col(f"{pa}F") * F.col(f"{pb}O") * F.col(f"{pb}P")
-        to = F.col(f"{pa}O") * F.col(f"{pb}F") * F.col(f"{pb}P")
-        tp = F.col(f"{pa}P") * F.col(f"{pb}F") * F.col(f"{pb}O")
-        return (
-            F.when((tf >= to) & (tf >= tp), "F")
-            .when(to >= tp, "O")
-            .otherwise("P")
-        )
-
-    decided = scored.select(
-        _argmax("a_", "b_").alias("pred_a"),
-        _argmax("sa_", "sb_").alias("pred_b"),
-    )
+    decided = _paired_decided_df(spark, sf_dir)
     dec = "decimal(38,0)"
     counts = decided.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),

@@ -65,19 +65,20 @@ _H32_SPARK = (
     f"{md5_uniform16_spark_sql(_SH_MD5, start=5)})"
 )
 
-WINNOW_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
-  FROM documents
-),
-kg AS (
+def winnow_fp_ctes(docs_rel: str) -> str:
+    """CTE chain ``kg, wh, mins, fps, hot, keptfp`` computing DF-capped
+    winnowing fingerprints over ``docs_rel(doc_id, l)`` (l = nonempty
+    token list). ONE builder consumed by both WINNOW_ORACLE and the
+    dedup cascade's candidate tier (ADVICE r11: a selection-rule edit
+    here must not silently desync the two)."""
+    return f"""kg AS (
   SELECT doc_id, i,
          l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS sh,
          len(l) - {_K - 1} AS n_kg
-  FROM toks, UNNEST(generate_series(1, len(l) - {_K - 1})) AS t(i)
+  FROM {docs_rel}, UNNEST(generate_series(1, len(l) - {_K - 1})) AS t(i)
   WHERE len(l) >= {_K}
 ),
-hashes AS (
+wh AS (
   SELECT doc_id, i, n_kg, CAST({_H32_SQL} AS BIGINT) AS h FROM kg
 ),
 mins AS (
@@ -85,7 +86,7 @@ mins AS (
          MIN(h) OVER (PARTITION BY doc_id ORDER BY i
              ROWS BETWEEN CURRENT ROW AND {_W - 1} FOLLOWING) AS fp,
          i, n_kg
-  FROM hashes
+  FROM wh
 ),
 fps AS (
   SELECT DISTINCT doc_id, fp FROM mins WHERE i <= n_kg - {_W - 1}
@@ -93,23 +94,37 @@ fps AS (
 hot AS (
   SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > {_FP_DF_CAP}
 ),
-kept AS (
+keptfp AS (
   SELECT f.doc_id, f.fp FROM fps f
   LEFT JOIN hot h ON f.fp = h.fp
   WHERE h.fp IS NULL
-),
-sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM kept GROUP BY doc_id),
-pairs AS (
+)"""
+
+
+#: shared candidate-pair CTE over ``keptfp`` — pairs sharing >=
+#: _MIN_SHARED surviving fingerprints, with the shared count
+WINNOW_PAIRS_CTE = f"""winnow_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_fps
-  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM keptfp a JOIN keptfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
   HAVING COUNT(*) >= {_MIN_SHARED}
-)
+)"""
+
+WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+{winnow_fp_ctes("toks")},
+sizes AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM keptfp GROUP BY doc_id
+),
+{WINNOW_PAIRS_CTE}
 SELECT p.doc_a, p.doc_b, p.shared_fps,
        sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
        CAST((p.shared_fps * {_CONT_SCALE})
             // LEAST(sa.n_fp, sb.n_fp) AS BIGINT) AS containment_q
-FROM pairs p
+FROM winnow_pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
@@ -117,14 +132,15 @@ LIMIT {_TOP}
 """
 
 
-@register("dedup_winnowing_pairs", WINNOW_ORACLE)
-def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top near-dup pairs by shared winnowing fingerprints:
-    (doc_a, doc_b, shared_fps, n_fp_a, n_fp_b, containment_q)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
-    )
+def winnow_fingerprints(
+    docs: DataFrame, checkpoint_kg: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``winnow_fp_ctes``: returns ``(kg, keptfp)`` for
+    ``docs(doc_id, l)`` — the k-gram relation (doc_id, i, n_kg, sh)
+    and the DF-capped fingerprint relation (doc_id, fp), the latter
+    checkpointed (it feeds >= 2 consumers in every caller). Pass
+    ``checkpoint_kg=True`` when the caller re-reads kg (the cascade's
+    verify tier re-shingles from it)."""
     kg = (
         docs.where(F.size("l") >= _K)
         .select(
@@ -145,22 +161,18 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
     )
-    hashes = kg.select(
-        "doc_id",
-        "i",
-        "n_kg",
-        F.expr(_H32_SPARK).cast("bigint").alias("h"),
-    )
+    if checkpoint_kg:
+        kg = kg.localCheckpoint(eager=True)
     wmin = (
         Window.partitionBy("doc_id")
         .orderBy("i")
         .rowsBetween(Window.currentRow, _W - 1)
     )
-    mins = hashes.select(
+    mins = kg.select(
         "doc_id",
         "i",
         "n_kg",
-        F.min("h").over(wmin).alias("fp"),
+        F.min(F.expr(_H32_SPARK).cast("bigint")).over(wmin).alias("fp"),
     )
     fps = (
         mins.where(F.col("i") <= F.col("n_kg") - (_W - 1))
@@ -171,18 +183,35 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") > _FP_DF_CAP
     )
-    kept = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
-    kept = kept.localCheckpoint(eager=True)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
-    pairs = (
+    keptfp = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    keptfp = keptfp.localCheckpoint(eager=True)
+    return kg, keptfp
+
+
+def winnow_candidate_pairs(keptfp: DataFrame) -> DataFrame:
+    """Spark twin of WINNOW_PAIRS_CTE: (doc_a, doc_b, shared_fps)."""
+    a = keptfp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = keptfp.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
         a.join(b, "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= _MIN_SHARED)
     )
+
+
+@register("dedup_winnowing_pairs", WINNOW_ORACLE)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top near-dup pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, shared_fps, n_fp_a, n_fp_b, containment_q)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    _, kept = winnow_fingerprints(docs)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = winnow_candidate_pairs(kept)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
     scored = (
