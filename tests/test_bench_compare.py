@@ -1,0 +1,81 @@
+"""scripts/bench_compare.py — the round-over-round normalization rule
+(SCALE.md "Bench machine-calibration anchor") as executable analysis
+(VERDICT r11 #9)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_compare",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "bench_compare.py",
+    ),
+)
+bench_compare = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench_compare)
+
+
+def _old():
+    # r11-style scalar calib medians
+    return {
+        "queries": {"q_flat": 2.0, "q_regressed": 2.0, "q_machine": 2.0},
+        "calib": {"spark_range_agg_sec": 0.16, "cpu_sha256_sec": 0.40},
+    }
+
+
+def _new():
+    # r12-style triples; machine uniformly 1.25x slower (calib 0.20)
+    return {
+        "queries": {"q_flat": 2.5, "q_regressed": 5.0, "q_machine": 2.5},
+        "calib": {
+            "spark_range_agg_sec": [0.19, 0.20, 0.21],
+            "cpu_sha256_sec": [0.49, 0.50, 2.0],  # one episode sample
+        },
+    }
+
+
+def _spread():
+    return {
+        "spread": {
+            "q_flat": [1.9, 2.5, 3.0],  # band 0.76..1.2
+            "q_regressed": [2.4, 2.5, 2.6],  # tight band 0.96..1.04
+            # q_machine: no band row -> "no-band"
+        }
+    }
+
+
+def test_normalization_divides_out_machine_drift():
+    rows, summary = bench_compare.compare(_old(), _new(), _spread())
+    by = {r["query"]: r for r in rows}
+    # raw ratio 1.25 but calib ratio 1.25 -> normalized 1.0
+    assert summary["calib_spark_ratio"] == 1.25
+    assert abs(by["q_flat"]["normalized"] - 1.0) < 1e-9
+    assert by["q_flat"]["verdict"] == "in-band"
+    # a genuine 2.5x regression normalizes to 2.0 and escapes its band
+    assert abs(by["q_regressed"]["normalized"] - 2.0) < 1e-9
+    assert by["q_regressed"]["verdict"] == "OUT"
+    assert summary["out_of_band"] == ["q_regressed"]
+    # no spread row -> explicit no-band, never a silent pass/fail
+    assert by["q_machine"]["verdict"] == "no-band"
+    # rows sorted most-suspicious first
+    assert rows[0]["query"] == "q_regressed"
+
+
+def test_calib_forms_and_episode_flag():
+    assert bench_compare.calib_median(_old(), "spark_range_agg_sec") == 0.16
+    assert bench_compare.calib_median(_new(), "spark_range_agg_sec") == 0.20
+    assert bench_compare.calib_episode(_old()) == []  # scalars: no flag
+    assert bench_compare.calib_episode(_new()) == ["cpu_sha256_sec"]
+
+
+def test_driver_artifact_unwrapping(tmp_path):
+    import json
+
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(json.dumps({"n": 12, "parsed": _old()}))
+    payload = bench_compare.load_payload(str(p))
+    assert payload["queries"]["q_flat"] == 2.0
