@@ -2,23 +2,24 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (302 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (338 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (266 entries — all verified hash-matching at
+equivalent DuckDB SQL (304 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count AND under
 codegen.fallback=false, so no oracle is driver-environment-dependent
-or silently interpreted; provenance: 221 via driver CORRECTNESS rows
-through r9, 29 r9-born judge-verified in r9, 16 new-in-r10 verified by
-per-query driver-sim at both SFs + shuffle-7 + strict-codegen). Since
-r10 the 50-slot driver window is COMPUTED earliest-deadline-first from
-driver_history.json + the CORRECTNESS_r*.json artifacts
+or silently interpreted; provenance: 265 via driver CORRECTNESS rows
+through r11, 30 r10/r11-born judge-verified in r11, 9 new-in-r12
+verified by per-query driver-sim at both SFs + shuffle-7 +
+strict-codegen). Since r10 the 50-slot driver window is COMPUTED
+earliest-deadline-first from driver_history.json + the
+CORRECTNESS_r*.json artifacts
 (``queries/__init__.py::rotation_order``) and advances automatically
 when a new artifact lands — governance pinned by
 tests/test_window_rotation.py.
 
-The 36 rows-only entries (no oracle) are each non-SQL-expressible or
+The 34 rows-only entries (no oracle) are each non-SQL-expressible or
 inherently iterative, and all are deterministic under fixed seeds and
-independent of partitioning (locally verified by the 640+ test suite):
+independent of partitioning (locally verified by the 800+ test suite):
 
 - ``ssl_*`` (13): MLlib training loops (DT/RF/NB/LR fits, CV folds,
   instance- and feature-split co-training) — model fitting is not
@@ -41,14 +42,15 @@ independent of partitioning (locally verified by the 640+ test suite):
   (``dedup_minhash_portable_pairs``, ``dedup_simhash_portable_pairs``)
   that drive the same math through DuckDB.
 - ``sketch_*`` (3), ``profile_orders_columns_approx``,
-  ``pack_first_fit_bins``, ``text_tfidf_norms``,
-  ``bpe_train_merges``: approximate sketches
+  ``pack_first_fit_bins``, ``text_tfidf_norms``: approximate sketches
   (HLL/GK — engine-specific estimates; the approx profile is HLL++
   with an error bound pinned vs its exact oracled twin), inherently
-  sequential per-bucket packing, hashed TF-IDF, and the iterative
-  BPE merge loop (exact-match-tested vs a pure-Python reference) —
-  accuracy/invariant-tested (sketch error bounds, merge==whole,
-  packing never overflows).
+  sequential per-bucket packing, and murmur-hashed MLlib TF-IDF —
+  accuracy/invariant-tested (sketch error bounds, packing never
+  overflows). Since r12 the GK-quantile and TF-IDF families ALSO have
+  fully-oracled portable-md5 siblings (``quantile_sample_audit``,
+  ``text_tfidf_portable_norms``) that drive the same math through
+  DuckDB — the hll/minhash/simhash portable-sibling trade.
 """
 
 from __future__ import annotations

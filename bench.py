@@ -176,6 +176,12 @@ HEADLINE = [
     "bloom_semijoin_volume",
     "error_pchart_daily",
     "revenue_lorenz_deciles",
+    # r12 newcomers: local clustering coefficient, retrieval eval
+    # metrics, the NB PR curve, readability/lexical-diversity profile
+    "item_clustering_coefficient",
+    "retrieval_eval_mrr",
+    "ssl_pr_curve_nb",
+    "text_readability_scores",
 ]
 
 # Parked bench entries (VERDICT r11 #4): every family above keeps a

@@ -112,6 +112,55 @@ def test_tfidf_portable_norm_invariants(spark):
         assert r["tfidf_l2sq"] <= float(r["tfidf_l1_q"]) ** 2 + 1e-6
 
 
+def test_pr_curve_invariants(spark):
+    rows = sorted(
+        QUERIES["ssl_pr_curve_nb"](spark, SF_DIR).collect(),
+        key=lambda r: -r["score_q"],
+    )
+    assert len(rows) > 5
+    last_pp = 0
+    for r in rows:
+        # cumulative counts grow as the cut lowers
+        assert r["n_pred_pos"] > last_pp
+        last_pp = r["n_pred_pos"]
+        assert 0 <= r["n_true_pos"] <= r["n_pred_pos"]
+        assert 0 <= r["precision_q"] <= 1_000_000
+        assert 0 <= r["recall_q"] <= 1_000_000
+    # the lowest cut predicts everything -> recall hits 1.0 exactly
+    assert rows[-1]["recall_q"] == 1_000_000
+
+
+def test_clustering_coefficient_bounds(spark):
+    rows = QUERIES["item_clustering_coefficient"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["deg"] >= 2
+        assert 0 <= r["triangles"] <= r["deg"] * (r["deg"] - 1) // 2
+        assert 0 <= r["clustering_q"] <= 1_000_000
+
+
+def test_retrieval_eval_invariants(spark):
+    rows = QUERIES["retrieval_eval_mrr"](spark, SF_DIR).collect()
+    assert len(rows) == 3  # the standard 3-query workload
+    for r in rows:
+        if r["n_relevant"] == 0:
+            assert r["rr_q"] == 0 and r["recall10_q"] == 0
+        else:
+            assert r["first_rank"] >= 1
+            assert r["rr_q"] == 1_000_000 // r["first_rank"]
+            assert 0 <= r["recall10_q"] <= 1_000_000
+
+
+def test_readability_profile_bounds(spark):
+    rows = QUERIES["text_readability_scores"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["ttr_q"] <= 1_000_000
+        # a word has at least one char and chars >= vowel groups
+        assert r["chars_per_word_q"] >= 1_000
+        assert 0 < r["syll_per_word_q"] <= r["chars_per_word_q"]
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 def test_dsir_ln_quantization_boundary_margin(sf):
     from tfm_semisup_spark.queries.data_selection import (

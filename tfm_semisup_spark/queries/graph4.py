@@ -390,3 +390,99 @@ def part_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (r12)
+# ---------------------------------------------------------------------------
+#
+# The node-level density readout completing the triangle family:
+# C_u = 2·T_u / (deg_u · (deg_u − 1)) where T_u counts edges between
+# u's neighbors (Watts & Strogatz 1998). item_triangle_counts reports
+# the graph's oriented triangles; this reports per-node coefficients —
+# the feature link-prediction/community work consumes.
+#
+# Exact BIGINT end-to-end: T_u and deg_u are counts, and the
+# coefficient quantizes as (2·T·10⁶) // (deg·(deg−1)) — integer floor
+# division on both engines, no doubles anywhere.
+#
+# 100 TB shape: the neighbor-pair fan-out is the triangle query's
+# bounded wedge join (Σ deg(u)² over COOC_CAP-capped engagement sets);
+# the closing-edge probe is an equi-join against the oriented edge
+# list (item_a < item_b matches x < y by construction). At web scale
+# the same degree-orientation trick noted on the triangle query
+# applies. Shares _EDGE_CTES / _cooc_pairs with the whole graph
+# family — the edge derivation exists once.
+
+_CC_SCALE = 1_000_000
+_CC_TOP = 15
+
+CLUSTERING_ORACLE = f"""
+WITH {_EDGE_CTES},
+deg AS (SELECT u, COUNT(*)::BIGINT AS deg FROM adj GROUP BY u),
+nbr_pairs AS (
+  SELECT a1.u AS u, a1.v AS x, a2.v AS y
+  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+),
+tri AS (
+  SELECT p.u, COUNT(*)::BIGINT AS t
+  FROM nbr_pairs p JOIN edges e ON e.item_a = p.x AND e.item_b = p.y
+  GROUP BY p.u
+)
+SELECT d.u AS item, d.deg,
+       COALESCE(t.t, 0)::BIGINT AS triangles,
+       CAST((2 * COALESCE(t.t, 0) * {_CC_SCALE})
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS clustering_q
+FROM deg d LEFT JOIN tri t ON d.u = t.u
+WHERE d.deg >= 2
+ORDER BY d.deg DESC, item
+LIMIT {_CC_TOP}
+"""
+
+
+@register("item_clustering_coefficient", CLUSTERING_ORACLE)
+def item_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_CC_TOP} highest-degree items with their local clustering
+    coefficients: (item, deg, triangles, clustering_q) — exact BIGINT
+    wedge/closing-edge counting, coefficient quantized at 10^6."""
+    edges = (
+        _cooc_pairs(spark, sf_dir)
+        .where(F.col("n_users") >= LP_MIN_USERS)
+        .select("item_a", "item_b")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    adj = edges.select(
+        F.col("item_a").alias("u"), F.col("item_b").alias("v")
+    ).unionAll(
+        edges.select(F.col("item_b").alias("u"), F.col("item_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    a1 = adj.select("u", F.col("v").alias("x"))
+    a2 = adj.select(F.col("u").alias("u2"), F.col("v").alias("y"))
+    nbr_pairs = a1.join(a2, F.col("u") == F.col("u2")).where(
+        F.col("x") < F.col("y")
+    )
+    closing = edges.select(
+        F.col("item_a").alias("x"), F.col("item_b").alias("y")
+    )
+    tri = (
+        nbr_pairs.join(closing, ["x", "y"])
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    out = (
+        deg.join(tri, "u", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            F.col("u").alias("item"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr(
+                f"(2 * coalesce(t, 0) * {_CC_SCALE})"
+                " div (deg * (deg - 1))"
+            )
+            .cast("bigint")
+            .alias("clustering_q"),
+        )
+    )
+    return out.orderBy(F.col("deg").desc(), "item").limit(_CC_TOP)

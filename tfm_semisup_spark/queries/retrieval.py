@@ -348,3 +348,140 @@ def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") >= 0)
         .orderBy("edit_dist", "id1", "id2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation metrics: MRR + recall@10 (r12)
+# ---------------------------------------------------------------------------
+#
+# The offline eval-harness shape every retrieval deployment runs
+# nightly: a query workload, a qrels relation, a system ranking, and
+# rank metrics. Here both sides are derived so the whole job is
+# oracle-checkable with EXACT integers:
+#
+# - qrels: relevant(q, d) iff d contains ALL of q's terms (conjunctive
+#   boolean relevance — the text_boolean_retrieval semantics);
+# - system: rank candidate docs (matching ANY term) by total matched
+#   term frequency (tf_sum DESC, doc_id) — the IDF-free lexical
+#   baseline; integer keys give a total order, so ranks are identical
+#   on both engines (no BM25 ln in the metric path);
+# - metrics per query: n_relevant, first_rank, RR = 10⁶ // first_rank,
+#   recall@10 = 10⁶ · |relevant ∩ top-10| // n_relevant — all integer
+#   floor arithmetic, empty-qrels queries pinned to 0.
+#
+# 100 TB shape: candidates are term-posting-bounded (the workload's
+# terms only), the per-query rank window partitions by query_id over
+# those bounded candidate sets, and qrels derive from the same matched
+# relation — one corpus tokenize feeds everything.
+
+_EVAL_RR_SCALE = 1_000_000
+_EVAL_K = 10
+
+_EVAL_Q_VALUES = ",".join(f"('{q}','{t}')" for q, t in _WORKLOAD_QUERIES)
+
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY doc_id, term
+),
+q(query_id, term) AS (VALUES {_EVAL_Q_VALUES}),
+qn AS (SELECT query_id, COUNT(*)::BIGINT AS n_terms FROM q GROUP BY query_id),
+matched AS (
+  SELECT q.query_id, tf.doc_id, SUM(tf.c)::BIGINT AS tf_sum,
+         COUNT(*)::BIGINT AS n_matched_terms
+  FROM tf JOIN q ON tf.term = q.term
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_matched_terms,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY tf_sum DESC, doc_id) AS rnk
+  FROM matched
+),
+rel AS (
+  SELECT r.query_id, r.doc_id, r.rnk
+  FROM ranked r JOIN qn ON r.query_id = qn.query_id
+  WHERE r.n_matched_terms = qn.n_terms
+)
+SELECT qn.query_id,
+       COUNT(r.doc_id)::BIGINT AS n_relevant,
+       COALESCE(MIN(r.rnk), 0)::BIGINT AS first_rank,
+       (CASE WHEN COUNT(r.doc_id) = 0 THEN 0
+             ELSE {_EVAL_RR_SCALE} // MIN(r.rnk) END)::BIGINT AS rr_q,
+       (CASE WHEN COUNT(r.doc_id) = 0 THEN 0
+             ELSE (SUM(CASE WHEN r.rnk <= {_EVAL_K} THEN 1 ELSE 0 END)
+                   * {_EVAL_RR_SCALE}) // COUNT(r.doc_id) END)::BIGINT
+         AS recall10_q
+FROM qn LEFT JOIN rel r ON qn.query_id = r.query_id
+GROUP BY qn.query_id
+"""
+
+
+@register("retrieval_eval_mrr", RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval eval over the standard workload: (query_id,
+    n_relevant, first_rank, rr_q, recall10_q) — conjunctive-boolean
+    qrels vs the exact-integer TF ranking, MRR/recall@10 as integer
+    floor arithmetic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    qdf = spark.createDataFrame(
+        list(_WORKLOAD_QUERIES), "query_id string, term string"
+    )
+    qn = qdf.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )
+    matched = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").alias("tf_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_sum").desc(), "doc_id"
+    )
+    ranked = matched.withColumn("rnk", F.row_number().over(w))
+    rel = ranked.join(F.broadcast(qn), "query_id").where(
+        F.col("n_matched_terms") == F.col("n_terms")
+    )
+    agg = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant"),
+        F.min("rnk").cast("bigint").alias("first_rank"),
+        F.sum(F.when(F.col("rnk") <= _EVAL_K, 1).otherwise(0)).alias("hits10"),
+    )
+    return (
+        qn.join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("bigint")
+            .alias("n_relevant"),
+            F.coalesce(F.col("first_rank"), F.lit(0))
+            .cast("bigint")
+            .alias("first_rank"),
+            F.when(F.coalesce(F.col("n_relevant"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr(f"{_EVAL_RR_SCALE} div first_rank"))
+            .cast("bigint")
+            .alias("rr_q"),
+            F.when(F.coalesce(F.col("n_relevant"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr(f"(hits10 * {_EVAL_RR_SCALE}) div n_relevant")
+            )
+            .cast("bigint")
+            .alias("recall10_q"),
+        )
+    )

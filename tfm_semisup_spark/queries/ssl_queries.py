@@ -2362,13 +2362,11 @@ def ssl_cotrain_two_round_threshold(
 # b + c = 0 degenerate case is pinned to 0.0 on both engines.
 
 
-def _paired_decided_sql() -> str:
-    """Shared CTE chain producing ``decided(o_orderstatus, pred_a,
-    pred_b)`` — the paired-prediction table of the two-feature NB
-    (model A) vs its f1-only ablation (model B) on the shared
-    unlabeled pool. ONE builder consumed by BOTH the McNemar and the
-    kappa oracles (ADVICE r11: the two copies could drift if one's
-    smoothing or tie-break were later edited)."""
+def _nb2_scored_sql() -> str:
+    """Shared CTE chain ``base .. scored`` building the two-feature NB
+    (model A: a_c/b_c cross-multiply terms) and its f1-only ablation
+    (model B: sa_c/sb_c) over the shared unlabeled pool — consumed by
+    the paired-decided builder below AND the PR-curve entry."""
     cls = ["F", "O", "P"]
     n1 = ", ".join(
         f"SUM(CASE WHEN o_orderstatus = '{c}' THEN 1 ELSE 0 END)::HUGEINT"
@@ -2411,7 +2409,17 @@ scored AS (
   LEFT JOIN lik1 ON u.f1 = lik1.f1
   LEFT JOIN lik2 ON u.f2 = lik2.f2
   CROSS JOIN prior
-),
+)"""
+
+
+def _paired_decided_sql() -> str:
+    """Shared CTE chain producing ``decided(o_orderstatus, pred_a,
+    pred_b)`` — the paired-prediction table of the two-feature NB
+    (model A) vs its f1-only ablation (model B) on the shared
+    unlabeled pool. ONE builder consumed by BOTH the McNemar and the
+    kappa oracles (ADVICE r11: the two copies could drift if one's
+    smoothing or tie-break were later edited)."""
+    return f"""{_nb2_scored_sql()},
 decided AS (
   SELECT o_orderstatus,
          CASE WHEN a_F * b_O * b_P >= a_O * b_F * b_P
@@ -2426,10 +2434,9 @@ decided AS (
 )"""
 
 
-def _paired_decided_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_paired_decided_sql``: the decided
-    (o_orderstatus, pred_a, pred_b) DataFrame consumed by both
-    ``ssl_mcnemar_feature_ablation`` and ``ssl_kappa_agreement``."""
+def _nb2_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_nb2_scored_sql``: the scored pool with model
+    A's a_c/b_c and model B's sa_c/sb_c cross-multiply terms."""
     labeled, pool = _nb1_base(spark, sf_dir)
     cls = ["F", "O", "P"]
 
@@ -2467,21 +2474,30 @@ def _paired_decided_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn(f"sb_{c}", F.col(f"n_{c}") + _ST1_V1)
         )
+    return scored
 
-    def _argmax(pa: str, pb: str):
-        tf = F.col(f"{pa}F") * F.col(f"{pb}O") * F.col(f"{pb}P")
-        to = F.col(f"{pa}O") * F.col(f"{pb}F") * F.col(f"{pb}P")
-        tp = F.col(f"{pa}P") * F.col(f"{pb}F") * F.col(f"{pb}O")
-        return (
-            F.when((tf >= to) & (tf >= tp), "F")
-            .when(to >= tp, "O")
-            .otherwise("P")
-        )
 
-    return scored.select(
+def _nb2_argmax(pa: str, pb: str):
+    """Argmax class by the cross-multiplied exact-integer compare over
+    the ``{pa}{c}`` / ``{pb}{c}`` term columns."""
+    tf = F.col(f"{pa}F") * F.col(f"{pb}O") * F.col(f"{pb}P")
+    to = F.col(f"{pa}O") * F.col(f"{pb}F") * F.col(f"{pb}P")
+    tp = F.col(f"{pa}P") * F.col(f"{pb}F") * F.col(f"{pb}O")
+    return (
+        F.when((tf >= to) & (tf >= tp), "F")
+        .when(to >= tp, "O")
+        .otherwise("P")
+    )
+
+
+def _paired_decided_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_paired_decided_sql``: the decided
+    (o_orderstatus, pred_a, pred_b) DataFrame consumed by both
+    ``ssl_mcnemar_feature_ablation`` and ``ssl_kappa_agreement``."""
+    return _nb2_scored_df(spark, sf_dir).select(
         "o_orderstatus",
-        _argmax("a_", "b_").alias("pred_a"),
-        _argmax("sa_", "sb_").alias("pred_b"),
+        _nb2_argmax("a_", "b_").alias("pred_a"),
+        _nb2_argmax("sa_", "sb_").alias("pred_b"),
     )
 
 
@@ -2868,4 +2884,106 @@ def ssl_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - rowcol).cast("double"),
             6,
         ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall curve of the NB scorer (r12)
+# ---------------------------------------------------------------------------
+#
+# The threshold-sweep eval readout next to the calibration deciles and
+# the paired tests: treating class 'F' as positive, sweep every
+# DISTINCT quantized posterior cut and report the confusion counts at
+# each operating point. The score grid is bounded by the feature
+# cardinality (|f1| x |f2| combinations), so the curve is a counted-
+# grid window cumsum — never a per-row global sort (the
+# revenue_lorenz_deciles discipline). All arithmetic exact integers:
+# score_q = t_F·10¹² // Σt (the _ct2_conf floor-division pattern),
+# precision/recall = 10⁶-scaled integer floor divisions.
+
+_PR_SCALE = 1_000_000
+_PR_SCORE_SCALE = 1_000_000_000_000
+
+
+def _pr_curve_oracle() -> str:
+    return f"""
+WITH {_nb2_scored_sql()},
+probs AS (
+  SELECT o_orderstatus,
+         ((a_F * b_O * b_P) * {_PR_SCORE_SCALE})
+           // (a_F * b_O * b_P + a_O * b_F * b_P + a_P * b_F * b_O)
+           AS score_q
+  FROM scored
+),
+grid AS (
+  SELECT score_q, COUNT(*)::HUGEINT AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::HUGEINT
+           AS npos
+  FROM probs GROUP BY score_q
+),
+tot AS (SELECT SUM(npos)::HUGEINT AS p FROM grid),
+cum AS (
+  SELECT score_q,
+         SUM(n) OVER (ORDER BY score_q DESC) AS pp,
+         SUM(npos) OVER (ORDER BY score_q DESC) AS tp
+  FROM grid
+)
+SELECT CAST(score_q AS BIGINT) AS score_q,
+       CAST(pp AS BIGINT) AS n_pred_pos,
+       CAST(tp AS BIGINT) AS n_true_pos,
+       CAST((tp * {_PR_SCALE}) // pp AS BIGINT) AS precision_q,
+       CAST(CASE WHEN t.p = 0 THEN 0
+                 ELSE (tp * {_PR_SCALE}) // t.p END AS BIGINT) AS recall_q
+FROM cum CROSS JOIN tot t
+ORDER BY score_q DESC
+"""
+
+
+@register("ssl_pr_curve_nb", _pr_curve_oracle())
+def ssl_pr_curve_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall operating points of the two-feature NB for
+    class 'F', one row per distinct quantized score cut: (score_q,
+    n_pred_pos, n_true_pos, precision_q, recall_q)."""
+    from pyspark.sql import Window
+
+    scored = _nb2_scored_df(spark, sf_dir)
+    t_f = F.col("a_F") * F.col("b_O") * F.col("b_P")
+    t_o = F.col("a_O") * F.col("b_F") * F.col("b_P")
+    t_p = F.col("a_P") * F.col("b_F") * F.col("b_O")
+    num = t_f * F.lit(_PR_SCORE_SCALE)
+    den = t_f + t_o + t_p
+    probs = scored.select(
+        "o_orderstatus",
+        ((num - F.pmod(num, den)) / den)
+        .cast("decimal(38,0)")
+        .alias("score_q"),
+    )
+    grid = probs.groupBy("score_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("npos"),
+    )
+    w = Window.orderBy(F.col("score_q").desc())
+    cum = grid.select(
+        "score_q",
+        F.sum("n").over(w).alias("pp"),
+        F.sum("npos").over(w).alias("tp"),
+    )
+    tot = grid.agg(F.sum("npos").cast("bigint").alias("p"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score_q").cast("bigint").alias("score_q"),
+            F.col("pp").cast("bigint").alias("n_pred_pos"),
+            F.col("tp").cast("bigint").alias("n_true_pos"),
+            F.expr(f"(tp * {_PR_SCALE}) div pp").cast("bigint").alias(
+                "precision_q"
+            ),
+            F.when(F.col("p") == 0, F.lit(0))
+            .otherwise(F.expr(f"(tp * {_PR_SCALE}) div p"))
+            .cast("bigint")
+            .alias("recall_q"),
+        )
+        .orderBy(F.col("score_q").desc())
     )

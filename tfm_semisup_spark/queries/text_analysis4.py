@@ -128,3 +128,117 @@ def text_collocation_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_G2_TOP)
         .select("w1", "w2", F.col("a").cast("bigint").alias("n"), "g2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability + lexical-diversity profile per language (r12)
+# ---------------------------------------------------------------------------
+#
+# The corpus quality-scoring signals a readability gate consumes
+# (Flesch-family components + type-token ratio), computed with EXACT
+# integer arithmetic only — no formula's magic constants, just the
+# quantized component ratios a downstream gate would threshold:
+#
+# - words_per_doc_q  = 10³ · Σtokens // n_docs
+# - chars_per_word_q = 10³ · Σchars(token) // Σtokens
+# - syll_per_word_q  = 10³ · Σvowel_groups // Σtokens (the classic
+#   maximal-[aeiouy]+-run syllable estimate; a fixed character-class
+#   regex behaves identically in Java regex and RE2)
+# - ttr_q            = 10⁶ · |vocab| // Σtokens (type-token ratio)
+#
+# 100 TB shape: one tokenize feeding two aggregates — a per-lang sum
+# pass and a per-lang distinct-term count (the wordcount shuffle).
+# Everything downstream is a 2-row grid.
+
+_READ_SCALE = 1_000
+
+READABILITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+per_tok AS (
+  SELECT lang, term, LENGTH(term)::BIGINT AS n_chars,
+         len(regexp_extract_all(lower(term), '[aeiouy]+'))::BIGINT AS n_syll
+  FROM toks
+),
+sums AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_tokens,
+         SUM(n_chars)::BIGINT AS sum_chars,
+         SUM(n_syll)::BIGINT AS sum_syll
+  FROM per_tok GROUP BY lang
+),
+vocab AS (
+  SELECT lang, COUNT(DISTINCT term)::BIGINT AS n_vocab FROM per_tok
+  GROUP BY lang
+),
+docs_n AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+)
+SELECT s.lang, d.n_docs, s.n_tokens, v.n_vocab,
+       (s.n_tokens * {_READ_SCALE}) // d.n_docs AS words_per_doc_q,
+       (s.sum_chars * {_READ_SCALE}) // s.n_tokens AS chars_per_word_q,
+       (s.sum_syll * {_READ_SCALE}) // s.n_tokens AS syll_per_word_q,
+       (v.n_vocab * 1000000) // s.n_tokens AS ttr_q
+FROM sums s
+JOIN vocab v ON s.lang = v.lang
+JOIN docs_n d ON s.lang = d.lang
+"""
+
+
+@register("text_readability_scores", READABILITY_ORACLE)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability / lexical-diversity profile: (lang,
+    n_docs, n_tokens, n_vocab, words_per_doc_q, chars_per_word_q,
+    syll_per_word_q, ttr_q) — exact integer component ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    per_tok = toks.select(
+        "lang",
+        "term",
+        F.length("term").cast("bigint").alias("n_chars"),
+        F.size(
+            F.expr("regexp_extract_all(lower(term), '[aeiouy]+', 0)")
+        )
+        .cast("bigint")
+        .alias("n_syll"),
+    )
+    sums = per_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("n_syll").cast("bigint").alias("sum_syll"),
+    )
+    vocab = per_tok.groupBy("lang").agg(
+        F.countDistinct("term").cast("bigint").alias("n_vocab")
+    )
+    docs_n = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        sums.join(vocab, "lang")
+        .join(docs_n, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            F.expr(f"(n_tokens * {_READ_SCALE}) div n_docs")
+            .cast("bigint")
+            .alias("words_per_doc_q"),
+            F.expr(f"(sum_chars * {_READ_SCALE}) div n_tokens")
+            .cast("bigint")
+            .alias("chars_per_word_q"),
+            F.expr(f"(sum_syll * {_READ_SCALE}) div n_tokens")
+            .cast("bigint")
+            .alias("syll_per_word_q"),
+            F.expr("(n_vocab * 1000000) div n_tokens")
+            .cast("bigint")
+            .alias("ttr_q"),
+        )
+    )
