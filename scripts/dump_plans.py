@@ -392,6 +392,34 @@ PICKS = {
         "doc scores are one integer aggregate — corpus text never "
         "joins corpus text"
     ),
+    "q11_top_value_parts": (
+        "Q11 nonzero variant: two-level supply aggregate keyed on "
+        "partkey, one-row broadcast total cross-joined in, exact "
+        "DECIMAL compare — no fact-table rescan for the scalar"
+    ),
+    "ssl_cotrain_two_round_threshold": (
+        "threshold co-training: NB fits are broadcast aggregates, the "
+        "promotion flag is a stateless filter (no boundary collects), "
+        "round-2 pool is one o_orderkey semi-join, summaries are "
+        "bounded groupBys over checkpointed scored pools"
+    ),
+    "item_clustering_coefficient": (
+        "clustering coefficient: checkpointed edge list feeds the "
+        "wedge self-join and the closing-edge equi-join probe; "
+        "per-node counts + integer coefficient, top-k is "
+        "TakeOrderedAndProject"
+    ),
+    "retrieval_eval_mrr": (
+        "retrieval eval: workload terms broadcast into the postings "
+        "(candidates term-bounded), per-query rank window over the "
+        "bounded candidate sets, qrels derived from the same matched "
+        "relation — one tokenize feeds everything"
+    ),
+    "text_tfidf_portable_norms": (
+        "portable TF-IDF: two hash-keyed aggregates (doc x bucket, "
+        "bucket) + a broadcast join against the <= 512-row DF table; "
+        "norms are integer sums — text never joins"
+    ),
 }
 
 

@@ -2898,11 +2898,20 @@ def ssl_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cardinality (|f1| x |f2| combinations), so the curve is a counted-
 # grid window cumsum — never a per-row global sort (the
 # revenue_lorenz_deciles discipline). All arithmetic exact integers:
-# score_q = t_F·10¹² // Σt (the _ct2_conf floor-division pattern),
+# score_q = t_F·10⁴ // Σt (the _ct2_conf floor-division pattern),
 # precision/recall = 10⁶-scaled integer floor divisions.
+#
+# Score-scale budget: the TWO-feature model's t terms are ~n⁷ (a_c is
+# a triple product of counts, b_c a double product) — measured
+# ~1.5e26 at sf0.1, so a 10¹² scale overflows DECIMAL(38,0) there
+# (the first cut did exactly that; sf0.001/sf0.01 gates passed and
+# the sf0.1 bench caught it). 10⁴ keeps t·scale < 10³⁸ through sf1
+# (~1.5e37) at curve resolution 1e-4 — distinct feature combos whose
+# posteriors collide at 4 digits merge into one operating point,
+# identically on both engines.
 
 _PR_SCALE = 1_000_000
-_PR_SCORE_SCALE = 1_000_000_000_000
+_PR_SCORE_SCALE = 10_000
 
 
 def _pr_curve_oracle() -> str:
