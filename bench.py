@@ -226,13 +226,17 @@ PARKED = [
     "item_bfs_hop_distance",
     "part_degree_assortativity",
     "part_brand_assortativity",
-    # stats siblings (competing-risks/theilsen/mann-kendall represent)
+    # stats siblings (competing-risks/theilsen/mann-kendall represent;
+    # the r12-born Wilson interval and runs test join here directly —
+    # the inference family already holds 5 headline representatives)
     "robust_outlier_mad",
     "spearman_qty_disc",
     "kaplan_meier_conversion",
     "logrank_conversion_ab",
     "rmst_conversion_ab",
     "kruskal_wallis_qty_flag",
+    "conversion_wilson_bounds",
+    "runs_test_daily_revenue",
     # single-pass aggregate siblings
     "embedding_covariance_slice",
     "basket_part_lift",

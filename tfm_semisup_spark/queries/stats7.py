@@ -297,3 +297,228 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for conversion rates (r12)
+# ---------------------------------------------------------------------------
+#
+# The interval readout next to the two-proportion z-test: per market
+# segment, the share of customers who ever placed an URGENT order,
+# with the Wilson (1927) 95% score interval — the small-n-safe
+# interval a dashboards tier ships (normal-approximation intervals go
+# negative near 0).
+#
+# Arithmetic parity: successes/trials are exact integers; the interval
+# uses only +, −, ×, ÷, sqrt over doubles derived from those integers
+# and the literal z = 1.96 — every op IEEE correctly rounded, so the
+# pre-round doubles are bit-identical cross-engine (the
+# domain_temperature_sample pattern; no pow(), no ln()). DuckDB
+# parses bare decimals as DECIMAL, so the oracle CASTs every literal
+# to DOUBLE (verify-skill rule).
+
+_WILSON_Z = "CAST(1.96 AS DOUBLE)"
+
+WILSON_ORACLE = f"""
+WITH conv AS (
+  SELECT c.c_mktsegment,
+         COUNT(*)::BIGINT AS n_trials,
+         SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')
+             THEN 1 ELSE 0 END)::BIGINT AS n_success
+  FROM customer c GROUP BY c.c_mktsegment
+),
+w AS (
+  SELECT c_mktsegment, n_trials, n_success,
+         CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE) AS p,
+         {_WILSON_Z} * {_WILSON_Z} / CAST(n_trials AS DOUBLE) AS zz
+  FROM conv
+)
+SELECT c_mktsegment, n_trials, n_success,
+       ROUND(p, 6) AS p_hat,
+       ROUND((p + zz / CAST(2 AS DOUBLE)
+              - {_WILSON_Z} * sqrt(p * (CAST(1 AS DOUBLE) - p)
+                                   / CAST(n_trials AS DOUBLE)
+                                   + zz * zz / CAST(4 AS DOUBLE)
+                                     / ({_WILSON_Z} * {_WILSON_Z})))
+             / (CAST(1 AS DOUBLE) + zz), 6) AS wilson_lo,
+       ROUND((p + zz / CAST(2 AS DOUBLE)
+              + {_WILSON_Z} * sqrt(p * (CAST(1 AS DOUBLE) - p)
+                                   / CAST(n_trials AS DOUBLE)
+                                   + zz * zz / CAST(4 AS DOUBLE)
+                                     / ({_WILSON_Z} * {_WILSON_Z})))
+             / (CAST(1 AS DOUBLE) + zz), 6) AS wilson_hi
+FROM w
+"""
+
+
+@register("conversion_wilson_bounds", WILSON_ORACLE)
+def conversion_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment urgent-order conversion with Wilson 95% score
+    bounds: (c_mktsegment, n_trials, n_success, p_hat, wilson_lo,
+    wilson_hi). One semi-join-shaped conditional aggregate; the
+    interval math runs on the 5-row segment grid."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    flagged = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        "c_mktsegment",
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("s"),
+    )
+    conv = flagged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.sum("s").cast("bigint").alias("n_success"),
+    )
+    z = F.lit(1.96)
+    n = F.col("n_trials").cast("double")
+    p = F.col("n_success").cast("double") / n
+    zz = z * z / n
+    rad = z * F.sqrt(p * (F.lit(1.0) - p) / n + zz * zz / F.lit(4.0) / (z * z))
+    return conv.select(
+        "c_mktsegment",
+        "n_trials",
+        "n_success",
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + zz / F.lit(2.0) - rad) / (F.lit(1.0) + zz), 6).alias(
+            "wilson_lo"
+        ),
+        F.round((p + zz / F.lit(2.0) + rad) / (F.lit(1.0) + zz), 6).alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily revenue (r12)
+# ---------------------------------------------------------------------------
+#
+# The randomness screen next to CUSUM and Mann-Kendall: is the daily
+# revenue's above/below-median sign sequence random, or does it carry
+# momentum (fewer runs) / alternation (more runs)? Classic runs test:
+# R = observed runs, mu = 1 + 2·n1·n2/n, sigma² =
+# 2n1n2(2n1n2 − n)/(n²(n−1)), z = (R − mu)/sigma.
+#
+# Determinism: the median is POSITIONAL (value at rank (n+1)//2 under
+# the (value, day) total order — selection, not arithmetic);
+# equal-to-median days drop (the textbook treatment); runs come from
+# one LAG over the bounded day grid; mu/sigma are built from exact
+# integers through correctly-rounded double ops only (one sqrt), so
+# round-6 is ULP-safe.
+
+RUNS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY day
+),
+ranked AS (
+  SELECT day, rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c, day) AS rk,
+         COUNT(*) OVER () AS n
+  FROM daily
+),
+med AS (SELECT rev_c AS med_c FROM ranked WHERE rk = (n + 1) // 2),
+signs AS (
+  SELECT day, CASE WHEN rev_c > med_c THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med
+  WHERE rev_c <> med_c
+),
+runs AS (
+  SELECT s,
+         CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+               OR LAG(s) OVER (ORDER BY day) <> s THEN 1 ELSE 0 END AS brk
+  FROM signs
+),
+agg AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(s)::BIGINT AS n1,
+         (COUNT(*) - SUM(s))::BIGINT AS n2,
+         SUM(brk)::BIGINT AS n_runs
+  FROM runs
+)
+SELECT n, n1, n2, n_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (CAST(1 AS DOUBLE)
+                 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+             / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                    * CAST(2 * n1 * n2 - n AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE))), 6) AS z_runs
+FROM agg
+"""
+
+
+@register("runs_test_daily_revenue", RUNS_ORACLE)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test over the daily-revenue sign sequence:
+    one row (n, n1, n2, n_runs, z_runs). Day grid is calendar-bounded;
+    the only fact-scale work is the daily integer-cents aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    w = Window.orderBy("rev_c", "day")
+    ranked = daily.select(
+        "rev_c",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rk") == (F.col("n") + 1 - F.pmod(F.col("n") + 1, 2)) / 2
+    ).select(F.col("rev_c").alias("med_c"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rev_c") != F.col("med_c"))
+        .select(
+            "day",
+            F.when(F.col("rev_c") > F.col("med_c"), 1).otherwise(0).alias("s"),
+        )
+    )
+    lagw = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(lagw).isNull()
+            | (F.lag("s").over(lagw) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n2"),
+        F.sum("brk").cast("bigint").alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    tnn = (F.lit(2) * F.col("n1") * F.col("n2")).cast("double")
+    mu = F.lit(1.0) + tnn / n
+    sigma = F.sqrt(
+        tnn
+        * (F.lit(2) * F.col("n1") * F.col("n2") - F.col("n")).cast("double")
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return agg.select(
+        "n",
+        "n1",
+        "n2",
+        "n_runs",
+        F.round((F.col("n_runs").cast("double") - mu) / sigma, 6).alias(
+            "z_runs"
+        ),
+    )
