@@ -237,6 +237,8 @@ PARKED = [
     "kruskal_wallis_qty_flag",
     "conversion_wilson_bounds",
     "runs_test_daily_revenue",
+    # data-quality sibling (constraint/referential audits family)
+    "fd_violation_audit",
     # single-pass aggregate siblings
     "embedding_covariance_slice",
     "basket_part_lift",

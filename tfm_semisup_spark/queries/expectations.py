@@ -688,3 +688,84 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("t_closeness_ppm").desc(), "qi_priority", "qi_month"
     ).limit(_TCLOSE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation audit (r12)
+# ---------------------------------------------------------------------------
+#
+# The FD-profiling member of the Deequ-style expectation family: for
+# each candidate dependency A -> B, how many A-groups map to more than
+# one distinct B (and how badly)? The schema-inference/data-contract
+# readout next to the constraint and referential-integrity audits.
+# One row per candidate: (fd, n_groups, n_violating, max_distinct_rhs,
+# violation_share_q) — all exact integer counting; the share is a
+# 10⁶-scaled floor division.
+#
+# Candidates span both polarity cases: o_orderkey -> o_custkey is a
+# true key dependency (0 violations — pins the negative case), the
+# other three are genuinely violated on this data.
+#
+# 100 TB shape: one (A)-keyed countDistinct aggregate per candidate —
+# the wordcount shuffle — then 1-row summaries unioned on a bounded
+# grid.
+
+_FD_CANDIDATES = [
+    # (name, table, lhs, rhs)
+    ("orderkey->custkey", "orders", "o_orderkey", "o_custkey"),
+    ("custkey->priority", "orders", "o_custkey", "o_orderpriority"),
+    ("l_orderkey->suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("l_partkey->suppkey", "lineitem", "l_partkey", "l_suppkey"),
+]
+
+
+def _fd_one_sql(name: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""SELECT '{name}' AS fd,
+       COUNT(*)::BIGINT AS n_groups,
+       SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+       MAX(nd)::BIGINT AS max_distinct_rhs,
+       (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*))::BIGINT AS violation_share_q
+FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd FROM {table} GROUP BY {lhs})"""
+
+
+FD_ORACLE = "\nUNION ALL\n".join(
+    _fd_one_sql(*cand) for cand in _FD_CANDIDATES
+)
+
+
+@register("fd_violation_audit", FD_ORACLE)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency audit: (fd, n_groups,
+    n_violating, max_distinct_rhs, violation_share_q) for four
+    candidate A -> B dependencies over orders/lineitem."""
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    parts = []
+    for name, table, lhs, rhs in _FD_CANDIDATES:
+        grouped = tables[table].groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("nd")
+        )
+        parts.append(
+            grouped.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("nd").cast("bigint").alias("max_distinct_rhs"),
+            ).select(
+                F.lit(name).alias("fd"),
+                "n_groups",
+                "n_violating",
+                "max_distinct_rhs",
+                F.expr("(n_violating * 1000000) div n_groups")
+                .cast("bigint")
+                .alias("violation_share_q"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
