@@ -417,8 +417,15 @@ def main() -> None:
             gc.collect()
             spark._jvm.System.gc()
 
+    for _ in range(3):
+        measure_calibration(spark, calib_samples)
+
     # optional FULL sweep (one untimed-protocol pass over the parked
-    # siblings — single sample each, spread-file only, never stdout)
+    # siblings — single sample each, spread-file only, never stdout).
+    # Runs AFTER the closing calibration samples (ADVICE r12): a GC or
+    # contention episode caused by the sweep itself must not trip
+    # calib_contaminated for a run whose timed headline region was
+    # clean — the contamination flag brackets only the timed region.
     parked_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
         for name in PARKED:
@@ -429,9 +436,34 @@ def main() -> None:
             spark.catalog.clearCache()
             gc.collect()
             spark._jvm.System.gc()
+        # Round-stamped full-sweep artifact (VERDICT r12 #4): parked
+        # queries keep a regression trail even though they left the
+        # stdout headline. Freshness rule (SCALE.md): a full sweep at
+        # least every 2 rounds, pinned by
+        # tests/test_bench_full_freshness.py.
+        from tfm_semisup_spark.queries import driver_facts
 
-    for _ in range(3):
-        measure_calibration(spark, calib_samples)
+        rnd = driver_facts()[0]
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_full_r{rnd:02d}.json",
+        )
+        tmp_full = full_path + ".tmp"
+        with open(tmp_full, "w") as f:
+            json.dump(
+                {
+                    "round": rnd,
+                    "sf": sf,
+                    "parked": parked_timings,
+                    "headline_median": {
+                        n: round(statistics.median(s), 3)
+                        for n, s in samples.items()
+                    },
+                },
+                f,
+            )
+            f.write("\n")
+        os.replace(tmp_full, full_path)
     # episode-aware triple (VERDICT r11 #3): min/median/max over the 6
     # bracketing samples — a single severe contention episode moves the
     # max even when the median stays nominal

@@ -6,8 +6,9 @@ both rounds' stdout payloads,
 
     normalized_ratio(q) = (t_q^new / t_q^old) / (calib^new / calib^old)
 
-using ``spark_range_agg_sec`` as the divisor (shares the JVM +
-scheduler + all-cores path with the queries). A mover is flagged
+using ``cpu_sha256_sec`` as the divisor (r13: the steadier anchor —
+in-round spread 1.17x vs spark_range_agg's 3x; the Spark anchor is
+kept for the contamination flag only). A mover is flagged
 OUT-OF-BAND only when its normalized ratio also escapes its own
 bench_spread band (min/median .. max/median of the interleaved-pass
 samples) — inside the band it's machine noise, not a plan change.
@@ -65,13 +66,22 @@ def calib_episode(payload: dict) -> list[str]:
 def compare(
     old: dict, new: dict, spread: dict | None
 ) -> tuple[list[dict], dict]:
-    cal_old = calib_median(old, "spark_range_agg_sec")
-    cal_new = calib_median(new, "spark_range_agg_sec")
+    # Normalizer = cpu_sha256_sec (VERDICT r12 #8 / watch item #2):
+    # the r12 round-over-round analysis showed spark_range_agg_sec's
+    # own in-round samples span 3x (0.088-0.259 s) — a 3x-noisy anchor
+    # cannot normalize 1.2x effects and AMPLIFIED noise into the
+    # normalized column. cpu_sha256_sec's in-round spread was 1.17x;
+    # it shares the host CPU/thermal/co-tenant state (what machine
+    # normalization is for) without the JVM scheduler jitter.
+    # spark_range_agg_sec is kept for the contamination FLAG only
+    # (calib_episode), where its JVM-path sensitivity is the point.
+    cal_old = calib_median(old, "cpu_sha256_sec")
+    cal_new = calib_median(new, "cpu_sha256_sec")
     cal_ratio = (
         cal_new / cal_old if cal_old and cal_new else 1.0
     )
-    cpu_old = calib_median(old, "cpu_sha256_sec")
-    cpu_new = calib_median(new, "cpu_sha256_sec")
+    spk_old = calib_median(old, "spark_range_agg_sec")
+    spk_new = calib_median(new, "spark_range_agg_sec")
     rows = []
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     for name in shared:
@@ -101,9 +111,9 @@ def compare(
         "shared_queries": len(shared),
         "old_total_shared": round(sum(old["queries"][n] for n in shared), 3),
         "new_total_shared": round(sum(new["queries"][n] for n in shared), 3),
-        "calib_spark_ratio": round(cal_ratio, 3),
-        "calib_cpu_ratio": (
-            round(cpu_new / cpu_old, 3) if cpu_old and cpu_new else None
+        "calib_cpu_ratio": round(cal_ratio, 3),
+        "calib_spark_ratio": (
+            round(spk_new / spk_old, 3) if spk_old and spk_new else None
         ),
         "out_of_band": [r["query"] for r in rows if r["verdict"] == "OUT"],
         "old_contaminated_anchors": calib_episode(old),

@@ -62,6 +62,7 @@ def main() -> int:
         spark.conf.set("spark.sql.codegen.fallback", "false")
 
     import __spark_entry__ as e
+    from tfm_semisup_spark.queries import VACUOUS_OK
 
     assert len(e.entry(spark).collect()) > 0, "entry() returned no rows"
 
@@ -91,6 +92,13 @@ def main() -> int:
         if name not in oracles:
             n_rows_only += 1
             print(f"rows-only: {name} ({len(srows)} rows)")
+            continue
+        # vacuity guard (VERDICT r12 #5): 0==0 rows hash-matches
+        # trivially — an empty oracled result is a failure unless the
+        # registry allowlists it with a justification + sibling
+        # (tfm_semisup_spark.queries.VACUOUS_OK).
+        if not srows and name not in VACUOUS_OK:
+            bad.append((name, "empty"))
             continue
         ddf = duck(oracles[name])
         if sorted(ddf.columns.tolist()) != cols:

@@ -52,6 +52,9 @@ def test_normalization_divides_out_machine_drift():
     rows, summary = bench_compare.compare(_old(), _new(), _spread())
     by = {r["query"]: r for r in rows}
     # raw ratio 1.25 but calib ratio 1.25 -> normalized 1.0
+    # (r13: the PRIMARY normalizer is the cpu anchor; the spark anchor
+    # is reported but only drives the contamination flag)
+    assert summary["calib_cpu_ratio"] == 1.25
     assert summary["calib_spark_ratio"] == 1.25
     assert abs(by["q_flat"]["normalized"] - 1.0) < 1e-9
     assert by["q_flat"]["verdict"] == "in-band"
@@ -79,3 +82,13 @@ def test_driver_artifact_unwrapping(tmp_path):
     p.write_text(json.dumps({"n": 12, "parsed": _old()}))
     payload = bench_compare.load_payload(str(p))
     assert payload["queries"]["q_flat"] == 2.0
+
+
+def test_episode_ratio_synced_with_bench():
+    """ADVICE r12: EPISODE_RATIO is a hand-copy of
+    bench.CALIB_EPISODE_RATIO (scripts/ stays importable standalone);
+    pin the sync so a bench change can't silently diverge compare
+    reports from the run that produced the payload."""
+    import bench
+
+    assert bench_compare.EPISODE_RATIO == bench.CALIB_EPISODE_RATIO

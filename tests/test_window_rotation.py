@@ -140,15 +140,19 @@ def test_no_oracle_staler_than_bound_and_outside_window():
 def test_edf_rotation_computation():
     """Unit-pin the EDF ordering: never-checked entries deadline at
     birth+grace, checked entries at newest_row+staleness, earliest
-    first with a name tiebreak — and the window auto-advances when the
-    facts change (the r9 red-on-arrival failure, now structural)."""
+    first; within a deadline never-checked entries precede re-checks
+    (r13 refinement — zero lifetime evidence beats a staleness
+    re-confirmation when a cohort overflows), name last — and the
+    window auto-advances when the facts change (the r9 red-on-arrival
+    failure, now structural)."""
     names = ["a_old", "b_new", "c_fresh", "d_unborn"]
     newest = {"a_old": 4, "c_fresh": 9}
     birth = {"a_old": 1, "b_new": 9, "c_fresh": 8, "d_unborn": 10}
     # deadlines at r10: a_old 4+7=11, b_new 9+2=11, c_fresh 16,
-    # d_unborn 12 -> EDF: a_old, b_new (name tiebreak), d_unborn, c_fresh
+    # d_unborn 12 -> EDF: b_new (never-checked wins the dl-11 tie),
+    # a_old, d_unborn, c_fresh
     order = rotation_order(names, newest, birth, 10)
-    assert order == ["a_old", "b_new", "d_unborn", "c_fresh"]
+    assert order == ["b_new", "a_old", "d_unborn", "c_fresh"]
     # a_old gets its row at r10 -> its deadline jumps to 17; the next
     # round's order advances WITHOUT any list surgery
     newest2 = dict(newest, a_old=10, b_new=10)

@@ -31,6 +31,32 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Oracled entries whose EMPTY result at the gate SFs (sf0.001/sf0.01)
+#: is a reviewed decision, not an oversight (VERDICT r12 #5: a 0==0
+#: hash-match is vacuous — every name here needs a justification AND a
+#: non-vacuous sibling exercising the same logic). Enforced by
+#: tests/test_oracle_parity.py::test_no_oracled_query_is_vacuous and
+#: scripts/driver_sim.py's empty-result guard.
+VACUOUS_OK: dict[str, str] = {
+    # Every synthetic customer has at least one order at every SF, so
+    # the plain NOT-EXISTS result is legitimately empty; the anti-join
+    # MEMBERSHIP logic is exercised non-vacuously by the r12 sibling
+    # anti_join_no_urgent_customers (5 rows at sf0.01).
+    "anti_join_orderless_customers": "sibling anti_join_no_urgent_customers",
+    # The synthetic corpus has zero exact duplicates below sf0.1 (8 at
+    # sf0.1), so the keeper list is legitimately empty at the gate SFs;
+    # the keeper/groupBy logic is exercised non-vacuously by
+    # dedup_planted_duplicates (planted dups, driver-green).
+    "dedup_exact_keepers": "sibling dedup_planted_duplicates",
+    # The CLASSIC Q11 fraction-of-total cutoff decays with SF by
+    # construction (part count grows while each part's share shrinks):
+    # nonzero at sf0.001, legitimately empty from sf0.01 up. Kept for
+    # the textbook scalar-subquery-HAVING semantics; nonzero membership
+    # at every SF is exercised by the r12 sibling q11_top_value_parts
+    # (1.5x-mean cutoff, 290 rows at sf0.01).
+    "q11_important_stock": "sibling q11_top_value_parts",
+}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
@@ -127,14 +153,23 @@ def rotation_order(
 ) -> list[str]:
     """Earliest-deadline-first ordering of ``names``. Pure function of
     its inputs so scripts/propose_rotation.py can simulate future
-    rounds with hypothetical ``newest`` maps."""
+    rounds with hypothetical ``newest`` maps.
+
+    Tie-break within a deadline (r13 refinement): NEVER-driver-checked
+    entries sort before staleness re-confirmations — a never-checked
+    oracle has zero lifetime driver evidence (judge-replicated only),
+    while a stale one has already proven itself; when a deadline cohort
+    overflows the window, the re-confirmation is the safer entry to
+    defer one round (r12 close: ``text_tfidf_portable_norms`` landed at
+    position 51 behind same-deadline re-checks under the plain name
+    tiebreak). Name remains the final tiebreak for determinism."""
 
     def deadline(n: str) -> int:
         if n in newest:
             return newest[n] + STALENESS_ROUNDS
         return birth.get(n, current_round) + GRACE_ROUNDS
 
-    return sorted(names, key=lambda n: (deadline(n), n))
+    return sorted(names, key=lambda n: (deadline(n), n in newest, n))
 
 
 #: full EDF ordering of every oracled entry — rebuilt by

@@ -1267,7 +1267,9 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 #
 # Revenue shipped by suppliers of ONE nation (synthetic names
-# NATION_0..24): the dimension side is
+# NATION_0..24; NATION_19 — the sf0.001 supplier table has only 10
+# rows and some nations get none, so the nation is chosen non-empty at
+# every SF, r13 vacuity audit): the dimension side is
 # ~4% selective, so ~96% of lineitem rows would shuffle only to be
 # dropped at the join. `operators/bloom_join.py` builds an 8 KiB
 # bitset from the qualifying supplier keys and probes it in a
@@ -1284,7 +1286,7 @@ SELECT n.n_name AS nation,
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE n.n_name = 'NATION_7'
+WHERE n.n_name = 'NATION_19'
 GROUP BY n.n_name
 """
 
@@ -1302,7 +1304,7 @@ def bloom_semijoin_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("cents"),
     )
     nation = load_table(spark, sf_dir, "nation").where(
-        F.col("n_name") == "NATION_7"
+        F.col("n_name") == "NATION_19"
     )
     supplier = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")

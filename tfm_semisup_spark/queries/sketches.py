@@ -118,7 +118,7 @@ WITH s AS (
 r AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rn,
+                            ORDER BY value NULLS FIRST, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS m
   FROM s
 ),
@@ -154,7 +154,12 @@ def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # ADVICE r12: NULL position is explicit on BOTH sides (Spark asc =
+    # nulls first; DuckDB default asc = NULLS LAST) so a future NULL in
+    # events.value cannot silently diverge the sampled ranks.
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     wm = Window.partitionBy("event_type")
     ranked = (
         ev.where(keep)
@@ -181,6 +186,108 @@ def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"rank_{nm}")
             for nm, _ in _QSA_RANKS
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV (bottom-k) distinct sketch — the ORACLED sibling of
+# sketch_distinct_users_by_type (r13 promotion, VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+#
+# HLL internal state can't be oracled, so this tier makes the same
+# trade as quantile_sample_audit: a deterministic sketch whose math
+# both engines reproduce bit-identically. Estimator = K-minimum-values
+# (Bar-Yossef et al. 2002): hash each user to a 48-bit integer (first
+# 12 hex chars of md5 — Spark `conv(..,16,10)` == the DuckDB
+# slice-multiply chain, parity pinned in tests/test_layout.py for the
+# 16-bit primitive and re-proven here by the driver hash itself), keep
+# the K smallest DISTINCT hashes per type, estimate
+# n ≈ (K-1)·2^48/h_K. Everything is hashing, DISTINCT and rank
+# selection — exact integers until ONE final division (identical
+# inputs → identical IEEE double on both engines). The audit column
+# n_exact makes the sketch error a driver-checked number.
+#
+# Scale: per-type state is K values (mergeable: union the bottom-k
+# sets, re-take bottom-k) — the production path groups ANY cardinality
+# into constant memory; the exact n_exact audit column is the bounded
+# tier (5 event types). K=8 fits sf0.001's 15 users/type.
+
+_KMV_K = 8
+_KMV_SPACE = 1 << 48
+
+_KMV_HASH_DUCK = (
+    "((CAST("
+    + md5_uniform16_sql("md5(CAST(user_id AS VARCHAR))", start=1)
+    + " AS BIGINT) * 65536 + "
+    + md5_uniform16_sql("md5(CAST(user_id AS VARCHAR))", start=5)
+    + ") * 65536 + "
+    + md5_uniform16_sql("md5(CAST(user_id AS VARCHAR))", start=9)
+    + ")"
+)
+
+KMV_DISTINCT_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {_KMV_HASH_DUCK} AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+est AS (
+  SELECT event_type, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k
+  FROM ranked GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT x.event_type, x.n_exact, {_KMV_K}::BIGINT AS k, e.h_k::BIGINT AS h_k,
+       ROUND(CAST(({_KMV_K} - 1) AS DOUBLE) * {_KMV_SPACE} / e.h_k, 4)
+         AS est_users,
+       ROUND(CAST(({_KMV_K} - 1) AS DOUBLE) * {_KMV_SPACE} / e.h_k
+             / x.n_exact, 6) AS err_ratio
+FROM exact x JOIN est e ON x.event_type = e.event_type
+"""
+
+
+@register("kmv_distinct_users_audit", KMV_DISTINCT_ORACLE)
+def kmv_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable KMV (bottom-k) distinct-user sketch per event type,
+    audited against the exact count: (event_type, n_exact, k, h_k,
+    est_users, err_ratio). The SKETCH MATH (hash, bottom-k rank,
+    (K-1)·2^48/h_K) is driver-checked; production distinct-counting
+    stays on the HLL tier (``sketch_distinct_users_by_type``)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    ranked = hashed.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    est = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est_users = (
+        F.lit(float(_KMV_K - 1)) * _KMV_SPACE / F.col("h_k").cast("double")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_exact",
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        F.col("h_k").cast("bigint").alias("h_k"),
+        F.round(est_users, 4).alias("est_users"),
+        F.round(est_users / F.col("n_exact"), 6).alias("err_ratio"),
     )
 
 

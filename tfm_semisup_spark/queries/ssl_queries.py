@@ -1112,9 +1112,17 @@ def ssl_selftrain_one_round_kbest(spark: SparkSession, sf_dir: str) -> DataFrame
 # -- Co-training one round --------------------------------------------------
 
 def _cotrain_oracle() -> str:
+    # Promotion predicate: posterior strictly ABOVE the uniform prior
+    # (3·t_max > t_sum ⟺ p_max > 1/3). The reference's 0.7 default is
+    # vacuous on this data at EVERY SF (the 3-class NB posteriors are
+    # near-flat: 0.37 promotes a handful at sf≤0.01 and zero at sf0.1),
+    # so a fixed high cut made this oracle a 0==0 hash-match (r13
+    # vacuity audit). Better-than-uninformed promotion is non-vacuous
+    # with proper subsets at sf0.001/0.01/0.1 (measured 26..72k
+    # promotions) and exercises the agreement join with real rows.
     prom = (
         "SELECT o_orderkey, o_orderstatus, pred_class FROM decided_{t} "
-        "WHERE 10 * t_max >= 7 * t_sum"
+        "WHERE 3 * t_max > t_sum"
     )
     grp = (
         "SELECT '{v}' AS view_name, pred_class, "
@@ -1149,12 +1157,14 @@ UNION ALL
 @register("ssl_cotrain_one_round_nb", _cotrain_oracle())
 def ssl_cotrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One co-training exchange round (``CoTraining.scala:122-253``
-    shape): two single-feature NB views each threshold-promote at 0.7;
-    the 'agreement' rows are what each view would hand the other with
-    matching labels. (view_name, pred_class, n_promoted,
-    n_promoted_correct, promoted_key_sum)."""
+    shape): two single-feature NB views each promote rows whose
+    posterior strictly beats the uniform prior (p_max > 1/3 — the
+    reference's fixed 0.7 cut is vacuous on this near-flat 3-class
+    data, see the oracle comment); the 'agreement' rows are what each
+    view would hand the other with matching labels. (view_name,
+    pred_class, n_promoted, n_promoted_correct, promoted_key_sum)."""
     labeled, unlabeled = _nb1_base(spark, sf_dir)
-    confident = 10 * F.col("t_max") >= 7 * F.col("t_sum")
+    confident = 3 * F.col("t_max") > F.col("t_sum")
     prom1 = (
         _nb1_decided(labeled, unlabeled, "f1", 5)
         .where(confident)
@@ -2996,3 +3006,355 @@ def ssl_pr_curve_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score_q").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired per-fold t-test, EXACT-INTEGER NB sibling (r13, VERDICT r12 #3)
+# ---------------------------------------------------------------------------
+#
+# ``ssl_paired_fold_ttest`` above (Dietterich's paired cross-validated
+# t-test) is rows-only by necessity — MLlib tree fits aren't SQL. This
+# sibling promotes the STATISTIC itself to an oracled entry by pairing
+# the two single-feature exact-count NB views (f1=priority V=5 vs
+# f2=month V=12) over md5-hash-assigned folds — the
+# conversion_wilson_bounds recipe: every count is an exact integer,
+# the per-fold accuracy difference is quantized once
+# (d_q = floor((c1-c2)·10^9/n), computed with a non-negative numerator
+# so floor semantics agree across engines), and the t statistic
+# reduces to t = T·sqrt(k(k-1)/S) with T = Σd_q and
+# S = Σ(k·d_q − T)² — ONE sqrt from exact integers, zero
+# summation-order exposure. Magnitudes: |d_q| ≤ 10^9 at ANY SF (the
+# quantization bounds it, not the data), so S ≤ 3·(6·10^9)² ≈ 10^20
+# — HUGEINT/DECIMAL(38,0) safe at every SF (the ssl_pr_curve_nb
+# DECIMAL-budget lesson applied at design time).
+#
+# 100 TB shape: 6 bounded NB fits (broadcast aggregates), one scan per
+# fold pair; the fold column is a narrow hash projection.
+
+_PFT_K = 3
+_PFT_DQ_SCALE = 1_000_000_000  # 10^9 per-fold diff quantization
+_PFT_FOLD_SQL = f"({md5_uniform16_sql(_ST1_KEY_MD5)} % {_PFT_K})"
+_PFT_FOLD_SPARK = f"({md5_uniform16_spark_sql(_ST1_KEY_MD5)} % {_PFT_K})"
+
+
+def _pft_oracle() -> str:
+    parts, folds = [], []
+    for f in range(_PFT_K):
+        parts.append(
+            f"train_{f} AS (SELECT f1, f2, o_orderstatus AS label "
+            f"FROM base WHERE fold <> {f}),\n"
+            f"test_{f} AS (SELECT o_orderkey, o_orderstatus, f1, f2 "
+            f"FROM base WHERE fold = {f}),\n"
+            + _ct2_round_sql(f"train_{f}", f"test_{f}", "f1", 5, f"a{f}")
+            + ",\n"
+            + _ct2_round_sql(f"train_{f}", f"test_{f}", "f2", 12, f"b{f}")
+        )
+        cor = (
+            "SELECT SUM(CASE WHEN pred_class = o_orderstatus THEN 1 ELSE 0"
+            " END) FROM ranked_{t}"
+        )
+        folds.append(
+            f"SELECT {f}::BIGINT AS fold,\n"
+            f"  (SELECT COUNT(*) FROM test_{f})::BIGINT AS n_test,\n"
+            f"  ({cor.format(t=f'a{f}')})::BIGINT AS correct_f1,\n"
+            f"  ({cor.format(t=f'b{f}')})::BIGINT AS correct_f2"
+        )
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_orderpriority AS f1,
+         EXTRACT(month FROM o_orderdate)::BIGINT AS f2,
+         {_PFT_FOLD_SQL} AS fold
+  FROM orders
+),
+{",".join(parts)},
+folds AS ({" UNION ALL ".join(folds)}),
+d AS (
+  SELECT fold, n_test, correct_f1, correct_f2,
+         ((correct_f1 - correct_f2 + n_test) * {_PFT_DQ_SCALE}) // n_test
+           - {_PFT_DQ_SCALE} AS d_q
+  FROM folds
+),
+tot AS (SELECT SUM(d_q)::BIGINT AS t_sum FROM d),
+sq AS (
+  SELECT SUM(({_PFT_K} * d.d_q - tot.t_sum)::HUGEINT
+             * ({_PFT_K} * d.d_q - tot.t_sum)::HUGEINT) AS s_sum
+  FROM d, tot
+)
+SELECT d.fold, d.n_test, d.correct_f1, d.correct_f2, d.d_q::BIGINT AS d_q,
+       ROUND(CAST(tot.t_sum AS DOUBLE)
+             / ({_PFT_K}.0 * {_PFT_DQ_SCALE}), 6) AS mean_diff,
+       CASE WHEN sq.s_sum = 0 THEN 0.0
+            ELSE ROUND(CAST(tot.t_sum AS DOUBLE)
+                       * sqrt({_PFT_K * (_PFT_K - 1)}.0
+                              / CAST(sq.s_sum AS DOUBLE)), 6)
+       END AS t_stat
+FROM d, tot, sq
+"""
+
+
+@register("ssl_paired_fold_ttest_nb", _pft_oracle())
+def ssl_paired_fold_ttest_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired per-fold t-test between the two exact-count NB views
+    (priority vs month) over md5-assigned folds: one row per fold
+    (fold, n_test, correct_f1, correct_f2, d_q) carrying the shared
+    (mean_diff, t_stat). The t-test ALGEBRA (fold pairing, variance,
+    the statistic) is driver-checked; the MLlib-model comparison stays
+    on the rows-only ``ssl_paired_fold_ttest``."""
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = truncate(
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("f1"),
+            F.month("o_orderdate").cast("bigint").alias("f2"),
+            F.expr(_PFT_FOLD_SPARK).alias("fold"),
+        ),
+        eager=True,
+    )
+    correct = (
+        F.sum(
+            F.when(F.col("pred_class") == F.col("o_orderstatus"), 1).otherwise(0)
+        ).cast("bigint")
+    )
+    fold_rows = None
+    for f in range(_PFT_K):
+        train = base.where(F.col("fold") != f).select(
+            "f1", "f2", F.col("o_orderstatus").alias("label")
+        )
+        test = base.where(F.col("fold") == f).select(
+            "o_orderkey", "o_orderstatus", "f1", "f2"
+        )
+        ra = _ct2_conf(train, test, "f1", 5).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            correct.alias("correct_f1"),
+        )
+        rb = _ct2_conf(train, test, "f2", 12).agg(correct.alias("correct_f2"))
+        row = (
+            ra.crossJoin(rb)
+            .select(
+                F.lit(f).cast("bigint").alias("fold"),
+                "n_test",
+                "correct_f1",
+                "correct_f2",
+            )
+        )
+        fold_rows = row if fold_rows is None else fold_rows.unionByName(row)
+    num = (
+        (F.col("correct_f1") - F.col("correct_f2") + F.col("n_test"))
+        * F.lit(_PFT_DQ_SCALE)
+    ).cast("bigint")
+    d = fold_rows.withColumn(
+        "d_q",
+        ((num - F.pmod(num, F.col("n_test"))) / F.col("n_test")).cast("bigint")
+        - F.lit(_PFT_DQ_SCALE),
+    )
+    tot = d.agg(F.sum("d_q").cast("bigint").alias("t_sum"))
+    dev = (F.lit(_PFT_K) * F.col("d_q") - F.col("t_sum")).cast("decimal(38,0)")
+    sq = (
+        d.crossJoin(F.broadcast(tot))
+        .agg(F.sum(dev * dev).cast("decimal(38,0)").alias("s_sum"))
+    )
+    t_stat = F.when(F.col("s_sum") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("t_sum").cast("double")
+            * F.sqrt(
+                F.lit(float(_PFT_K * (_PFT_K - 1))) / F.col("s_sum").cast("double")
+            ),
+            6,
+        )
+    )
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(sq))
+        .select(
+            "fold",
+            "n_test",
+            "correct_f1",
+            "correct_f2",
+            F.col("d_q").cast("bigint").alias("d_q"),
+            F.round(
+                F.col("t_sum").cast("double")
+                / F.lit(float(_PFT_K * _PFT_DQ_SCALE)),
+                6,
+            ).alias("mean_diff"),
+            t_stat.alias("t_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TWO CoTraining rounds under the FEATURE-split view construction
+# (r13, VERDICT r12 #7)
+# ---------------------------------------------------------------------------
+#
+# ``ssl_cotrain_feature_split`` (rows-only, MLlib trees) implements the
+# classic Blum & Mitchell 1998 view construction our CoTraining
+# operator exposes as ``viewSplit='features'``
+# (operators/co_training.py:49): DISJOINT feature halves over ONE
+# shared pool, both views' promotions merged into ONE shared labeled
+# set with disagreements resolved by the higher posterior. This entry
+# oracles that trajectory with the exact-count NB algebra — the
+# defining difference from ``ssl_cotrain_two_round_threshold``
+# (the reference's cross-teach: each view keeps its OWN labeled pool
+# and is taught by the OTHER view's promotions) is the shared
+# train_r2 built through a FULL OUTER JOIN disagreement resolution
+# (higher conf_q wins; tie → the priority view, deterministic).
+#
+# Views: the feature vector {f1=priority, f2=month} split into
+# {f1} / {f2}. Threshold: the measured _CT2T_THR (0.37) — round 1
+# promotes proper subsets of both views at sf0.001/sf0.01; round 2
+# promotes its whole residual pool at these SFs (the refit doing real
+# work — rows below the cut under the round-1 model cross it after
+# the shared-pool refit; same documented behavior as the cross-teach
+# threshold entry). Magnitudes: single-feature NB, n^4 — sf1-safe.
+
+
+def _cotrain2_fsplit_oracle() -> str:
+    thr = _CT2T_THR
+    flag = f"conf_q > {thr}"
+    res_summary = f"""SELECT 1::BIGINT AS rnd, 'resolved' AS view_name, pred_class,
+       COUNT(*)::BIGINT AS n_scored,
+       COUNT(*)::BIGINT AS n_promoted,
+       SUM(CASE WHEN pred_class = o_orderstatus THEN 1 ELSE 0 END)::BIGINT
+         AS n_promoted_correct,
+       SUM(o_orderkey)::BIGINT AS promoted_key_sum,
+       MIN(win_conf)::BIGINT AS min_conf_q
+FROM resolved GROUP BY pred_class"""
+    return f"""
+WITH {_NB1_BASE_SQL},
+train_r1 AS (SELECT f1, f2, o_orderstatus AS label FROM labeled),
+pool_r1 AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM unlabeled),
+{_ct2_round_sql("train_r1", "pool_r1", "f1", 5, "v1r1")},
+{_ct2_round_sql("train_r1", "pool_r1", "f2", 12, "v2r1")},
+prom_v1r1 AS (SELECT * FROM ranked_v1r1 WHERE {flag}),
+prom_v2r1 AS (SELECT * FROM ranked_v2r1 WHERE {flag}),
+resolved AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+         COALESCE(a.f1, b.f1) AS f1, COALESCE(a.f2, b.f2) AS f2,
+         CASE WHEN a.o_orderkey IS NOT NULL
+               AND (b.o_orderkey IS NULL OR a.conf_q >= b.conf_q)
+              THEN a.pred_class ELSE b.pred_class END AS pred_class,
+         CASE WHEN a.o_orderkey IS NOT NULL
+               AND (b.o_orderkey IS NULL OR a.conf_q >= b.conf_q)
+              THEN a.conf_q ELSE b.conf_q END AS win_conf
+  FROM prom_v1r1 a FULL OUTER JOIN prom_v2r1 b ON a.o_orderkey = b.o_orderkey
+),
+train_r2 AS (
+  SELECT * FROM train_r1
+  UNION ALL SELECT f1, f2, pred_class AS label FROM resolved
+),
+pool_r2 AS (
+  SELECT a.o_orderkey, a.o_orderstatus, a.f1, a.f2
+  FROM ranked_v1r1 a JOIN ranked_v2r1 b ON a.o_orderkey = b.o_orderkey
+  WHERE a.conf_q <= {thr} AND b.conf_q <= {thr}
+),
+{_ct2_round_sql("train_r2", "pool_r2", "f1", 5, "v1r2")},
+{_ct2_round_sql("train_r2", "pool_r2", "f2", 12, "v2r2")}
+{_ct2_summary_sql("v1r1", 1, "priority", flag)}
+UNION ALL
+{_ct2_summary_sql("v2r1", 1, "month", flag)}
+UNION ALL
+{res_summary}
+UNION ALL
+{_ct2_summary_sql("v1r2", 2, "priority", flag)}
+UNION ALL
+{_ct2_summary_sql("v2r2", 2, "month", flag)}
+"""
+
+
+@register("ssl_cotrain_two_round_feature_split", _cotrain2_fsplit_oracle())
+def ssl_cotrain_two_round_feature_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two Blum–Mitchell FEATURE-split co-training rounds (one shared
+    labeled set, disagreements resolved by higher quantized posterior,
+    tie → priority view): (rnd, view_name, pred_class, n_scored,
+    n_promoted, n_promoted_correct, promoted_key_sum, min_conf_q),
+    including the rnd-1 'resolved' merge rows. Oracles the
+    ``viewSplit='features'`` trajectory of operators/co_training.py:49
+    the way ``ssl_cotrain_two_round_threshold`` oracles the
+    reference's cross-teach branch (``CoTraining.scala:158-196``)."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    thr = F.lit(_CT2T_THR).cast("decimal(38,0)")
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
+    pool_r1 = unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2")
+    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5), eager=False)
+    conf_v2r1 = truncate(_ct2_conf(train_r1, pool_r1, "f2", 12))
+    flag = F.col("conf_q") > thr
+    a = conf_v1r1.where(flag).alias("a")
+    b = conf_v2r1.where(flag).alias("b")
+    a_wins = F.col("a.o_orderkey").isNotNull() & (
+        F.col("b.o_orderkey").isNull()
+        | (F.col("a.conf_q") >= F.col("b.conf_q"))
+    )
+    resolved = truncate(
+        a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.coalesce(
+                F.col("a.o_orderstatus"), F.col("b.o_orderstatus")
+            ).alias("o_orderstatus"),
+            F.coalesce(F.col("a.f1"), F.col("b.f1")).alias("f1"),
+            F.coalesce(F.col("a.f2"), F.col("b.f2")).alias("f2"),
+            F.when(a_wins, F.col("a.pred_class"))
+            .otherwise(F.col("b.pred_class"))
+            .alias("pred_class"),
+            F.when(a_wins, F.col("a.conf_q"))
+            .otherwise(F.col("b.conf_q"))
+            .alias("win_conf"),
+        )
+    )
+    train_r2 = train_r1.unionByName(
+        resolved.select("f1", "f2", F.col("pred_class").alias("label"))
+    )
+    pool_r2 = truncate(
+        conf_v1r1.where(~flag)
+        .select("o_orderkey", "o_orderstatus", "f1", "f2")
+        .join(conf_v2r1.where(~flag).select("o_orderkey"), "o_orderkey", "semi")
+    )
+    conf_v1r2 = truncate(_ct2_conf(train_r2, pool_r2, "f1", 5), eager=False)
+    conf_v2r2 = truncate(_ct2_conf(train_r2, pool_r2, "f2", 12))
+    res_summary = (
+        resolved.groupBy("pred_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
+            F.sum(
+                F.when(
+                    F.col("pred_class") == F.col("o_orderstatus"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_promoted_correct"),
+            F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
+            F.min("win_conf").cast("bigint").alias("min_conf_q"),
+        )
+        .select(
+            F.lit(1).cast("bigint").alias("rnd"),
+            F.lit("resolved").alias("view_name"),
+            "pred_class",
+            "n_scored",
+            "n_promoted",
+            "n_promoted_correct",
+            "promoted_key_sum",
+            "min_conf_q",
+        )
+    )
+    out = truncate(
+        _ct2_summary(conf_v1r1, flag, 1, "priority")
+        .unionByName(_ct2_summary(conf_v2r1, flag, 1, "month"))
+        .unionByName(res_summary)
+        .unionByName(_ct2_summary(conf_v1r2, flag, 2, "priority"))
+        .unionByName(_ct2_summary(conf_v2r2, flag, 2, "month"))
+    )
+    for df in (conf_v1r1, conf_v2r1, resolved, pool_r2, conf_v1r2, conf_v2r2):
+        release(df)
+    return out

@@ -534,8 +534,10 @@ def half_sample_replicate_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between a baseline and a
 # comparison window — the score/feature-drift gate every deployed-model
 # monitor computes (alongside the distribution tests already here:
-# binned KS, JSD source drift). Baseline = orders before 1995-01-01,
-# comparison = after; the binning grid is FIXED from the baseline's
+# binned KS, JSD source drift). Baseline = orders before 1998-01-01,
+# comparison = after (the synthetic orders START at 1995-01-01, so the
+# original pre-1995 baseline was EMPTY and the whole result vacuous —
+# r13 vacuity audit); the binning grid is FIXED from the baseline's
 # per-segment max price (20 equal-width bins + LEAST clamp for
 # comparison overflow), which is the production shape — the baseline
 # grid is frozen, new data is clamped into it. Laplace-smoothed counts
@@ -551,13 +553,13 @@ WITH base AS (
   SELECT c.c_mktsegment AS segment,
          CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE CAST(o.o_orderdate AS DATE) < DATE '1995-01-01'
+  WHERE CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
 ),
 comp AS (
   SELECT c.c_mktsegment AS segment,
          CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01'
 ),
 mx AS (SELECT segment, MAX(cents) AS mx FROM base GROUP BY segment),
 bb AS (
@@ -607,7 +609,7 @@ GROUP BY j.segment, t.tb, t.tc
 @register("psi_price_by_segment", PSI_ORACLE)
 def psi_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of order price per segment between
-    the pre/post-1995 periods: (segment, n_base, n_comp, psi) — frozen
+    the pre/post-1998 periods: (segment, n_base, n_comp, psi) — frozen
     baseline bin grid, Laplace-smoothed shares."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
@@ -618,8 +620,8 @@ def psi_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("o_orderdate").alias("day"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     ).join(customer, F.col("o_custkey") == customer.c_custkey)
-    base = priced.where(F.col("day") < F.lit("1995-01-01"))
-    comp = priced.where(F.col("day") >= F.lit("1995-01-01"))
+    base = priced.where(F.col("day") < F.lit("1998-01-01"))
+    comp = priced.where(F.col("day") >= F.lit("1998-01-01"))
     mx = base.groupBy("segment").agg(F.max("cents").alias("mx"))
 
     def binned(df: DataFrame, out: str) -> DataFrame:

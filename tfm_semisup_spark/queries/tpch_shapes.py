@@ -287,10 +287,14 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q22-style: well-funded customers with no orders, by nation. Plan
-# shape: uncorrelated scalar subquery (one broadcast double) + NOT
-# EXISTS anti join + per-nation agg — three distinct Catalyst
-# rewrites in one query.
+# Q22-style: well-funded customers with no URGENT orders, by nation.
+# Plan shape: uncorrelated scalar subquery (one broadcast double) +
+# NOT EXISTS anti join + per-nation agg — three distinct Catalyst
+# rewrites in one query. The anti-join side is restricted to urgent
+# orders because EVERY synthetic customer has some order — the
+# original no-orders form returned 0 rows at every SF, a vacuous
+# driver pass (r13 vacuity audit; same fix as
+# anti_join_no_urgent_customers, VERDICT r11 #5).
 Q22_ORACLE = """
 SELECT c.c_nationkey,
        CAST(COUNT(*) AS BIGINT) AS numcust,
@@ -300,7 +304,9 @@ WHERE c.c_acctbal > (
     SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
   )
   AND NOT EXISTS (
-    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
   )
 GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
@@ -310,14 +316,19 @@ ORDER BY c.c_nationkey
 @register("q22_global_sales_opportunity", Q22_ORACLE)
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 analog (nationkey stands in for the phone country
-    code the synthetic customer table doesn't carry)."""
+    code the synthetic customer table doesn't carry; 'never placed an
+    urgent order' stands in for 'no orders' — see Q22_ORACLE note)."""
     cust = load_table(spark, sf_dir, "customer")
     avg_bal = (
         cust.where(F.col("c_acctbal") > 0)
         .agg(F.avg("c_acctbal"))
         .head()[0]
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return (
         cust.where(F.col("c_acctbal") > avg_bal)
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")

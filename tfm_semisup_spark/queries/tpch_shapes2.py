@@ -160,8 +160,8 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
   JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
     AND l.l_shipdate >= TIMESTAMP '1996-01-01'
     AND l.l_shipdate <  TIMESTAMP '1998-01-01'
 ) shipping
@@ -188,9 +188,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    pair = (F.col("supp_nation") == "NATION_1") & (
-        F.col("cust_nation") == "NATION_2"
-    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    # Pair chosen non-empty at every SF (r13 vacuity audit: the 1/2
+    # pair had zero shipments at sf0.001's 10-supplier table).
+    pair = (F.col("supp_nation") == "NATION_12") & (
+        F.col("cust_nation") == "NATION_10"
+    ) | (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12")
     return (
         supp.join(li, supp.s_suppkey == li.l_suppkey)
         .join(orders, orders.o_orderkey == li.l_orderkey)
