@@ -190,6 +190,14 @@ HEADLINE = [
 # bench_spread.json under "parked", never in the stdout totals).
 # Correctness coverage is unchanged — parked entries keep their
 # oracles, driver-window rotation, and plan-pin tests.
+# ANN entries whose kernels are SF-dependent (driver-side k-means,
+# Arrow argmin/ADC passes): warmed once at the BENCH SF before the
+# timed passes — see the warmup comment in main() (VERDICT r12 #2).
+ANN_WARM_AT_SF = [
+    "similarity_ivfpq_topk",
+    "similarity_hard_negatives_ann",
+]
+
 PARKED = [
     # dedup siblings (cascade/minhash/winnowing represent the family)
     "dedup_ngram_jaccard_pairs",
@@ -383,6 +391,20 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    # The ANN tier additionally warms AT THE BENCH SF (VERDICT r12 #2):
+    # its code paths are SF-DEPENDENT — adaptive centroid counts,
+    # Arrow batch shapes, and the JIT tiers of the numpy kernels all
+    # differ between sf0.001 and sf0.1 — so the tiny-SF warmup leaves
+    # the first timed sample ~1.7x cold (measured r13:
+    # ivfpq back-to-back [4.63, 2.72, 2.54, 2.40, ...]; hard-negatives
+    # [3.73, 3.38, 3.20, ...] — steady-state max/median <= 1.3 once
+    # warm). One untimed pass each (~6 s) removes that sample from the
+    # spread band so the band measures plan stability, not warmup.
+    for name in ANN_WARM_AT_SF:
+        if name in warm_set:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
     # Same isolation as between timed queries: without this the FIRST
     # timed query absorbs cache/GC debt from the whole warmup phase
     # (flagship measured 8.9s vs ~1s steady-state).

@@ -122,6 +122,22 @@ SECOND_LEG_QUERIES = ["dedup_semantic_semdedup"]
 SF1_NEARDUP = os.path.join(REPO, ".scale_probe", "sf1_neardup")
 NEARDUP_QUERIES = ["dedup_cascade_report", "dedup_winnowing_pairs"]
 
+# Text-VOLUME leg (r13, VERDICT r12 #6): the replica legs grow text
+# volume only via ROW COUNT (each document's text is verbatim). The
+# two ~0.6-exponent text entries are tokenize-bound, so the claim to
+# test is linearity in tokens-per-document too: this leg DOUBLES every
+# document's text in place (text || ' ' || text — same row count, 2x
+# token volume, term SET per doc unchanged, counts doubled) and
+# measures log2 exponents. Linear-in-text-volume => exponent ~1.
+SF01_TEXT2 = os.path.join(REPO, ".scale_probe", "sf01_text2")
+TEXT_LEG_QUERIES = ["text_tfidf_portable_norms", "text_readability_scores"]
+
+# Near-dup second leg (r13, VERDICT r12 #6): 2x replica of the
+# perturbed near-dup corpus (each copy gets another distinct suffix so
+# exact hashes stay unique) — measures the cascade's winnow/verify
+# tiers from 10x to 20x survivors, log2 exponents.
+SF2_NEARDUP = os.path.join(REPO, ".scale_probe", "sf2_neardup")
+
 
 def generate() -> None:
     import duckdb
@@ -188,6 +204,49 @@ def generate_neardup() -> None:
     print(f"documents (near-dup perturbed): {n} rows -> {out}", flush=True)
 
 
+def generate_text2() -> None:
+    """Same documents, text doubled in place (2x token volume at
+    constant row count) — the text-VOLUME scaling axis."""
+    import duckdb
+
+    os.makedirs(SF01_TEXT2, exist_ok=True)
+    con = duckdb.connect()
+    out = os.path.join(SF01_TEXT2, "documents.parquet")
+    con.execute(
+        f"""COPY (
+        SELECT doc_id, text || ' ' || text AS text, lang, source,
+               2 * n_chars + 1 AS n_chars
+        FROM read_parquet('{SF01}/documents.parquet')
+    ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"documents (text doubled): {n} rows -> {out}", flush=True)
+
+
+def generate_neardup2() -> None:
+    """2x replica of the perturbed near-dup corpus; each copy gains a
+    second replica-unique suffix so every md5 stays distinct and the
+    cascade's exact tier still passes everything through."""
+    import duckdb
+
+    if not os.path.isdir(SF1_NEARDUP):
+        raise SystemExit("run --generate-neardup first")
+    os.makedirs(SF2_NEARDUP, exist_ok=True)
+    con = duckdb.connect()
+    out = os.path.join(SF2_NEARDUP, "documents.parquet")
+    con.execute(
+        f"""COPY (
+        SELECT doc_id * 2 + r.r AS doc_id,
+               text || ' zz' || CAST(r.r AS VARCHAR) AS text,
+               lang, source, n_chars + 4 AS n_chars
+        FROM read_parquet('{SF1_NEARDUP}/documents.parquet')
+        CROSS JOIN range(2) r(r)
+    ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"documents (near-dup 2x): {n} rows -> {out}", flush=True)
+
+
 def measure(
     runs: int,
     queries: list[str],
@@ -242,6 +301,8 @@ def main() -> int:
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--generate-sf2", action="store_true")
     ap.add_argument("--generate-neardup", action="store_true")
+    ap.add_argument("--generate-text2", action="store_true")
+    ap.add_argument("--generate-neardup2", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument(
         "--second-leg",
@@ -254,6 +315,17 @@ def main() -> int:
         help="measure sf0.1 -> the perturbed 10x documents replica "
         "(exact tier passes everything; stresses winnow/verify tiers)",
     )
+    ap.add_argument(
+        "--near-dup2",
+        action="store_true",
+        help="measure sf1_neardup -> 2x (log2 exponents)",
+    )
+    ap.add_argument(
+        "--text-leg",
+        action="store_true",
+        help="measure sf0.1 -> text-doubled documents (log2 exponents; "
+        "text VOLUME axis at constant row count)",
+    )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
@@ -263,8 +335,38 @@ def main() -> int:
         generate_sf2()
     if args.generate_neardup:
         generate_neardup()
-    if args.measure or args.second_leg or args.near_dup:
-        if args.near_dup:
+    if args.generate_text2:
+        generate_text2()
+    if args.generate_neardup2:
+        generate_neardup2()
+    if (
+        args.measure
+        or args.second_leg
+        or args.near_dup
+        or args.near_dup2
+        or args.text_leg
+    ):
+        if args.text_leg:
+            if not os.path.isdir(SF01_TEXT2):
+                print("run --generate-text2 first", file=sys.stderr)
+                return 1
+            report = measure(
+                args.runs,
+                args.queries or TEXT_LEG_QUERIES,
+                legs=(("sf0.1", SF01), ("sf01_text2", SF01_TEXT2)),
+                exponent_base=2.0,
+            )
+        elif args.near_dup2:
+            if not os.path.isdir(SF2_NEARDUP):
+                print("run --generate-neardup2 first", file=sys.stderr)
+                return 1
+            report = measure(
+                args.runs,
+                args.queries or NEARDUP_QUERIES,
+                legs=(("sf1_neardup", SF1_NEARDUP), ("sf2_neardup", SF2_NEARDUP)),
+                exponent_base=2.0,
+            )
+        elif args.near_dup:
             if not os.path.isdir(SF1_NEARDUP):
                 print("run --generate-neardup first", file=sys.stderr)
                 return 1

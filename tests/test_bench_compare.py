@@ -92,3 +92,16 @@ def test_episode_ratio_synced_with_bench():
     import bench
 
     assert bench_compare.EPISODE_RATIO == bench.CALIB_EPISODE_RATIO
+
+
+def test_ann_warm_at_sf_rule():
+    """VERDICT r12 #2: the ANN tier warms at the BENCH SF before the
+    timed passes (SF-dependent kernels: adaptive centroid counts,
+    Arrow batch shapes, JIT tiers), so the spread band measures plan
+    stability rather than first-sample warmup. Pin the list so a
+    future HEADLINE edit can't silently drop the rule."""
+    import bench
+
+    assert bench.ANN_WARM_AT_SF, "ANN warm-at-SF list must not be empty"
+    for name in bench.ANN_WARM_AT_SF:
+        assert name in bench.HEADLINE + bench.PARKED, name
