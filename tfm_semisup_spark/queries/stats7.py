@@ -522,3 +522,137 @@ def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_runs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking (r13)
+# ---------------------------------------------------------------------------
+#
+# MI(X; Y) = Σ_xy (c_xy/n)·ln(n·c_xy/(c_x·c_y)) — the view-selection
+# statistic behind co-training feature splits (which candidate feature
+# carries label signal; the Blum–Mitchell split in
+# ssl_cotrain_two_round_feature_split picks views by exactly this kind
+# of ranking) and the standard feature-selection screen for a
+# training-data pipeline. Candidates: f1=o_orderpriority (5),
+# f2=month (12), f3=c_mktsegment (5) against Y=o_orderstatus (3).
+#
+# Arithmetic parity: every count is an exact integer; each cell's
+# ln(n·c_xy/(c_x·c_y)) is ONE fixed libm expression of exact-integer
+# inputs (identical double on both engines — the PMI precedent), and
+# instead of a cross-cell DOUBLE sum (summation-order ULP exposure)
+# each cell's contribution is FLOOR-quantized to an integer
+# (c_xy·ln(·)·10^6 ≤ 2·10^12 at sf1 — BIGINT-safe) so the per-feature
+# sum is an order-free exact integer; ONE final division by n·10^6,
+# round 6. FLOOR (toward −inf, both engines) handles negative PMI
+# cells identically.
+#
+# 100 TB shape: three fact-scale groupBys to ≤36-cell grids; the
+# marginal joins and the quantized sum run on the bounded grid.
+
+_MI_SCALE = 1_000_000
+
+
+def _mi_oracle() -> str:
+    feats = [("priority", "CAST(f1 AS VARCHAR)"), ("month", "CAST(f2 AS VARCHAR)"),
+             ("segment", "CAST(f3 AS VARCHAR)")]
+    cells = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, {expr} AS x, y, COUNT(*)::BIGINT AS c_xy "
+        f"FROM base GROUP BY 2, 3"
+        for name, expr in feats
+    )
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority AS f1,
+         EXTRACT(month FROM o_orderdate)::BIGINT AS f2,
+         c_mktsegment AS f3,
+         o_orderstatus AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+cells AS ({cells}),
+mx AS (SELECT feature, x, SUM(c_xy)::BIGINT AS c_x FROM cells GROUP BY 1, 2),
+my AS (SELECT feature, y, SUM(c_xy)::BIGINT AS c_y FROM cells GROUP BY 1, 2),
+q AS (
+  SELECT c.feature,
+         CAST(FLOOR(c.c_xy * ln(CAST(t.n AS DOUBLE) * c.c_xy
+                                / (CAST(mx.c_x AS DOUBLE) * my.c_y))
+                    * {_MI_SCALE}) AS BIGINT) AS term_q
+  FROM cells c
+  JOIN mx ON c.feature = mx.feature AND c.x = mx.x
+  JOIN my ON c.feature = my.feature AND c.y = my.y
+  CROSS JOIN tot t
+)
+SELECT q.feature,
+       COUNT(*)::BIGINT AS n_cells,
+       MAX(t.n) AS n,
+       SUM(q.term_q)::BIGINT AS mi_q,
+       ROUND(CAST(SUM(q.term_q) AS DOUBLE) / (MAX(t.n) * {_MI_SCALE}.0), 6)
+         AS mi_nats
+FROM q CROSS JOIN tot t
+GROUP BY q.feature
+"""
+
+
+@register("feature_mi_ranking", _mi_oracle())
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of each candidate feature with the order
+    status: (feature, n_cells, n, mi_q, mi_nats) — exact-integer cell
+    counts, floor-quantized per-cell contributions (order-free sum),
+    one final division. The co-training view-selection statistic."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("o_orderpriority").alias("f1"),
+        F.month("o_orderdate").cast("bigint").alias("f2"),
+        F.col("c_mktsegment").alias("f3"),
+        F.col("o_orderstatus").alias("y"),
+    )
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    base = truncate(base, eager=True)
+    n = base.count()
+    feats = [
+        ("priority", F.col("f1").cast("string")),
+        ("month", F.col("f2").cast("string")),
+        ("segment", F.col("f3").cast("string")),
+    ]
+    cells = None
+    for name, expr in feats:
+        c = base.groupBy(expr.alias("x"), "y").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_xy")
+        ).select(F.lit(name).alias("feature"), "x", "y", "c_xy")
+        cells = c if cells is None else cells.unionByName(c)
+    mx = cells.groupBy("feature", "x").agg(
+        F.sum("c_xy").cast("bigint").alias("c_x")
+    )
+    my = cells.groupBy("feature", "y").agg(
+        F.sum("c_xy").cast("bigint").alias("c_y")
+    )
+    term = F.floor(
+        F.col("c_xy")
+        * F.log(
+            F.lit(float(n))
+            * F.col("c_xy")
+            / (F.col("c_x").cast("double") * F.col("c_y"))
+        )
+        * F.lit(_MI_SCALE)
+    ).cast("bigint")
+    return (
+        cells.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .select("feature", term.alias("term_q"))
+        .groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.lit(n).cast("bigint").alias("n"),
+            F.sum("term_q").cast("bigint").alias("mi_q"),
+            F.round(
+                F.sum("term_q").cast("double") / F.lit(float(n * _MI_SCALE)), 6
+            ).alias("mi_nats"),
+        )
+        .select("feature", "n_cells", "n", "mi_q", "mi_nats")
+    )

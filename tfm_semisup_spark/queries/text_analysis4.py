@@ -242,3 +242,114 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ttr_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (r13)
+# ---------------------------------------------------------------------------
+#
+# The corpus-health screen a training-data pipeline runs after
+# dedup/selection: natural text follows freq ∝ rank^(-s) with s ≈ 1;
+# a slope far from -1 flags boilerplate floods or over-aggressive
+# filtering. OLS of ln(freq) on ln(rank) over the top-100 terms.
+#
+# Arithmetic parity: term counts and ranks are exact integers
+# (ROW_NUMBER over count DESC, term ASC); each point's ln is one fixed
+# libm expression FLOOR-quantized at 10^9 (identical doubles → same
+# integer on both engines), so Σx, Σy, Σxy, Σx² are order-free exact
+# integers (products ≤ (7·10^9)² · 100 ≈ 5·10^21 — DECIMAL(38,0)/
+# HUGEINT); slope and intercept are single divisions of exact
+# integers (the 10^18 scales cancel), round 6.
+#
+# 100 TB shape: one token explode + groupBy (hash-shuffled terms),
+# TakeOrderedAndProject for the top-100; the regression runs on a
+# 100-row bounded grid.
+
+_ZIPF_TOP = 100
+_ZIPF_SCALE = 1_000_000_000
+
+ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*)::BIGINT AS c FROM tok GROUP BY term),
+ranked AS (
+  SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM tf
+),
+pts AS (
+  SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * {_ZIPF_SCALE}) AS BIGINT) AS xq,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * {_ZIPF_SCALE}) AS BIGINT) AS yq
+  FROM ranked WHERE rnk <= {_ZIPF_TOP}
+),
+s AS (
+  SELECT COUNT(*)::HUGEINT AS n,
+         SUM(xq)::HUGEINT AS sx, SUM(yq)::HUGEINT AS sy,
+         SUM(xq::HUGEINT * yq)::HUGEINT AS sxy,
+         SUM(xq::HUGEINT * xq)::HUGEINT AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * {_ZIPF_SCALE}), 6) AS zipf_intercept
+FROM s
+"""
+
+
+@register("zipf_term_slope", ZIPF_ORACLE)
+def zipf_term_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept of ln(term frequency) on ln(rank) over the
+    top-100 terms: (n_terms, zipf_slope, zipf_intercept) — healthy
+    natural text sits near slope -1 (Zipf's law)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # top-100 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort shuffle); the rank window then runs on the
+    # bounded 100-row result only
+    top = tf.orderBy(F.col("c").desc(), F.col("term")).limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term"))),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * F.lit(_ZIPF_SCALE))
+        .cast("decimal(38,0)")
+        .alias("xq"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(_ZIPF_SCALE))
+        .cast("decimal(38,0)")
+        .alias("yq"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xq").cast("decimal(38,0)").alias("sx"),
+        F.sum("yq").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(float(_ZIPF_SCALE))),
+            6,
+        ).alias("zipf_intercept"),
+    )
