@@ -1,0 +1,157 @@
+"""Round-13 plan and behavior pins.
+
+- every r13-born query compiles under strict codegen (the governance
+  auto-sweep keyed on driver_history birth rounds);
+- the five de-vacuized oracles (VERDICT r12 #5 audit) return NONZERO
+  rows at both correctness SFs — membership logic is data-exercised;
+- the feature-split two-round co-training exercises the SHARED-pool
+  semantics that distinguish it from the cross-teach entry: the
+  rnd-1 'resolved' merge is nonempty and no larger than the union of
+  the per-view promotions (disagreements collapse to one row);
+- the paired-fold t-test sibling is repartition-independent (md5 folds
+  + quantized arithmetic) and its d_q matches the per-fold integers;
+- the KMV audit estimate brackets the exact distinct count loosely
+  (K=8 sketch: within a factor of 4 at the gate SFs) and h_k is a
+  true member rank;
+- zipf's top-k plan uses TakeOrderedAndProject (no global sort of the
+  term table);
+- feature_mi_ranking: MI is non-negative for every feature (floor
+  quantization can push a zero-signal feature to a tiny negative —
+  bound it just below zero) and the month feature has 36 cells.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR, SF_DIR_01
+from tfm_semisup_spark.queries import QUERIES, load_all_queries
+
+load_all_queries()
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _r13_new_queries() -> list[str]:
+    with open(os.path.join(_REPO, "driver_history.json")) as fh:
+        hist = json.load(fh)
+    return sorted(
+        n for n, v in hist.items() if v.get("added") == 13 and n in QUERIES
+    )
+
+
+@pytest.fixture()
+def strict_codegen(spark):
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    yield spark
+    spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+@pytest.mark.parametrize("name", _r13_new_queries())
+def test_r13_queries_compile_under_strict_codegen(strict_codegen, name):
+    assert QUERIES[name](strict_codegen, SF_DIR).count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "psi_price_by_segment",
+        "q22_global_sales_opportunity",
+        "ssl_cotrain_one_round_nb",
+        "q7_volume_shipping",
+        "bloom_semijoin_volume",
+    ],
+)
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_01])
+def test_devacuized_oracles_return_rows(spark, name, sf_dir):
+    assert QUERIES[name](spark, sf_dir).limit(1).count() > 0
+
+
+def test_feature_split_cotrain_shared_pool_semantics(spark):
+    rows = {
+        (r["rnd"], r["view_name"], r["pred_class"]): r
+        for r in QUERIES["ssl_cotrain_two_round_feature_split"](
+            spark, SF_DIR
+        ).collect()
+    }
+    n_resolved = sum(
+        r["n_promoted"] for (rnd, v, _), r in rows.items()
+        if rnd == 1 and v == "resolved"
+    )
+    n_v1 = sum(
+        r["n_promoted"] for (rnd, v, _), r in rows.items()
+        if rnd == 1 and v == "priority"
+    )
+    n_v2 = sum(
+        r["n_promoted"] for (rnd, v, _), r in rows.items()
+        if rnd == 1 and v == "month"
+    )
+    assert n_resolved > 0
+    # the merge collapses rows both views promoted into ONE resolved
+    # row — so resolved <= v1 + v2, and >= max(v1, v2)
+    assert max(n_v1, n_v2) <= n_resolved <= n_v1 + n_v2
+    # round 2 exists and scored a nonzero pool
+    assert any(rnd == 2 for (rnd, _, _) in rows)
+
+
+def test_paired_fold_ttest_nb_partitioning_independent(spark):
+    a = sorted(
+        map(str, QUERIES["ssl_paired_fold_ttest_nb"](spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(
+            str,
+            QUERIES["ssl_paired_fold_ttest_nb"](spark, SF_DIR)
+            .repartition(7)
+            .collect(),
+        )
+    )
+    assert a == b
+    rows = QUERIES["ssl_paired_fold_ttest_nb"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # d_q is the floor-quantized per-fold accuracy difference
+        expected = (
+            (r["correct_f1"] - r["correct_f2"] + r["n_test"]) * 10**9
+        ) // r["n_test"] - 10**9
+        assert r["d_q"] == expected
+
+
+def test_kmv_audit_brackets_exact(spark):
+    for sf in (SF_DIR, SF_DIR_01):
+        for r in QUERIES["kmv_distinct_users_audit"](spark, sf).collect():
+            assert r["k"] == 8
+            assert 0 < r["h_k"] < (1 << 48)
+            # K=8 sketch: crude, but the estimate must live within a
+            # factor of 4 of truth at these sizes (seeded hash, fixed
+            # data — this is a regression pin, not a probability claim)
+            assert r["n_exact"] / 4 <= r["est_users"] <= r["n_exact"] * 4
+            assert abs(r["err_ratio"] - r["est_users"] / r["n_exact"]) < 1e-4
+
+
+def test_zipf_topk_plan_uses_take_ordered(spark):
+    df = QUERIES["zipf_term_slope"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    row = df.collect()[0]
+    # n_terms = min(100, vocabulary) — sf0.001's synthetic vocabulary
+    # is only ~31 distinct tokens
+    assert 1 < row["n_terms"] <= 100
+    # natural-ish synthetic text: slope negative, not catastrophically
+    # far from Zipf
+    assert -3.0 < row["zipf_slope"] < -0.05
+
+
+def test_feature_mi_nonnegative_and_cell_counts(spark):
+    rows = {r["feature"]: r for r in QUERIES["feature_mi_ranking"](
+        spark, SF_DIR_01
+    ).collect()}
+    assert set(rows) == {"priority", "month", "segment"}
+    assert rows["month"]["n_cells"] == 36
+    for r in rows.values():
+        # MI >= 0 mathematically; floor quantization may shave a
+        # zero-signal feature a hair below zero (66 cells x 1e-6)
+        assert r["mi_nats"] >= -1e-4
