@@ -420,6 +420,21 @@ PICKS = {
         "bucket) + a broadcast join against the <= 512-row DF table; "
         "norms are integer sums — text never joins"
     ),
+    "kmv_distinct_users_audit": (
+        "KMV sketch: hash+distinct + per-type bottom-k rank window; "
+        "the exact-audit pass joins a BROADCAST 5-row estimate table "
+        "— constant-size sketch state per group"
+    ),
+    "zipf_term_slope": (
+        "Zipf fit: one token explode + term groupBy, top-100 via "
+        "TakeOrderedAndProject (no global sort), quantized-integer "
+        "OLS over the bounded 100-row grid"
+    ),
+    "feature_mi_ranking": (
+        "MI ranking: three fact-scale groupBys to <= 36-cell "
+        "contingency grids; marginals re-aggregate and broadcast back "
+        "onto the grid; quantized order-free contribution sum"
+    ),
 }
 
 
