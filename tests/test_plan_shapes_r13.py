@@ -155,3 +155,33 @@ def test_feature_mi_nonnegative_and_cell_counts(spark):
         # MI >= 0 mathematically; floor quantization may shave a
         # zero-signal feature a hair below zero (66 cells x 1e-6)
         assert r["mi_nats"] >= -1e-4
+
+
+def test_logreg_newton_matches_numpy(spark):
+    """The oracled two-step Newton entry must reproduce the dense
+    numpy IRLS trajectory exactly (round 6) — the sufficient-stats
+    grid factoring is algebraically lossless."""
+    import duckdb
+    import numpy as np
+
+    row = QUERIES["ssl_logreg_newton_two_step"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT EXTRACT(month FROM o_orderdate) AS x, "
+        "CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END AS y "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    ).fetchdf()
+    X = np.column_stack([np.ones(len(df)), df.x.values.astype(float)])
+    y = df.y.values.astype(float)
+    beta = np.zeros(2)
+    betas = []
+    for _ in range(2):
+        p = 1 / (1 + np.exp(-(X @ beta)))
+        g = X.T @ (y - p)
+        H = X.T @ (X * (p * (1 - p))[:, None])
+        beta = beta + np.linalg.solve(H, g)
+        betas.append(beta.copy())
+    assert abs(row["b0_step1"] - betas[0][0]) < 1e-5
+    assert abs(row["b1_step1"] - betas[0][1]) < 1e-5
+    assert abs(row["b0_step2"] - betas[1][0]) < 1e-5
+    assert abs(row["b1_step2"] - betas[1][1]) < 1e-5

@@ -3358,3 +3358,173 @@ def ssl_cotrain_two_round_feature_split(
     for df in (conf_v1r1, conf_v2r1, resolved, pool_r2, conf_v1r2, conf_v2r2):
         release(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two Newton/IRLS steps of logistic regression, ORACLED (r13)
+# ---------------------------------------------------------------------------
+#
+# ``ssl_logreg_irls_grid`` (rows-only, numpy sufficient-stats Newton)
+# gets an oracled sibling the way BPE training did: the ITERATIVE
+# OPTIMIZER itself is unrolled into relational algebra. Model:
+# P(y=1|x) = sigmoid(b0 + b1·x) with y = (o_orderstatus = 'F') and
+# x = order month. Because x has 12 distinct values, the dataset
+# reduces EXACTLY to 12 cells (x, n_x, k_x) and each Newton step is a
+# fixed expression over that bounded grid:
+#
+# - step 1 from beta = (0,0): p = 1/2 exactly, so the gradient and
+#   Hessian are EXACT INTEGER moments (2g = [2sk-sn, 2skx-snx],
+#   H = M/4 with M = [[sn,snx],[snx,snxx]]) and beta_1 = 2·M^-1·(2g)/2
+#   reduces to two integer cross-products over one integer
+#   determinant — single division each, zero libm.
+# - step 2: eta = b0_1 + b1_1·x is the same double on both engines
+#   (exact-integer inputs, fixed expression tree); each cell's
+#   gradient/Hessian contribution is FLOOR-quantized at 10^9 so the
+#   cross-cell sums are order-free exact integers (|h11 term| <=
+#   x²·n_x·p(1-p)·10^9 ~ 5·10^16 at sf1 — BIGINT; the 2x2 solve's
+#   cross-products ~ 10^32 — DECIMAL(38,0)/HUGEINT); the scale
+#   cancels in H^-1·g, two final divisions, round 6.
+#
+# The per-cell step-2 expressions are generated ONCE (_LRN_CELL_EXPRS)
+# and evaluated verbatim by both engines (the PACF shared-text
+# precedent); exp() is the same libm call both sides (the PMI ln
+# precedent).
+#
+# 100 TB shape: ONE fact-scale groupBy to the 12-cell grid; both
+# Newton steps run on bounded relations (the sufficient-stats
+# factoring that makes IRLS distributed-friendly in the first place).
+
+_LRN_SCALE = 1_000_000_000
+
+#: step-1 beta numerators/denominator over the integer moments
+_LRN_STEP1 = [
+    ("det1", "sn * snxx - snx * snx"),
+    ("num0", "snxx * (2 * sk - sn) - snx * (2 * skx - snx)"),
+    ("num1", "sn * (2 * skx - snx) - snx * (2 * sk - sn)"),
+    ("b0_1", "CAST(2 * num0 AS DOUBLE) / det1"),
+    ("b1_1", "CAST(2 * num1 AS DOUBLE) / det1"),
+]
+
+#: step-2 per-cell quantized contributions (evaluated on cells x step1)
+_LRN_CELL_EXPRS = [
+    ("p", "1.0 / (1.0 + exp(-(b0_1 + b1_1 * x)))"),
+    ("gq0", f"CAST(FLOOR((k_x - n_x * p) * {_LRN_SCALE}) AS BIGINT)"),
+    ("gq1", f"CAST(FLOOR(x * (k_x - n_x * p) * {_LRN_SCALE}) AS BIGINT)"),
+    ("hq00", f"CAST(FLOOR(n_x * p * (1.0 - p) * {_LRN_SCALE}) AS BIGINT)"),
+    ("hq01", f"CAST(FLOOR(x * n_x * p * (1.0 - p) * {_LRN_SCALE}) AS BIGINT)"),
+    (
+        "hq11",
+        f"CAST(FLOOR(x * x * n_x * p * (1.0 - p) * {_LRN_SCALE}) AS BIGINT)",
+    ),
+]
+
+
+def _lrn_oracle() -> str:
+    step1_cols = ",\n         ".join(
+        f"({expr}) AS {alias}" for alias, expr in _LRN_STEP1
+    )
+    cell_ctes = ""
+    prev = "c2"
+    for i, (alias, expr) in enumerate(_LRN_CELL_EXPRS):
+        name = f"e{i}"
+        cell_ctes += f"{name} AS (SELECT *, ({expr}) AS {alias} FROM {prev}),\n"
+        prev = name
+    return f"""
+WITH cells AS (
+  SELECT EXTRACT(month FROM o_orderdate)::BIGINT AS x,
+         COUNT(*)::BIGINT AS n_x,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS k_x
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT SUM(n_x)::BIGINT AS sn, SUM(k_x)::BIGINT AS sk,
+         SUM(n_x * x)::BIGINT AS snx, SUM(k_x * x)::BIGINT AS skx,
+         SUM(n_x * x * x)::BIGINT AS snxx
+  FROM cells
+),
+step1 AS (
+  SELECT sn,
+         {step1_cols}
+  FROM m
+),
+c2 AS (SELECT c.*, s.b0_1, s.b1_1, s.sn FROM cells c CROSS JOIN step1 s),
+{cell_ctes}sums AS (
+  SELECT MAX(sn) AS n, MAX(b0_1) AS b0_1, MAX(b1_1) AS b1_1,
+         SUM(gq0)::BIGINT AS sg0, SUM(gq1)::BIGINT AS sg1,
+         SUM(hq00)::BIGINT AS sh00, SUM(hq01)::BIGINT AS sh01,
+         SUM(hq11)::BIGINT AS sh11
+  FROM {prev}
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(b0_1, 6) AS b0_step1,
+       ROUND(b1_1, 6) AS b1_step1,
+       ROUND(b0_1 + CAST(sh11::HUGEINT * sg0 - sh01::HUGEINT * sg1 AS DOUBLE)
+                    / CAST(sh00::HUGEINT * sh11 - sh01::HUGEINT * sh01
+                           AS DOUBLE), 6) AS b0_step2,
+       ROUND(b1_1 + CAST(sh00::HUGEINT * sg1 - sh01::HUGEINT * sg0 AS DOUBLE)
+                    / CAST(sh00::HUGEINT * sh11 - sh01::HUGEINT * sh01
+                           AS DOUBLE), 6) AS b1_step2
+FROM sums
+"""
+
+
+@register("ssl_logreg_newton_two_step", _lrn_oracle())
+def ssl_logreg_newton_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Newton/IRLS steps of single-feature logistic
+    regression (y = order-is-F on order month), computed entirely on
+    the 12-cell sufficient-statistics grid: (n, b0_step1, b1_step1,
+    b0_step2, b1_step2). The oracled sibling of the rows-only
+    ``ssl_logreg_irls_grid`` — the optimizer's MATH is driver-checked;
+    the multi-feature numpy tier stays rows-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_x"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_x"),
+    )
+    m = cells.agg(
+        F.sum("n_x").cast("bigint").alias("sn"),
+        F.sum("k_x").cast("bigint").alias("sk"),
+        F.sum(F.col("n_x") * F.col("x")).cast("bigint").alias("snx"),
+        F.sum(F.col("k_x") * F.col("x")).cast("bigint").alias("skx"),
+        F.sum(F.col("n_x") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("snxx"),
+    )
+    step1 = m
+    for alias, expr in _LRN_STEP1:
+        step1 = step1.selectExpr("*", f"({expr}) AS {alias}")
+    step1 = step1.select("sn", "b0_1", "b1_1")
+    c2 = cells.crossJoin(F.broadcast(step1))
+    for alias, expr in _LRN_CELL_EXPRS:
+        c2 = c2.selectExpr("*", f"({expr}) AS {alias}")
+    dec = "decimal(38,0)"
+    sums = c2.agg(
+        F.max("sn").alias("n"),
+        F.max("b0_1").alias("b0_1"),
+        F.max("b1_1").alias("b1_1"),
+        F.sum("gq0").cast(dec).alias("sg0"),
+        F.sum("gq1").cast(dec).alias("sg1"),
+        F.sum("hq00").cast(dec).alias("sh00"),
+        F.sum("hq01").cast(dec).alias("sh01"),
+        F.sum("hq11").cast(dec).alias("sh11"),
+    )
+    det2 = (
+        F.col("sh00") * F.col("sh11") - F.col("sh01") * F.col("sh01")
+    ).cast("double")
+    d0 = (F.col("sh11") * F.col("sg0") - F.col("sh01") * F.col("sg1")).cast(
+        "double"
+    )
+    d1 = (F.col("sh00") * F.col("sg1") - F.col("sh01") * F.col("sg0")).cast(
+        "double"
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("b0_1", 6).alias("b0_step1"),
+        F.round("b1_1", 6).alias("b1_step1"),
+        F.round(F.col("b0_1") + d0 / det2, 6).alias("b0_step2"),
+        F.round(F.col("b1_1") + d1 / det2, 6).alias("b1_step2"),
+    )
