@@ -185,3 +185,34 @@ def test_logreg_newton_matches_numpy(spark):
     assert abs(row["b1_step1"] - betas[0][1]) < 1e-5
     assert abs(row["b0_step2"] - betas[1][0]) < 1e-5
     assert abs(row["b1_step2"] - betas[1][1]) < 1e-5
+
+
+def test_kmeans_round_matches_numpy(spark):
+    """The oracled Lloyd round must reproduce numpy's assignment and
+    update exactly (quantization aside) — both engines agreeing on the
+    wrong math would still hash-match, so pin against a third
+    implementation."""
+    import duckdb
+    import numpy as np
+
+    rows = {
+        r["cluster"]: r
+        for r in QUERIES["kmeans_one_round_audit"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchdf()
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    C = V[:4]
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)  # numpy argmin takes the first min = our tie rule
+    for k in range(4):
+        mask = assign == k
+        assert rows[k]["n_assigned"] == int(mask.sum())
+        inertia = d[mask, k].sum()
+        # our inertia_q floors per row at 1e6 — bound the gap by n rows
+        assert abs(rows[k]["inertia_q"] / 1e6 - inertia) < mask.sum() * 1e-6 + 1e-9
+        norm = np.linalg.norm(V[mask].mean(axis=0))
+        assert abs(rows[k]["new_norm"] - norm) < 1e-4

@@ -908,3 +908,150 @@ def pq_sign_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = truncate(out)
     release(scored)
     return out
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd (k-means) round, ORACLED (r13)
+# ---------------------------------------------------------------------------
+#
+# The ANN/SemDeDup/PQ tiers are rows-only because their k-means
+# codebooks train driver-side (numpy Lloyd's on a bounded sample —
+# the faiss shape). This entry promotes the LLOYD STEP MATH itself to
+# a driver-checked oracle: one assignment + update round with
+# deterministic initial centroids (vec_id 0..3), entirely relational.
+#
+# Arithmetic parity:
+# - the squared distance is a FLAT 64-term expression over
+#   float32→double casts (exact), generated once per engine (Spark
+#   0-based / DuckDB 1-based indexing) with IDENTICAL term order — the
+#   same double on both sides, so the argmin (rank by dist, cluster)
+#   matches bit-for-bit;
+# - per-row inertia contributions are FLOOR-quantized at 10^6 and the
+#   per-component update sums quantize the raw components at 10^9
+#   (float32·10^9 is an exact integer in a double), so every cross-row
+#   aggregate is an order-free exact integer;
+# - the new-centroid norm is a fixed 64-term expression over the
+#   integer sums — one sqrt, round 6.
+#
+# 100 TB shape: K is bounded (broadcast centroids), the assignment is
+# one narrow scan + per-vector rank over K candidate rows, the update
+# is one groupBy; this is exactly the per-iteration plan a distributed
+# Lloyd's would run, which is the point of the audit.
+
+_KM_K = 4
+_KM_DIM = 64  # embeddings are 64-d at every SF (static oracle text)
+_KM_IN_SCALE = 1_000_000_000  # component quantization
+_KM_D_SCALE = 1_000_000  # inertia quantization
+
+
+def _km_dist_sql(e: str, c: str, base: int) -> str:
+    """Flat 64-term squared distance; ``base`` = 0 (Spark) / 1 (DuckDB).
+    Term order is identical across engines (j ascending)."""
+    terms = [
+        f"(CAST({e}[{j + base}] AS DOUBLE) - CAST({c}[{j + base}] AS DOUBLE))"
+        f" * (CAST({e}[{j + base}] AS DOUBLE)"
+        f" - CAST({c}[{j + base}] AS DOUBLE))"
+        for j in range(_KM_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _km_comp_sums_sql(e: str, base: int) -> str:
+    """64 quantized component-sum aggregate columns."""
+    return ", ".join(
+        f"SUM(CAST(FLOOR(CAST({e}[{j + base}] AS DOUBLE) * {_KM_IN_SCALE}) "
+        f"AS BIGINT)) AS s{j}"
+        for j in range(_KM_DIM)
+    )
+
+
+def _km_norm_sql() -> str:
+    """New-centroid norm from the integer component sums."""
+    comps = " + ".join(
+        f"(CAST(s{j} AS DOUBLE) / (n_assigned * {_KM_IN_SCALE}.0))"
+        f" * (CAST(s{j} AS DOUBLE) / (n_assigned * {_KM_IN_SCALE}.0))"
+        for j in range(_KM_DIM)
+    )
+    return f"ROUND(sqrt({comps}), 6)"
+
+
+KMEANS_ROUND_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cluster, embedding AS cemb FROM embeddings
+  WHERE vec_id < {_KM_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cluster,
+         {_km_dist_sql("e.embedding", "c.cemb", 1)} AS dist
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cluster) AS rn
+  FROM scored
+),
+agg AS (
+  SELECT cluster,
+         COUNT(*)::BIGINT AS n_assigned,
+         SUM(CAST(FLOOR(dist * {_KM_D_SCALE}) AS BIGINT))::BIGINT
+           AS inertia_q,
+         {_km_comp_sums_sql("embedding", 1)}
+  FROM assigned WHERE rn = 1 GROUP BY cluster
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, n_assigned, inertia_q,
+       {_km_norm_sql()} AS new_norm
+FROM agg
+"""
+
+
+@register("kmeans_one_round_audit", KMEANS_ROUND_ORACLE)
+def kmeans_one_round_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd round from deterministic centroids (vec_id 0..3):
+    (cluster, n_assigned, inertia_q, new_norm). The k-means STEP math
+    behind the IVF/PQ/SemDeDup tiers, driver-checked; the
+    driver-trained production codebooks stay rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cemb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            "cluster",
+            f"{_km_dist_sql('embedding', 'cemb', 0)} AS dist",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    assigned = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    agg = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum(
+            F.floor(F.col("dist") * F.lit(_KM_D_SCALE)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("inertia_q"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CAST(FLOOR(CAST(embedding[{j}] AS DOUBLE)"
+                    f" * {_KM_IN_SCALE}) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias(f"s{j}")
+            for j in range(_KM_DIM)
+        ],
+    )
+    return agg.selectExpr(
+        "CAST(cluster AS BIGINT) AS cluster",
+        "n_assigned",
+        "inertia_q",
+        f"{_km_norm_sql()} AS new_norm",
+    )
