@@ -216,3 +216,28 @@ def test_kmeans_round_matches_numpy(spark):
         assert abs(rows[k]["inertia_q"] / 1e6 - inertia) < mask.sum() * 1e-6 + 1e-9
         norm = np.linalg.norm(V[mask].mean(axis=0))
         assert abs(rows[k]["new_norm"] - norm) < 1e-4
+
+
+def test_power_iteration_matches_numpy(spark):
+    """Two centered-covariance matvecs + Rayleigh quotient must match
+    dense numpy exactly (round 6) — pins the quantized matvec algebra
+    against a third implementation."""
+    import duckdb
+    import numpy as np
+
+    row = QUERIES["pca_power_iteration_audit"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchdf()
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    n = len(V)
+    m = V.mean(axis=0)
+    C = (V.T @ V) / n - np.outer(m, m)
+    y = C[:, 0].copy()  # C @ e0
+    z = C @ y
+    assert row["n"] == n
+    assert abs(row["rayleigh_lambda"] - (y @ z) / (y @ y)) < 1e-4
+    assert abs(row["y_norm"] - np.linalg.norm(y)) < 1e-4
+    assert abs(row["z_norm"] - np.linalg.norm(z)) < 1e-4

@@ -1055,3 +1055,180 @@ def kmeans_one_round_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inertia_q",
         f"{_km_norm_sql()} AS new_norm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two power-iteration matvecs on the centered covariance, ORACLED (r13)
+# ---------------------------------------------------------------------------
+#
+# ``embedding_pca_spectrum`` is rows-only (driver-side eigh on the
+# integer moment matrix). This entry promotes the SPECTRAL MATH to a
+# driver-checked oracle: two power-iteration matvecs y = C·v0,
+# z = C·y on the CENTERED covariance (v0 = first basis vector) and
+# the Rayleigh quotient λ = y·z / y·y — the top-eigenvalue estimator
+# every distributed PCA/power-iteration implementation is built from.
+#
+# The matvec never materializes C (64x64): (C·v)_i =
+# (1/n)·Σ_r e_ri·(e_r·v) − m_i·(m·v), so each pass is ONE scan with a
+# flat dot product bound to a column first (the Catalyst
+# lambda-inlining lesson) and 64 FLOOR-quantized per-row contribution
+# sums — order-free exact integers; the mean corrections, Rayleigh
+# numerator and denominator are fixed 64-term expressions over the
+# aggregated columns (identical doubles cross-engine), two final
+# divisions + two sqrt, round 6.
+#
+# 100 TB shape: two narrow scans with map-side-combinable integer
+# aggregates — the exact plan a distributed power iteration runs per
+# step (and why it scales: shuffle volume is 64 integers per pass).
+
+_PI_DIM = 64
+_PI_SCALE = 1_000_000_000
+
+
+def _pi_qsum_sql(e: str, s: str, base: int, prefix: str) -> str:
+    """64 quantized per-row contribution sums Σ floor(e_i·s·1e9)."""
+    return ", ".join(
+        f"SUM(CAST(FLOOR(CAST({e}[{j + base}] AS DOUBLE) * {s}"
+        f" * {_PI_SCALE}) AS BIGINT)) AS {prefix}{j}"
+        for j in range(_PI_DIM)
+    )
+
+
+def _pi_dot_sql(e: str, vcols: str, base: int) -> str:
+    """Flat dot of the embedding with 64 broadcast columns."""
+    return "(" + " + ".join(
+        f"CAST({e}[{j + base}] AS DOUBLE) * {vcols}{j}"
+        for j in range(_PI_DIM)
+    ) + ")"
+
+
+def _pi_vec_sql(qprefix: str, corr: str) -> list[str]:
+    """y_i (or z_i) columns from the quantized sums + mean correction:
+    (q_i/(n·1e9)) − m_i·corr."""
+    return [
+        f"(CAST({qprefix}{j} AS DOUBLE) / (n * {_PI_SCALE}.0))"
+        f" - m{j} * ({corr}) AS v{qprefix}{j}"
+        for j in range(_PI_DIM)
+    ]
+
+
+def _pi_oracle() -> str:
+    base = 1
+    m_cols = ", ".join(
+        f"CAST(s{j} AS DOUBLE) / (n * {_PI_SCALE}.0) AS m{j}"
+        for j in range(_PI_DIM)
+    )
+    comp_sums = ", ".join(
+        f"SUM(CAST(FLOOR(CAST(embedding[{j + base}] AS DOUBLE)"
+        f" * {_PI_SCALE}) AS BIGINT)) AS s{j}"
+        for j in range(_PI_DIM)
+    )
+    y_cols = ", ".join(_pi_vec_sql("qy", "m0"))
+    my = " + ".join(f"m{j} * vqy{j}" for j in range(_PI_DIM))
+    z_cols = ", ".join(_pi_vec_sql("qz", "my"))
+    yy = " + ".join(f"vqy{j} * vqy{j}" for j in range(_PI_DIM))
+    yz = " + ".join(f"vqy{j} * vqz{j}" for j in range(_PI_DIM))
+    zz = " + ".join(f"vqz{j} * vqz{j}" for j in range(_PI_DIM))
+    return f"""
+WITH mom AS (
+  SELECT COUNT(*)::BIGINT AS n, {comp_sums}
+  FROM embeddings
+),
+means AS (SELECT n, {m_cols} FROM mom),
+p1 AS (
+  SELECT {_pi_qsum_sql("embedding", f"CAST(embedding[{base}] AS DOUBLE)",
+                       base, "qy")}
+  FROM embeddings
+),
+yv AS (SELECT means.n, {y_cols}, means.* FROM p1 CROSS JOIN means),
+e2 AS (
+  SELECT e.embedding, {_pi_dot_sql("e.embedding", "y.vqy", base)} AS sdot
+  FROM embeddings e CROSS JOIN yv y
+),
+p2 AS (
+  SELECT {_pi_qsum_sql("embedding", "sdot", base, "qz")}
+  FROM e2
+),
+fin AS (
+  SELECT y.n, ({my}) AS my, y.*, p2.* FROM p2 CROSS JOIN yv y
+),
+zv AS (SELECT *, {z_cols} FROM fin)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(({yz}) / ({yy}), 6) AS rayleigh_lambda,
+       ROUND(sqrt({yy}), 6) AS y_norm,
+       ROUND(sqrt({zz}), 6) AS z_norm
+FROM zv
+"""
+
+
+@register("pca_power_iteration_audit", _pi_oracle())
+def pca_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration matvecs on the centered embedding covariance
+    from v0 = e_0, with the Rayleigh top-eigenvalue estimate:
+    (n, rayleigh_lambda, y_norm, z_norm). The spectral STEP math behind
+    ``embedding_pca_spectrum``, driver-checked; the full eigh spectrum
+    stays rows-only."""
+    base = 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    mom = emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CAST(FLOOR(CAST(embedding[{j + base}] AS DOUBLE)"
+                    f" * {_PI_SCALE}) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias(f"s{j}")
+            for j in range(_PI_DIM)
+        ],
+    )
+    means = mom.selectExpr(
+        "n",
+        *[
+            f"CAST(s{j} AS DOUBLE) / (n * {_PI_SCALE}.0) AS m{j}"
+            for j in range(_PI_DIM)
+        ],
+    )
+    p1 = emb.agg(
+        *[
+            F.expr(
+                f"SUM(CAST(FLOOR(CAST(embedding[{j + base}] AS DOUBLE)"
+                f" * CAST(embedding[{base}] AS DOUBLE)"
+                f" * {_PI_SCALE}) AS BIGINT))"
+            )
+            .cast("bigint")
+            .alias(f"qy{j}")
+            for j in range(_PI_DIM)
+        ]
+    )
+    yv = p1.crossJoin(F.broadcast(means)).selectExpr(
+        "n", *_pi_vec_sql("qy", "m0"), *[f"m{j}" for j in range(_PI_DIM)]
+    )
+    e2 = emb.crossJoin(F.broadcast(yv)).selectExpr(
+        "embedding", f"{_pi_dot_sql('embedding', 'vqy', base)} AS sdot"
+    )
+    p2 = e2.agg(
+        *[
+            F.expr(
+                f"SUM(CAST(FLOOR(CAST(embedding[{j + base}] AS DOUBLE)"
+                f" * sdot * {_PI_SCALE}) AS BIGINT))"
+            )
+            .cast("bigint")
+            .alias(f"qz{j}")
+            for j in range(_PI_DIM)
+        ]
+    )
+    my = " + ".join(f"m{j} * vqy{j}" for j in range(_PI_DIM))
+    fin = p2.crossJoin(F.broadcast(yv)).selectExpr("*", f"({my}) AS my")
+    zv = fin.selectExpr("*", *_pi_vec_sql("qz", "my"))
+    yy = " + ".join(f"vqy{j} * vqy{j}" for j in range(_PI_DIM))
+    yz = " + ".join(f"vqy{j} * vqz{j}" for j in range(_PI_DIM))
+    zz = " + ".join(f"vqz{j} * vqz{j}" for j in range(_PI_DIM))
+    return zv.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND(({yz}) / ({yy}), 6) AS rayleigh_lambda",
+        f"ROUND(sqrt({yy}), 6) AS y_norm",
+        f"ROUND(sqrt({zz}), 6) AS z_norm",
+    )
