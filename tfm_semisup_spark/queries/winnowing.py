@@ -234,3 +234,93 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("shared_fps").desc(), "doc_a", "doc_b"
     ).limit(_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split NEAR-DUP leakage audit (r13)
+# ---------------------------------------------------------------------------
+#
+# The near-dup complement of corpus_prep.py's ``split_leakage_audit``
+# (which audits EXACT-duplicate md5 fingerprints across splits): a
+# near-duplicate pair straddling train and val/test leaks evaluation
+# signal even when exact dedup is clean. Splits are assigned portably
+# (md5 mod 10 → 8/1/1 train/val/test — the DeterministicLabelMasker
+# recipe, partitioning-independent at any scale); the near-dup pair
+# source is the winnowing candidate tier (winnow_fp_ctes /
+# WINNOW_PAIRS_CTE — one builder with dedup_winnowing_pairs and the
+# cascade, so the selection rule cannot desync). Output: pair counts
+# and shared-fingerprint mass per unordered split pair — the
+# off-diagonal rows are the leak.
+#
+# 100 TB shape: the split column is a narrow hash projection; the
+# only data-scale work is the fingerprint tier already costed by the
+# cascade; the audit join moves (doc_id, split) pairs only.
+
+_SPLIT_SQL = (
+    "CASE WHEN ({m}) % 10 < 8 THEN 'train' "
+    "WHEN ({m}) % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+SPLIT_NEARDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+{winnow_fp_ctes("toks")},
+{WINNOW_PAIRS_CTE},
+sp AS (
+  SELECT doc_id,
+         {_SPLIT_SQL.format(m=md5_uniform16_sql("md5(CAST(doc_id AS VARCHAR))"))}
+           AS split
+  FROM documents
+)
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       COUNT(*)::BIGINT AS n_pairs,
+       SUM(p.shared_fps)::BIGINT AS sum_shared_fps
+FROM winnow_pairs p
+JOIN sp sa ON p.doc_a = sa.doc_id
+JOIN sp sb ON p.doc_b = sb.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("split_leakage_neardup_audit", SPLIT_NEARDUP_ORACLE)
+def split_leakage_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs per unordered split pair under a portable
+    md5 8/1/1 train/val/test assignment: (split_a, split_b, n_pairs,
+    sum_shared_fps). Off-diagonal rows (split_a != split_b) are
+    evaluation leakage the exact-dedup pass cannot see."""
+    from tfm_semisup_spark.operators.layout import md5_uniform16_spark_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
+    )
+    _, kept = winnow_fingerprints(toks)
+    pairs = winnow_candidate_pairs(kept)
+    sp = docs.select(
+        "doc_id",
+        F.expr(
+            _SPLIT_SQL.format(
+                m=md5_uniform16_spark_sql("md5(CAST(doc_id AS STRING))")
+            )
+        ).alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("shared_fps").cast("bigint").alias("sum_shared_fps"),
+        )
+        .orderBy("split_a", "split_b")
+    )
