@@ -2,15 +2,17 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (341 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (351 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (307 entries — all verified hash-matching at
+equivalent DuckDB SQL (317 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count AND under
 codegen.fallback=false, so no oracle is driver-environment-dependent
-or silently interpreted; provenance: 265 via driver CORRECTNESS rows
-through r11, 30 r10/r11-born judge-verified in r11, 12 new-in-r12
-verified by per-query driver-sim at both SFs + shuffle-7 +
-strict-codegen). Since r10 the 50-slot driver window is COMPUTED
+or silently interpreted; provenance: 296 via driver CORRECTNESS rows
+through r12, 10 new-in-r13 (+1 late) verified by per-query driver-sim at both
+SFs + shuffle-7 + strict-codegen, plus full-registry close sweeps at
+all four gates; an oracled entry returning 0 rows now FAILS the local
+gates unless allowlisted with a non-vacuous sibling —
+``queries.VACUOUS_OK``). Since r10 the 50-slot driver window is COMPUTED
 earliest-deadline-first from driver_history.json + the
 CORRECTNESS_r*.json artifacts
 (``queries/__init__.py::rotation_order``) and advances automatically

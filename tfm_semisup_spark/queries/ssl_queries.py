@@ -3528,3 +3528,133 @@ def ssl_logreg_newton_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b0_1") + d0 / det2, 6).alias("b0_step2"),
         F.round(F.col("b1_1") + d1 / det2, 6).alias("b1_step2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TWO CoTraining rounds under the reference's INSTANCE-split view
+# construction (r13) — completes the multi-round trio
+# ---------------------------------------------------------------------------
+#
+# ``CoTraining.scala:137-142`` is the reference's actual deviation
+# from Blum–Mitchell: the labeled AND unlabeled pools are each split
+# 50/50 (seed 8 there; a portable md5 half here — note the 'i' salt
+# keeps the half independent of the labeled/unlabeled mask), and two
+# copies of the SAME classifier (single-feature NB on f1) cross-teach:
+# model A's confident pseudo-labels join model B's labeled pool and
+# vice versa (``:172-173``, ``:215-216``), each model consuming its
+# OWN unlabeled half. With the f1/f2 cross-teach trajectory
+# (``ssl_cotrain_two_round_nb`` / ``_threshold``) and the shared-pool
+# feature split (``_feature_split``), this oracles all three view
+# constructions as multi-round trajectories.
+#
+# Threshold 0.36 (quantized 10^12) is the measured sweet spot for the
+# HALF-data NB posteriors: round 1 promotes proper subsets of both
+# pools at sf0.001 AND sf0.01 (461/584, 485/601; 2312/5916,
+# 3601/6037), round 2 promotes nonzero for both views — PROPER subsets
+# at sf0.01 (2460/3604, 1189/2436) — while 0.35 promotes whole pools
+# in round 1 (empty round 2) and the f1/f2 entry's 0.37 zeroes view
+# A's round 2 at sf0.01.
+
+_CTI_THR = 360_000_000_000
+_CTI_HALF_KEY_SQL = "md5('i' || CAST(o_orderkey AS VARCHAR))"
+_CTI_HALF_KEY_SPARK = "md5('i' || CAST(o_orderkey AS STRING))"
+
+
+def _cotrain2_instance_oracle() -> str:
+    thr = _CTI_THR
+    flag = f"conf_q > {thr}"
+    half = f"({md5_uniform16_sql(_CTI_HALF_KEY_SQL)} % 2)"
+    return f"""
+WITH {_NB1_BASE_SQL},
+lab_a AS (SELECT f1, f2, o_orderstatus AS label FROM labeled
+          WHERE {half} = 0),
+lab_b AS (SELECT f1, f2, o_orderstatus AS label FROM labeled
+          WHERE {half} = 1),
+pool_a AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM unlabeled
+           WHERE {half} = 0),
+pool_b AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM unlabeled
+           WHERE {half} = 1),
+{_ct2_round_sql("lab_a", "pool_a", "f1", 5, "va1")},
+{_ct2_round_sql("lab_b", "pool_b", "f1", 5, "vb1")},
+prom_a AS (SELECT * FROM ranked_va1 WHERE {flag}),
+prom_b AS (SELECT * FROM ranked_vb1 WHERE {flag}),
+tr_a2 AS (SELECT * FROM lab_a
+          UNION ALL SELECT f1, f2, pred_class AS label FROM prom_b),
+tr_b2 AS (SELECT * FROM lab_b
+          UNION ALL SELECT f1, f2, pred_class AS label FROM prom_a),
+pl_a2 AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM ranked_va1
+          WHERE conf_q <= {thr}),
+pl_b2 AS (SELECT o_orderkey, o_orderstatus, f1, f2 FROM ranked_vb1
+          WHERE conf_q <= {thr}),
+{_ct2_round_sql("tr_a2", "pl_a2", "f1", 5, "va2")},
+{_ct2_round_sql("tr_b2", "pl_b2", "f1", 5, "vb2")}
+{_ct2_summary_sql("va1", 1, "half_a", flag)}
+UNION ALL
+{_ct2_summary_sql("vb1", 1, "half_b", flag)}
+UNION ALL
+{_ct2_summary_sql("va2", 2, "half_a", flag)}
+UNION ALL
+{_ct2_summary_sql("vb2", 2, "half_b", flag)}
+"""
+
+
+@register("ssl_cotrain_two_round_instance_split", _cotrain2_instance_oracle())
+def ssl_cotrain_two_round_instance_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two co-training rounds under the reference's INSTANCE-split
+    construction (``CoTraining.scala:137-142``): labeled and unlabeled
+    pools hash-halved, two copies of the same single-feature NB
+    cross-teach, each consuming its own pool half. (rnd, view_name,
+    pred_class, n_scored, n_promoted, n_promoted_correct,
+    promoted_key_sum, min_conf_q)."""
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    thr = F.lit(_CTI_THR).cast("decimal(38,0)")
+    half = F.expr(f"({md5_uniform16_spark_sql(_CTI_HALF_KEY_SPARK)} % 2)")
+    labeled, unlabeled = _nb1_base(spark, sf_dir)
+    labeled = labeled.withColumn("half", half)
+    unlabeled = unlabeled.withColumn("half", half)
+    lab = {
+        h: labeled.where(F.col("half") == h).select(
+            "f1", "f2", F.col("o_orderstatus").alias("label")
+        )
+        for h in (0, 1)
+    }
+    pool = {
+        h: unlabeled.where(F.col("half") == h).select(
+            "o_orderkey", "o_orderstatus", "f1", "f2"
+        )
+        for h in (0, 1)
+    }
+    conf1 = {
+        h: truncate(_ct2_conf(lab[h], pool[h], "f1", 5), eager=(h == 1))
+        for h in (0, 1)
+    }
+    flag = F.col("conf_q") > thr
+    prom = {
+        h: conf1[h].where(flag).select(
+            "f1", "f2", F.col("pred_class").alias("label")
+        )
+        for h in (0, 1)
+    }
+    tr2 = {h: lab[h].unionByName(prom[1 - h]) for h in (0, 1)}
+    pl2 = {
+        h: conf1[h]
+        .where(~flag)
+        .select("o_orderkey", "o_orderstatus", "f1", "f2")
+        for h in (0, 1)
+    }
+    conf2 = {
+        h: truncate(_ct2_conf(tr2[h], pl2[h], "f1", 5), eager=(h == 1))
+        for h in (0, 1)
+    }
+    out = truncate(
+        _ct2_summary(conf1[0], flag, 1, "half_a")
+        .unionByName(_ct2_summary(conf1[1], flag, 1, "half_b"))
+        .unionByName(_ct2_summary(conf2[0], flag, 2, "half_a"))
+        .unionByName(_ct2_summary(conf2[1], flag, 2, "half_b"))
+    )
+    for df in (*conf1.values(), *conf2.values()):
+        release(df)
+    return out
