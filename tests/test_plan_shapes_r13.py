@@ -241,3 +241,86 @@ def test_power_iteration_matches_numpy(spark):
     assert abs(row["rayleigh_lambda"] - (y @ z) / (y @ y)) < 1e-4
     assert abs(row["y_norm"] - np.linalg.norm(y)) < 1e-4
     assert abs(row["z_norm"] - np.linalg.norm(z)) < 1e-4
+
+
+def test_feature_mi_matches_python_reference(spark):
+    """MI from raw pandas counts (plain-Python ln sum) must match the
+    quantized engine value to the quantization error bound."""
+    import math
+
+    import duckdb
+
+    rows = {
+        r["feature"]: r
+        for r in QUERIES["feature_mi_ranking"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT o_orderpriority AS f1, "
+        "EXTRACT(month FROM o_orderdate)::BIGINT AS f2, "
+        "c_mktsegment AS f3, o_orderstatus AS y "
+        f"FROM '{SF_DIR}/orders.parquet' o "
+        f"JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey"
+    ).fetchdf()
+    n = len(df)
+    for feat, col in [("priority", "f1"), ("month", "f2"), ("segment", "f3")]:
+        joint = df.groupby([col, "y"]).size()
+        mx = df.groupby(col).size()
+        my = df.groupby("y").size()
+        mi = sum(
+            (c / n) * math.log(n * c / (mx[x] * my[y]))
+            for (x, y), c in joint.items()
+        )
+        # quantization floors each of n_cells contributions at 1e-6/n
+        assert abs(rows[feat]["mi_nats"] - mi) < rows[feat]["n_cells"] * 2e-6
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    """The quantized-integer OLS must agree with numpy lstsq on the
+    same (ln rank, ln freq) points to the quantization error."""
+    import duckdb
+    import numpy as np
+
+    row = QUERIES["zipf_term_slope"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    tf = con.execute(
+        "SELECT term, COUNT(*) AS c FROM (SELECT unnest(list_filter("
+        "string_split(text, ' '), t -> t <> '')) AS term "
+        f"FROM '{SF_DIR}/documents.parquet') GROUP BY term "
+        "ORDER BY c DESC, term LIMIT 100"
+    ).fetchdf()
+    x = np.log(np.arange(1, len(tf) + 1, dtype=float))
+    y = np.log(tf.c.values.astype(float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+    assert abs(row["zipf_intercept"] - intercept) < 1e-4
+
+
+def test_kmv_estimate_matches_python_reference(spark):
+    """Recompute the KMV estimate from raw md5 hashes in plain Python
+    — pins the bottom-k rank selection and the (K-1)·2^48/h_K formula
+    against a third implementation."""
+    import hashlib
+
+    import duckdb
+
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["kmv_distinct_users_audit"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT DISTINCT event_type, user_id "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchdf()
+    by_type: dict = {}
+    for et, uid in zip(df.event_type, df.user_id):
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        by_type.setdefault(et, set()).add(h)
+    for et, hashes in by_type.items():
+        ranked = sorted(hashes)
+        h_k = ranked[7]  # K=8, 1-indexed rank 8
+        assert rows[et]["h_k"] == h_k
+        est = 7 * (1 << 48) / h_k
+        assert abs(rows[et]["est_users"] - round(est, 4)) < 1e-6
+        assert rows[et]["n_exact"] == len(hashes)
