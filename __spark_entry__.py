@@ -2,13 +2,13 @@
 
 ``entry(spark)`` runs the flagship star-schema query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
-named ``(spark, sf_dir) -> DataFrame`` callable (351 entries);
+named ``(spark, sf_dir) -> DataFrame`` callable (352 entries);
 ``oracle_sql()`` maps each SQL-expressible query name to the
-equivalent DuckDB SQL (317 entries — all verified hash-matching at
+equivalent DuckDB SQL (318 entries — all verified hash-matching at
 sf0.01 AND at an alternate shuffle-partition count AND under
 codegen.fallback=false, so no oracle is driver-environment-dependent
 or silently interpreted; provenance: 296 via driver CORRECTNESS rows
-through r12, 10 new-in-r13 (+1 late) verified by per-query driver-sim at both
+through r12, 11 new-in-r13 verified by per-query driver-sim at both
 SFs + shuffle-7 + strict-codegen, plus full-registry close sweeps at
 all four gates; an oracled entry returning 0 rows now FAILS the local
 gates unless allowlisted with a non-vacuous sibling —

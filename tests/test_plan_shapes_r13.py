@@ -324,3 +324,60 @@ def test_kmv_estimate_matches_python_reference(spark):
         est = 7 * (1 << 48) / h_k
         assert abs(rows[et]["est_users"] - round(est, 4)) < 1e-6
         assert rows[et]["n_exact"] == len(hashes)
+
+
+def test_roc_auc_matches_python_reference(spark):
+    """Recompute the NB scores AND the tie-aware Mann–Whitney AUC in
+    plain Python integers from the raw orders rows — independent of
+    both engines' SQL."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    row = QUERIES["ssl_roc_auc_nb"](spark, SF_DIR).collect()[0]
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority AS f1, "
+        "EXTRACT(month FROM o_orderdate)::BIGINT AS f2 "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    ).fetchdf()
+
+    def mask(okey: int) -> int:
+        return int(hashlib.md5(str(okey).encode()).hexdigest()[:4], 16) % 5
+
+    lab = df[[mask(k) == 0 for k in df.o_orderkey]]
+    pool = df[[mask(k) != 0 for k in df.o_orderkey]]
+    cls = ["F", "O", "P"]
+    n_c = Counter(lab.o_orderstatus)
+    n1: dict = defaultdict(Counter)
+    n2: dict = defaultdict(Counter)
+    for _, r in lab.iterrows():
+        n1[r.f1][r.o_orderstatus] += 1
+        n2[r.f2][r.o_orderstatus] += 1
+    scores = []
+    for _, r in pool.iterrows():
+        a = {
+            c: n_c[c] * (n1[r.f1][c] + 1) * (n2[r.f2][c] + 1) for c in cls
+        }
+        b = {c: (n_c[c] + 5) * (n_c[c] + 12) for c in cls}
+        t = {
+            "F": a["F"] * b["O"] * b["P"],
+            "O": a["O"] * b["F"] * b["P"],
+            "P": a["P"] * b["F"] * b["O"],
+        }
+        score_q = (t["F"] * 10_000) // (t["F"] + t["O"] + t["P"])
+        scores.append((score_q, r.o_orderstatus == "F"))
+    grid: dict = defaultdict(lambda: [0, 0])
+    for s, pos in scores:
+        grid[s][0 if pos else 1] += 1
+    u2 = 0
+    g_below = 0
+    for s in sorted(grid):
+        p_s, g_s = grid[s]
+        u2 += 2 * p_s * g_below + p_s * g_s
+        g_below += g_s
+    np_, ng = sum(g[0] for g in grid.values()), sum(g[1] for g in grid.values())
+    assert row["n_pos"] == np_ and row["n_neg"] == ng
+    assert row["u2"] == u2
+    assert abs(row["auc"] - u2 / (2 * np_ * ng)) < 1e-6

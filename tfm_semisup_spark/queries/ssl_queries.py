@@ -3658,3 +3658,112 @@ def ssl_cotrain_two_round_instance_split(
     for df in (*conf1.values(), *conf2.values()):
         release(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# EXACT tie-aware ROC-AUC via Mann–Whitney rank-sum (r13)
+# ---------------------------------------------------------------------------
+#
+# The PR curve above enumerates operating points; this is the other
+# canonical ranking metric — the exact probability a random positive
+# outranks a random negative, with the standard 1/2 credit for ties:
+#
+#   AUC = [ Σ_s p_s·G_below(s) + p_s·g_s/2 ] / (n_pos·n_neg)
+#
+# over the distinct quantized-score grid (p_s/g_s = positives/
+# negatives at score s, G_below = negatives strictly below). Doubling
+# clears the half: 2U = Σ 2·p_s·G_below + p_s·g_s is an EXACT BIGINT
+# (≤ 2·n_pos·n_neg ~ 10^12 at sf1), so the only division is the final
+# AUC — round 6. Scores are the PR curve's quantized two-feature NB
+# posteriors (shared _nb2_scored builder; colliding posteriors tie,
+# identically on both engines — exactly what the tie term is for).
+#
+# 100 TB shape: one groupBy to the bounded score grid, one window
+# cumsum over it, one aggregate. (MLlib's own areaUnderROC is the
+# rows-only tier; this is its exact relational twin.)
+
+
+def _roc_auc_oracle() -> str:
+    return f"""
+WITH {_nb2_scored_sql()},
+probs AS (
+  SELECT o_orderstatus,
+         ((a_F * b_O * b_P) * {_PR_SCORE_SCALE})
+           // (a_F * b_O * b_P + a_O * b_F * b_P + a_P * b_F * b_O)
+           AS score_q
+  FROM scored
+),
+grid AS (
+  SELECT score_q,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS p_s,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)::BIGINT AS g_s
+  FROM probs GROUP BY score_q
+),
+cum AS (
+  SELECT p_s, g_s,
+         COALESCE(SUM(g_s) OVER (ORDER BY score_q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_below
+  FROM grid
+),
+tot AS (SELECT SUM(p_s)::BIGINT AS np, SUM(g_s)::BIGINT AS ng FROM grid),
+u AS (SELECT SUM(2 * p_s * g_below + p_s * g_s)::BIGINT AS u2 FROM cum)
+SELECT t.np AS n_pos, t.ng AS n_neg, u.u2 AS u2,
+       ROUND(CAST(u.u2 AS DOUBLE) / (2.0 * t.np * t.ng), 6) AS auc
+FROM u CROSS JOIN tot t
+"""
+
+
+@register("ssl_roc_auc_nb", _roc_auc_oracle())
+def ssl_roc_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann–Whitney rank-sum) of the
+    two-feature NB's class-F posterior over the unlabeled pool:
+    (n_pos, n_neg, u2, auc). Shares the PR curve's score grid; the
+    only division is the final AUC."""
+    scored = _nb2_scored_df(spark, sf_dir)
+    t_f = F.col("a_F") * F.col("b_O") * F.col("b_P")
+    t_sum = (
+        t_f
+        + F.col("a_O") * F.col("b_F") * F.col("b_P")
+        + F.col("a_P") * F.col("b_F") * F.col("b_O")
+    )
+    num = t_f * F.lit(_PR_SCORE_SCALE)
+    probs = scored.select(
+        "o_orderstatus",
+        ((num - F.pmod(num, t_sum)) / t_sum).cast("bigint").alias("score_q"),
+    )
+    grid = probs.groupBy("score_q").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("p_s"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1))
+        .cast("bigint")
+        .alias("g_s"),
+    )
+    w = (
+        Window.orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "p_s",
+        "g_s",
+        F.coalesce(F.sum("g_s").over(w), F.lit(0)).alias("g_below"),
+    )
+    u = cum.agg(
+        F.sum(
+            2 * F.col("p_s") * F.col("g_below") + F.col("p_s") * F.col("g_s")
+        )
+        .cast("bigint")
+        .alias("u2")
+    )
+    tot = grid.agg(
+        F.sum("p_s").cast("bigint").alias("np"),
+        F.sum("g_s").cast("bigint").alias("ng"),
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_pos"),
+        F.col("ng").alias("n_neg"),
+        "u2",
+        F.round(
+            F.col("u2").cast("double") / (2.0 * F.col("np") * F.col("ng")), 6
+        ).alias("auc"),
+    )
