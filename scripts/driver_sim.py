@@ -62,7 +62,7 @@ def main() -> int:
         spark.conf.set("spark.sql.codegen.fallback", "false")
 
     import __spark_entry__ as e
-    from tfm_semisup_spark.queries import VACUOUS_OK
+    from tfm_semisup_spark.queries import vacuous_ok
 
     assert len(e.entry(spark).collect()) > 0, "entry() returned no rows"
 
@@ -95,9 +95,10 @@ def main() -> int:
             continue
         # vacuity guard (VERDICT r12 #5): 0==0 rows hash-matches
         # trivially — an empty oracled result is a failure unless the
-        # registry allowlists it with a justification + sibling
-        # (tfm_semisup_spark.queries.VACUOUS_OK).
-        if not srows and name not in VACUOUS_OK:
+        # registry allowlists it for THIS SF with a justification +
+        # sibling (tfm_semisup_spark.queries.VACUOUS_OK; SF-aware per
+        # the r13 review — q11's guard stays live at sf0.001).
+        if not srows and not vacuous_ok(name, sf_dir):
             bad.append((name, "empty"))
             continue
         ddf = duck(oracles[name])

@@ -20,11 +20,12 @@ MAX_AGE_ROUNDS = 2
 
 
 def _current_round() -> int:
-    rounds = [
-        int(os.path.basename(p).split("_r")[1].split(".")[0])
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-    ]
-    return (max(rounds) if rounds else 0) + 1
+    # the SAME derivation bench.py uses to stamp the artifact being
+    # checked (r13 review: a local reimplementation could silently
+    # diverge from the stamping code if the round rule ever changes)
+    from tfm_semisup_spark.queries import driver_facts
+
+    return driver_facts(REPO)[0]
 
 
 def _newest_full():

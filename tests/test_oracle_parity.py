@@ -91,26 +91,30 @@ def test_no_oracled_query_is_vacuous(spark):
     """Structural vacuity guard (VERDICT r12 #5): every oracled entry
     must return >0 rows at sf0.001 — a 0==0 hash-match proves nothing.
     The allowlist lives in the registry (queries.VACUOUS_OK, shared
-    with scripts/driver_sim.py's sf0.01 guard); each entry there names
-    the non-vacuous sibling that covers its logic. The r13 audit that
-    introduced this guard found and FIXED three silently-vacuous
-    oracles (psi_price_by_segment: baseline period predated the data;
-    q22_global_sales_opportunity: no-orders anti join on a corpus
-    where every customer orders; ssl_cotrain_one_round_nb: 0.7
-    promotion cut on near-flat posteriors)."""
-    from tfm_semisup_spark.queries import VACUOUS_OK
+    with scripts/driver_sim.py's guard) and is SF-AWARE (r13 review):
+    each entry names the non-vacuous sibling that covers its logic and
+    the SFs where emptiness is legitimate, so e.g.
+    q11_important_stock stays guarded here at sf0.001 where it must
+    return rows. The r13 audit that introduced this guard found and
+    FIXED five silently-vacuous oracles (psi_price_by_segment:
+    baseline period predated the data; q22_global_sales_opportunity:
+    no-orders anti join on a corpus where every customer orders;
+    ssl_cotrain_one_round_nb: 0.7 promotion cut on near-flat
+    posteriors; q7_volume_shipping / bloom_semijoin_volume: nation
+    picks absent from sf0.001's 10-supplier table)."""
+    from tfm_semisup_spark.queries import VACUOUS_OK, vacuous_ok
 
     load_all_queries()
     empty = []
     for name in sorted(ORACLES):
-        if name in VACUOUS_OK:
+        if vacuous_ok(name, SF_DIR):
             continue
         if QUERIES[name](spark, SF_DIR).limit(1).count() == 0:
             empty.append(name)
     assert not empty, (
         f"oracled queries returning 0 rows at sf0.001 (vacuous parity "
-        f"pass — add to queries.VACUOUS_OK only with justification "
-        f"and a sibling): {empty}"
+        f"pass — add to queries.VACUOUS_OK only with justification, "
+        f"a sibling, and the empty-ok SF set): {empty}"
     )
     stale_allow = [n for n in VACUOUS_OK if n not in ORACLES]
     assert not stale_allow, f"VACUOUS_OK names not registered: {stale_allow}"

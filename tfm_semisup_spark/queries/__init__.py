@@ -31,31 +31,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-#: Oracled entries whose EMPTY result at the gate SFs (sf0.001/sf0.01)
-#: is a reviewed decision, not an oversight (VERDICT r12 #5: a 0==0
-#: hash-match is vacuous — every name here needs a justification AND a
-#: non-vacuous sibling exercising the same logic). Enforced by
+#: Oracled entries whose EMPTY result at specific gate SFs is a
+#: reviewed decision, not an oversight (VERDICT r12 #5: a 0==0
+#: hash-match is vacuous — every name here needs a justification, a
+#: non-vacuous sibling exercising the same logic, AND the explicit set
+#: of SF directory names where emptiness is legitimate; at any OTHER
+#: SF the guard stays live, so a regression that empties the result
+#: where it should have rows is still caught). Enforced by
 #: tests/test_oracle_parity.py::test_no_oracled_query_is_vacuous and
-#: scripts/driver_sim.py's empty-result guard.
-VACUOUS_OK: dict[str, str] = {
+#: scripts/driver_sim.py's empty-result guard via
+#: ``vacuous_ok(name, sf_dir)``.
+VACUOUS_OK: dict[str, dict] = {
     # Every synthetic customer has at least one order at every SF, so
     # the plain NOT-EXISTS result is legitimately empty; the anti-join
     # MEMBERSHIP logic is exercised non-vacuously by the r12 sibling
     # anti_join_no_urgent_customers (5 rows at sf0.01).
-    "anti_join_orderless_customers": "sibling anti_join_no_urgent_customers",
+    "anti_join_orderless_customers": {
+        "sibling": "anti_join_no_urgent_customers",
+        "empty_ok_at": {"sf0.001", "sf0.01", "sf0.1", "sf1", "sf2"},
+    },
     # The synthetic corpus has zero exact duplicates below sf0.1 (8 at
     # sf0.1), so the keeper list is legitimately empty at the gate SFs;
     # the keeper/groupBy logic is exercised non-vacuously by
     # dedup_planted_duplicates (planted dups, driver-green).
-    "dedup_exact_keepers": "sibling dedup_planted_duplicates",
+    "dedup_exact_keepers": {
+        "sibling": "dedup_planted_duplicates",
+        "empty_ok_at": {"sf0.001", "sf0.01"},
+    },
     # The CLASSIC Q11 fraction-of-total cutoff decays with SF by
     # construction (part count grows while each part's share shrinks):
-    # nonzero at sf0.001, legitimately empty from sf0.01 up. Kept for
-    # the textbook scalar-subquery-HAVING semantics; nonzero membership
-    # at every SF is exercised by the r12 sibling q11_top_value_parts
-    # (1.5x-mean cutoff, 290 rows at sf0.01).
-    "q11_important_stock": "sibling q11_top_value_parts",
+    # NONZERO at sf0.001 (the guard stays live there — r13 review),
+    # legitimately empty from sf0.01 up. Kept for the textbook
+    # scalar-subquery-HAVING semantics; nonzero membership at every SF
+    # is exercised by the r12 sibling q11_top_value_parts (1.5x-mean
+    # cutoff, 290 rows at sf0.01).
+    "q11_important_stock": {
+        "sibling": "q11_top_value_parts",
+        "empty_ok_at": {"sf0.01", "sf0.1", "sf1", "sf2"},
+    },
 }
+
+
+def vacuous_ok(name: str, sf_dir: str) -> bool:
+    """True iff an empty result for ``name`` at ``sf_dir`` is a
+    reviewed, allowlisted outcome (matched on the directory basename,
+    e.g. '/root/testdata/sf0.01' -> 'sf0.01')."""
+    entry = VACUOUS_OK.get(name)
+    if entry is None:
+        return False
+    return _os.path.basename(_os.path.normpath(sf_dir)) in entry["empty_ok_at"]
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

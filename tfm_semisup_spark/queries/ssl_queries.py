@@ -3142,10 +3142,15 @@ def ssl_paired_fold_ttest_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         fold_rows = row if fold_rows is None else fold_rows.unionByName(row)
+    # DECIMAL(38,0), not BIGINT: Spark evaluates BIGINT/BIGINT as
+    # DOUBLE division, exact only below 2^53 — num exceeds that once
+    # n_test >~ 4.5e6 (above ~sf3) while DuckDB's `//` stays exact
+    # (r13 review finding). DECIMAL division keeps the quotient exact
+    # at every SF, matching _ct2_conf's pattern.
     num = (
         (F.col("correct_f1") - F.col("correct_f2") + F.col("n_test"))
         * F.lit(_PFT_DQ_SCALE)
-    ).cast("bigint")
+    ).cast("decimal(38,0)")
     d = fold_rows.withColumn(
         "d_q",
         ((num - F.pmod(num, F.col("n_test"))) / F.col("n_test")).cast("bigint")

@@ -614,7 +614,10 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_semisup_spark.operators.lineage import truncate
 
     base = truncate(base, eager=True)
-    n = base.count()
+    # the corpus total folds in RELATIONALLY (broadcast 1-row
+    # aggregate, the pca_power_iteration/logreg pattern) — no eager
+    # count() action at query-build time (r13 review)
+    tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     feats = [
         ("priority", F.col("f1").cast("string")),
         ("month", F.col("f2").cast("string")),
@@ -635,7 +638,7 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.floor(
         F.col("c_xy")
         * F.log(
-            F.lit(float(n))
+            F.col("n").cast("double")
             * F.col("c_xy")
             / (F.col("c_x").cast("double") * F.col("c_y"))
         )
@@ -644,14 +647,17 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cells.join(F.broadcast(mx), ["feature", "x"])
         .join(F.broadcast(my), ["feature", "y"])
-        .select("feature", term.alias("term_q"))
+        .crossJoin(F.broadcast(tot))
+        .select("feature", "n", term.alias("term_q"))
         .groupBy("feature")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-            F.lit(n).cast("bigint").alias("n"),
+            F.max("n").cast("bigint").alias("n"),
             F.sum("term_q").cast("bigint").alias("mi_q"),
             F.round(
-                F.sum("term_q").cast("double") / F.lit(float(n * _MI_SCALE)), 6
+                F.sum("term_q").cast("double")
+                / (F.max("n").cast("double") * F.lit(float(_MI_SCALE))),
+                6,
             ).alias("mi_nats"),
         )
         .select("feature", "n_cells", "n", "mi_q", "mi_nats")
