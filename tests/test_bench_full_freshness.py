@@ -65,9 +65,16 @@ def test_full_sweep_covers_parked_set():
     rnd, payload = _newest_full()
     current = _current_round()
     missing = sorted(set(bench.PARKED) - set(payload.get("parked", {})))
-    # same-round artifacts must cover exactly; older ones may predate
-    # this round's parking decisions — the freshness test above bounds
-    # how long that gap can last
+    # ADVICE r13: an uncovered parked query may NOT coast on the
+    # 2-round staleness budget — a query parked right after a sweep
+    # could otherwise go two full rounds with no timing trail. Any
+    # gap forces a fresh sweep THIS round (rnd >= current), at which
+    # point coverage must be exact.
+    assert not missing or rnd >= current, (
+        f"parked queries {missing} are not in bench_full_r{rnd:02d}.json "
+        f"(current round r{current}) — run SPARK_GRAFT_BENCH_FULL=1 "
+        f"python bench.py to restore their timing trail"
+    )
     if rnd >= current:
         assert not missing, (
             f"bench_full_r{rnd:02d}.json misses parked queries: {missing}"

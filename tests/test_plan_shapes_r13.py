@@ -315,7 +315,9 @@ def test_kmv_estimate_matches_python_reference(spark):
     ).fetchdf()
     by_type: dict = {}
     for et, uid in zip(df.event_type, df.user_id):
-        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        h = int(
+            hashlib.md5(f"{et}:{uid}".encode()).hexdigest()[:12], 16
+        )
         by_type.setdefault(et, set()).add(h)
     for et, hashes in by_type.items():
         ranked = sorted(hashes)
@@ -324,6 +326,11 @@ def test_kmv_estimate_matches_python_reference(spark):
         est = 7 * (1 << 48) / h_k
         assert abs(rows[et]["est_users"] - round(est, 4)) < 1e-6
         assert rows[et]["n_exact"] == len(hashes)
+    # ADVICE r13: the event_type salt must keep the per-type bottom-k
+    # states distinct even when every type sees the same user
+    # population — degenerate identical h_k across all types would
+    # mean the PARTITION BY is doing no work again.
+    assert len({r["h_k"] for r in rows.values()}) == len(rows)
 
 
 def test_roc_auc_matches_python_reference(spark):

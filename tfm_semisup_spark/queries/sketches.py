@@ -215,13 +215,22 @@ def quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 8
 _KMV_SPACE = 1 << 48
 
+# The hash is SALTED with event_type (r14, ADVICE r13): every event
+# type contains the identical user population at the gate SFs (15
+# users/type at sf0.001, 150 at sf0.01), so an unsalted per-user hash
+# made all five bottom-k sets — and therefore all five output rows —
+# carry the same h_k/est_users/err_ratio, and the PARTITION BY in the
+# rank window was never differentiated by data. Salting makes each
+# type's KMV state distinct (pinned by the plan-shapes test).
+_KMV_MD5 = "md5(event_type || ':' || CAST(user_id AS VARCHAR))"
+
 _KMV_HASH_DUCK = (
     "((CAST("
-    + md5_uniform16_sql("md5(CAST(user_id AS VARCHAR))", start=1)
+    + md5_uniform16_sql(_KMV_MD5, start=1)
     + " AS BIGINT) * 65536 + "
-    + md5_uniform16_sql("md5(CAST(user_id AS VARCHAR))", start=5)
+    + md5_uniform16_sql(_KMV_MD5, start=5)
     + ") * 65536 + "
-    + md5_uniform16_sql("md5(CAST(user_id AS VARCHAR))", start=9)
+    + md5_uniform16_sql(_KMV_MD5, start=9)
     + ")"
 )
 
@@ -256,17 +265,21 @@ FROM exact x JOIN est e ON x.event_type = e.event_type
 def kmv_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable KMV (bottom-k) distinct-user sketch per event type,
     audited against the exact count: (event_type, n_exact, k, h_k,
-    est_users, err_ratio). The SKETCH MATH (hash, bottom-k rank,
-    (K-1)·2^48/h_K) is driver-checked; production distinct-counting
-    stays on the HLL tier (``sketch_distinct_users_by_type``)."""
+    est_users, err_ratio). The hash is event_type-salted so each
+    type's bottom-k state is distinct even though the gate-SF user
+    populations coincide (see _KMV_MD5). The SKETCH MATH (hash,
+    bottom-k rank, (K-1)·2^48/h_K) is driver-checked; production
+    distinct-counting stays on the HLL tier
+    (``sketch_distinct_users_by_type``)."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     hashed = ev.select(
         "event_type",
         F.expr(
-            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 12),"
-            " 16, 10) AS BIGINT)"
+            "CAST(conv(substring("
+            "md5(concat(event_type, ':', CAST(user_id AS STRING))),"
+            " 1, 12), 16, 10) AS BIGINT)"
         ).alias("h"),
     ).distinct()
     ranked = hashed.withColumn(

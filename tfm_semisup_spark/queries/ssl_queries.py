@@ -1016,6 +1016,10 @@ def _nb1_decided(labeled: DataFrame, unlabeled: DataFrame, feat: str, V: int) ->
 
 _KBEST_FRAC_DIV = 10  # promote top n_pool/10 this round
 _KBEST_CONF_SCALE = 1_000_000_000_000  # 10^12
+# conf_q cut: 0.37 quantized at 10^12 — shared by the one-round and
+# two-round co-training THRESHOLD entries (measurement rationale at
+# the two-round oracle builder below).
+_CT2T_THR = 370_000_000_000
 
 
 def _kbest_oracle() -> str:
@@ -1112,17 +1116,23 @@ def ssl_selftrain_one_round_kbest(spark: SparkSession, sf_dir: str) -> DataFrame
 # -- Co-training one round --------------------------------------------------
 
 def _cotrain_oracle() -> str:
-    # Promotion predicate: posterior strictly ABOVE the uniform prior
-    # (3·t_max > t_sum ⟺ p_max > 1/3). The reference's 0.7 default is
-    # vacuous on this data at EVERY SF (the 3-class NB posteriors are
-    # near-flat: 0.37 promotes a handful at sf≤0.01 and zero at sf0.1),
-    # so a fixed high cut made this oracle a 0==0 hash-match (r13
-    # vacuity audit). Better-than-uninformed promotion is non-vacuous
-    # with proper subsets at sf0.001/0.01/0.1 (measured 26..72k
-    # promotions) and exercises the agreement join with real rows.
+    # Promotion predicate: quantized-confidence cut at the measured
+    # _CT2T_THR (0.37·10^12) the two-round siblings use. The r13
+    # "above-uniform-prior" cut (3·t_max > t_sum) turned out to filter
+    # NOTHING — it promoted the whole pool at every gate SF
+    # (1185/1185 at sf0.001, 11953/11953 at sf0.01; ADVICE r13) — so
+    # only the agreement join did selective work. Measured at 0.37
+    # (r14): priority 959/1185 and month 983/1185 at sf0.001,
+    # priority 4771/11953 and month 3982/11953 at sf0.01, agreement
+    # 253 / 778 — genuinely proper, non-empty subsets at both gate
+    # SFs. At sf0.1 the NB posteriors flatten and 0.37 promotes zero
+    # (same documented trade as ssl_cotrain_two_round_threshold; no
+    # constant is proper at all three SFs: 0.35, the largest cut
+    # nonzero at sf0.1, promotes the whole pool at sf0.001).
+    # tests/test_r14_shapes.py pins 0 < n_promoted < pool per view.
     prom = (
         "SELECT o_orderkey, o_orderstatus, pred_class FROM decided_{t} "
-        "WHERE 3 * t_max > t_sum"
+        f"WHERE (t_max * {_KBEST_CONF_SCALE}) // t_sum > {_CT2T_THR}"
     )
     grp = (
         "SELECT '{v}' AS view_name, pred_class, "
@@ -1157,14 +1167,19 @@ UNION ALL
 @register("ssl_cotrain_one_round_nb", _cotrain_oracle())
 def ssl_cotrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One co-training exchange round (``CoTraining.scala:122-253``
-    shape): two single-feature NB views each promote rows whose
-    posterior strictly beats the uniform prior (p_max > 1/3 — the
-    reference's fixed 0.7 cut is vacuous on this near-flat 3-class
-    data, see the oracle comment); the 'agreement' rows are what each
-    view would hand the other with matching labels. (view_name,
-    pred_class, n_promoted, n_promoted_correct, promoted_key_sum)."""
+    shape): two single-feature NB views each promote rows whose exact
+    quantized confidence floor(t_max·10^12/t_sum) clears the measured
+    _CT2T_THR cut (0.37 — a proper non-empty subset per view at both
+    gate SFs, see the oracle comment; the reference's fixed 0.7 cut is
+    vacuous on this near-flat 3-class data); the 'agreement' rows are
+    what each view would hand the other with matching labels.
+    (view_name, pred_class, n_promoted, n_promoted_correct,
+    promoted_key_sum)."""
     labeled, unlabeled = _nb1_base(spark, sf_dir)
-    confident = 3 * F.col("t_max") > F.col("t_sum")
+    num = F.col("t_max") * F.lit(_KBEST_CONF_SCALE)
+    confident = (
+        (num - F.pmod(num, F.col("t_sum"))) / F.col("t_sum")
+    ).cast("decimal(38,0)") > F.lit(_CT2T_THR).cast("decimal(38,0)")
     prom1 = (
         _nb1_decided(labeled, unlabeled, "f1", 5)
         .where(confident)
@@ -2254,9 +2269,8 @@ def ssl_cotrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.39 promotes zero for the priority view at sf0.01). Round 2
 # promoting its whole residual pool at these SFs is the refit doing
 # real work: rows below the cut under the round-1 model cross the cut
-# after the cross-teach refit.
-
-_CT2T_THR = 370_000_000_000  # conf_q cut: 0.37 quantized at 10^12
+# after the cross-teach refit. (_CT2T_THR itself is defined next to
+# _KBEST_CONF_SCALE so the one-round entry can share it.)
 
 
 def _cotrain2_threshold_oracle() -> str:
