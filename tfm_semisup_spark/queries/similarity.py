@@ -1232,3 +1232,202 @@ def pca_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(sqrt({yy}), 6) AS y_norm",
         f"ROUND(sqrt({zz}), 6) AS z_norm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HYPERPLANE sign-LSH — the oracled sibling of the
+# similarity_ann_lsh_topk / embedding_near_dup_pairs tier (r14,
+# VERDICT r13 #3: the last rows-only ANN family whose core math had
+# no oracle; k-means, PQ sign codes and power iteration got theirs in
+# r13).
+# ---------------------------------------------------------------------------
+#
+# MLlib's BucketedRandomProjectionLSH internal state (Gaussian
+# projections) can't be oracled, so this tier makes the
+# dedup_simhash_portable_pairs trade applied to embeddings: md5-derived
+# ±1 hyperplanes (sign of a 16-bit md5 slice of 'hp:<h>:<j>' — a
+# data-independent dim×H table both engines derive from the same
+# digest), coordinates quantized to exact integers
+# (FLOOR(x·10^6) — float32→double cast and one double multiply are
+# bit-identical IEEE on both engines), sign-bit signatures via exact
+# BIGINT dot products, B bands of R bits each, banded candidate join,
+# and an exact quantized-integer dot-product verify with ONE final
+# double division for the reported cosine. Everything that orders or
+# matches is integer algebra.
+#
+# Scale: the signs table is dim×H rows (broadcast); signatures are
+# constant-size per vector; the only data-scale shuffles are the
+# per-vector bit aggregation and the band-bucket equi-join — the same
+# sub-quadratic candidate shape as the production LSH tier. The
+# explode-join verify is candidate-bounded. Throughput ANN stays on
+# the MLlib tier; this is the audit path.
+#
+# Parameters measured against the corpus (non-vacuity rule): H=32
+# hyperplanes, 4 bands × 8 bits → candidate pairs 2359 at sf0.001,
+# 2240 at sf0.01, 37947 at sf0.1 — the top-20-by-exact-qdot output is
+# non-empty at every gate SF by construction.
+
+_HLSH_H = 32  # hyperplanes (signature bits)
+_HLSH_R = 8  # bits per band (4 bands)
+_HLSH_SCALE = 1_000_000  # coordinate quantization: floor(x * 10^6)
+_HLSH_TOPK = 20
+_HLSH_SGN_MD5 = "md5('hp:' || h || ':' || j)"
+
+
+def _hlsh_oracle() -> str:
+    from tfm_semisup_spark.operators.layout import md5_uniform16_sql
+
+    slice_expr = md5_uniform16_sql(_HLSH_SGN_MD5, start=1)
+    return f"""
+WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+sgn AS (
+  SELECT h, j, CASE WHEN ({slice_expr}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, {_HLSH_H - 1})) AS h),
+       (SELECT unnest(generate_series(1, (SELECT dim FROM dims))) AS j)
+),
+qq AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS j,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_HLSH_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+bits AS (
+  SELECT qq.vec_id, sgn.h,
+         CASE WHEN SUM(sgn.s * qq.qv) > 0 THEN 1 ELSE 0 END AS bit
+  FROM qq JOIN sgn ON qq.j = sgn.j
+  GROUP BY qq.vec_id, sgn.h
+),
+bands AS (
+  SELECT vec_id, h // {_HLSH_R} AS band,
+         SUM(bit * (1 << (h % {_HLSH_R})))::BIGINT AS bkey
+  FROM bits GROUP BY vec_id, h // {_HLSH_R}
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, COUNT(*)::BIGINT AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+norms AS (SELECT vec_id, SUM(qv * qv)::BIGINT AS qn FROM qq GROUP BY vec_id),
+verify AS (
+  SELECT c.vec_a, c.vec_b, c.n_bands, SUM(qa.qv * qb.qv)::BIGINT AS qdot
+  FROM cand c
+  JOIN qq qa ON qa.vec_id = c.vec_a
+  JOIN qq qb ON qb.vec_id = c.vec_b AND qb.j = qa.j
+  GROUP BY c.vec_a, c.vec_b, c.n_bands
+)
+SELECT vec_a, vec_b, n_bands, qdot,
+       ROUND(CAST(qdot AS DOUBLE)
+             / (sqrt(CAST(na.qn AS DOUBLE)) * sqrt(CAST(nb.qn AS DOUBLE))),
+             6) AS cosine_q
+FROM verify
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+ORDER BY qdot DESC, vec_a, vec_b
+LIMIT {_HLSH_TOPK}
+"""
+
+
+@register("similarity_lsh_portable_pairs", _hlsh_oracle())
+def similarity_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled hyperplane sign-LSH: top-20 banded candidate pairs by
+    exact quantized dot product — (vec_a, vec_b, n_bands, qdot,
+    cosine_q). The candidate-generation math (md5-derived ±1
+    hyperplanes, sign-bit signatures, 4×8-bit band buckets) and the
+    verify math (integer dot product, one final double division) are
+    driver-checked bit-identically against DuckDB; production ANN
+    stays on the MLlib tier (``similarity_ann_lsh_topk``)."""
+    from tfm_semisup_spark.operators.layout import md5_uniform16_spark_sql
+    from tfm_semisup_spark.operators.lineage import release, truncate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
+    sgn = (
+        spark.range(_HLSH_H)
+        .selectExpr("id AS h")
+        .crossJoin(spark.range(1, dim + 1).selectExpr("id AS j"))
+        .selectExpr(
+            "h",
+            "j",
+            f"CASE WHEN {md5_uniform16_spark_sql(_HLSH_SGN_MD5, start=1)} % 2"
+            " = 0 THEN 1 ELSE -1 END AS s",
+        )
+    )
+    qq = truncate(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "x")
+        ).selectExpr(
+            "vec_id",
+            "pos + 1 AS j",
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * {_HLSH_SCALE}) AS BIGINT) AS qv",
+        )
+    )
+    bits = (
+        qq.join(F.broadcast(sgn), "j")
+        .groupBy("vec_id", "h")
+        .agg(
+            F.when(F.sum(F.col("s") * F.col("qv")) > 0, 1)
+            .otherwise(0)
+            .alias("bit")
+        )
+    )
+    bands = bits.groupBy(
+        "vec_id", F.expr(f"h DIV {_HLSH_R}").alias("band")
+    ).agg(
+        F.sum(
+            F.expr(f"CAST(bit AS BIGINT) * shiftleft(1, CAST(h % {_HLSH_R} AS INT))")
+        )
+        .cast("bigint")
+        .alias("bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    )
+    norms = qq.groupBy("vec_id").agg(
+        F.sum(F.col("qv") * F.col("qv")).cast("bigint").alias("qn")
+    )
+    qa = qq.select(
+        F.col("vec_id").alias("vec_a"), "j", F.col("qv").alias("qva")
+    )
+    qb = qq.select(
+        F.col("vec_id").alias("vec_b"), "j", F.col("qv").alias("qvb")
+    )
+    verify = (
+        cand.join(qa, "vec_a")
+        .join(qb, ["vec_b", "j"])
+        .groupBy("vec_a", "vec_b", "n_bands")
+        .agg(F.sum(F.col("qva") * F.col("qvb")).cast("bigint").alias("qdot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("qn").alias("qna"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("qn").alias("qnb"))
+    # eager-truncate BEFORE releasing qq: a released checkpoint must
+    # not be read again (lineage.py contract; simhash-portable recipe)
+    out = truncate(
+        verify.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .orderBy(F.desc("qdot"), "vec_a", "vec_b")
+        .limit(_HLSH_TOPK)
+        .selectExpr(
+            "vec_a",
+            "vec_b",
+            "n_bands",
+            "qdot",
+            "ROUND(CAST(qdot AS DOUBLE)"
+            " / (sqrt(CAST(qna AS DOUBLE)) * sqrt(CAST(qnb AS DOUBLE))), 6)"
+            " AS cosine_q",
+        )
+    )
+    release(qq)
+    return out
