@@ -50,14 +50,8 @@ VACUOUS_OK: dict[str, dict] = {
         "sibling": "anti_join_no_urgent_customers",
         "empty_ok_at": {"sf0.001", "sf0.01", "sf0.1", "sf1", "sf2"},
     },
-    # The synthetic corpus has zero exact duplicates below sf0.1 (8 at
-    # sf0.1), so the keeper list is legitimately empty at the gate SFs;
-    # the keeper/groupBy logic is exercised non-vacuously by
-    # dedup_planted_duplicates (planted dups, driver-green).
-    "dedup_exact_keepers": {
-        "sibling": "dedup_planted_duplicates",
-        "empty_ok_at": {"sf0.001", "sf0.01"},
-    },
+    # (r14: dedup_exact_keepers left this list — it now selects
+    # keepers over the PLANTED corpus, firing at every SF.)
     # The CLASSIC Q11 fraction-of-total cutoff decays with SF by
     # construction (part count grows while each part's share shrinks):
     # NONZERO at sf0.001 (the guard stays live there — r13 review),

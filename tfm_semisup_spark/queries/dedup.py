@@ -49,9 +49,25 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keeper selection over a PLANTED corpus (r14, VERDICT r13 #4): the
+# synthetic corpus has zero exact dups below sf0.1 (even after
+# case/whitespace/punctuation folding — measured r14), so the
+# plain-corpus keeper list was legitimately-empty-but-allowlisted at
+# the gate SFs and its driver row proved only 0==0. Reusing
+# dedup_planted_duplicates' planting (union a copy under shifted ids)
+# makes every text a duplicate group, so the per-group keeper rows —
+# the thing the old query could never show at gate SFs — are
+# driver-checked with real data at EVERY SF (500 groups at
+# sf0.001/0.01; real sf0.1 dups fold in as n_copies > 2).
 KEEPER_ORACLE = """
-SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
-FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM corpus
 GROUP BY 1
 HAVING COUNT(*) > 1
 """
@@ -59,12 +75,22 @@ HAVING COUNT(*) > 1
 
 @register("dedup_exact_keepers", KEEPER_ORACLE)
 def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keeper selection: one survivor (min doc_id) per duplicate group.
-    Empty when the corpus has no exact dups — still a correctness check."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Keeper selection over the planted corpus: one survivor (min
+    doc_id) per duplicate group — (fp, keeper_doc_id, n_copies). Every
+    keeper must be an ORIGINAL id (< 1e6) by the min rule; the
+    aggregate sibling ``dedup_planted_duplicates`` checks the global
+    counts, this one checks the per-group keeper rows themselves.
+    Scale: shuffles only (hash, doc_id) pairs — text never moves."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
     return (
-        docs.groupBy(F.md5("text").alias("fp"))
-        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        corpus.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
         .where(F.col("n_copies") > 1)
     )
 
