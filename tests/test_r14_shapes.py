@@ -73,3 +73,80 @@ def test_cotrain_one_round_promotion_is_proper_subset(spark, sf):
     assert per_view["agreement"] <= min(
         per_view["priority"], per_view["month"]
     )
+
+
+def test_stump_split_audit_matches_python_reference(spark):
+    """Recompute the depth-1 stump's entire Gini split grid — labeled
+    mask, per-split side counts, exact quantized purity score, winner
+    — in plain Python integers from the raw orders rows, independent
+    of both engines' SQL."""
+    import hashlib
+
+    import duckdb
+
+    rows = {
+        r["split_id"]: r
+        for r in QUERIES["ssl_stump_split_audit"](spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        "EXTRACT(month FROM o_orderdate)::BIGINT AS m "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    ).fetchdf()
+    labeled = []
+    for okey, st, pri, m in zip(
+        df.o_orderkey, df.o_orderstatus, df.o_orderpriority, df.m
+    ):
+        h = int(hashlib.md5(str(okey).encode()).hexdigest()[:4], 16)
+        if h % 5 == 0:  # the _ST1_MASK labeled pool
+            labeled.append((st, pri, int(m)))
+    f1_vals = sorted({p for _, p, _ in labeled})
+    split_defs = [(i, "f1", v) for i, v in enumerate(f1_vals)] + [
+        (100 + t, "f2", t) for t in range(1, 12)
+    ]
+    n_checked = 0
+    for sid, feat, val in split_defs:
+        left: dict = {}
+        right: dict = {}
+        for st, pri, m in labeled:
+            side = left if (
+                (feat == "f1" and pri == val) or (feat == "f2" and m <= val)
+            ) else right
+            side[st] = side.get(st, 0) + 1
+        n_l, n_r = sum(left.values()), sum(right.values())
+        if n_l == 0 or n_r == 0:
+            assert sid not in rows
+            continue
+        sl = sum(v * v for v in left.values())
+        sr = sum(v * v for v in right.values())
+        score_q = (sl * n_r + sr * n_l) * 10**9 // (n_l * n_r)
+        r = rows[sid]
+        assert (r["n_left"], r["n_right"]) == (n_l, n_r), sid
+        assert r["score_q"] == score_q, sid
+        assert r["split_val"] == str(val)
+        n_checked += 1
+    assert n_checked == len(rows) > 0
+    # the rank column must be the exact (score_q DESC, split_id) order
+    ranked = sorted(rows.values(), key=lambda r: (-r["score_q"], r["split_id"]))
+    assert [r["rk"] for r in ranked] == list(range(1, len(ranked) + 1))
+
+
+def test_stump_threshold_promotes_exactly_one_leaf_at_gates(spark):
+    """The 0.37 cut must sit BETWEEN the two leaf posteriors at both
+    gate SFs (measured r14: 0.4211/0.3643 at sf0.001, 0.3839/0.3412
+    at sf0.01) — exactly one leaf promotes, a proper non-empty subset
+    of the unlabeled pool."""
+    from tfm_semisup_spark.queries.ssl_queries import _nb1_base
+
+    for sf in (SF_DIR, SF_DIR_01):
+        rows = QUERIES["ssl_stump_one_round_threshold"](spark, sf).collect()
+        assert len(rows) == 2  # one row per stump leaf, always
+        promoting = [r for r in rows if r["n_promoted"] > 0]
+        assert len(promoting) == 1, rows
+        _, unlabeled = _nb1_base(spark, sf)
+        pool = unlabeled.count()
+        assert 0 < promoting[0]["n_promoted"] < pool
+        # promoted rows carry real key mass and a sane correct count
+        assert promoting[0]["promoted_key_sum"] > 0
+        assert 0 <= promoting[0]["n_promoted_correct"] <= promoting[0]["n_promoted"]
