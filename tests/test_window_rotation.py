@@ -249,3 +249,38 @@ def test_rotation_lookahead_feasible_six_rounds_with_slack():
     for line in report:
         slack = int(re.search(r"slack (\d+)", line).group(1))
         assert slack >= 5, f"lookahead slack below 5: {report}"
+
+
+def test_growth_projection_catches_saturation_early():
+    """VERDICT r13 #7: the growth-aware projection must (a) reduce to
+    the static lookahead at growth 0, (b) report a below-SLACK_MIN
+    breach when the simulated registration rate would outgrow the
+    fixed 50-slot window within the horizon, and (c) measure the
+    recent per-round registration rate from the birth records."""
+    import re
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from propose_rotation import SLACK_MIN, growth_rate, projected_lookahead
+    finally:
+        sys.path.pop(0)
+
+    # (a) growth 0 == static registry: same slacks as lookahead(), no
+    # breach (the static test above already pins slack >= 5)
+    lines, breached = projected_lookahead(6, growth=0.0)
+    assert not breached, lines
+    slacks = [
+        int(re.search(r"slack (-?\d+)", line).group(1)) for line in lines[1:]
+    ]
+    assert all(s >= SLACK_MIN for s in slacks), lines
+
+    # (b) an aggressive rate must trip the early warning inside the
+    # horizon (capacity = 50 slots x 7-round staleness = 350; +40 per
+    # round saturates from any current registry size within 6 rounds)
+    lines, breached = projected_lookahead(6, growth=40.0)
+    assert breached, lines
+
+    # (c) rate = mean births over the last 3 COMPLETED rounds
+    birth = {f"a{i}": 12 for i in range(4)} | {f"b{i}": 13 for i in range(2)}
+    assert growth_rate(birth, current=14, span=3) == (4 + 2 + 0) / 3
