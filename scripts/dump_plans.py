@@ -435,6 +435,23 @@ PICKS = {
         "contingency grids; marginals re-aggregate and broadcast back "
         "onto the grid; quantized order-free contribution sum"
     ),
+    "similarity_lsh_portable_pairs": (
+        "hyperplane sign-LSH: dim x 32 sign table broadcast into the "
+        "exploded quantized coordinates, per-(vec, hyperplane) bit "
+        "aggregate, band-bucket equi-join for candidates, "
+        "candidate-bounded exact qdot verify + broadcast norms; "
+        "TakeOrderedAndProject for the top-20"
+    ),
+    "ssl_stump_split_audit": (
+        "stump split grid: one fact-scale groupBy to the (f1,f2,cls) "
+        "grid (~180 cells), broadcast 16-row split table, all scoring "
+        "on the bounded grid; 16-row rank window"
+    ),
+    "ssl_stump_one_round_threshold": (
+        "stump promotion: split grid as above + a bounded "
+        "winner collect; ONE pass assigns the unlabeled pool to "
+        "leaves against the broadcast 2-row leafstats table"
+    ),
 }
 
 

@@ -138,6 +138,14 @@ TEXT_LEG_QUERIES = ["text_tfidf_portable_norms", "text_readability_scores"]
 # tiers from 10x to 20x survivors, log2 exponents.
 SF2_NEARDUP = os.path.join(REPO, ".scale_probe", "sf2_neardup")
 
+# Third octaves (r14, VERDICT r13 #6): confirm the r13 exponents
+# aren't flattered by small absolute times — (a) 40x near-dup replica
+# (one more doubling of the 100%-near-dup corpus), (b) the text-VOLUME
+# axis re-run at SF1's row count (10x rows, then text doubled in
+# place) for the 0.69-exponent readability entry.
+SF3_NEARDUP = os.path.join(REPO, ".scale_probe", "sf3_neardup")
+SF1_TEXT2 = os.path.join(REPO, ".scale_probe", "sf1_text2")
+
 
 def generate() -> None:
     import duckdb
@@ -247,6 +255,50 @@ def generate_neardup2() -> None:
     print(f"documents (near-dup 2x): {n} rows -> {out}", flush=True)
 
 
+def generate_neardup3() -> None:
+    """One more doubling of the near-dup corpus (40x survivors); the
+    third distinct suffix keeps every md5 unique."""
+    import duckdb
+
+    if not os.path.isdir(SF2_NEARDUP):
+        raise SystemExit("run --generate-neardup2 first")
+    os.makedirs(SF3_NEARDUP, exist_ok=True)
+    con = duckdb.connect()
+    out = os.path.join(SF3_NEARDUP, "documents.parquet")
+    con.execute(
+        f"""COPY (
+        SELECT doc_id * 2 + r.r AS doc_id,
+               text || ' zy' || CAST(r.r AS VARCHAR) AS text,
+               lang, source, n_chars + 4 AS n_chars
+        FROM read_parquet('{SF2_NEARDUP}/documents.parquet')
+        CROSS JOIN range(2) r(r)
+    ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"documents (near-dup 4x = 40x survivors): {n} rows -> {out}", flush=True)
+
+
+def generate_text2_sf1() -> None:
+    """SF1's documents (10x rows) with text doubled in place — the
+    text-VOLUME axis at 10x the r13 leg's absolute times."""
+    import duckdb
+
+    if not os.path.isdir(SF1):
+        raise SystemExit("run --generate first")
+    os.makedirs(SF1_TEXT2, exist_ok=True)
+    con = duckdb.connect()
+    out = os.path.join(SF1_TEXT2, "documents.parquet")
+    con.execute(
+        f"""COPY (
+        SELECT doc_id, text || ' ' || text AS text, lang, source,
+               2 * n_chars + 1 AS n_chars
+        FROM read_parquet('{SF1}/documents.parquet')
+    ) TO '{out}' (FORMAT PARQUET)"""
+    )
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()[0]
+    print(f"documents (sf1 text doubled): {n} rows -> {out}", flush=True)
+
+
 def measure(
     runs: int,
     queries: list[str],
@@ -303,6 +355,8 @@ def main() -> int:
     ap.add_argument("--generate-neardup", action="store_true")
     ap.add_argument("--generate-text2", action="store_true")
     ap.add_argument("--generate-neardup2", action="store_true")
+    ap.add_argument("--generate-neardup3", action="store_true")
+    ap.add_argument("--generate-text2-sf1", action="store_true")
     ap.add_argument("--measure", action="store_true")
     ap.add_argument(
         "--second-leg",
@@ -326,6 +380,18 @@ def main() -> int:
         help="measure sf0.1 -> text-doubled documents (log2 exponents; "
         "text VOLUME axis at constant row count)",
     )
+    ap.add_argument(
+        "--near-dup3",
+        action="store_true",
+        help="measure 20x -> 40x near-dup survivors (log2 exponents; "
+        "third octave, VERDICT r13 #6)",
+    )
+    ap.add_argument(
+        "--text-leg-sf1",
+        action="store_true",
+        help="measure sf1 -> sf1-text-doubled (log2 exponents; the "
+        "text-VOLUME axis at 10x absolute times, VERDICT r13 #6)",
+    )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
@@ -339,14 +405,40 @@ def main() -> int:
         generate_text2()
     if args.generate_neardup2:
         generate_neardup2()
+    if args.generate_neardup3:
+        generate_neardup3()
+    if args.generate_text2_sf1:
+        generate_text2_sf1()
     if (
         args.measure
         or args.second_leg
         or args.near_dup
         or args.near_dup2
+        or args.near_dup3
         or args.text_leg
+        or args.text_leg_sf1
     ):
-        if args.text_leg:
+        if args.near_dup3:
+            if not os.path.isdir(SF3_NEARDUP):
+                print("run --generate-neardup3 first", file=sys.stderr)
+                return 1
+            report = measure(
+                args.runs,
+                args.queries or NEARDUP_QUERIES,
+                legs=(("sf2_neardup", SF2_NEARDUP), ("sf3_neardup", SF3_NEARDUP)),
+                exponent_base=2.0,
+            )
+        elif args.text_leg_sf1:
+            if not os.path.isdir(SF1_TEXT2):
+                print("run --generate-text2-sf1 first", file=sys.stderr)
+                return 1
+            report = measure(
+                args.runs,
+                args.queries or ["text_readability_scores"],
+                legs=(("sf1", SF1), ("sf1_text2", SF1_TEXT2)),
+                exponent_base=2.0,
+            )
+        elif args.text_leg:
             if not os.path.isdir(SF01_TEXT2):
                 print("run --generate-text2 first", file=sys.stderr)
                 return 1
