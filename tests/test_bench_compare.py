@@ -105,3 +105,46 @@ def test_ann_warm_at_sf_rule():
     assert bench.ANN_WARM_AT_SF, "ANN warm-at-SF list must not be empty"
     for name in bench.ANN_WARM_AT_SF:
         assert name in bench.HEADLINE + bench.PARKED, name
+
+
+def test_ann_band_rule_is_the_accepted_end_state():
+    """VERDICT r13 #2 closure: the ANN tier's residual bench spread
+    (pass-position JVM/GC state — back-to-back it holds <= 1.3, full
+    interleaved runs measured up to ~1.5 on ivfpq even with the
+    two-pass warm-at-SF) is normalized by the entry's OWN recorded
+    band, and that rule must fail loudly the moment a normalized move
+    escapes the band. Uses ivfpq's real r13 close band
+    [2.48, 3.20, 4.53] (ratio band 0.775..1.416)."""
+    old = {
+        "queries": {"similarity_ivfpq_topk": 3.20},
+        "calib": {"cpu_sha256_sec": 0.40},
+    }
+    spread = {"spread": {"similarity_ivfpq_topk": [2.48, 3.20, 4.53]}}
+
+    # a raw 1.40x move on a stable machine: inside the recorded band —
+    # accepted as measurement spread, NOT a regression
+    new_inband = {
+        "queries": {"similarity_ivfpq_topk": 4.48},
+        "calib": {"cpu_sha256_sec": 0.40},
+    }
+    rows, summary = bench_compare.compare(old, new_inband, spread)
+    assert rows[0]["verdict"] == "in-band"
+    assert summary["out_of_band"] == []
+
+    # a 1.50x normalized move escapes the band -> loud OUT
+    new_out = {
+        "queries": {"similarity_ivfpq_topk": 4.80},
+        "calib": {"cpu_sha256_sec": 0.40},
+    }
+    rows, summary = bench_compare.compare(old, new_out, spread)
+    assert rows[0]["verdict"] == "OUT"
+    assert summary["out_of_band"] == ["similarity_ivfpq_topk"]
+
+    # machine drift divides out BEFORE the band read: same 1.5x raw
+    # move on a machine the cpu anchor says is 1.5x slower -> in-band
+    new_machine = {
+        "queries": {"similarity_ivfpq_topk": 4.80},
+        "calib": {"cpu_sha256_sec": 0.60},
+    }
+    rows, summary = bench_compare.compare(old, new_machine, spread)
+    assert rows[0]["verdict"] == "in-band"
