@@ -150,3 +150,87 @@ def test_stump_threshold_promotes_exactly_one_leaf_at_gates(spark):
         # promoted rows carry real key mass and a sane correct count
         assert promoting[0]["promoted_key_sum"] > 0
         assert 0 <= promoting[0]["n_promoted_correct"] <= promoting[0]["n_promoted"]
+
+
+def _python_next_fit(rows, ctx):
+    """Independent plain-Python replay of the strict-packing state
+    machine: rows = [(doc_id, bucket, n_tokens)], returns
+    {doc_id: (bucket, bin, n_tokens)}."""
+    out = {}
+    cur_bucket, cur_bin, fill = None, 0, 0
+    for did, bucket, nt in sorted(rows, key=lambda r: (r[1], r[0])):
+        if bucket != cur_bucket:
+            cur_bucket, cur_bin, fill = bucket, 0, 0
+        if fill > 0 and fill + nt > ctx:
+            cur_bin += 1
+            fill = 0
+        fill += nt
+        out[did] = (bucket, cur_bin, nt)
+    return out
+
+
+def test_pack_replay_audit_matches_python_reference(spark):
+    """pack_strict_replay_audit (r14): the Arrow-operator output on the
+    bounded slice must equal an INDEPENDENT plain-Python replay built
+    straight from the parquet (hashlib md5 bucket + str.split tokens —
+    no Spark, no DuckDB)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from tfm_semisup_spark.queries.corpus_prep import (
+        PACK_AUDIT_BUCKETS,
+        PACK_AUDIT_CTX,
+        PACK_AUDIT_DOCS,
+    )
+
+    tbl = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pylist()
+    sliced = sorted(tbl, key=lambda r: r["doc_id"])[:PACK_AUDIT_DOCS]
+    ref_rows = []
+    for r in sliced:
+        digest = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        bucket = int(digest[:4], 16) % PACK_AUDIT_BUCKETS
+        n_tokens = len([t for t in r["text"].split(" ") if t != ""])
+        ref_rows.append((r["doc_id"], bucket, n_tokens))
+    expect = _python_next_fit(ref_rows, PACK_AUDIT_CTX)
+
+    got = {
+        r["doc_id"]: (r["pack_bucket"], r["pack_bin"], r["n_tokens"])
+        for r in QUERIES["pack_strict_replay_audit"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert len(got) == PACK_AUDIT_DOCS
+    # real packing dynamics, not one-doc-per-bin degeneracy
+    from collections import Counter
+
+    per_bin = Counter((b, bin_) for (b, bin_, _) in got.values())
+    assert sum(1 for c in per_bin.values() if c >= 2) >= 5
+
+
+def test_pack_operator_oversize_branch_matches_python_reference(spark):
+    """The oversized-document branch (no gate-SF doc exceeds the audit
+    ctx) pinned on synthetic data: a doc longer than ctx_tokens sits
+    alone in its bin and the NEXT doc opens a fresh bin."""
+    from tfm_semisup_spark.operators.packing import pack_first_fit
+
+    ctx = 8
+    texts = [
+        (1, "a b c"),            # 3 tokens -> bin 0
+        (2, "a b c d"),          # 4 tokens -> bin 0 (fill 7)
+        (3, " ".join(["t"] * 12)),  # oversized: alone in bin 1
+        (4, "a b"),              # bin 2 (previous bin over ctx)
+        (5, " ".join(["u"] * 9)),   # oversized again: bin 3
+        (6, "a"),                # bin 4
+    ]
+    df = spark.createDataFrame(
+        [(i, t, 0) for i, t in texts], "doc_id long, text string, bkt int"
+    )
+    got = {
+        r["doc_id"]: (r["pack_bucket"], r["pack_bin"], r["n_tokens"])
+        for r in pack_first_fit(df, ctx_tokens=ctx, bucket_col="bkt").collect()
+    }
+    ref = [(i, 0, len(t.split(" "))) for i, t in texts]
+    assert got == _python_next_fit(ref, ctx)
+    assert [got[i][1] for i in range(1, 7)] == [0, 0, 1, 2, 3, 4]

@@ -29,18 +29,24 @@ def pack_first_fit(
     n_buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, pack_bucket, pack_bin, n_tokens) with the strict
     invariant: sum(n_tokens) per (bucket, bin) <= ctx_tokens unless the
     bin holds a single oversized document. Deterministic: hash bucket +
-    id order."""
+    id order. ``bucket_col`` names a precomputed bucket column on
+    ``docs`` (e.g. the portable md5 bucket the replay oracle shares
+    with DuckDB); default is the xxhash64 production bucket."""
 
     tokens = F.size(F.filter(F.split(text_col, " "), lambda t: t != "")).cast("long")
+    bucket = (
+        F.col(bucket_col).cast("int")
+        if bucket_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+    )
     prepared = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
-        .cast("int")
-        .alias("pack_bucket"),
+        bucket.alias("pack_bucket"),
         tokens.alias("n_tokens"),
     )
 

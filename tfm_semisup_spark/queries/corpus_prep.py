@@ -254,9 +254,11 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("pack_first_fit_bins")
 def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strict first-fit packing summary (rows-only: the sequential
-    per-bucket pass is not SQL-expressible; determinism from hash
-    buckets + id order). Invariants proven in tests/test_packing.py."""
+    """Strict first-fit packing summary (rows-only: the corpus-scale
+    sequential per-bucket pass is not SQL-expressible; determinism
+    from hash buckets + id order). Invariants proven in
+    tests/test_packing.py; the state-machine MATH is oracle-checked by
+    the bounded-slice sibling ``pack_strict_replay_audit`` (r14)."""
     from tfm_semisup_spark.operators.packing import pack_first_fit
 
     docs = load_table(spark, sf_dir, "documents")
@@ -265,6 +267,90 @@ def pack_first_fit_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
     )
+
+
+# Strict-packing replay audit (r14): the sequential next-fit state
+# machine inside operators/packing.py::pack_first_fit — the last
+# imperative per-partition state carry with no oracled sibling — is
+# replayed EXACTLY by a DuckDB recursive CTE over a bounded
+# deterministic slice (the {PACK_AUDIT_DOCS} smallest doc_ids;
+# TakeOrderedAndProject, constant work at any SF — the recursion depth
+# is bounded by the slice, never by the corpus). The bucket is the
+# shared portable md5 decode (identical values on both engines), so
+# the Spark side runs the REAL Arrow mapInPandas operator and the
+# oracle independently steps the same (bin, fill) transitions one row
+# at a time. Non-vacuity measured: 64 rows at every SF; bins per
+# 4-bucket slice 36/37/42 at sf0.001/0.01/0.1 with 24/21/18 multi-doc
+# bins (ctx=128 vs ~55 avg tokens — real fill/overflow transitions,
+# not one-doc-per-bin degeneracy). The oversized-doc branch (no gate-SF
+# doc exceeds 128 tokens) is pinned by the synthetic-data Python
+# reference test instead (tests/test_packing.py).
+PACK_AUDIT_DOCS = 64
+PACK_AUDIT_BUCKETS = 4
+PACK_AUDIT_CTX = 128
+
+_PACK_AUDIT_BUCKET = shard_bucket_sql(
+    "md5(CAST(doc_id AS STRING))", PACK_AUDIT_BUCKETS
+)
+
+PACK_REPLAY_ORACLE = f"""
+WITH RECURSIVE sliced AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {PACK_AUDIT_DOCS}
+),
+ordered AS (
+  SELECT doc_id,
+         {_PACK_AUDIT_BUCKET} AS pack_bucket,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY {_PACK_AUDIT_BUCKET} ORDER BY doc_id) AS rn
+  FROM sliced
+),
+replay AS (
+  SELECT pack_bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS pack_bin, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.pack_bucket, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN r.fill > 0 AND r.fill + o.n_tokens > {PACK_AUDIT_CTX}
+              THEN r.pack_bin + 1 ELSE r.pack_bin END,
+         CASE WHEN r.fill > 0 AND r.fill + o.n_tokens > {PACK_AUDIT_CTX}
+              THEN o.n_tokens ELSE r.fill + o.n_tokens END
+  FROM replay r
+  JOIN ordered o ON o.pack_bucket = r.pack_bucket AND o.rn = r.rn + 1
+)
+SELECT doc_id, pack_bucket, pack_bin, n_tokens FROM replay
+"""
+
+
+@register("pack_strict_replay_audit", PACK_REPLAY_ORACLE)
+def pack_strict_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bin assignments of the REAL strict-packing operator
+    (Arrow mapInPandas sequential state) on a bounded deterministic
+    slice, hash-checked against a DuckDB recursive-CTE replay of the
+    same next-fit transitions — the oracled sibling that closes the
+    packing family's imperative-state verification gap (the
+    ``pack_first_fit_bins`` production entry stays rows-only)."""
+    from tfm_semisup_spark.operators.packing import pack_first_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    sliced = (
+        docs.orderBy("doc_id")
+        .limit(PACK_AUDIT_DOCS)
+        .select(
+            "doc_id",
+            "text",
+            F.expr(
+                shard_bucket_spark_sql(
+                    "md5(CAST(doc_id AS STRING))", PACK_AUDIT_BUCKETS
+                )
+            ).alias("audit_bucket"),
+        )
+    )
+    packed = pack_first_fit(
+        sliced, ctx_tokens=PACK_AUDIT_CTX, bucket_col="audit_bucket"
+    )
+    return packed.select("doc_id", "pack_bucket", "pack_bin", "n_tokens")
 
 
 # Deterministic global training shuffle -> shard assignment. A real
