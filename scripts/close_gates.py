@@ -42,14 +42,28 @@ _SUMMARY = re.compile(
 def run_gate(sf: str, extra_env: dict) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO, **extra_env)
     t0 = time.monotonic()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py"), sf],
-        cwd=REPO,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "driver_sim.py"), sf],
+            cwd=REPO,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # A hung/slow gate must not discard the other gates' evidence:
+        # record the timeout as a red gate and keep going.
+        tail = ((exc.stdout or b"").decode() if isinstance(exc.stdout, bytes)
+                else (exc.stdout or ""))
+        return {
+            "rc": None,
+            "seconds": round(time.monotonic() - t0, 1),
+            "oracled_ok": None,
+            "rows_only": None,
+            "mismatches": None,
+            "tail": f"TIMEOUT after {exc.timeout}s\n" + tail[-1500:],
+        }
     secs = round(time.monotonic() - t0, 1)
     m = _SUMMARY.search(proc.stdout)
     out = {

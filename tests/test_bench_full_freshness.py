@@ -68,14 +68,12 @@ def test_full_sweep_covers_parked_set():
     # ADVICE r13: an uncovered parked query may NOT coast on the
     # 2-round staleness budget — a query parked right after a sweep
     # could otherwise go two full rounds with no timing trail. Any
-    # gap forces a fresh sweep THIS round (rnd >= current), at which
-    # point coverage must be exact.
-    assert not missing or rnd >= current, (
+    # gap fails unconditionally: re-run SPARK_GRAFT_BENCH_FULL=1
+    # this round to restore exact coverage. (The earlier two-assert
+    # form implied a same-round artifact could pass with gaps — it
+    # could not; this is the same rule stated once. r14 review.)
+    assert not missing, (
         f"parked queries {missing} are not in bench_full_r{rnd:02d}.json "
         f"(current round r{current}) — run SPARK_GRAFT_BENCH_FULL=1 "
         f"python bench.py to restore their timing trail"
     )
-    if rnd >= current:
-        assert not missing, (
-            f"bench_full_r{rnd:02d}.json misses parked queries: {missing}"
-        )

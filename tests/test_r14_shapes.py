@@ -234,3 +234,35 @@ def test_pack_operator_oversize_branch_matches_python_reference(spark):
     ref = [(i, 0, len(t.split(" "))) for i, t in texts]
     assert got == _python_next_fit(ref, ctx)
     assert [got[i][1] for i in range(1, 7)] == [0, 0, 1, 2, 3, 4]
+
+
+def test_sf01_adjudicated_vacuity_set_is_current():
+    """r14 full-sf0.1 sweep audit: the three entries legitimately empty
+    at sf0.1 are allowlisted per-SF with non-vacuous siblings, and the
+    fixed ``distinct_set_ops`` (bounded bottom-10 EXCEPT side — at most
+    10 of ~25 nations removable at any corpus size) stays NON-vacuous
+    at sf0.1. DuckDB-only: pins the data-vs-constant adjudication
+    without a Spark job."""
+    import duckdb
+
+    from tfm_semisup_spark.queries import VACUOUS_OK, load_all_queries
+    from tfm_semisup_spark.queries import ORACLES
+
+    load_all_queries()
+    for name in ("basket_part_triples", "item_link_prediction_ra",
+                 "ssl_cotrain_one_round_nb"):
+        entry = VACUOUS_OK[name]
+        assert "sf0.1" in entry["empty_ok_at"]
+        assert "sf0.001" not in entry["empty_ok_at"]  # gate guard stays live
+        assert entry["sibling"] in ORACLES
+
+    con = duckdb.connect()
+    for t in ("customer",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.1/{t}.parquet'"
+        )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM ({ORACLES['distinct_set_ops']})"
+    ).fetchone()[0]
+    assert n > 0, "distinct_set_ops regressed to empty at sf0.1"

@@ -63,6 +63,44 @@ VACUOUS_OK: dict[str, dict] = {
         "sibling": "q11_top_value_parts",
         "empty_ok_at": {"sf0.01", "sf0.1", "sf1", "sf2"},
     },
+    # The one-round co-training promotion cut (_CT2T_THR = 0.37) is a
+    # measured proper non-empty subset per view at BOTH gate SFs
+    # (959+983/1185 at sf0.001, 4771+3982/11953 at sf0.01) but the NB
+    # posteriors flatten with SF and 0.37 promotes zero from sf0.1 up
+    # — no single constant is proper at all three SFs (0.35, the
+    # largest cut nonzero at sf0.1, floods sf0.001; see the oracle
+    # comment in ssl_queries.py). The same trade's fixed-shape
+    # siblings stay non-vacuous at sf0.1 (ssl_cotrain_two_round_
+    # threshold emits zero-count rows; ssl_stump_one_round_threshold
+    # keeps its two leaf rows).
+    "ssl_cotrain_one_round_nb": {
+        "sibling": "ssl_cotrain_two_round_threshold",
+        "empty_ok_at": {"sf0.1", "sf1", "sf2"},
+    },
+    # Apriori level-3: the part catalog grows with SF while basket
+    # width stays ~13, so repeated 3-sets vanish — measured max triple
+    # support 3/2/1 at sf0.001/0.01/0.1 (r14 full-sf0.1 sweep audit):
+    # no support cut >= 2 can fire at sf0.1 and support 1 is not an
+    # association. The level-2 pass (basket_part_lift) stays
+    # non-vacuous at every SF and exercises the identical
+    # fan-out-bounded co-order join + support/lift algebra.
+    "basket_part_triples": {
+        "sibling": "basket_part_lift",
+        "empty_ok_at": {"sf0.1", "sf1", "sf2"},
+    },
+    # The co-engagement item graph saturates to COMPLETE as users grow
+    # over the fixed ~100-item catalog: measured (edges, non-edges) at
+    # LP_MIN_USERS thresholds 2..8 — sf0.001 needs thr <= 3 for any
+    # edges at all, sf0.1 has 4950/4950 possible edges present for
+    # every thr <= 5 (zero non-edges to predict). The feasible
+    # constants at the two SFs are DISJOINT, so sf0.1-emptiness is
+    # intrinsic to link prediction on a saturated graph, not a dead
+    # filter. The wedge-join machinery stays non-vacuous at sf0.1 via
+    # item_triangle_counts (same _EDGE_CTES, 100 rows at every SF).
+    "item_link_prediction_ra": {
+        "sibling": "item_triangle_counts",
+        "empty_ok_at": {"sf0.1", "sf1", "sf2"},
+    },
 }
 
 

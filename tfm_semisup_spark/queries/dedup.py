@@ -60,10 +60,11 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked with real data at EVERY SF (500 groups at
 # sf0.001/0.01; real sf0.1 dups fold in as n_copies > 2).
 KEEPER_ORACLE = """
-WITH corpus AS (
+WITH shift AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT doc_id + (SELECT s FROM shift) AS doc_id, text FROM documents
 )
 SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id,
        COUNT(*)::BIGINT AS n_copies
@@ -76,14 +77,20 @@ HAVING COUNT(*) > 1
 @register("dedup_exact_keepers", KEEPER_ORACLE)
 def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keeper selection over the planted corpus: one survivor (min
-    doc_id) per duplicate group — (fp, keeper_doc_id, n_copies). Every
-    keeper must be an ORIGINAL id (< 1e6) by the min rule; the
-    aggregate sibling ``dedup_planted_duplicates`` checks the global
-    counts, this one checks the per-group keeper rows themselves.
-    Scale: shuffles only (hash, doc_id) pairs — text never moves."""
+    doc_id) per duplicate group — (fp, keeper_doc_id, n_copies). The
+    planted-copy id shift is DERIVED (max(doc_id)+1, exact BIGINT on
+    both engines) so every planted id exceeds every original and the
+    min rule provably selects an ORIGINAL keeper at ANY corpus size —
+    a fixed 1e6 shift would silently collide once a generated probe
+    corpus reaches 1e6 doc_ids (r14 review). The aggregate sibling
+    ``dedup_planted_duplicates`` checks the global counts, this one
+    checks the per-group keeper rows themselves.
+    Scale: one column-pruned max() scan for the shift scalar, then
+    shuffles only (hash, doc_id) pairs — text never moves."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
     corpus = docs.unionAll(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        docs.select((F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text")
     )
     return (
         corpus.groupBy(F.md5("text").alias("fp"))

@@ -140,18 +140,24 @@ def percentiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copy under shifted ids — the keeper query must then select exactly
 # the original min-id per text. Proves the dedup operator actually
 # drops rows (the plain-corpus variant can't distinguish a no-op).
+# The shift is DERIVED (max(doc_id)+1, exact BIGINT on both engines)
+# so planted ids never collide with originals at any corpus size — a
+# fixed 1e6 shift would silently collide once a generated probe
+# corpus reaches 1e6 doc_ids (r14 review; same fix as
+# dedup_exact_keepers).
 PLANTED_ORACLE = """
-WITH corpus AS (
+WITH shift AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
+corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT doc_id + (SELECT s FROM shift) AS doc_id, text FROM documents
 )
 SELECT COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS n_unique,
-       CAST(SUM(CASE WHEN doc_id < 1000000 THEN 0 ELSE 1 END) AS BIGINT) AS n_planted,
+       CAST(SUM(CASE WHEN doc_id < (SELECT s FROM shift) THEN 0 ELSE 1 END) AS BIGINT) AS n_planted,
        (SELECT COUNT(*) FROM (
           SELECT md5(text), MIN(doc_id) AS keeper FROM corpus GROUP BY 1
-        ) WHERE keeper < 1000000) AS n_keepers_original
+        ) WHERE keeper < (SELECT s FROM shift)) AS n_keepers_original
 FROM corpus
 """
 
@@ -159,17 +165,18 @@ FROM corpus
 @register("dedup_planted_duplicates", PLANTED_ORACLE)
 def dedup_planted_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
     corpus = docs.unionAll(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        docs.select((F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text")
     )
     keepers = corpus.groupBy(F.md5("text").alias("fp")).agg(
         F.min("doc_id").alias("keeper")
     )
-    n_keepers_original = keepers.where(F.col("keeper") < 1000000).count()
+    n_keepers_original = keepers.where(F.col("keeper") < shift).count()
     return corpus.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.md5("text")).alias("n_unique"),
-        F.sum(F.when(F.col("doc_id") < 1000000, 0).otherwise(1))
+        F.sum(F.when(F.col("doc_id") < shift, 0).otherwise(1))
         .cast("long")
         .alias("n_planted"),
         F.lit(n_keepers_original).cast("long").alias("n_keepers_original"),

@@ -55,14 +55,23 @@ def in_subquery_urgent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # UNION (distinct) + EXCEPT (distinct) — the set-op variants the
-# reference never used (it used unionAll/exceptAll).
+# reference never used (it used unionAll/exceptAll). The EXCEPT side
+# is the BOTTOM-10 customers by (acctbal, custkey) — a bounded,
+# deterministic top-k, so it can remove at most 10 of the ~25 nations
+# at ANY corpus size. The previous predicate form (acctbal < -900)
+# emptied the whole result at sf0.1: with 15k customers every nation
+# has at least one sub--900 balance, so the EXCEPT removed all 25
+# nations — an SF-driven vacuity found by the r14 full sf0.1 sweep
+# (non-vacuous re-measured: 16/16/17 rows at sf0.001/0.01/0.1).
 DISTINCT_SETOPS_ORACLE = """
 SELECT nk, COUNT(*) AS n FROM (
   SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
   UNION
   SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
   EXCEPT
-  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < -900
+  SELECT c_nationkey AS nk FROM (
+    SELECT c_nationkey FROM customer ORDER BY c_acctbal, c_custkey LIMIT 10
+  )
 )
 GROUP BY nk
 """
@@ -75,7 +84,11 @@ def distinct_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_nationkey").alias("nk")
     )
-    broke = cust.where(F.col("c_acctbal") < -900).select(F.col("c_nationkey").alias("nk"))
+    broke = (
+        cust.orderBy("c_acctbal", "c_custkey")
+        .limit(10)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
     combined = rich.union(building).distinct().exceptAll(broke.distinct())
     # NB: SQL UNION/EXCEPT bind left-assoc with equal precedence in both
     # engines: ((rich UNION building) EXCEPT broke), all distinct.
