@@ -26,10 +26,15 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: (name, driver_sim argv sf, extra env) — the four close gates
+#: (name, driver_sim argv sf, extra env) — the five close gates.
+#: sf0.1 joined in r14: the first full sweep at the bench SF caught
+#: three SF-driven vacuities and proves every DECIMAL budget and
+#: rounding rule at 10x the correctness SF (the r12 ssl_pr_curve_nb
+#: overflow class) — ~17 min well spent once per round.
 GATES = [
     ("sf0.001", "sf0.001", {}),
     ("sf0.01", "sf0.01", {}),
+    ("sf0.1", "sf0.1", {}),
     ("shuffle7_sf0.001", "sf0.001", {"DRIVER_SIM_SHUFFLE": "7"}),
     ("strict_codegen_sf0.001", "sf0.001", {"DRIVER_SIM_STRICT_CODEGEN": "1"}),
 ]

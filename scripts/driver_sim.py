@@ -91,6 +91,19 @@ def main() -> int:
         )
         if name not in oracles:
             n_rows_only += 1
+            # $DRIVER_SIM_ROWSONLY_TWICE=1: rows-only entries have no
+            # oracle, so their one checkable contract is DETERMINISM
+            # (CLAUDE.md: fixed seeds, hash-based masking — never
+            # partitioning-sensitive randomness). Run the callable a
+            # second time and require identical normalized rows.
+            if os.environ.get("DRIVER_SIM_ROWSONLY_TWICE"):
+                srows2 = sorted(
+                    tuple(_norm(r[c]) for c in cols)
+                    for r in fn(spark, sf_dir).collect()
+                )
+                if srows != srows2:
+                    bad.append((name, "nondeterministic"))
+                    continue
             print(f"rows-only: {name} ({len(srows)} rows)")
             continue
         # vacuity guard (VERDICT r12 #5): 0==0 rows hash-matches

@@ -1,7 +1,8 @@
 """Structure pins for scripts/close_gates.py (VERDICT r13 #8): the
-one-command close runner must keep covering exactly the four gate
-configurations the round-close evidence is defined by, and its
-summary parser must match driver_sim's output format."""
+one-command close runner must keep covering exactly the gate
+configurations the round-close evidence is defined by (four from r13,
+plus the full-sf0.1 sweep from r14), and its summary parser must
+match driver_sim's output format."""
 
 from __future__ import annotations
 
@@ -21,11 +22,14 @@ def _mod():
         sys.path.pop(0)
 
 
-def test_gates_cover_the_four_close_configurations():
+def test_gates_cover_the_close_configurations():
     cg = _mod()
     specs = {(name, sf, tuple(sorted(env.items()))) for name, sf, env in cg.GATES}
     assert ("sf0.001", "sf0.001", ()) in specs
     assert ("sf0.01", "sf0.01", ()) in specs
+    # r14: full parity sweep at the bench SF — catches SF-driven
+    # vacuities and DECIMAL budgets the gate SFs can't see.
+    assert ("sf0.1", "sf0.1", ()) in specs
     assert (
         "shuffle7_sf0.001",
         "sf0.001",
@@ -36,7 +40,7 @@ def test_gates_cover_the_four_close_configurations():
         "sf0.001",
         (("DRIVER_SIM_STRICT_CODEGEN", "1"),),
     ) in specs
-    assert len(cg.GATES) == 4
+    assert len(cg.GATES) == 5
 
 
 def test_summary_regex_parses_driver_sim_output():
