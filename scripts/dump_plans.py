@@ -440,7 +440,15 @@ PICKS = {
         "exploded quantized coordinates, per-(vec, hyperplane) bit "
         "aggregate, band-bucket equi-join for candidates, "
         "candidate-bounded exact qdot verify + broadcast norms; "
-        "TakeOrderedAndProject for the top-20"
+        "TakeOrderedAndProject for the top-20. NOTE: the returned "
+        "DataFrame is eagerly localCheckpoint'd (lineage release "
+        "contract), so the post-hoc physical plan below is just the "
+        "checkpoint scan. Shape evidence lives in the construction "
+        "itself — candidates are produced ONLY by the (band, bkey) "
+        "equi-join on bounded 8-bit band keys, never a corpus-scale "
+        "nested loop — and in the four driver-sim gates the entry "
+        "hash-matches bit-identically (incl. shuffle-7 and "
+        "strict-codegen)"
     ),
     "ssl_stump_split_audit": (
         "stump split grid: one fact-scale groupBy to the (f1,f2,cls) "
