@@ -577,121 +577,37 @@ GROUP BY pred_class
 """
 
 
-def _st_nb_score(train: DataFrame, pool: DataFrame) -> DataFrame:
-    """Exact-integer two-feature NB scoring shared by the one- and
-    two-round SelfTraining oracles: fit on ``train`` (f1, f2, label),
-    score ``pool`` (o_orderkey, o_orderstatus, f1, f2) -> decided rows
-    (pred_class, t_max, t_sum as DECIMAL(38,0)) carrying f1/f2 for a
-    later refit. One shared body so the algebra can never diverge
-    between the entries (r10 review)."""
-    cls = ["F", "O", "P"]
-
-    def csum(c: str, alias: str):
-        return (
-            F.sum(F.when(F.col("label") == c, 1).otherwise(0))
-            .cast("decimal(38,0)")
-            .alias(alias)
-        )
-
-    lik1 = train.groupBy("f1").agg(*[csum(c, f"n1_{c}") for c in cls])
-    lik2 = train.groupBy("f2").agg(*[csum(c, f"n2_{c}") for c in cls])
-    prior = train.agg(*[csum(c, f"n_{c}") for c in cls])
-    scored = (
-        pool.join(F.broadcast(lik1), "f1", "left")
-        .join(F.broadcast(lik2), "f2", "left")
-        .crossJoin(F.broadcast(prior))
-    )
-    for c in cls:
-        a = (
-            F.col(f"n_{c}")
-            * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1)
-            * (F.coalesce(F.col(f"n2_{c}"), F.lit(0)) + 1)
-        )
-        b = (F.col(f"n_{c}") + _ST1_V1) * (F.col(f"n_{c}") + _ST1_V2)
-        scored = scored.withColumn(f"a_{c}", a).withColumn(f"b_{c}", b)
-    voted = scored.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "f1",
-        "f2",
-        (F.col("a_F") * F.col("b_O") * F.col("b_P")).alias("t_F"),
-        (F.col("a_O") * F.col("b_F") * F.col("b_P")).alias("t_O"),
-        (F.col("a_P") * F.col("b_F") * F.col("b_O")).alias("t_P"),
-    )
-    is_f = (F.col("t_F") >= F.col("t_O")) & (F.col("t_F") >= F.col("t_P"))
-    is_o = F.col("t_O") >= F.col("t_P")
-    return voted.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "f1",
-        "f2",
-        F.when(is_f, "F").when(is_o, "O").otherwise("P").alias("pred_class"),
-        F.when(is_f, F.col("t_F"))
-        .when(is_o, F.col("t_O"))
-        .otherwise(F.col("t_P"))
-        .alias("t_max"),
-        (F.col("t_F") + F.col("t_O") + F.col("t_P")).alias("t_sum"),
-    )
-
-
-def _st_nb_summary(
-    decided: DataFrame, thr_num: int, thr_den: int, rnd: int | None = None
-) -> DataFrame:
-    """Per-class promotion summary at posterior >= thr_num/thr_den
-    (den·t_max >= num·t_sum, exact integers); prepends a ``rnd``
-    column when unrolling multiple rounds."""
-    promoted = thr_den * F.col("t_max") >= thr_num * F.col("t_sum")
-    out = decided.groupBy("pred_class").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
-        F.sum(F.when(promoted, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_promoted"),
-        F.sum(
-            F.when(
-                promoted & (F.col("pred_class") == F.col("o_orderstatus")), 1
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_promoted_correct"),
-        F.sum(F.when(promoted, F.col("o_orderkey")).otherwise(0))
-        .cast("bigint")
-        .alias("promoted_key_sum"),
-    )
-    if rnd is None:
-        return out
-    return out.select(
-        F.lit(rnd).cast("bigint").alias("rnd"),
-        "pred_class",
-        "n_scored",
-        "n_promoted",
-        "n_promoted_correct",
-        "promoted_key_sum",
-    )
-
-
 @register("ssl_selftrain_one_round_nb", _st1_oracle())
 def ssl_selftrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exact-arithmetic SelfTraining threshold-promotion round with
     an aggregate-expressed Naive Bayes scorer: (pred_class, n_scored,
-    n_promoted, n_promoted_correct, promoted_key_sum). Scoring/summary
-    algebra shared with the two-round entry (``_st_nb_score`` /
-    ``_st_nb_summary``) so the two oracles cannot silently diverge;
-    threshold stays the reference default 0.7
-    (``SelfTraining.scala:121-149``)."""
-    orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.col("o_orderpriority").alias("f1"),
-        F.month("o_orderdate").cast("bigint").alias("f2"),
-        F.expr(_ST1_MASK_SPARK).alias("mask"),
+    n_promoted, n_promoted_correct, promoted_key_sum). Threshold stays
+    the reference default 0.7 (``SelfTraining.scala:121-149``).
+
+    r14 optimization (guide §1.2/§2.4): round 1 of the two-round grid
+    replay — the prediction and the 10·t_max >= 7·t_sum flag are
+    constant per (f1, f2) cell, so the whole round is ONE fact-scale
+    contingency aggregate (``_nb_grid_rows``) plus exact Python-int
+    algebra, replacing the full-pool DECIMAL(38,0) scoring scan. The
+    oracle is unchanged."""
+    rows = _nb_grid_rows(spark, sf_dir)
+    lab, pool = _grid_split(rows)
+    prior, lik1, lik2 = _py_fit_counts(lab)
+    summary: dict = {}
+    for (f1, f2, c), (n, ks) in pool.items():
+        pred, t_max, t_sum = _py_argmax(_py_nb2_t(prior, lik1, lik2, f1, f2))
+        s = summary.setdefault(pred, [0, 0, 0, 0])
+        s[0] += n
+        if 10 * t_max >= 7 * t_sum:
+            s[1] += n
+            if pred == c:
+                s[2] += n
+            s[3] += ks
+    return spark.createDataFrame(
+        [(p, *summary[p]) for p in sorted(summary)],
+        "pred_class string, n_scored long, n_promoted long, "
+        "n_promoted_correct long, promoted_key_sum long",
     )
-    labeled = base.where(F.col("mask") == 0)
-    unlabeled = base.where(F.col("mask") != 0).select(
-        "o_orderkey", "o_orderstatus", "f1", "f2"
-    )
-    train = labeled.select("f1", "f2", F.col("o_orderstatus").alias("label"))
-    return _st_nb_summary(_st_nb_score(train, unlabeled), 7, 10)
 
 
 # ---------------------------------------------------------------------------
@@ -854,7 +770,7 @@ def _py_nb1_t(prior: dict, lik: dict, V: int, fv) -> tuple:
 
 
 def _py_nb2_t(prior: dict, lik1: dict, lik2: dict, f1, f2) -> tuple:
-    """Two-feature NB integer score vector — ``_st_nb_score``'s
+    """Two-feature NB integer score vector — the ``_nb2_scored_sql``
     algebra (V1=5 priorities, V2=12 months) on Python ints."""
     a = {
         c: prior[c]
@@ -1186,60 +1102,98 @@ def ssl_selftrain_one_round_kbest(spark: SparkSession, sf_dir: str) -> DataFrame
     quantized confidence, okey tie-break): (pred_class, n_promoted,
     n_promoted_correct, promoted_key_sum, min_conf_q).
 
-    Scale note: the boundary element is found with orderBy+limit —
-    Spark executes it as TakeOrderedAndProject (per-partition heaps,
-    no global sort shuffle); the oracle's ROW_NUMBER over a global
-    ORDER BY expresses the same total order declaratively. At corpus
-    scale the production kBest path inside SelfTraining uses the same
-    deterministic (confidence, key) order."""
-    labeled, unlabeled = _nb1_base(spark, sf_dir)
-    decided = _nb1_decided(labeled, unlabeled, "f1", 5)
-    # exact integer confidence: floor(t_max * 10^12 / t_sum) — the
-    # pmod-subtract makes the decimal division exact, equal to
-    # DuckDB's HUGEINT floor-division
-    num = F.col("t_max") * F.lit(_KBEST_CONF_SCALE)
-    conf = decided.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "pred_class",
-        ((num - F.pmod(num, F.col("t_sum"))) / F.col("t_sum"))
-        .cast("decimal(38,0)")
-        .alias("conf_q"),
+    r14 optimization (guide §1.2/§2.4, the ssl_cotrain_two_round_nb
+    boundary recipe): confidence floor(t_max·10^12/t_sum) is constant
+    per f1 value (<= 5 distinct levels), so the rank-k boundary sits
+    inside ONE tie-confidence cohort and promotion there is an
+    o_orderkey prefix. Three bounded fact jobs replace the full-pool
+    DECIMAL(38,0) scoring scan + checkpoint + count + probe chain:
+    (1) the (lab, f1, class) contingency grid, (2) one
+    TakeOrderedAndProject probe for the cohort's k_rem-th smallest
+    okey, (3) one flag-split grid aggregate. Replay on Python ints;
+    the oracle (ROW_NUMBER over the same total order) is unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _base() -> DataFrame:
+        return orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("f1"),
+            F.expr(_ST1_MASK_SPARK).alias("mask"),
+        )
+
+    grid = (
+        _base()
+        .groupBy((F.col("mask") == 0).alias("lab"), "f1", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    n_pool = conf.count()
+    prior: dict = {c: 0 for c in _NB1_CLS}
+    lik: dict = {}
+    pool: dict = {}
+    for r in grid:
+        if r["lab"]:
+            prior[r["o_orderstatus"]] += r["n"]
+            key = (r["f1"], r["o_orderstatus"])
+            lik[key] = lik.get(key, 0) + r["n"]
+        else:
+            key = (r["f1"], r["o_orderstatus"])
+            pool[key] = pool.get(key, 0) + r["n"]
+    conf: dict = {}
+    for fv in {f1 for (f1, _c) in pool}:
+        pred, t_max, t_sum = _py_argmax(_py_nb1_t(prior, lik, 5, fv))
+        conf[fv] = (pred, t_max * _KBEST_CONF_SCALE // t_sum)
+    n_pool = sum(pool.values())
     k = max(1, n_pool // _KBEST_FRAC_DIV)
-    # boundary pair of the K-th element in (conf_q DESC, okey ASC)
-    # order: min over the top-K of (conf_q, -okey) = (c*, -max okey)
-    bound = (
-        conf.orderBy(F.col("conf_q").desc(), F.col("o_orderkey"))
-        .limit(k)
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("conf_q").alias("c"),
-                    (-F.col("o_orderkey")).alias("neg_k"),
-                )
-            ).alias("b")
-        )
-        .collect()[0]["b"]
+    # cohort walk: confidence levels descending; the k-th ranked row
+    # lands inside the c_star tie cohort, k_rem rows deep
+    lvl: dict = {}
+    for (fv, _c), n in pool.items():
+        lvl[conf[fv][1]] = lvl.get(conf[fv][1], 0) + n
+    cum = 0
+    for cq in sorted(lvl, reverse=True):
+        cum += lvl[cq]
+        if cum >= k:
+            c_star, above_n = cq, cum - lvl[cq]
+            break
+    ties = sorted(fv for fv in conf if conf[fv][1] == c_star)
+    above = sorted(fv for fv in conf if conf[fv][1] > c_star)
+    # ONE bounded probe: the (k - above_n)-th smallest okey in the
+    # tie cohort (TakeOrderedAndProject, one scalar out)
+    k_star = (
+        _base()
+        .where((F.col("mask") != 0) & F.col("f1").isin(ties))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(k - above_n)
+        .agg(F.max("o_orderkey").alias("m"))
+        .collect()[0]["m"]
     )
-    c_star, k_star = bound["c"], -bound["neg_k"]
-    promoted = conf.where(
-        (F.col("conf_q") > F.lit(c_star))
-        | (
-            (F.col("conf_q") == F.lit(c_star))
-            & (F.col("o_orderkey") <= F.lit(k_star))
-        )
+    tie_flag = F.col("f1").isin(ties) & (F.col("o_orderkey") <= F.lit(k_star))
+    flag = (F.col("f1").isin(above) | tie_flag) if above else tie_flag
+    # ONE flag-split grid aggregate: per-class promoted counts/keysums
+    fg = (
+        _base()
+        .where(F.col("mask") != 0)
+        .groupBy("f1", "o_orderstatus", flag.alias("fl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ks"))
+        .collect()
     )
-    return promoted.groupBy("pred_class").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
-        F.sum(
-            F.when(F.col("pred_class") == F.col("o_orderstatus"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_promoted_correct"),
-        F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
-        F.min("conf_q").cast("bigint").alias("min_conf_q"),
+    summary: dict = {}
+    for r in fg:
+        if not r["fl"]:
+            continue
+        pred, cq = conf[r["f1"]]
+        s = summary.setdefault(pred, [0, 0, 0, None])
+        s[0] += r["n"]
+        if pred == r["o_orderstatus"]:
+            s[1] += r["n"]
+        s[2] += r["ks"]
+        s[3] = cq if s[3] is None else min(s[3], cq)
+    return spark.createDataFrame(
+        [(p, *summary[p]) for p in sorted(summary)],
+        "pred_class string, n_promoted long, n_promoted_correct long, "
+        "promoted_key_sum long, min_conf_q long",
     )
 
 
@@ -1304,45 +1258,45 @@ def ssl_cotrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous on this near-flat 3-class data); the 'agreement' rows are
     what each view would hand the other with matching labels.
     (view_name, pred_class, n_promoted, n_promoted_correct,
-    promoted_key_sum)."""
-    labeled, unlabeled = _nb1_base(spark, sf_dir)
-    num = F.col("t_max") * F.lit(_KBEST_CONF_SCALE)
-    confident = (
-        (num - F.pmod(num, F.col("t_sum"))) / F.col("t_sum")
-    ).cast("decimal(38,0)") > F.lit(_CT2T_THR).cast("decimal(38,0)")
-    prom1 = (
-        _nb1_decided(labeled, unlabeled, "f1", 5)
-        .where(confident)
-        .select("o_orderkey", "o_orderstatus", "pred_class")
-    )
-    prom2 = (
-        _nb1_decided(labeled, unlabeled, "f2", 12)
-        .where(confident)
-        .select("o_orderkey", "o_orderstatus", "pred_class")
-    )
-    agree = prom1.alias("a").join(
-        prom2.alias("b"),
-        (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
-        & (F.col("a.pred_class") == F.col("b.pred_class")),
-    ).select("a.o_orderkey", "a.o_orderstatus", "a.pred_class")
+    promoted_key_sum).
 
-    def _grp(df: DataFrame, view: str) -> DataFrame:
-        return df.groupBy("pred_class").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
-            F.sum(
-                F.when(
-                    F.col("pred_class") == F.col("o_orderstatus"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_promoted_correct"),
-            F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
-        ).select(F.lit(view).alias("view_name"), "*")
+    r14 optimization (guide §1.2/§2.4): each view's prediction and
+    conf_q > _CT2T_THR flag are constant per feature value, and the
+    agreement membership is a function of the (f1, f2) cell — so the
+    whole exchange round replays from ONE ``_nb_grid_rows`` fact
+    aggregate on Python ints (no per-row DECIMAL scoring, no row-level
+    agreement join, no checkpoint). The oracle is unchanged."""
+    rows = _nb_grid_rows(spark, sf_dir)
+    lab, pool = _grid_split(rows)
+    conf = {"v1": _py_conf_map("v1", lab), "v2": _py_conf_map("v2", lab)}
+    sums: dict = {"priority": {}, "month": {}, "agreement": {}}
 
-    return (
-        _grp(prom1, "priority")
-        .unionAll(_grp(prom2, "month"))
-        .unionAll(_grp(agree, "agreement"))
+    def _add(view: str, pred: str, c: str, n: int, ks: int) -> None:
+        s = sums[view].setdefault(pred, [0, 0, 0])
+        s[0] += n
+        if pred == c:
+            s[1] += n
+        s[2] += ks
+
+    for (f1, f2, c), (n, ks) in pool.items():
+        p1, q1 = conf["v1"](f1)
+        p2, q2 = conf["v2"](f2)
+        fl1, fl2 = q1 > _CT2T_THR, q2 > _CT2T_THR
+        if fl1:
+            _add("priority", p1, c, n, ks)
+        if fl2:
+            _add("month", p2, c, n, ks)
+        if fl1 and fl2 and p1 == p2:
+            _add("agreement", p1, c, n, ks)
+    out_rows = [
+        (view, pred, *sums[view][pred])
+        for view in ("priority", "month", "agreement")
+        for pred in sorted(sums[view])
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "view_name string, pred_class string, n_promoted long, "
+        "n_promoted_correct long, promoted_key_sum long",
     )
 
 
@@ -1399,12 +1353,20 @@ def ssl_tritrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind ``operators/tri_training.py``): three single-feature NB
     views; a row is promoted FOR view i with the class the OTHER TWO
     agree on. (target_view, pred_class, n_promoted,
-    n_promoted_correct, promoted_key_sum)."""
+    n_promoted_correct, promoted_key_sum).
+
+    r14 optimization (guide §1.2/§2.4): every view's prediction is
+    constant per feature value, so the agreement predicates are
+    functions of the (f1, f2, f3) cell — ONE fact-scale contingency
+    aggregate over orders ⋈ customer (<= 2·5·12·5·3 cells at any
+    corpus size) and exact Python-int replay replace the checkpoint,
+    the three full-pool DECIMAL scoring scans, and the two row-level
+    joins. The oracle is unchanged."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    base = (
+    grid = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "o_orderkey",
@@ -1414,45 +1376,60 @@ def ssl_tritrain_one_round_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("f3"),
             F.expr(_ST1_MASK_SPARK).alias("mask"),
         )
-    )
-    # 9 downstream references (3 views × likelihood/prior/scoring) —
-    # checkpoint so the customer join + md5 decode run once
-    from tfm_semisup_spark.operators.lineage import truncate
-
-    base = truncate(base, eager=True)
-    labeled = base.where(F.col("mask") == 0)
-    unlabeled = base.where(F.col("mask") != 0)
-    d1 = _nb1_decided(labeled, unlabeled, "f1", 5).select(
-        "o_orderkey", "o_orderstatus", F.col("pred_class").alias("p1")
-    )
-    d2 = _nb1_decided(labeled, unlabeled, "f2", 12).select(
-        "o_orderkey", F.col("pred_class").alias("p2")
-    )
-    d3 = _nb1_decided(labeled, unlabeled, "f3", 5).select(
-        "o_orderkey", F.col("pred_class").alias("p3")
-    )
-    joined = d1.join(d2, "o_orderkey").join(d3, "o_orderkey")
-
-    def _grp(view: str, pred: str, j: str, k: str) -> DataFrame:
-        return (
-            joined.where(F.col(j) == F.col(k))
-            .groupBy(F.col(pred).alias("pred_class"))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_promoted"),
-                F.sum(
-                    F.when(F.col(pred) == F.col("o_orderstatus"), 1).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_promoted_correct"),
-                F.sum("o_orderkey").cast("bigint").alias("promoted_key_sum"),
-            )
-            .select(F.lit(view).alias("target_view"), "*")
+        .groupBy(
+            (F.col("mask") == 0).alias("lab"), "f1", "f2", "f3", "o_orderstatus"
         )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("ks"))
+        .collect()
+    )
+    prior: dict = {c: 0 for c in _NB1_CLS}
+    liks: dict = {"f1": {}, "f2": {}, "f3": {}}
+    pool: dict = {}
+    for r in grid:
+        key = (r["f1"], r["f2"], r["f3"], r["o_orderstatus"])
+        if r["lab"]:
+            prior[r["o_orderstatus"]] += r["n"]
+            for feat in ("f1", "f2", "f3"):
+                k = (r[feat], r["o_orderstatus"])
+                liks[feat][k] = liks[feat].get(k, 0) + r["n"]
+        else:
+            n, ks = pool.get(key, (0, 0))
+            pool[key] = (n + r["n"], ks + r["ks"])
+    vcard = {"f1": 5, "f2": 12, "f3": 5}
+    memo: dict = {"f1": {}, "f2": {}, "f3": {}}
 
-    return (
-        _grp("priority", "p2", "p2", "p3")
-        .unionAll(_grp("month", "p1", "p1", "p3"))
-        .unionAll(_grp("segment", "p1", "p1", "p2"))
+    def _pred(feat: str, fv) -> str:
+        m = memo[feat]
+        if fv not in m:
+            m[fv] = _py_argmax(_py_nb1_t(prior, liks[feat], vcard[feat], fv))[0]
+        return m[fv]
+
+    sums: dict = {"priority": {}, "month": {}, "segment": {}}
+
+    def _add(view: str, pred: str, c: str, n: int, ks: int) -> None:
+        s = sums[view].setdefault(pred, [0, 0, 0])
+        s[0] += n
+        if pred == c:
+            s[1] += n
+        s[2] += ks
+
+    for (f1, f2, f3, c), (n, ks) in pool.items():
+        p1, p2, p3 = _pred("f1", f1), _pred("f2", f2), _pred("f3", f3)
+        if p2 == p3:
+            _add("priority", p2, c, n, ks)
+        if p1 == p3:
+            _add("month", p1, c, n, ks)
+        if p1 == p2:
+            _add("segment", p1, c, n, ks)
+    out_rows = [
+        (view, pred, *sums[view][pred])
+        for view in ("priority", "month", "segment")
+        for pred in sorted(sums[view])
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "target_view string, pred_class string, n_promoted long, "
+        "n_promoted_correct long, promoted_key_sum long",
     )
 
 
@@ -2690,71 +2667,25 @@ decided AS (
 )"""
 
 
-def _nb2_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_nb2_scored_sql``: the scored pool with model
-    A's a_c/b_c and model B's sa_c/sb_c cross-multiply terms."""
-    labeled, pool = _nb1_base(spark, sf_dir)
-    cls = ["F", "O", "P"]
-
-    def csum(c: str, alias: str):
-        return (
-            F.sum(F.when(F.col("o_orderstatus") == c, 1).otherwise(0))
-            .cast("decimal(38,0)")
-            .alias(alias)
-        )
-
-    lik1 = labeled.groupBy("f1").agg(*[csum(c, f"n1_{c}") for c in cls])
-    lik2 = labeled.groupBy("f2").agg(*[csum(c, f"n2_{c}") for c in cls])
-    prior = labeled.agg(*[csum(c, f"n_{c}") for c in cls])
-    scored = (
-        pool.join(F.broadcast(lik1), "f1", "left")
-        .join(F.broadcast(lik2), "f2", "left")
-        .crossJoin(F.broadcast(prior))
-    )
-    for c in cls:
-        scored = (
-            scored.withColumn(
-                f"a_{c}",
-                F.col(f"n_{c}")
-                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1)
-                * (F.coalesce(F.col(f"n2_{c}"), F.lit(0)) + 1),
+def _py_paired_counts(spark: SparkSession, sf_dir: str) -> dict:
+    """Grid replay of ``_paired_decided_sql`` (r14, guide §1.2): both
+    predictions — model A's two-feature NB argmax and model B's
+    f1-only ablation — are constant per (f1, f2) cell, so the paired
+    confusion counts are exact sums over the ``_nb_grid_rows``
+    contingency grid. Returns {(pred_a, pred_b, status): n}."""
+    lab, pool = _grid_split(_nb_grid_rows(spark, sf_dir))
+    prior, lik1, lik2 = _py_fit_counts(lab)
+    memo: dict = {}
+    out: dict = {}
+    for (f1, f2, c), (n, _ks) in pool.items():
+        if (f1, f2) not in memo:
+            memo[(f1, f2)] = (
+                _py_argmax(_py_nb2_t(prior, lik1, lik2, f1, f2))[0],
+                _py_argmax(_py_nb1_t(prior, lik1, _ST1_V1, f1))[0],
             )
-            .withColumn(
-                f"b_{c}",
-                (F.col(f"n_{c}") + _ST1_V1) * (F.col(f"n_{c}") + _ST1_V2),
-            )
-            .withColumn(
-                f"sa_{c}",
-                F.col(f"n_{c}")
-                * (F.coalesce(F.col(f"n1_{c}"), F.lit(0)) + 1),
-            )
-            .withColumn(f"sb_{c}", F.col(f"n_{c}") + _ST1_V1)
-        )
-    return scored
-
-
-def _nb2_argmax(pa: str, pb: str):
-    """Argmax class by the cross-multiplied exact-integer compare over
-    the ``{pa}{c}`` / ``{pb}{c}`` term columns."""
-    tf = F.col(f"{pa}F") * F.col(f"{pb}O") * F.col(f"{pb}P")
-    to = F.col(f"{pa}O") * F.col(f"{pb}F") * F.col(f"{pb}P")
-    tp = F.col(f"{pa}P") * F.col(f"{pb}F") * F.col(f"{pb}O")
-    return (
-        F.when((tf >= to) & (tf >= tp), "F")
-        .when(to >= tp, "O")
-        .otherwise("P")
-    )
-
-
-def _paired_decided_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_paired_decided_sql``: the decided
-    (o_orderstatus, pred_a, pred_b) DataFrame consumed by both
-    ``ssl_mcnemar_feature_ablation`` and ``ssl_kappa_agreement``."""
-    return _nb2_scored_df(spark, sf_dir).select(
-        "o_orderstatus",
-        _nb2_argmax("a_", "b_").alias("pred_a"),
-        _nb2_argmax("sa_", "sb_").alias("pred_b"),
-    )
+        pa, pb = memo[(f1, f2)]
+        out[(pa, pb, c)] = out.get((pa, pb, c), 0) + n
+    return out
 
 
 def _mcnemar_oracle() -> str:
@@ -2793,41 +2724,31 @@ def ssl_mcnemar_feature_ablation(
     """McNemar continuity-corrected test between the two-feature NB
     and its f1-only ablation on the shared unlabeled pool: one row
     (n_pool, n_correct_a, n_correct_b, n_agree, disc_b, disc_c,
-    mcnemar_chi2)."""
-    decided = _paired_decided_df(spark, sf_dir)
-    counts = decided.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pool"),
-        F.sum(
-            F.when(F.col("pred_a") == F.col("o_orderstatus"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_correct_a"),
-        F.sum(
-            F.when(F.col("pred_b") == F.col("o_orderstatus"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_correct_b"),
-        F.sum(F.when(F.col("pred_a") == F.col("pred_b"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_agree"),
-        F.sum(
-            F.when(
-                (F.col("pred_a") == F.col("o_orderstatus"))
-                & (F.col("pred_b") != F.col("o_orderstatus")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("disc_b"),
-        F.sum(
-            F.when(
-                (F.col("pred_a") != F.col("o_orderstatus"))
-                & (F.col("pred_b") == F.col("o_orderstatus")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("disc_c"),
+    mcnemar_chi2).
+
+    r14 optimization (guide §1.2): the confusion counts replay from
+    the contingency grid (``_py_paired_counts``) — one fact aggregate
+    instead of the full-pool DECIMAL scoring scan; the final chi2
+    expression is unchanged Spark SQL over the exact integer counts,
+    so the oracle and double semantics are untouched."""
+    pc = _py_paired_counts(spark, sf_dir)
+    n_pool = n_a = n_b = n_agree = disc_b = disc_c = 0
+    for (pa, pb, c), n in pc.items():
+        n_pool += n
+        if pa == c:
+            n_a += n
+        if pb == c:
+            n_b += n
+        if pa == pb:
+            n_agree += n
+        if pa == c and pb != c:
+            disc_b += n
+        if pa != c and pb == c:
+            disc_c += n
+    counts = spark.createDataFrame(
+        [(n_pool, n_a, n_b, n_agree, disc_b, disc_c)],
+        "n_pool long, n_correct_a long, n_correct_b long, n_agree long, "
+        "disc_b long, disc_c long",
     )
     bc = F.col("disc_b") + F.col("disc_c")
     dev = F.abs(F.col("disc_b") - F.col("disc_c")) - 1
@@ -3119,27 +3040,33 @@ def ssl_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the two-feature NB and its f1-only
     ablation on the shared pool: one row (n_pool, n_agree, kappa) —
     the chance-corrected agreement next to McNemar's error-rate
-    contrast. Exact integer ratio, one double division."""
+    contrast. Exact integer ratio, one double division.
+
+    r14 optimization (guide §1.2): the agreement/marginal counts
+    replay from the contingency grid (``_py_paired_counts``) — one
+    fact aggregate instead of the full-pool DECIMAL scoring scan; the
+    final kappa expression is unchanged Spark SQL over the same
+    DECIMAL(38,0) counts."""
+    from decimal import Decimal
+
     cls = ["F", "O", "P"]
-    decided = _paired_decided_df(spark, sf_dir)
+    pc = _py_paired_counts(spark, sf_dir)
+    n = sum(pc.values())
+    agree = sum(v for (pa, pb, _c), v in pc.items() if pa == pb)
+    ra = {c: sum(v for (pa, _pb, _c), v in pc.items() if pa == c) for c in cls}
+    rb = {c: sum(v for (_pa, pb, _c), v in pc.items() if pb == c) for c in cls}
     dec = "decimal(38,0)"
-    counts = decided.agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum(F.when(F.col("pred_a") == F.col("pred_b"), 1).otherwise(0))
-        .cast(dec)
-        .alias("agree"),
-        *[
-            F.sum(F.when(F.col("pred_a") == c, 1).otherwise(0))
-            .cast(dec)
-            .alias(f"ra_{c}")
-            for c in cls
+    counts = spark.createDataFrame(
+        [
+            tuple(
+                Decimal(v)
+                for v in (n, agree, *[ra[c] for c in cls], *[rb[c] for c in cls])
+            )
         ],
-        *[
-            F.sum(F.when(F.col("pred_b") == c, 1).otherwise(0))
-            .cast(dec)
-            .alias(f"rb_{c}")
-            for c in cls
-        ],
+        f"n {dec}, agree {dec}, "
+        + ", ".join(f"ra_{c} {dec}" for c in cls)
+        + ", "
+        + ", ".join(f"rb_{c} {dec}" for c in cls),
     )
     rowcol = (
         F.col("ra_F") * F.col("rb_F")
@@ -3222,49 +3149,47 @@ ORDER BY score_q DESC
 def ssl_pr_curve_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision-recall operating points of the two-feature NB for
     class 'F', one row per distinct quantized score cut: (score_q,
-    n_pred_pos, n_true_pos, precision_q, recall_q)."""
-    from pyspark.sql import Window
+    n_pred_pos, n_true_pos, precision_q, recall_q).
 
-    scored = _nb2_scored_df(spark, sf_dir)
-    t_f = F.col("a_F") * F.col("b_O") * F.col("b_P")
-    t_o = F.col("a_O") * F.col("b_F") * F.col("b_P")
-    t_p = F.col("a_P") * F.col("b_F") * F.col("b_O")
-    num = t_f * F.lit(_PR_SCORE_SCALE)
-    den = t_f + t_o + t_p
-    probs = scored.select(
-        "o_orderstatus",
-        ((num - F.pmod(num, den)) / den)
-        .cast("decimal(38,0)")
-        .alias("score_q"),
-    )
-    grid = probs.groupBy("score_q").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
-        .cast("bigint")
-        .alias("npos"),
-    )
-    w = Window.orderBy(F.col("score_q").desc())
-    cum = grid.select(
-        "score_q",
-        F.sum("n").over(w).alias("pp"),
-        F.sum("npos").over(w).alias("tp"),
-    )
-    tot = grid.agg(F.sum("npos").cast("bigint").alias("p"))
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("score_q").cast("bigint").alias("score_q"),
-            F.col("pp").cast("bigint").alias("n_pred_pos"),
-            F.col("tp").cast("bigint").alias("n_true_pos"),
-            F.expr(f"(tp * {_PR_SCALE}) div pp").cast("bigint").alias(
-                "precision_q"
-            ),
-            F.when(F.col("p") == 0, F.lit(0))
-            .otherwise(F.expr(f"(tp * {_PR_SCALE}) div p"))
-            .cast("bigint")
-            .alias("recall_q"),
+    r14 optimization (guide §1.2/§2.4): score_q is constant per
+    (f1, f2) cell, so the curve replays from the ``_nb_grid_rows``
+    contingency grid on Python ints (floor divisions are exact) — one
+    fact aggregate replaces the full-pool DECIMAL scoring scan, the
+    score-grid groupBy and the window cumsum. The oracle is
+    unchanged."""
+    lab, pool = _grid_split(_nb_grid_rows(spark, sf_dir))
+    prior, lik1, lik2 = _py_fit_counts(lab)
+    grid: dict = {}
+    memo: dict = {}
+    for (f1, f2, c), (n, _ks) in pool.items():
+        if (f1, f2) not in memo:
+            t_f, t_o, t_p = _py_nb2_t(prior, lik1, lik2, f1, f2)
+            memo[(f1, f2)] = t_f * _PR_SCORE_SCALE // (t_f + t_o + t_p)
+        sq = memo[(f1, f2)]
+        g = grid.setdefault(sq, [0, 0])
+        g[0] += n
+        if c == "F":
+            g[1] += n
+    p_tot = sum(v[1] for v in grid.values())
+    pp = tp = 0
+    out_rows = []
+    for sq in sorted(grid, reverse=True):
+        n, npos = grid[sq]
+        pp += n
+        tp += npos
+        out_rows.append(
+            (
+                sq,
+                pp,
+                tp,
+                tp * _PR_SCALE // pp,
+                0 if p_tot == 0 else tp * _PR_SCALE // p_tot,
+            )
         )
-        .orderBy(F.col("score_q").desc())
+    return spark.createDataFrame(
+        out_rows,
+        "score_q long, n_pred_pos long, n_true_pos long, "
+        "precision_q long, recall_q long",
     )
 
 
@@ -3360,67 +3285,62 @@ def ssl_paired_fold_ttest_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fold, n_test, correct_f1, correct_f2, d_q) carrying the shared
     (mean_diff, t_stat). The t-test ALGEBRA (fold pairing, variance,
     the statistic) is driver-checked; the MLlib-model comparison stays
-    on the rows-only ``ssl_paired_fold_ttest``."""
-    from tfm_semisup_spark.operators.lineage import truncate
+    on the rows-only ``ssl_paired_fold_ttest``.
+
+    r14 optimization (guide §1.2/§2.4): each fold's per-view correct
+    counts are exact sums over the (fold, f1, f2, class) contingency
+    grid (<= 3·5·12·3 cells at any corpus size), so ONE fact aggregate
+    + Python-int replay replaces the checkpoint and the 6 per-fold
+    full-scan scoring jobs. The d_q floor division is exact on Python
+    ints (the numerator is non-negative); the final double expressions
+    (mean_diff, t_stat) keep the original Spark semantics over the
+    same DECIMAL/BIGINT values. The oracle is unchanged."""
+    from decimal import Decimal
 
     orders = load_table(spark, sf_dir, "orders")
-    base = truncate(
+    grid = (
         orders.select(
-            "o_orderkey",
-            "o_orderstatus",
             F.col("o_orderpriority").alias("f1"),
             F.month("o_orderdate").cast("bigint").alias("f2"),
+            "o_orderstatus",
             F.expr(_PFT_FOLD_SPARK).alias("fold"),
-        ),
-        eager=True,
+        )
+        .groupBy("fold", "f1", "f2", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    correct = (
-        F.sum(
-            F.when(F.col("pred_class") == F.col("o_orderstatus"), 1).otherwise(0)
-        ).cast("bigint")
-    )
-    fold_rows = None
+    cells = [(r["fold"], r["f1"], r["f2"], r["o_orderstatus"], r["n"]) for r in grid]
+    fold_rows = []
     for f in range(_PFT_K):
-        train = base.where(F.col("fold") != f).select(
-            "f1", "f2", F.col("o_orderstatus").alias("label")
-        )
-        test = base.where(F.col("fold") == f).select(
-            "o_orderkey", "o_orderstatus", "f1", "f2"
-        )
-        ra = _ct2_conf(train, test, "f1", 5).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test"),
-            correct.alias("correct_f1"),
-        )
-        rb = _ct2_conf(train, test, "f2", 12).agg(correct.alias("correct_f2"))
-        row = (
-            ra.crossJoin(rb)
-            .select(
-                F.lit(f).cast("bigint").alias("fold"),
-                "n_test",
-                "correct_f1",
-                "correct_f2",
-            )
-        )
-        fold_rows = row if fold_rows is None else fold_rows.unionByName(row)
-    # DECIMAL(38,0), not BIGINT: Spark evaluates BIGINT/BIGINT as
-    # DOUBLE division, exact only below 2^53 — num exceeds that once
-    # n_test >~ 4.5e6 (above ~sf3) while DuckDB's `//` stays exact
-    # (r13 review finding). DECIMAL division keeps the quotient exact
-    # at every SF, matching _ct2_conf's pattern.
-    num = (
-        (F.col("correct_f1") - F.col("correct_f2") + F.col("n_test"))
-        * F.lit(_PFT_DQ_SCALE)
-    ).cast("decimal(38,0)")
-    d = fold_rows.withColumn(
-        "d_q",
-        ((num - F.pmod(num, F.col("n_test"))) / F.col("n_test")).cast("bigint")
-        - F.lit(_PFT_DQ_SCALE),
-    )
-    tot = d.agg(F.sum("d_q").cast("bigint").alias("t_sum"))
-    dev = (F.lit(_PFT_K) * F.col("d_q") - F.col("t_sum")).cast("decimal(38,0)")
-    sq = (
-        d.crossJoin(F.broadcast(tot))
-        .agg(F.sum(dev * dev).cast("decimal(38,0)").alias("s_sum"))
+        train = {}
+        for fold, f1, f2, c, n in cells:
+            if fold != f:
+                train[(f1, f2, c)] = train.get((f1, f2, c), 0) + n
+        prior, lik1, lik2 = _py_fit_counts(train)
+        memo: dict = {}
+        n_test = c1 = c2 = 0
+        for fold, f1, f2, c, n in cells:
+            if fold != f:
+                continue
+            if (f1, f2) not in memo:
+                memo[(f1, f2)] = (
+                    _py_argmax(_py_nb1_t(prior, lik1, 5, f1))[0],
+                    _py_argmax(_py_nb1_t(prior, lik2, 12, f2))[0],
+                )
+            p1, p2 = memo[(f1, f2)]
+            n_test += n
+            if p1 == c:
+                c1 += n
+            if p2 == c:
+                c2 += n
+        d_q = (c1 - c2 + n_test) * _PFT_DQ_SCALE // n_test - _PFT_DQ_SCALE
+        fold_rows.append((f, n_test, c1, c2, d_q))
+    t_sum = sum(r[4] for r in fold_rows)
+    s_sum = sum((_PFT_K * r[4] - t_sum) ** 2 for r in fold_rows)
+    d = spark.createDataFrame(
+        [(f, n, a, b, dq, t_sum, Decimal(s_sum)) for f, n, a, b, dq in fold_rows],
+        "fold long, n_test long, correct_f1 long, correct_f2 long, "
+        "d_q long, t_sum long, s_sum decimal(38,0)",
     )
     t_stat = F.when(F.col("s_sum") == 0, F.lit(0.0)).otherwise(
         F.round(
@@ -3431,22 +3351,17 @@ def ssl_paired_fold_ttest_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
     )
-    return (
-        d.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(sq))
-        .select(
-            "fold",
-            "n_test",
-            "correct_f1",
-            "correct_f2",
-            F.col("d_q").cast("bigint").alias("d_q"),
-            F.round(
-                F.col("t_sum").cast("double")
-                / F.lit(float(_PFT_K * _PFT_DQ_SCALE)),
-                6,
-            ).alias("mean_diff"),
-            t_stat.alias("t_stat"),
-        )
+    return d.select(
+        "fold",
+        "n_test",
+        "correct_f1",
+        "correct_f2",
+        "d_q",
+        F.round(
+            F.col("t_sum").cast("double") / F.lit(float(_PFT_K * _PFT_DQ_SCALE)),
+            6,
+        ).alias("mean_diff"),
+        t_stat.alias("t_stat"),
     )
 
 
@@ -3983,48 +3898,38 @@ def ssl_roc_auc_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC (Mann–Whitney rank-sum) of the
     two-feature NB's class-F posterior over the unlabeled pool:
     (n_pos, n_neg, u2, auc). Shares the PR curve's score grid; the
-    only division is the final AUC."""
-    scored = _nb2_scored_df(spark, sf_dir)
-    t_f = F.col("a_F") * F.col("b_O") * F.col("b_P")
-    t_sum = (
-        t_f
-        + F.col("a_O") * F.col("b_F") * F.col("b_P")
-        + F.col("a_P") * F.col("b_F") * F.col("b_O")
-    )
-    num = t_f * F.lit(_PR_SCORE_SCALE)
-    probs = scored.select(
-        "o_orderstatus",
-        ((num - F.pmod(num, t_sum)) / t_sum).cast("bigint").alias("score_q"),
-    )
-    grid = probs.groupBy("score_q").agg(
-        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
-        .cast("bigint")
-        .alias("p_s"),
-        F.sum(F.when(F.col("o_orderstatus") == "F", 0).otherwise(1))
-        .cast("bigint")
-        .alias("g_s"),
-    )
-    w = (
-        Window.orderBy("score_q")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = grid.select(
-        "p_s",
-        "g_s",
-        F.coalesce(F.sum("g_s").over(w), F.lit(0)).alias("g_below"),
-    )
-    u = cum.agg(
-        F.sum(
-            2 * F.col("p_s") * F.col("g_below") + F.col("p_s") * F.col("g_s")
-        )
-        .cast("bigint")
-        .alias("u2")
-    )
-    tot = grid.agg(
-        F.sum("p_s").cast("bigint").alias("np"),
-        F.sum("g_s").cast("bigint").alias("ng"),
-    )
-    return u.crossJoin(F.broadcast(tot)).select(
+    only division is the final AUC.
+
+    r14 optimization (guide §1.2/§2.4): the rank-sum replays from the
+    ``_nb_grid_rows`` contingency grid on Python ints — one fact
+    aggregate replaces the full-pool DECIMAL scoring scan, score-grid
+    groupBy and window cumsum; the final AUC division keeps the
+    original Spark double semantics. The oracle is unchanged."""
+    lab, pool = _grid_split(_nb_grid_rows(spark, sf_dir))
+    prior, lik1, lik2 = _py_fit_counts(lab)
+    grid: dict = {}
+    memo: dict = {}
+    for (f1, f2, c), (n, _ks) in pool.items():
+        if (f1, f2) not in memo:
+            t_f, t_o, t_p = _py_nb2_t(prior, lik1, lik2, f1, f2)
+            memo[(f1, f2)] = t_f * _PR_SCORE_SCALE // (t_f + t_o + t_p)
+        sq = memo[(f1, f2)]
+        g = grid.setdefault(sq, [0, 0])
+        if c == "F":
+            g[0] += n
+        else:
+            g[1] += n
+    n_pos = sum(v[0] for v in grid.values())
+    n_neg = sum(v[1] for v in grid.values())
+    u2 = 0
+    g_below = 0
+    for sq in sorted(grid):
+        p_s, g_s = grid[sq]
+        u2 += 2 * p_s * g_below + p_s * g_s
+        g_below += g_s
+    return spark.createDataFrame(
+        [(n_pos, n_neg, u2)], "np long, ng long, u2 long"
+    ).select(
         F.col("np").alias("n_pos"),
         F.col("ng").alias("n_neg"),
         "u2",
