@@ -223,3 +223,18 @@ def test_conv_decode_equals_case_chain_decode(spark):
           for i, (a, b) in enumerate(checks)]
     ).groupBy().sum()
     assert all(v == 0 for v in agg.collect()[0])
+
+
+def test_single_conv_h32_equals_two_slice_h32(spark):
+    """The winnowing tier's single-digest 32-bit decode
+    (conv of 8 hex chars) must equal the two-slice composition
+    slice(1..4)·65536 + slice(5..8) on every value — the r14 hash
+    projection relies on this identity."""
+    from tfm_semisup_spark.queries.winnowing import _H32_ONE_SPARK, _H32_SPARK
+
+    df = spark.range(20000).selectExpr("CAST(id AS STRING) AS sh")
+    bad = df.selectExpr(
+        f"CASE WHEN ({_H32_ONE_SPARK}) = CAST({_H32_SPARK} AS BIGINT)"
+        " THEN 0 ELSE 1 END AS m"
+    ).groupBy().sum().collect()[0][0]
+    assert bad == 0

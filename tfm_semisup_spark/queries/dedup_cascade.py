@@ -120,9 +120,6 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes0 = docs.select("doc_id", F.md5("text").alias("hh"))
     keepers = hashes0.groupBy("hh").agg(F.min("doc_id").alias("doc_id"))
     keepers = keepers.select("doc_id").localCheckpoint(eager=True)
-    exact_drops = hashes0.select("doc_id").join(
-        keepers, "doc_id", "left_anti"
-    )
     kept_docs = docs.join(keepers, "doc_id").select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("l"),
@@ -154,34 +151,39 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    near_drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
-
-    n0 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    d_exact = exact_drops.agg(
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("s"),
+    # exact-tier drop counts DERIVED from totals (r14, guide §2.4):
+    # drops = docs \ keepers, and keepers is min-per-group, so
+    # d_exact = n0 - n1 and dsum_exact = Σ all doc_ids − Σ keeper
+    # doc_ids — exact set algebra that removes the anti-join and its
+    # second md5 scan of the corpus outright (results identical).
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("sum_all"),
     )
-    n1 = keepers.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    keep_tot = keepers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("sum_keep"),
+    )
     n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    n_ver = verified.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
-    d_near = near_drops.agg(
-        F.count(F.lit(1)).cast("bigint").alias("v"),
-        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("s"),
+    # n_ver, d_near and dsum_near in ONE pass over the verify subtree
+    # (r14, guide §2.4): distinct-doc_b count/sum ARE the near_drops
+    # aggregates, so the candidate->intersect->verify chain runs once
+    # instead of twice at execution.
+    ver_stats = verified.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ver"),
+        F.count_distinct(F.col("doc_b")).cast("bigint").alias("d_near"),
+        F.coalesce(F.sum_distinct(F.col("doc_b")), F.lit(0))
+        .cast("bigint")
+        .alias("dsum_near"),
     )
     counts = (
-        n0.select(F.col("v").alias("n0"))
-        .crossJoin(
-            d_exact.select(
-                F.col("v").alias("d_exact"), F.col("s").alias("dsum_exact")
-            )
-        )
-        .crossJoin(n1.select(F.col("v").alias("n1")))
+        tot.crossJoin(keep_tot)
         .crossJoin(n_cand.select(F.col("v").alias("n_cand")))
-        .crossJoin(n_ver.select(F.col("v").alias("n_ver")))
-        .crossJoin(
-            d_near.select(
-                F.col("v").alias("d_near"), F.col("s").alias("dsum_near")
-            )
+        .crossJoin(ver_stats)
+        .select(
+            "*",
+            (F.col("n0") - F.col("n1")).alias("d_exact"),
+            (F.col("sum_all") - F.col("sum_keep")).alias("dsum_exact"),
         )
     )
     z = F.lit(0).cast("bigint")

@@ -64,6 +64,12 @@ _H32_SPARK = (
     f"(CAST({md5_uniform16_spark_sql(_SH_MD5)} AS BIGINT) * 65536 + "
     f"{md5_uniform16_spark_sql(_SH_MD5, start=5)})"
 )
+# Spark-side single-digest form of _H32_SPARK (r14, guide §2.3): the
+# first 8 hex chars decoded in ONE conv call equal
+# slice(1..4)·65536 + slice(5..8) by positional hex arithmetic, so the
+# value is bit-identical while computing md5 once per row instead of
+# twice (value identity pinned in tests/test_layout.py).
+_H32_ONE_SPARK = f"CAST(conv(substring({_SH_MD5}, 1, 8), 16, 10) AS BIGINT)"
 
 def winnow_fp_ctes(docs_rel: str) -> str:
     """CTE chain ``kg, wh, mins, fps, hot, keptfp`` computing DF-capped
@@ -160,6 +166,13 @@ def winnow_fingerprints(
                 " || ' ' || element_at(l, i + 2)"
             ).alias("sh"),
         )
+        # hash PROJECTED here, not inside the window aggregate (r14,
+        # guide §2.1/§2.3): a sliding-frame min re-evaluates its input
+        # expression per frame row (~_W md5 calls per k-gram), and the
+        # window's exchange would otherwise carry the gram STRING —
+        # materializing h moves 8 bytes/row through the shuffle and
+        # hashes each gram exactly once (single-digest conv form)
+        .withColumn("h", F.expr(_H32_ONE_SPARK))
     )
     if checkpoint_kg:
         kg = kg.localCheckpoint(eager=True)
@@ -172,7 +185,7 @@ def winnow_fingerprints(
         "doc_id",
         "i",
         "n_kg",
-        F.min(F.expr(_H32_SPARK).cast("bigint")).over(wmin).alias("fp"),
+        F.min("h").over(wmin).alias("fp"),
     )
     fps = (
         mins.where(F.col("i") <= F.col("n_kg") - (_W - 1))
