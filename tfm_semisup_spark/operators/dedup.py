@@ -237,19 +237,22 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("token")
     ).withColumn("h", F.xxhash64("token"))
+    # expressions built as SQL strings (r14, SCALE.md plan-construction
+    # lesson): the Column-by-Column form cost one Py4J round trip per
+    # node (~600 calls ≈ 1.5 s of driver time per invocation at any
+    # data size); one F.expr per sum plus ONE string for the 64-term
+    # bit fold parses to the identical tree in ~70 calls.
     sums = [
-        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+        F.expr(f"sum(shiftright(h, {i}) & 1)").alias(f"s{i}")
         for i in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"), *sums)
-    fp = None
-    for i in range(SIMHASH_BITS):
-        bit = F.when(
-            F.col(f"s{i}") * 2 > F.col("__n"),
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return agg.select("doc_id", fp.alias("simhash"))
+    fp_sql = " | ".join(
+        f"(CASE WHEN s{i} * 2 > __n THEN shiftleft(CAST(1 AS BIGINT), {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", F.expr(fp_sql).alias("simhash"))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -967,12 +967,17 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # narrow-cache rule: the signature table feeds THREE consumers
     # (bands + both verify sides) — checkpoint it once, release after
-    # the pair result materializes
+    # the pair result materializes. The digest is PROJECTED once per
+    # gram (r14, guide §2.3): the 8 per-slice min aggregates each
+    # referenced md5(gram) inline, hashing every gram 8 times; slicing
+    # one materialized dig column is value-identical.
     sig = truncate(
-        grams.groupBy("doc_id").agg(
+        grams.select("doc_id", F.md5("gram").alias("dig"))
+        .groupBy("doc_id")
+        .agg(
             *[
                 F.min(
-                    F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
+                    F.expr(md5_uniform16_spark_sql("dig", start=1 + 4 * j))
                 ).alias(f"m{j}")
                 for j in range(_MH_SLICES)
             ]
@@ -1612,11 +1617,15 @@ def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(word_ngrams(F.col("w"), 3)).alias("gram"))
         .distinct()
     )
+    # single-digest projection (r14, guide §2.3): md5(gram) hashed
+    # once per gram row, not once per slice aggregate
     sig = truncate(
-        grams.groupBy("doc_id").agg(
+        grams.select("doc_id", F.md5("gram").alias("dig"))
+        .groupBy("doc_id")
+        .agg(
             *[
                 F.min(
-                    F.expr(md5_uniform16_spark_sql("md5(gram)", start=1 + 4 * j))
+                    F.expr(md5_uniform16_spark_sql("dig", start=1 + 4 * j))
                 ).alias(f"m{j}")
                 for j in range(_MH_SLICES)
             ]
