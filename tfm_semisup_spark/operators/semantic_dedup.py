@@ -241,6 +241,65 @@ def unit_normalize(
     return embeddings.mapInPandas(normalize_batches, schema=out_schema)
 
 
+def assign_and_unit(
+    embeddings: DataFrame,
+    centroids,
+    array_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fused nearest-centroid assignment + L2 normalization in ONE
+    Arrow pass (r14, guide §4.1): ``semantic_dedup`` previously ran
+    ``assign_clusters`` and ``unit_normalize`` as two mapInPandas
+    passes, each materialized by its own checkpoint — every embedding
+    crossed the Python boundary twice and was written twice. This
+    kernel emits (id, sem_cluster, u) directly; assignment argmins the
+    RAW vectors and u divides by the float64 norm exactly as the two
+    separate kernels did, so both outputs are bit-identical.
+    Zero-norm rows keep their cluster with ``u`` NULL (the pair tier
+    filters them, the final verdict join still sees every row)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in embeddings.schema.fields
+    )[id_col]
+    out_schema = f"id {id_type}, sem_cluster int, u array<double>"
+    narrow = embeddings.select(
+        F.col(id_col).alias("id"), F.col(array_col).cast("array<double>").alias("v")
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "sem_cluster": pd.Series([], dtype="int32"),
+                        "u": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d2 = ((V[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1).astype("int32")
+            n = np.sqrt((V * V).sum(axis=1))
+            u = [
+                (V[i] / n[i]).tolist() if n[i] > 0 else None
+                for i in range(len(n))
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].reset_index(drop=True),
+                    "sem_cluster": cl,
+                    "u": pd.Series(u, dtype=object),
+                }
+            )
+
+    return narrow.mapInPandas(batches, schema=out_schema)
+
+
 def probe_buckets(
     embeddings: DataFrame,
     centroids,
@@ -395,6 +454,37 @@ def semantic_dup_pairs(
     return out
 
 
+def _pairs_from_unit(
+    unit: DataFrame,
+    threshold: float,
+    dim: int,
+    max_pair_cluster_size: int = 10_000,
+) -> DataFrame:
+    """The pair tier of ``semantic_dup_pairs`` over an ALREADY
+    normalized + materialized (id, c, u) frame (r14 fused path): salt,
+    self-join within cells, exact dot verify. Does NOT release
+    ``unit`` — the caller still reads it for the verdict join."""
+    from tfm_semisup_spark.functions.vector import dot_fixed
+    from tfm_semisup_spark.operators.lineage import truncate
+
+    celled = with_salted_cells(unit, max_pair_cluster_size)
+    a = celled.select(
+        F.col("id").alias("doc_a"), F.col("cell"), F.col("u").alias("ua")
+    )
+    b = celled.select(
+        F.col("id").alias("doc_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("u").alias("ub"),
+    )
+    cos = dot_fixed("ua", "ub", dim)
+    return truncate(
+        a.join(b, (a["cell"] == b["cell_b"]) & (a["doc_a"] < b["doc_b"]))
+        .withColumn("cos_sim", cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     array_col: str = "embedding",
@@ -432,35 +522,58 @@ def semantic_dedup(
     ).head()["n"]
     if num_clusters is None:
         num_clusters = resolve_num_clusters(approx_n)
-    # materialize the assignment once: the centroid-literal projection
-    # is wide (num_clusters x dim literals in codegen) and is consumed
-    # by both the pair tier and the final join
+    # materialize the assignment once: it is consumed by both the pair
+    # tier and the final join. Driver-trained branch (r14, guide §4.1):
+    # assignment + normalization FUSED into one Arrow pass and ONE
+    # checkpoint of (id, sem_cluster, u) — previously two kernels, two
+    # full materializations of the vectors.
+    from tfm_semisup_spark.operators.lineage import release
+
     if num_clusters > DRIVER_TRAIN_MAX_CLUSTERS:
         assigned = truncate(
             assign_clusters_mllib(embeddings, array_col, num_clusters, seed)
         )
+        pairs = semantic_dup_pairs(
+            assigned,
+            threshold,
+            array_col,
+            id_col,
+            dim=dim,
+            max_pair_cluster_size=max_pair_cluster_size,
+        )
+        ids = assigned.select(F.col(id_col).alias("id"), "sem_cluster")
     else:
         centroids = train_semantic_centroids(
             embeddings, array_col, id_col, num_clusters, seed, max_train_rows,
             approx_n=approx_n,
         )
-        assigned = truncate(assign_clusters(embeddings, centroids, array_col))
-    pairs = semantic_dup_pairs(
-        assigned,
-        threshold,
-        array_col,
-        id_col,
-        dim=dim,
-        max_pair_cluster_size=max_pair_cluster_size,
-    )
+        assigned = truncate(
+            assign_and_unit(embeddings, centroids, array_col, id_col)
+        )
+        if dim is None:
+            first = assigned.where(F.col("u").isNotNull()).select(
+                F.size("u").alias("d")
+            ).head()
+            dim = first["d"] if first is not None else None
+        if dim is None:  # no directional vectors at all: no pairs
+            pairs = assigned.sparkSession.createDataFrame(
+                [], "doc_a long, doc_b long, cos_sim double"
+            )
+        else:
+            pairs = _pairs_from_unit(
+                assigned.where(F.col("u").isNotNull()).select(
+                    "id", F.col("sem_cluster").alias("c"), "u"
+                ),
+                threshold,
+                dim,
+                max_pair_cluster_size,
+            )
+        ids = assigned.select("id", "sem_cluster")
     comp = connected_components(pairs)  # only nodes WITH a near-dup edge
     # materialize the final per-row verdicts, then release every
     # intermediate checkpoint (assignment, pair list) eagerly
-    from tfm_semisup_spark.operators.lineage import release
-
     out = truncate(
-        assigned.select(F.col(id_col).alias("id"), "sem_cluster")
-        .join(comp, F.col("id") == comp["node"], "left")
+        ids.join(comp, F.col("id") == comp["node"], "left")
         .select(
             "id",
             "sem_cluster",
