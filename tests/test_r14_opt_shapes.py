@@ -1,0 +1,57 @@
+"""Plan/equivalence pins for the r14 OPTIMIZATION round rewrites.
+
+Each test pins the structural property a rewrite claimed, so a future
+regression (a join sneaking back, a re-derivation multiplying scans)
+fails loudly rather than silently slowing the bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_basket_pairs_match_self_join_form(spark):
+    """The suffix-explode pair generation (analytics._basket_pairs)
+    emits EXACTLY the pair multiset the okey self-join produced."""
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.queries.analytics import (
+        _basket_pairs,
+        _order_part_baskets,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    join_pairs = sorted(
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .collect()
+    )
+    explode_pairs = sorted(
+        _basket_pairs(_order_part_baskets(spark, SF_DIR)).collect()
+    )
+    assert len(join_pairs) > 0
+    assert explode_pairs == join_pairs
+
+
+def test_basket_pairs_plan_has_no_join(spark):
+    """The pair derivation is a narrow Generate chain: one exchange
+    (the basket aggregate), zero Join operators anywhere."""
+    from tfm_semisup_spark.queries.analytics import (
+        _basket_pairs,
+        _order_part_baskets,
+    )
+
+    plan = _basket_pairs(
+        _order_part_baskets(spark, SF_DIR)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1

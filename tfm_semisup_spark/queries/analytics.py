@@ -414,6 +414,36 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order sorted distinct part sets: (okey, parts ARRAY).
+
+    ONE map-side-combinable aggregate replaces the DISTINCT(okey, part)
+    projection the co-order family used to self-join (r14, guide §2.4
+    "remove shuffles outright"): basket width is bounded (TPC-H ≤7
+    lines/order at any SF), so the array is constant-size and every
+    consumer derives from one exchange instead of a distinct + join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """(pa, pb) co-ordered part pairs with pa < pb BY CONSTRUCTION —
+    the basket array is sorted ascending and strictly increasing (a
+    set), so exploding suffixes yields exactly the C(w,2) pairs the
+    okey self-join produced, as a narrow Generate chain with no join
+    and no exchange (r14, guide §2.4)."""
+    return baskets.select(
+        F.posexplode("parts").alias("i", "pa"), "parts"
+    ).select(
+        "pa",
+        F.explode(
+            F.slice("parts", F.col("i") + F.lit(2), F.size("parts"))
+        ).alias("pb"),
+    )
+
+
 @register("item_cooccurrence_topk", COOC_ORACLE)
 def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-visited item pairs: (item_a, item_b, n_users), capped at

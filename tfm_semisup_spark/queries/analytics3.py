@@ -73,17 +73,28 @@ def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part_a, part_b, n_ab, lift), support ≥ {s}.""".format(
         s=_LIFT_MIN_SUPPORT
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    n = F.broadcast(op.agg(F.countDistinct("okey").alias("n_orders")))
-    freq = op.groupBy("part").agg(F.count(F.lit(1)).alias("nf"))
-    a = op.select("okey", F.col("part").alias("part_a"))
-    b = op.select("okey", F.col("part").alias("part_b"))
+    from tfm_semisup_spark.operators.lineage import truncate
+    from tfm_semisup_spark.queries.analytics import (
+        _basket_pairs,
+        _order_part_baskets,
+    )
+
+    # r14 (guide §2.4 + the SCALE.md >=3-references rule): the old
+    # DISTINCT(okey,part) projection fed FOUR un-checkpointed consumers
+    # (n_orders, freq x2 broadcast sides, the okey self-join), so the
+    # lineitem scan + distinct ran five times in one plan. One basket
+    # aggregate, checkpointed, now feeds all of them; pairs come from
+    # the suffix-explode Generate instead of the self-join.
+    baskets = truncate(_order_part_baskets(spark, sf_dir), eager=True)
+    n = F.broadcast(baskets.agg(F.count(F.lit(1)).alias("n_orders")))
+    freq = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
     pairs = (
-        a.join(b, "okey")
-        .where(F.col("part_a") < F.col("part_b"))
+        _basket_pairs(baskets)
+        .select(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
         .where(F.col("n_ab") >= _LIFT_MIN_SUPPORT)

@@ -54,7 +54,12 @@ from pyspark.sql import functions as F
 from tfm_semisup_spark.io import load_table
 from tfm_semisup_spark.operators.lineage import truncate
 from tfm_semisup_spark.queries import register
-from tfm_semisup_spark.queries.analytics import COOC_CAP, _cooc_pairs
+from tfm_semisup_spark.queries.analytics import (
+    COOC_CAP,
+    _basket_pairs,
+    _cooc_pairs,
+    _order_part_baskets,
+)
 from tfm_semisup_spark.queries.graph2 import _EDGES_SQL
 
 _BFS_ROUNDS = 3
@@ -484,25 +489,16 @@ FROM sums
 def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-ordered-parts graph:
     (n_nodes, n_edges, assortativity)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") < F.col("b.part")),
-        )
-        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
-        .distinct()
-    )
+    # r14: the DISTINCT(okey,part) + okey self-join pair derivation is
+    # now ONE basket aggregate + a narrow suffix-explode Generate
+    # (analytics._basket_pairs, guide §2.4) — identical pair multiset,
+    # one less exchange, no join
+    und = _basket_pairs(_order_part_baskets(spark, sf_dir)).distinct()
     # the edge list feeds several downstream references (degrees, the
     # moment sums, the edge count) — checkpoint once so the
-    # self-join+distinct runs once, not four times (6.4s -> 3.8s); the
-    # symmetric-sum rewrite below then halves the join volume again
-    # (3.8s -> ~2.3s, SCALE.md)
+    # pair generation+distinct runs once, not four times (6.4s -> 3.8s
+    # in the r9 self-join form); the symmetric-sum rewrite below then
+    # halves the join volume again (3.8s -> ~2.3s, SCALE.md)
     und = truncate(und, eager=True)
     deg = (
         und.select(F.col("pa").alias("part"))

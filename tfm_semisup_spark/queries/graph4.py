@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_semisup_spark.queries import register
-from tfm_semisup_spark.queries.analytics import COOC_CAP, _cooc_pairs
+from tfm_semisup_spark.queries.analytics import (
+    COOC_CAP,
+    _basket_pairs,
+    _cooc_pairs,
+    _order_part_baskets,
+)
 
 LP_MIN_USERS = 2
 LP_TOP = 20
@@ -339,23 +344,12 @@ def part_brand_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assortativity)."""
     from tfm_semisup_spark.io import load_table
 
-    li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("part"), F.col("p_brand").alias("brand")
     )
-    op = li.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.part") < F.col("b.part")),
-        )
-        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
-        .distinct()
-    )
+    # r14: DISTINCT(okey,part) + okey self-join -> one basket aggregate
+    # + suffix-explode Generate (analytics._basket_pairs, guide §2.4)
+    und = _basket_pairs(_order_part_baskets(spark, sf_dir)).distinct()
     ba = part.select(F.col("part").alias("pa"), F.col("brand").alias("bxa"))
     bb = part.select(F.col("part").alias("pb"), F.col("brand").alias("bxb"))
     branded = und.join(F.broadcast(ba), "pa").join(F.broadcast(bb), "pb")
