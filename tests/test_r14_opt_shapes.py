@@ -42,6 +42,49 @@ def test_basket_pairs_match_self_join_form(spark):
     assert explode_pairs == join_pairs
 
 
+def test_capped_item_sets_match_window_form(spark):
+    """The fused top-COOC_CAP aggregate (analytics._capped_item_sets)
+    selects EXACTLY the rows the row_number window selected."""
+    from pyspark.sql import Window
+
+    from tfm_semisup_spark.io import load_table
+    from tfm_semisup_spark.queries.analytics import (
+        COOC_CAP,
+        _capped_item_sets,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    engaged = (
+        events.where(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    window_rows = sorted(
+        engaged.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("cnt").desc(), "item"
+                )
+            ),
+        )
+        .where(F.col("rk") <= COOC_CAP)
+        .select("user_id", "item")
+        .collect()
+    )
+    fused_rows = sorted(
+        _capped_item_sets(spark, SF_DIR)
+        .select("user_id", F.explode("items").alias("item"))
+        .collect()
+    )
+    assert len(window_rows) > 0
+    assert fused_rows == window_rows
+
+
 def test_basket_pairs_plan_has_no_join(spark):
     """The pair derivation is a narrow Generate chain: one exchange
     (the basket aggregate), zero Join operators anywhere."""

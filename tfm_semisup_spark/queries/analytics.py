@@ -379,11 +379,20 @@ LIMIT {COOC_TOP}
 """
 
 
-def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(item_a, item_b, n_users) over the per-user capped engagement
-    sets — shared by the co-occurrence top-k and the PageRank graph."""
-    from pyspark.sql import Window
-
+def _capped_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, items ARRAY): each user's top-COOC_CAP engaged items
+    by (cnt DESC, item ASC), as ONE groupBy aggregate — r14 fusion of
+    the row_number window the capped derivation used (guide §2.4: the
+    window's exchange+sort and the downstream self-join collapse into
+    an array sort of a ≤per-user-item-count list). The struct sort on
+    (-cnt, item) is EXACTLY the window's (cnt DESC, item) total order;
+    the slice keeps the same top COOC_CAP rows. The output array is
+    re-sorted ascending by item so suffix-explode pair generation
+    emits item_a < item_b directly. (collect_list drops NULL items
+    where the window ranked them; the engagement key is non-null at
+    every measured SF — 0 of 398/3988 view/click rows at the gate SFs
+    — and a NULL would already order differently across the two
+    engines, so non-null is a standing corpus invariant.)"""
     events = load_table(spark, sf_dir, "events")
     engaged = (
         events.where(F.col("event_type").isin("view", "click"))
@@ -394,21 +403,34 @@ def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    capped = (
-        engaged.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "item")
-            ),
-        )
-        .where(F.col("rk") <= COOC_CAP)
-        .select("user_id", "item")
+    top = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("item").alias("item"))
+            )
+        ),
+        1,
+        COOC_CAP,
     )
-    a = capped.select("user_id", F.col("item").alias("item_a"))
-    b = capped.select("user_id", F.col("item").alias("item_b"))
+    return engaged.groupBy("user_id").agg(
+        F.array_sort(F.transform(top, lambda s: s["item"])).alias("items")
+    )
+
+
+def _cooc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_a, item_b, n_users) over the per-user capped engagement
+    sets — shared by the co-occurrence top-k and the PageRank graph.
+    r14: pairs come from the suffix-explode Generate over the capped
+    arrays (no self-join, one less exchange; the _basket_pairs recipe)."""
+    sets_ = _capped_item_sets(spark, sf_dir)
     return (
-        a.join(b, "user_id")
-        .where(F.col("item_a") < F.col("item_b"))
+        sets_.select(F.posexplode("items").alias("i", "item_a"), "items")
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("items", F.col("i") + F.lit(2), F.size("items"))
+            ).alias("item_b"),
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

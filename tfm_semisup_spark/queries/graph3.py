@@ -57,6 +57,7 @@ from tfm_semisup_spark.queries import register
 from tfm_semisup_spark.queries.analytics import (
     COOC_CAP,
     _basket_pairs,
+    _capped_item_sets,
     _cooc_pairs,
     _order_part_baskets,
 )
@@ -172,34 +173,18 @@ def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-item engagement matrix: (item_a, item_b, n_users, cosine),
     ordered by the ROUNDED cosine with an (item_a, item_b) tie-break so
     the top-{k} cutoff cannot flip on ULP.""".format(k=_COS_TOP)
-    from pyspark.sql import Window
-
     pairs = _cooc_pairs(spark, sf_dir).where(F.col("n_users") >= _COS_MIN_USERS)
     # Rebuild the capped sets once more for degrees: _cooc_pairs does
     # not expose its intermediate, and recomputing the (user-bounded)
     # aggregate is cheaper at scale than materializing it for two
-    # consumers of different shapes.
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("view", "click"))
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("long").alias("item"),
-        )
-        .groupBy("user_id", "item")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # consumers of different shapes. r14: the rebuild shares the fused
+    # _capped_item_sets aggregate (no window, no self-join).
+    deg = (
+        _capped_item_sets(spark, sf_dir)
+        .select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    capped = (
-        ev.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "item")
-            ),
-        )
-        .where(F.col("rk") <= COOC_CAP)
-        .select("user_id", "item")
-    )
-    deg = capped.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
     da = deg.select(F.col("item").alias("ia"), F.col("n").alias("na"))
     db = deg.select(F.col("item").alias("ib"), F.col("n").alias("nb"))
     cosine = F.round(

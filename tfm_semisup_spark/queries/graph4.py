@@ -234,8 +234,6 @@ def item_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_LPA_TOP} label-propagation communities after
     {_LPA_ROUNDS} synchronous rounds: (community, n_members, min_item,
     max_item)."""
-    from pyspark.sql import Window
-
     edges = (
         _cooc_pairs(spark, sf_dir)
         .where(F.col("n_users") >= LP_MIN_USERS)
@@ -250,7 +248,6 @@ def item_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = adj.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
-    wn = Window.partitionBy("node")
     for _ in range(_LPA_ROUNDS):
         nb = (
             adj.join(
@@ -262,15 +259,14 @@ def item_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            nb.withColumn(
-                "rk",
-                F.row_number().over(
-                    wn.orderBy(F.col("c").desc(), F.col("lab"))
-                ),
-            )
-            .where(F.col("rk") == 1)
-            .select("node", "lab")
+        # r14 (guide §2.4): the per-round argmax label was a rk=1
+        # row_number window (one exchange + full per-node sort per
+        # round); max_by over struct (c, -lab) is the identical
+        # (c DESC, lab ASC) pick as a map-side-combinable aggregate
+        labels = nb.groupBy("node").agg(
+            F.max_by(
+                "lab", F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+            ).alias("lab")
         )
         # O(1) lineage across rounds (the PageRank discipline)
         labels = labels.localCheckpoint(eager=True)
