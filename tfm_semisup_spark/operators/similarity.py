@@ -215,6 +215,7 @@ def build_pq_index(
     train_mod: int = None,
     id_col: str = "vec_id",
     max_train_rows: int = 100_000,
+    train_source: DataFrame | None = None,
 ):
     """Product quantization (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search"): split the D-dim vector into ``m``
@@ -253,12 +254,20 @@ def build_pq_index(
     """
     import numpy as np
 
+    # r14 (guide §1.2 don't compute things you throw away): codebooks
+    # depend only on (id, vector) — callers composing PQ on top of an
+    # opaque projection (build_ivfpq_index's Arrow bucket assignment)
+    # pass the PRE-projection frame as train_source so the sampling
+    # scan and the N-estimate don't execute the projection; the
+    # sampled (__h, __id, __v) rows are identical either way.
+    if train_source is None:
+        train_source = embeddings
     if train_mod is None:
-        approx_n = embeddings.agg(
+        approx_n = train_source.agg(
             F.approx_count_distinct(id_col).alias("n")
         ).head()["n"]
         train_mod = max(1, -(-int(approx_n) // max_train_rows))
-    train = embeddings
+    train = train_source
     if train_mod > 1:
         train = train.where(F.abs(F.xxhash64(F.col(id_col))) % train_mod == 0)
     train = train.select(
@@ -517,10 +526,15 @@ def build_ivfpq_index(
         train_semantic_centroids,
     )
 
+    # r14: the N-estimate runs ONCE and feeds the coarse trainer, the
+    # coarse cluster count, AND the PQ trainer's sampling mod —
+    # previously train_semantic_centroids and build_pq_index each
+    # re-ran their own approx_count_distinct scan (and the PQ one
+    # executed the Arrow bucket assignment it was layered on)
+    approx_n = embeddings.agg(
+        F.approx_count_distinct(id_col).alias("n")
+    ).head()["n"]
     if num_centroids is None:
-        approx_n = embeddings.agg(
-            F.approx_count_distinct(id_col).alias("n")
-        ).head()["n"]
         num_centroids = resolve_num_centroids(approx_n)
     if num_centroids > DRIVER_TRAIN_MAX_CLUSTERS:
         # past driver-trainable size (and past what a k×dim literal
@@ -542,19 +556,31 @@ def build_ivfpq_index(
         centroids = np.asarray([c.toArray() for c in km.clusterCenters()])
     else:
         centroids = train_semantic_centroids(
-            embeddings, array_col, id_col, num_centroids, seed, max_train_rows
+            embeddings,
+            array_col,
+            id_col,
+            num_centroids,
+            seed,
+            max_train_rows,
+            approx_n=approx_n,
         )
         assigned = assign_clusters(
             embeddings, centroids, array_col, out_col="ivfpq_bucket"
         )
+    # r14: train_source=embeddings + the derived train_mod keep the PQ
+    # trainer's two driver jobs (N-estimate, sample collect) off the
+    # Arrow bucket-assignment lineage — previously each re-ran the
+    # full assignment pass just to sample training vectors
     codebooks, encoded = build_pq_index(
         assigned,
         array_col=array_col,
         m=m,
         codes=codes,
         seed=seed,
+        train_mod=max(1, -(-int(approx_n) // max_train_rows)),
         id_col=id_col,
         max_train_rows=max_train_rows,
+        train_source=embeddings,
     )
     return centroids, codebooks, encoded
 
