@@ -240,6 +240,11 @@ def text_bm25_workload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumes it again — unchecked, that is two full corpus explodes
     # (the inline stand-in for the bucketed postings TABLE a real
     # deployment writes; measured 1.45 -> 1.13s at sf0.1, r5).
+    # r14 examined, kept AS-IS: filtering the postings to the 8
+    # workload terms BEFORE the aggregate measured SLOWER (2.40 s vs
+    # 1.82 s interleaved medians at sf0.1) — the per-token broadcast
+    # probe costs more than the map-side-combined exchange it saves,
+    # the same negative result as retrieval_eval_mrr/retrieval_rrf.
     postings = truncate(postings)
     term_df = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
@@ -436,13 +441,22 @@ def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda x: x != "")
         ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     qdf = spark.createDataFrame(
         list(_WORKLOAD_QUERIES), "query_id string, term string"
     )
     qn = qdf.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms")
     )
+    # r14 examined, kept AS-IS: two candidate rewrites (filter tokens
+    # by the broadcast workload term set BEFORE the (doc, term)
+    # aggregate; group raw matched tokens with countDistinct) both
+    # measured SLOWER than this form in interleaved same-session A/Bs
+    # at sf0.1 (1.39 s vs 2.17 s / 1.81 s vs 2.01 s medians, order
+    # swapped to rule out bias): the per-token broadcast probe over
+    # the full token stream costs more than the map-side-combined
+    # (doc, term) exchange it would save. Guide §1.1's "fresh ideal
+    # plan is usually slower" case — empirical loop wins.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
     matched = (
         tf.join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
