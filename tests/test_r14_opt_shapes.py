@@ -85,6 +85,52 @@ def test_capped_item_sets_match_window_form(spark):
     assert fused_rows == window_rows
 
 
+def test_lloyd_sorted_update_is_bit_equal_to_masked_form():
+    """The stable-argsort cluster update in operators.similarity._lloyd
+    is bit-identical to the per-cluster boolean-mask form it replaced
+    (stable sort preserves within-cluster row order, so each slice is
+    the same array the mask built)."""
+    import numpy as np
+
+    from tfm_semisup_spark.operators.similarity import (
+        _LLOYD_BLOCK_ELEMS,
+        _lloyd,
+    )
+
+    def lloyd_masked(points, k, seed, iters=25):
+        rng = np.random.RandomState(seed)
+        n = points.shape[0]
+        centroids = points[
+            rng.choice(n, size=min(k, n), replace=False)
+        ].copy()
+        if centroids.shape[0] < k:
+            centroids = np.vstack(
+                [centroids] * (k // centroids.shape[0] + 1)
+            )[:k]
+        dim = points.shape[1]
+        step = max(1, _LLOYD_BLOCK_ELEMS // max(1, n * dim))
+        for _ in range(iters):
+            d2 = np.empty((n, k), dtype=np.float64)
+            for s in range(0, k, step):
+                block = centroids[s : s + step]
+                d2[:, s : s + step] = (
+                    (points[:, None, :] - block[None, :, :]) ** 2
+                ).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    centroids[c] = points[mask].mean(axis=0)
+        return centroids
+
+    rng = np.random.RandomState(7)
+    for n, dim, k in ((500, 64, 45), (256, 4, 32), (40, 8, 64)):
+        pts = rng.rand(n, dim)
+        assert np.array_equal(
+            _lloyd(pts, k, 42), lloyd_masked(pts, k, 42)
+        ), (n, dim, k)
+
+
 def test_basket_pairs_plan_has_no_join(spark):
     """The pair derivation is a narrow Generate chain: one exchange
     (the basket aggregate), zero Join operators anywhere."""
