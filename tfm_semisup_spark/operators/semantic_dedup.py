@@ -511,15 +511,19 @@ def semantic_dedup(
     io.embedding_dim — zero Spark jobs)."""
     from tfm_semisup_spark.operators.lineage import truncate
 
+    # r14: the N-estimate runs on the RAW frame (HLL merge is
+    # partition-order-independent, so the value is identical) — it
+    # previously scanned through the repartition exchange below,
+    # paying a full shuffle for a scalar.
+    approx_n = embeddings.agg(
+        F.approx_count_distinct(id_col).alias("n")
+    ).head()["n"]
     # single-file scans arrive as one split: spread the Arrow
     # assignment kernel, the checkpoint blocks and the pair join's
     # build across the cluster (same gotcha as the shingle tiers)
     embeddings = embeddings.repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism, id_col
     )
-    approx_n = embeddings.agg(
-        F.approx_count_distinct(id_col).alias("n")
-    ).head()["n"]
     if num_clusters is None:
         num_clusters = resolve_num_clusters(approx_n)
     # materialize the assignment once: it is consumed by both the pair

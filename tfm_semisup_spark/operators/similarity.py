@@ -191,18 +191,30 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
         centroids = np.vstack([centroids] * (k // centroids.shape[0] + 1))[:k]
     dim = points.shape[1] if points.ndim == 2 else 1
     step = max(1, _LLOYD_BLOCK_ELEMS // max(1, n * dim))
+    # r14: d2/diff buffers allocated once (not per iteration), and the
+    # per-cluster update uses a STABLE argsort + contiguous slices —
+    # rows within a cluster keep their original order, so each
+    # slice.mean(axis=0) reduces the SAME array points[mask] built,
+    # bit-equal to the masked form (pinned in
+    # tests/test_r14_opt_shapes.py) without k boolean scans per
+    # iteration.
+    d2 = np.empty((n, k), dtype=np.float64)
+    diff = None
     for _ in range(iters):
-        d2 = np.empty((n, k), dtype=np.float64)
         for s in range(0, k, step):
             block = centroids[s : s + step]
-            d2[:, s : s + step] = (
-                (points[:, None, :] - block[None, :, :]) ** 2
-            ).sum(axis=2)
+            if diff is None or diff.shape[1] != block.shape[0]:
+                diff = np.empty((n, block.shape[0], dim), dtype=np.float64)
+            np.subtract(points[:, None, :], block[None, :, :], out=diff)
+            np.multiply(diff, diff, out=diff)
+            d2[:, s : s + step] = diff.sum(axis=2)
         assign = d2.argmin(axis=1)
-        for c in range(k):
-            mask = assign == c
-            if mask.any():
-                centroids[c] = points[mask].mean(axis=0)
+        order = np.argsort(assign, kind="stable")
+        sorted_pts = points[order]
+        uniq, starts = np.unique(assign[order], return_index=True)
+        ends = np.append(starts[1:], n)
+        for c, s0, e0 in zip(uniq, starts, ends):
+            centroids[c] = sorted_pts[s0:e0].mean(axis=0)
     return centroids
 
 
