@@ -128,9 +128,10 @@ def train_semantic_centroids(
     corpus-size probe is a full scan job, and semantic_dedup was
     paying it twice per call. The sample is additionally capped at
     ``max_points_per_centroid * num_clusters`` (see the constant)."""
-    import numpy as np
-
-    from tfm_semisup_spark.operators.similarity import _lloyd
+    from tfm_semisup_spark.operators.similarity import (
+        _lloyd,
+        collect_train_sample,
+    )
 
     if approx_n is None:
         approx_n = embeddings.agg(
@@ -145,15 +146,9 @@ def train_semantic_centroids(
     train = embeddings
     if train_mod > 1:
         train = train.where(F.abs(F.xxhash64(F.col(id_col))) % train_mod == 0)
-    rows = sorted(
-        train.select(
-            F.abs(F.xxhash64(F.col(id_col))).alias("__h"),
-            F.col(id_col).alias("__id"),
-            F.col(array_col).cast("array<double>").alias("__v"),
-        ).collect(),
-        key=lambda r: (r["__h"], r["__id"]),
-    )
-    sample = np.asarray([r["__v"] for r in rows[:max_train_rows]])
+    # Arrow sample collect (r15, guide §4.3) — same rows, same order,
+    # so the trained centroids are bit-equal to the pickled-collect form
+    sample = collect_train_sample(train, id_col, array_col, max_train_rows)
     return _lloyd(sample, num_clusters, seed)
 
 

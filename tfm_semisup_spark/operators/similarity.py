@@ -165,6 +165,44 @@ def ivf_top_k(
     )
 
 
+def collect_train_sample(
+    train: DataFrame, id_col: str, array_col: str, max_train_rows: int
+):
+    """Deterministic bounded training sample as a numpy matrix: rows of
+    ``train`` ordered by (abs(xxhash64(id)), id), truncated to
+    ``max_train_rows`` (r15, guide §4.3/§6 Arrow driver transfers).
+
+    The r14 form ``sorted(df.collect(), ...)`` pickled every sampled
+    row (array<double> cells are the worst case for the pickle path);
+    this collects the same (__h, __id, __v) frame via Arrow
+    ``toPandas`` — the conf is set for the call and restored, so the
+    fast path holds under the driver's vanilla session too. The sort
+    key (__h, __id) is total (ids unique), so the selected rows — and
+    the trained centroids/codebooks — are identical to the pickled
+    form at any partitioning."""
+    import numpy as np
+
+    sel = train.select(
+        F.abs(F.xxhash64(F.col(id_col))).alias("__h"),
+        F.col(id_col).alias("__id"),
+        F.col(array_col).cast("array<double>").alias("__v"),
+    )
+    spark = train.sparkSession
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "true")
+        pdf = sel.toPandas()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+    pdf = pdf.sort_values(["__h", "__id"], kind="stable").head(max_train_rows)
+    vals = pdf["__v"].to_numpy()
+    if len(vals) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+
+
 #: bound on the (rows x centroid-block x dim) temporary inside one
 #: Lloyd distance block — ~128 MB of float64. The unblocked broadcast
 #: form allocates rows x k x dim PER ITERATION (1.4 GB at a 20k x 141
@@ -199,12 +237,18 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     # tests/test_r14_opt_shapes.py) without k boolean scans per
     # iteration.
     d2 = np.empty((n, k), dtype=np.float64)
-    diff = None
+    # one persistent buffer per distinct block WIDTH (full-width blocks
+    # plus at most one tail width when step does not divide k) — the
+    # single-buffer form realloc'd twice per iteration whenever a tail
+    # block existed (ADVICE r14)
+    diffs: dict[int, "np.ndarray"] = {}
     for _ in range(iters):
         for s in range(0, k, step):
             block = centroids[s : s + step]
-            if diff is None or diff.shape[1] != block.shape[0]:
+            diff = diffs.get(block.shape[0])
+            if diff is None:
                 diff = np.empty((n, block.shape[0], dim), dtype=np.float64)
+                diffs[block.shape[0]] = diff
             np.subtract(points[:, None, :], block[None, :, :], out=diff)
             np.multiply(diff, diff, out=diff)
             d2[:, s : s + step] = diff.sum(axis=2)
@@ -282,13 +326,8 @@ def build_pq_index(
     train = train_source
     if train_mod > 1:
         train = train.where(F.abs(F.xxhash64(F.col(id_col))) % train_mod == 0)
-    train = train.select(
-        F.abs(F.xxhash64(F.col(id_col))).alias("__h"),
-        F.col(id_col).alias("__id"),
-        F.col(array_col).cast("array<double>").alias("__v"),
-    )
-    rows = sorted(train.collect(), key=lambda r: (r["__h"], r["__id"]))
-    sample = np.asarray([r["__v"] for r in rows[:max_train_rows]])
+    # Arrow sample collect (r15, guide §4.3) — same rows, same order
+    sample = collect_train_sample(train, id_col, array_col, max_train_rows)
 
     dim = sample.shape[1]
     bounds = [(j * dim // m, (j + 1) * dim // m) for j in range(m)]

@@ -388,11 +388,16 @@ def _capped_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (-cnt, item) is EXACTLY the window's (cnt DESC, item) total order;
     the slice keeps the same top COOC_CAP rows. The output array is
     re-sorted ascending by item so suffix-explode pair generation
-    emits item_a < item_b directly. (collect_list drops NULL items
-    where the window ranked them; the engagement key is non-null at
-    every measured SF — 0 of 398/3988 view/click rows at the gate SFs
-    — and a NULL would already order differently across the two
-    engines, so non-null is a standing corpus invariant.)"""
+    emits item_a < item_b directly. NULL engagement keys are excluded
+    STRUCTURALLY (isNotNull below; same filter in the window-form
+    equivalence test): the non-null struct(-cnt, item) wrapper would
+    otherwise RETAIN a NULL item through collect_list (ADVICE r14 —
+    the earlier comment claimed the opposite), letting it occupy a cap
+    slot and explode into (item, NULL) pairs the old self-join's
+    item_a < item_b predicate filtered. The engagement key is non-null
+    at every measured SF (0 of 398/3988 view/click rows at the gate
+    SFs), so the filter changes no result — it turns the corpus
+    invariant into code."""
     events = load_table(spark, sf_dir, "events")
     engaged = (
         events.where(F.col("event_type").isin("view", "click"))
@@ -400,6 +405,7 @@ def _capped_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.get_json_object("props", "$.k").cast("long").alias("item"),
         )
+        .where(F.col("item").isNotNull())
         .groupBy("user_id", "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

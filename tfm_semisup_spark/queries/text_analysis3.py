@@ -594,11 +594,17 @@ s0 AS (
 def _bpe_merge_apply(left: str, right: str):
     """Left-to-right non-overlapping merge apply over the symbol array
     column ``s``: fold, replacing a trailing ``left`` when ``right``
-    arrives (init = slice(s,1,0): a correctly-TYPED empty string
-    array). The winning symbols bind as ``F.lit`` columns, never
+    arrives. The winning symbols bind as ``F.lit`` columns, never
     interpolated into SQL text — corpus tokens containing a quote or
     backslash used to generate invalid SQL and crash the round
-    (ADVICE r9; pinned in test_linkage_calibration.py)."""
+    (ADVICE r9; pinned in test_linkage_calibration.py).
+
+    The init is a TYPED empty array literal that does NOT reference
+    ``s`` (r15): the previous ``slice(s, 1, 0)`` init made every fold
+    reference its child twice, so stacking the three rounds' applies
+    lazily (see bpe_train_merges) would have doubled the inlined
+    expression per round under CollapseProject; with a constant init
+    the stacked tree grows linearly."""
     left_c, right_c = F.lit(left), F.lit(right)
     merged_c = F.lit(left + right)
 
@@ -610,7 +616,9 @@ def _bpe_merge_apply(left: str, right: str):
             F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged_c)),
         ).otherwise(F.concat(acc, F.array(x)))
 
-    return F.aggregate(F.col("s"), F.slice(F.col("s"), 1, 0), fold)
+    return F.aggregate(
+        F.col("s"), F.expr("CAST(array() AS array<string>)"), fold
+    )
 
 
 @register("bpe_train_merges", _bpe_train_oracle())
@@ -652,8 +660,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rnd, left, right, cnt))
+        # merge applies stack LAZILY on the checkpointed s0 (r15, guide
+        # §1.2): the eager per-round truncate cost one full
+        # symbol-table materialization job per round — including a
+        # final one nothing consumed — for a fold that is cheap to
+        # re-evaluate (vocab-bounded rows, ≤_BPE_MAX_WORD symbols).
+        # Driver actions per invocation drop 7 → 4 (1 s0 checkpoint +
+        # one top-1 collect per round); round R's scan re-applies the
+        # R-1 previous folds in-row, linear growth with the constant
+        # fold init (_bpe_merge_apply).
         syms = syms.select("n", _bpe_merge_apply(left, right).alias("s"))
-        syms = truncate(syms, eager=True)
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count bigint"
     )
@@ -952,11 +968,12 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
         if not top:
             break
-        syms = truncate(
-            syms.select(
-                "w", "n", _bpe_merge_apply(top[0]["l"], top[0]["r"]).alias("s")
-            ),
-            eager=True,
+        # lazy merge-apply stack on the checkpointed s0 (r15): same
+        # 7 → 4 driver-job reduction as bpe_train_merges; the final
+        # fertility join evaluates the ≤3 stacked folds in-row over
+        # the vocab-bounded table
+        syms = syms.select(
+            "w", "n", _bpe_merge_apply(top[0]["l"], top[0]["r"]).alias("s")
         )
     merged = syms.select("w", F.size("s").cast("bigint").alias("len_after"))
     langwords = (
