@@ -36,7 +36,13 @@ def _fmt(df) -> str:
 def dump_staged(spark, fn, sf_dir: str) -> str:
     """Build fn(spark, sf_dir) with checkpoint interception; return the
     staged plan text (pre-checkpoint stage plans + final plan)."""
-    from pyspark.sql import DataFrame
+    # Spark 4: pyspark.sql.DataFrame is the abstract facade; the
+    # concrete class (which defines localCheckpoint) is
+    # pyspark.sql.classic.dataframe.DataFrame — patch that one
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # Spark 3.x
+        from pyspark.sql import DataFrame
 
     stages: list[str] = []
     orig_local = DataFrame.localCheckpoint

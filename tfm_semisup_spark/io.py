@@ -105,6 +105,25 @@ def embedding_dim(
     return dim
 
 
+def table_row_count(sf_dir: str, table: str) -> int:
+    """Exact row count of a table, resolved DRIVER-SIDE from the
+    parquet footer metadata — zero Spark jobs (r15, guide §1.2: the
+    corpus-size probes ahead of index/cluster sizing were each a full
+    scan job; the footer answers exactly). Sums ``num_rows`` across
+    files for directory-shaped tables."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _d, files in os.walk(path)
+            for f in sorted(files)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

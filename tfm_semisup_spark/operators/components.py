@@ -128,6 +128,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
     small_graph_max_edges: int = SMALL_GRAPH_MAX_EDGES,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge in
     ``pairs``; component = min node id reachable.
@@ -147,6 +148,24 @@ def connected_components(
     """
     global last_convergence_rounds
 
+    # r15 fast path: when the CALLER already materialized ``pairs``
+    # (a checkpoint scan — semantic_dedup's pair tier), the small-graph
+    # decision and collect can run directly on those blocks: one cheap
+    # count + one collect, skipping the symmetric-distinct exchange AND
+    # its checkpoint job. Union-find is orientation-insensitive, so
+    # feeding it the raw (a, b) pairs yields the identical labels the
+    # symmetrized collect produced.
+    if pairs_materialized and small_graph_max_edges > 0:
+        n_pairs = pairs.count()
+        if n_pairs <= small_graph_max_edges:
+            rows = _driver_union_find(
+                (r[src_col], r[dst_col])
+                for r in pairs.select(src_col, dst_col).collect()
+            )
+            last_convergence_rounds = 0
+            return pairs.sparkSession.createDataFrame(
+                rows, "node long, component long"
+            )
     # materialize the (possibly expensive) upstream pair pipeline ONCE;
     # nodes / self-loops / labels all derive from this checkpoint, not
     # from the raw plan (deriving them lazily re-ran the whole dedup

@@ -363,6 +363,108 @@ def with_salted_cells(
     )
 
 
+#: pair-index block budget inside one cell of the Arrow pair kernel —
+#: bounds the (ia, ib, acc) temporaries at ~4M pairs (~100 MB peak)
+#: whatever the cell size; cells themselves are capped at
+#: max_pair_cluster_size rows by the salting tier.
+_PAIR_BLOCK_PAIRS = 4_000_000
+
+
+def _cell_pair_blocks(m: int, max_pairs: int = _PAIR_BLOCK_PAIRS):
+    """Yield (ia, ib) index arrays covering every i < j pair of an
+    m-row cell, at most ~max_pairs pairs per block."""
+    import numpy as np
+
+    i = 0
+    while i < m - 1:
+        j, cnt = i, 0
+        while j < m - 1 and cnt + (m - 1 - j) <= max_pairs:
+            cnt += m - 1 - j
+            j += 1
+        if j == i:  # one anchor row alone exceeds the budget: take it
+            j = i + 1
+        idx = np.arange(i, j)
+        ia = np.repeat(idx, m - 1 - idx)
+        ib = np.concatenate([np.arange(x + 1, m) for x in idx])
+        yield ia, ib
+        i = j
+
+
+def _pairs_kernel(
+    celled: DataFrame, threshold: float, dim: int
+) -> DataFrame:
+    """Within-cell candidate pairs + exact dot verify as ONE Arrow
+    applyInPandas kernel (r15, guide §4.2 — VERDICT r14 item 2): the
+    cell self-join evaluated the flat 64-term codegen dot once per
+    candidate pair at ~40 µs/pair (profiled: 123 k pairs ≈ 10 s of CPU
+    at sf0.1, the single hottest expression of the operator); numpy
+    runs the identical arithmetic at vector speed.
+
+    BIT-EQUAL to the join + ``dot_fixed`` form: rows are sorted by id
+    (so emitted pairs carry doc_a < doc_b exactly like the join
+    predicate), and the dot accumulates per DIMENSION —
+    ``acc = u[:,0]·v[:,0]; acc += u[:,d]·v[:,d]`` — which is the same
+    left-associative float64 sum the flat codegen expression computes,
+    term by term. The threshold compares the raw double exactly as the
+    join's WHERE did; rounding stays in Spark on the surviving rows.
+    Pinned against the join form in tests/test_r15_opt_shapes.py.
+
+    Emits (doc_a, doc_b, cos) with cos UNROUNDED."""
+    import numpy as np
+    import pandas as pd
+
+    flat = celled.select(
+        "id",
+        "u",
+        F.col("cell")[celled.schema["cell"].dataType.names[0]].alias("__c"),
+        F.col("cell")["__salt"].alias("__s"),
+    )
+
+    def one_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        U = np.stack(pdf["u"].to_numpy())[order].astype(np.float64)
+        outs = []
+        for ia, ib in _cell_pair_blocks(m):
+            acc = U[ia, 0] * U[ib, 0]
+            for d in range(1, dim):
+                acc += U[ia, d] * U[ib, d]
+            keep = acc >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ia[keep]],
+                            "doc_b": ids[ib[keep]],
+                            "cos": acc[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return flat.groupBy("__c", "__s").applyInPandas(
+        one_cell, schema="doc_a long, doc_b long, cos double"
+    )
+
+
 def semantic_dup_pairs(
     assigned: DataFrame,
     threshold: float = 0.95,
@@ -391,7 +493,6 @@ def semantic_dup_pairs(
     scan (id, cluster, unit-vector) rows instead of re-evaluating —
     and re-CODEGENING — the wide centroid-literal assignment
     expression per side (measured at sf0.1: pairs 12.3s -> ~1s)."""
-    from tfm_semisup_spark.functions.vector import dot_fixed
     from tfm_semisup_spark.operators.lineage import truncate
 
     if dim is None:
@@ -420,30 +521,16 @@ def semantic_dup_pairs(
         )
     )
     celled = with_salted_cells(unit, max_pair_cluster_size)
-    a = celled.select(
-        F.col("id").alias("doc_a"), F.col("cell"), F.col("u").alias("ua")
-    )
-    b = celled.select(
-        F.col("id").alias("doc_b"), F.col("cell").alias("cell_b"), F.col("u").alias("ub")
-    )
-    # cosine on unit vectors == plain dot product; the shared dot_fixed
-    # helper carries the high-dim codegen guard (functions/vector.py
-    # CODEGEN_DIM_LIMIT): the flat element_at sum runs once per
-    # CANDIDATE pair — the hot expression of the whole operator — and
-    # stays inside whole-stage codegen at testdata dims while falling
-    # back to the HOF fold past codegen's limits at real embedding dims.
-    cos = dot_fixed("ua", "ub", dim)
-    # checkpoint the (small) pair result and RELEASE the unit-vector
-    # checkpoint eagerly — the leaked-checkpoint class every other
-    # dedup tier already fixed (a long-lived session otherwise pins
-    # the normalized projection per call)
+    # cosine on unit vectors == plain dot product, evaluated by the
+    # vectorized Arrow pair kernel (r15, _pairs_kernel — bit-equal to
+    # the former cell self-join + flat codegen dot, which cost ~40 µs
+    # per candidate pair); rounding applies on the surviving rows only
     from tfm_semisup_spark.operators.lineage import release
 
     out = truncate(
-        a.join(b, (a["cell"] == b["cell_b"]) & (a["doc_a"] < b["doc_b"]))
-        .withColumn("cos_sim", cos)
-        .where(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
+        _pairs_kernel(celled, threshold, dim).select(
+            "doc_a", "doc_b", F.round("cos", 6).alias("cos_sim")
+        )
     )
     release(unit)
     return out
@@ -459,25 +546,36 @@ def _pairs_from_unit(
     normalized + materialized (id, c, u) frame (r14 fused path): salt,
     self-join within cells, exact dot verify. Does NOT release
     ``unit`` — the caller still reads it for the verdict join."""
-    from tfm_semisup_spark.functions.vector import dot_fixed
     from tfm_semisup_spark.operators.lineage import truncate
 
     celled = with_salted_cells(unit, max_pair_cluster_size)
-    a = celled.select(
-        F.col("id").alias("doc_a"), F.col("cell"), F.col("u").alias("ua")
-    )
-    b = celled.select(
-        F.col("id").alias("doc_b"),
-        F.col("cell").alias("cell_b"),
-        F.col("u").alias("ub"),
-    )
-    cos = dot_fixed("ua", "ub", dim)
+    # r15: vectorized Arrow pair kernel replaces the cell self-join +
+    # per-pair flat codegen dot (bit-equal; see _pairs_kernel)
     return truncate(
-        a.join(b, (a["cell"] == b["cell_b"]) & (a["doc_a"] < b["doc_b"]))
-        .withColumn("cos_sim", cos)
-        .where(F.col("cos_sim") >= threshold)
-        .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
+        _pairs_kernel(celled, threshold, dim).select(
+            "doc_a", "doc_b", F.round("cos", 6).alias("cos_sim")
+        )
     )
+
+
+#: target rows per task for the Arrow assignment kernel's repartition —
+#: the kernel is row-local (k×dim flops/row), so task sizing is about
+#: amortizing Arrow batch + task-launch overhead, not bytes; 1024 rows
+#: keeps a task ≥ a few ms of work at bench dims while the adaptive
+#: width below still reaches full parallelism once the corpus outgrows
+#: cores × 1024 rows (any real corpus).
+_ASSIGN_ROWS_PER_TASK = 1_024
+
+
+def adaptive_partitions(spark, approx_n: int) -> int:
+    """Scale-adaptive repartition width: ~N/_ASSIGN_ROWS_PER_TASK
+    tasks, clamped to [1, defaultParallelism] (r15, guide §2 — derive
+    partitioning from input size, not a constant tuned for either
+    local mode or the cluster). At corpus scale this saturates to
+    defaultParallelism — exactly the previous constant — while a
+    bench-SF input no longer pays 32-task scheduling per tiny stage."""
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(dp, -(-int(approx_n) // _ASSIGN_ROWS_PER_TASK)))
 
 
 def semantic_dedup(
@@ -490,6 +588,7 @@ def semantic_dedup(
     max_train_rows: int = 100_000,
     dim: int | None = None,
     max_pair_cluster_size: int = 10_000,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Full SemDeDup pass: returns (id, sem_cluster, component, keep)
     for every input row — ``keep`` is false exactly for non-canonical
@@ -506,18 +605,21 @@ def semantic_dedup(
     io.embedding_dim — zero Spark jobs)."""
     from tfm_semisup_spark.operators.lineage import truncate
 
-    # r14: the N-estimate runs on the RAW frame (HLL merge is
-    # partition-order-independent, so the value is identical) — it
-    # previously scanned through the repartition exchange below,
-    # paying a full shuffle for a scalar.
-    approx_n = embeddings.agg(
-        F.approx_count_distinct(id_col).alias("n")
-    ).head()["n"]
+    # r15: callers that know the corpus size (e.g. from the parquet
+    # footer — io.table_row_count, zero jobs) pass ``approx_n`` and
+    # skip the N-estimate scan job entirely; otherwise the r14 HLL
+    # estimate on the RAW frame (partition-order-independent).
+    if approx_n is None:
+        approx_n = embeddings.agg(
+            F.approx_count_distinct(id_col).alias("n")
+        ).head()["n"]
     # single-file scans arrive as one split: spread the Arrow
     # assignment kernel, the checkpoint blocks and the pair join's
-    # build across the cluster (same gotcha as the shingle tiers)
+    # build across the cluster (same gotcha as the shingle tiers).
+    # Width is scale-adaptive (r15): full parallelism at corpus scale,
+    # no 32-task scheduling tax on a bench-SF input.
     embeddings = embeddings.repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, id_col
+        adaptive_partitions(embeddings.sparkSession, approx_n), id_col
     )
     if num_clusters is None:
         num_clusters = resolve_num_clusters(approx_n)
@@ -568,7 +670,9 @@ def semantic_dedup(
                 max_pair_cluster_size,
             )
         ids = assigned.select("id", "sem_cluster")
-    comp = connected_components(pairs)  # only nodes WITH a near-dup edge
+    # only nodes WITH a near-dup edge; pairs is a checkpoint scan in
+    # every branch, so components can count/collect it directly (r15)
+    comp = connected_components(pairs, pairs_materialized=True)
     # materialize the final per-row verdicts, then release every
     # intermediate checkpoint (assignment, pair list) eagerly
     out = truncate(

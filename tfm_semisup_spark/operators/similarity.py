@@ -242,6 +242,7 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     # single-buffer form realloc'd twice per iteration whenever a tail
     # block existed (ADVICE r14)
     diffs: dict[int, "np.ndarray"] = {}
+    prev_assign = None
     for _ in range(iters):
         for s in range(0, k, step):
             block = centroids[s : s + step]
@@ -253,6 +254,16 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
             np.multiply(diff, diff, out=diff)
             d2[:, s : s + step] = diff.sum(axis=2)
         assign = d2.argmin(axis=1)
+        # fixed-point early exit (r15) — BIT-EQUAL to running all
+        # ``iters`` rounds: the centroid update is a pure function of
+        # the assignment (non-empty clusters take their slice mean,
+        # empty clusters keep their previous value), so an unchanged
+        # assignment reproduces the current centroids exactly and every
+        # remaining iteration is a no-op. Pinned against the
+        # full-iteration form in tests/test_r15_opt_shapes.py.
+        if prev_assign is not None and np.array_equal(assign, prev_assign):
+            break
+        prev_assign = assign.copy()
         order = np.argsort(assign, kind="stable")
         sorted_pts = points[order]
         uniq, starts = np.unique(assign[order], return_index=True)

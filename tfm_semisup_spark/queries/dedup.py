@@ -780,12 +780,20 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     would make the grouping path vacuous here; 0.45 exercises pair
     formation + components + canonicalization on this data. Planted
     true-duplicate behavior is tested in tests/test_semantic_dedup.py."""
-    from tfm_semisup_spark.io import embedding_dim, load_table
+    from tfm_semisup_spark.io import embedding_dim, load_table, table_row_count
     from tfm_semisup_spark.operators.semantic_dedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # corpus size from the parquet footer (zero Spark jobs, r15):
+    # vec_id is the table key, so num_rows IS the distinct count the
+    # HLL probe estimated; at every gate/bench SF both resolve the
+    # same k and train_mod (verified by old-vs-new row equality at
+    # sf0.001/0.01/0.1), and the exact value is the more faithful one
     return semantic_dedup(
-        emb, threshold=0.45, dim=embedding_dim(sf_dir)
+        emb,
+        threshold=0.45,
+        dim=embedding_dim(sf_dir),
+        approx_n=table_row_count(sf_dir, "embeddings"),
     ).orderBy("id")
 
 

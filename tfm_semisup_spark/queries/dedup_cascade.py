@@ -186,29 +186,36 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_all") - F.col("sum_keep")).alias("dsum_exact"),
         )
     )
-    z = F.lit(0).cast("bigint")
-    row1 = counts.select(
-        F.lit("1_exact").alias("stage"),
-        F.col("n0").alias("n_in"),
-        z.alias("n_pairs"),
-        F.col("d_exact").alias("n_dropped"),
-        F.col("n1").alias("n_out"),
-        F.col("dsum_exact").alias("dropped_id_sum"),
+    # collect the ONE counts row and emit the three report rows as
+    # literals (r15, guide §1.2): the previous row1∪row2∪row3 plan
+    # referenced the lazy counts subtree three times, so the final
+    # action re-evaluated all four scalar aggregates (and their AQE
+    # query stages — 23 exec jobs profiled) once per output row; one
+    # bounded single-row collect computes them exactly once. Values —
+    # and the oracle hash — are identical by construction.
+    c = counts.head()
+    # every intermediate checkpoint is now consumed — release the
+    # blocks eagerly instead of waiting for driver GC (the leaked-
+    # checkpoint class; previously the returned plan still referenced
+    # them so they could not be freed here)
+    from tfm_semisup_spark.operators.lineage import release
+
+    for ckpt in (keepers, kg, keptfp, cand, shingle):
+        release(ckpt)
+    rows = [
+        ("1_exact", c["n0"], 0, c["d_exact"], c["n1"], c["dsum_exact"]),
+        ("2_winnow_candidates", c["n1"], c["n_cand"], 0, c["n1"], 0),
+        (
+            "3_jaccard_verified",
+            c["n1"],
+            c["n_ver"],
+            c["d_near"],
+            c["n1"] - c["d_near"],
+            c["dsum_near"],
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, n_in bigint, n_pairs bigint, n_dropped bigint, "
+        "n_out bigint, dropped_id_sum bigint",
     )
-    row2 = counts.select(
-        F.lit("2_winnow_candidates").alias("stage"),
-        F.col("n1").alias("n_in"),
-        F.col("n_cand").alias("n_pairs"),
-        z.alias("n_dropped"),
-        F.col("n1").alias("n_out"),
-        z.alias("dropped_id_sum"),
-    )
-    row3 = counts.select(
-        F.lit("3_jaccard_verified").alias("stage"),
-        F.col("n1").alias("n_in"),
-        F.col("n_ver").alias("n_pairs"),
-        F.col("d_near").alias("n_dropped"),
-        (F.col("n1") - F.col("d_near")).alias("n_out"),
-        F.col("dsum_near").alias("dropped_id_sum"),
-    )
-    return row1.unionAll(row2).unionAll(row3)
