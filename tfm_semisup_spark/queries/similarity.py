@@ -598,21 +598,60 @@ def _hard_negatives_ann_pipeline(
     probes = probe_buckets(anchors, centroids, "qu", n_probe, "__pb").select(
         "query_id", "qu", F.explode("__pb").alias("cand_bucket")
     )
-    sim = dot_fixed("u", "qu", dim)
-    banded = F.when((sim >= _HARDNEG_FLOOR) & (sim < _HARDNEG_CEIL), sim)
-    scored = (
+    # candidate pairs still arrive via the bucket EQUI-join (the r9
+    # no-corpus-nested-loop contract, pinned in
+    # tests/test_hard_negatives_ann.py); the band dot is then evaluated
+    # by a vectorized Arrow kernel instead of the flat codegen
+    # expression (r15, guide §4.2 — the same ~40 µs/candidate cost the
+    # SemDeDup pair tier paid). The kernel accumulates per dimension
+    # (left-associative float64, bit-equal to dot_fixed) and emits ONLY
+    # in-band rows — under the window's NULLS-LAST ordering the banded
+    # rows formed the rank prefix, so dropping the out-of-band rows
+    # before ranking selects the identical top-K set.
+    joined = (
         probes.join(assigned, probes["cand_bucket"] == assigned["bucket"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", banded.alias("bsim"))
+        .select("query_id", "vec_id", "qu", "u")
     )
-    # band filter ABOVE the window, same codegen discipline as the
-    # brute tier (test_plan_shapes_r9.py)
+    import numpy as np
+    import pandas as pd
+
+    floor, ceil = _HARDNEG_FLOOR, _HARDNEG_CEIL
+
+    def band_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "bsim": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            Q = np.stack(pdf["qu"].to_numpy()).astype(np.float64)
+            U = np.stack(pdf["u"].to_numpy()).astype(np.float64)
+            acc = U[:, 0] * Q[:, 0]
+            for d in range(1, dim):
+                acc += U[:, d] * Q[:, d]
+            keep = (acc >= floor) & (acc < ceil)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[keep],
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "bsim": acc[keep],
+                }
+            )
+
+    scored = joined.mapInPandas(
+        band_batches, schema="query_id long, vec_id long, bsim double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round("bsim", 6).desc_nulls_last(), "vec_id"
     )
     out = (
         scored.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") <= _HARDNEG_K) & F.col("bsim").isNotNull())
+        .where(F.col("__rn") <= _HARDNEG_K)
         .select("query_id", "vec_id", F.round("bsim", 4).alias("cosine_sim"))
     )
     return out, assigned
