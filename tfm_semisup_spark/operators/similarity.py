@@ -213,13 +213,36 @@ def collect_train_sample(
 _LLOYD_BLOCK_ELEMS = 16_777_216
 
 
+#: driver threads for the Lloyd distance pass. numpy's elementwise ops
+#: release the GIL, and every (row, centroid) cell is computed
+#:independently — row-chunking across threads writes disjoint d2
+#: slices with bit-identical values, whatever the scheduling. The
+#: distance pass is memory-bandwidth bound single-threaded (profiled
+#: r15: 1.2 s of the ANN miner's 4.6 s at sf0.1, ~8 s at sf1's
+#: 9k × 141 shape), so a few threads recover most of it.
+_LLOYD_THREADS = 8
+
+#: per-iteration element count (n × k × dim) below which the distance
+#: pass stays single-threaded: the PQ codebook trainings are 16 tiny
+#: sub-space problems (~256k elems each) where pool dispatch per
+#: iteration costs more than it saves (measured r15: ivfpq 0.74× with
+#: unconditional threading, 1.28× for the big ANN shape). 4M elems ≈
+#: the point where the ~32 MB of buffer traffic dwarfs dispatch.
+_LLOYD_THREAD_MIN_ELEMS = 4_000_000
+
+
 def _lloyd(points, k: int, seed: int, iters: int = 25):
     """Seeded deterministic Lloyd's k-means on a driver-side numpy
     sample (the standard way PQ codebooks are trained — e.g. faiss
     trains on a bounded in-memory sample, never the full corpus).
     Empty clusters keep their previous centroid. Distances are
     computed in centroid blocks (see _LLOYD_BLOCK_ELEMS) — bit-equal
-    to the naive broadcast, bounded temporaries."""
+    to the naive broadcast, bounded temporaries — with the row axis
+    chunked across _LLOYD_THREADS driver threads (r15; values are
+    per-cell independent, so the parallel pass is bit-equal too)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -228,7 +251,6 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     if centroids.shape[0] < k:  # degenerate tiny sample: pad by repeat
         centroids = np.vstack([centroids] * (k // centroids.shape[0] + 1))[:k]
     dim = points.shape[1] if points.ndim == 2 else 1
-    step = max(1, _LLOYD_BLOCK_ELEMS // max(1, n * dim))
     # r14: d2/diff buffers allocated once (not per iteration), and the
     # per-cluster update uses a STABLE argsort + contiguous slices —
     # rows within a cluster keep their original order, so each
@@ -237,22 +259,44 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
     # tests/test_r14_opt_shapes.py) without k boolean scans per
     # iteration.
     d2 = np.empty((n, k), dtype=np.float64)
-    # one persistent buffer per distinct block WIDTH (full-width blocks
-    # plus at most one tail width when step does not divide k) — the
-    # single-buffer form realloc'd twice per iteration whenever a tail
-    # block existed (ADVICE r14)
-    diffs: dict[int, "np.ndarray"] = {}
-    prev_assign = None
-    for _ in range(iters):
+    n_threads = max(
+        1, min(_LLOYD_THREADS, os.cpu_count() or 1, n)
+    )
+    if n * k * dim < _LLOYD_THREAD_MIN_ELEMS:
+        n_threads = 1
+    # row chunks per thread; each thread owns persistent diff buffers
+    # per block WIDTH (full + tail — ADVICE r14), sized by ITS chunk
+    bounds_r = [
+        (i * n // n_threads, (i + 1) * n // n_threads)
+        for i in range(n_threads)
+    ]
+    bounds_r = [(lo, hi) for lo, hi in bounds_r if hi > lo]
+    thread_bufs: list[dict[int, "np.ndarray"]] = [{} for _ in bounds_r]
+
+    def dist_chunk(ci: int) -> None:
+        lo, hi = bounds_r[ci]
+        rows = points[lo:hi]
+        m = hi - lo
+        step = max(1, _LLOYD_BLOCK_ELEMS // max(1, m * dim))
+        bufs = thread_bufs[ci]
         for s in range(0, k, step):
             block = centroids[s : s + step]
-            diff = diffs.get(block.shape[0])
-            if diff is None:
-                diff = np.empty((n, block.shape[0], dim), dtype=np.float64)
-                diffs[block.shape[0]] = diff
-            np.subtract(points[:, None, :], block[None, :, :], out=diff)
+            key = block.shape[0]
+            diff = bufs.get(key)
+            if diff is None or diff.shape[0] != m:
+                diff = np.empty((m, key, dim), dtype=np.float64)
+                bufs[key] = diff
+            np.subtract(rows[:, None, :], block[None, :, :], out=diff)
             np.multiply(diff, diff, out=diff)
-            d2[:, s : s + step] = diff.sum(axis=2)
+            d2[lo:hi, s : s + step] = diff.sum(axis=2)
+
+    pool = ThreadPoolExecutor(max_workers=len(bounds_r)) if len(bounds_r) > 1 else None
+    prev_assign = None
+    for _ in range(iters):
+        if pool is None:
+            dist_chunk(0)
+        else:
+            list(pool.map(dist_chunk, range(len(bounds_r))))
         assign = d2.argmin(axis=1)
         # fixed-point early exit (r15) — BIT-EQUAL to running all
         # ``iters`` rounds: the centroid update is a pure function of
@@ -270,6 +314,8 @@ def _lloyd(points, k: int, seed: int, iters: int = 25):
         ends = np.append(starts[1:], n)
         for c, s0, e0 in zip(uniq, starts, ends):
             centroids[c] = sorted_pts[s0:e0].mean(axis=0)
+    if pool is not None:
+        pool.shutdown(wait=False)
     return centroids
 
 
