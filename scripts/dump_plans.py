@@ -289,9 +289,10 @@ PICKS = {
         "checkpoint jobs, no frontier distinct"
     ),
     "theilsen_daily_revenue_slope": (
-        "banded Theil-Sen: gap explode -> equi-join builds exactly "
-        "the band (no per-key cartesian); median via per-priority "
-        "sort window + positional pick, NOT the percentile UDAF"
+        "banded Theil-Sen (r15 grid replay): ONE corpus aggregate to "
+        "the calendar-bounded day grid, collected; slopes + positional "
+        "median replay in driver numpy — the plan is the aggregate + "
+        "a literal-rows scan, no band join, no window"
     ),
     "text_bigram_addk_logppl": (
         "bigram LM self-ppl: per-doc bigram PRE-aggregation before "
@@ -357,9 +358,10 @@ PICKS = {
         "likelihood tables broadcast, scores exact DECIMAL(38,0)"
     ),
     "mann_kendall_daily_trend": (
-        "pair join runs on the CHECKPOINTED calendar-bounded day grid "
-        "(priority-keyed equi-join, d1<d2 residual) — candidate volume "
-        "is calendar^2, independent of corpus size"
+        "Mann-Kendall (r15 grid replay): ONE corpus aggregate to the "
+        "calendar-bounded day grid, collected; the calendar^2 sign "
+        "comparisons + tie sums replay in driver numpy exact integers "
+        "— no pair join in the plan"
     ),
     "part_hits_authorities": (
         "HITS: edge list aggregated+checkpointed once; each "

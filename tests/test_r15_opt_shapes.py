@@ -139,6 +139,110 @@ def test_cell_pair_blocks_cover_all_pairs():
         assert len(got) == m * (m - 1) // 2
 
 
+def test_theilsen_replay_matches_join_form(spark):
+    """The driver-side banded-slope replay of
+    theilsen_daily_revenue_slope produces the identical rows as the
+    explode×gap + equi-join + positional-median window form it
+    replaced, on a synthetic day grid WITH HOLES (the ordinal-lookup
+    pair generation is the risky part)."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import Window
+
+    from tfm_semisup_spark.queries.stats3 import _TS_MAX_GAP
+
+    # two priorities, irregular day coverage, some ties
+    base = date(2030, 1, 1)
+    rows = []
+    for p, offs in (
+        ("1-URGENT", [0, 1, 2, 5, 9, 40, 95, 96, 200]),
+        ("2-HIGH", [3, 4, 8, 8 + _TS_MAX_GAP, 300]),
+    ):
+        for i, o in enumerate(offs):
+            rows.append((p, base + timedelta(days=o), 1000 + 7 * i * i))
+    daily = spark.createDataFrame(
+        rows, "priority string, day date, cents long"
+    )
+    # old window form
+    left = daily.select(
+        "priority",
+        F.col("day").alias("d1"),
+        F.col("cents").alias("c1"),
+        F.explode(F.sequence(F.lit(1), F.lit(_TS_MAX_GAP))).alias("g"),
+    ).withColumn("d2", F.date_add("d1", F.col("g")))
+    right = daily.select(
+        F.col("priority").alias("rp"),
+        F.col("day").alias("d2r"),
+        F.col("cents").alias("c2"),
+    )
+    slopes = left.join(
+        right, (F.col("priority") == F.col("rp")) & (F.col("d2") == F.col("d2r"))
+    ).select(
+        "priority",
+        ((F.col("c2") - F.col("c1")).cast("double") / F.col("g")).alias("slope"),
+    )
+    w = Window.partitionBy("priority").orderBy("slope")
+    ranked = slopes.select(
+        "priority",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    med = (
+        ranked.where(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+        )
+        .groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.min("slope").alias("lo"),
+            F.max("slope").alias("hi"),
+        )
+        .select(
+            "priority",
+            "n_pairs",
+            (F.col("lo") + (F.col("hi") - F.col("lo")) * 0.5).alias("med"),
+        )
+    )
+    expected = {
+        r["priority"]: (r["n_pairs"], r["med"]) for r in med.collect()
+    }
+    # new replay (same code path as the query, on the same grid)
+    import numpy as np
+
+    got = {}
+    grid = {}
+    for p, d, c in rows:
+        grid.setdefault(p, []).append((d, c))
+    for priority, cells in grid.items():
+        cells = sorted(cells)
+        ords = np.asarray([d.toordinal() for d, _ in cells], dtype=np.int64)
+        cents = np.asarray([v for _, v in cells], dtype=np.int64)
+        lo_ord = int(ords[0])
+        pos = np.full(int(ords[-1]) - lo_ord + 1, -1, dtype=np.int64)
+        pos[ords - lo_ord] = np.arange(len(ords))
+        parts = []
+        for g in range(1, _TS_MAX_GAP + 1):
+            tgt = ords - lo_ord + g
+            ok = tgt < len(pos)
+            j = pos[tgt[ok]]
+            hit = j >= 0
+            i = np.flatnonzero(ok)[hit]
+            j = j[hit]
+            if len(j):
+                parts.append((cents[j] - cents[i]).astype(np.float64) / float(g))
+        s = np.concatenate(parts) if parts else np.empty(0)
+        if len(s) == 0:
+            continue
+        s.sort()
+        lo = s[(len(s) + 1) // 2 - 1]
+        hi = s[len(s) // 2]
+        got[priority] = (len(s), float(lo) + (float(hi) - float(lo)) * 0.5)
+    assert got == expected
+    assert len(got) == 2
+
+
 def test_semantic_dedup_footer_n_matches_hll_path(spark):
     """dedup_semantic_semdedup with the exact footer row count resolves
     the same (k, train_mod) — and therefore identical rows — as the

@@ -190,7 +190,21 @@ def theilsen_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded Theil–Sen trend of daily revenue per priority:
     (priority, n_days, n_pairs, ts_slope_cents_per_day) — the median
     pairwise slope over day pairs ≤{g} days apart.""".format(g=_TS_MAX_GAP)
-    from tfm_semisup_spark.operators.lineage import truncate
+    # r15 grid replay (guide §1.2; the mann_kendall/SSL
+    # sufficient-statistics pattern): the only corpus-scale work is
+    # the daily aggregate — the (priority, day, cents) grid is
+    # CALENDAR-bounded (~12 k rows at any SF, the same bound the old
+    # band join's candidate volume relied on), so it is collected once
+    # and the ~1 M banded slopes + positional median replay in numpy.
+    # Exactness: slope = double(c2 − c1) / g with the same
+    # nearest-double cast and IEEE division either engine; the median
+    # is the identical positional pick over the ascending slope sort
+    # (lo + (hi − lo)·0.5, the quantile_cont form the window version
+    # used — pre-round bit-equal); round(…, 6) stays in Spark. The old
+    # form paid an explode×90 + equi-join + two window passes over the
+    # 1.06 M-slope band — corpus-size-independent work that never
+    # shrinks with data, now ~50 ms of driver numpy.
+    import numpy as np
 
     orders = load_table(spark, sf_dir, "orders")
     daily = (
@@ -202,67 +216,46 @@ def theilsen_daily_revenue_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority", "day")
         .agg(F.sum("c100").cast("bigint").alias("cents"))
     )
-    # materialize the tiny day grid ONCE (priorities x calendar days,
-    # ~12k rows at sf0.1): three consumers (band left, band right,
-    # n_days) otherwise each re-run the full orders scan + aggregate —
-    # measured 3 x 0.44s of the query's ~2.5s at sf0.1, and at 100 TB
-    # the corpus scan must happen exactly once
-    daily = truncate(daily, eager=True)
-    # Band generation: explode gap 1..G on the left and equi-join the
-    # right at (priority, day+gap) — produces exactly the band pairs.
-    left = daily.select(
-        "priority",
-        F.col("day").alias("d1"),
-        F.col("cents").alias("c1"),
-        F.explode(F.sequence(F.lit(1), F.lit(_TS_MAX_GAP))).alias("g"),
-    ).withColumn("d2", F.date_add("d1", F.col("g")))
-    right = daily.select(
-        F.col("priority").alias("rp"),
-        F.col("day").alias("d2r"),
-        F.col("cents").alias("c2"),
-    )
-    slopes = left.join(
-        right, (F.col("priority") == F.col("rp")) & (F.col("d2") == F.col("d2r"))
+    grid: dict[str, list[tuple]] = {}
+    for r in daily.collect():
+        grid.setdefault(r["priority"], []).append((r["day"], r["cents"]))
+    out = []
+    for priority in sorted(grid):
+        cells = sorted(grid[priority])
+        ords = np.asarray([d.toordinal() for d, _ in cells], dtype=np.int64)
+        cents = np.asarray([v for _, v in cells], dtype=np.int64)
+        lo_ord = int(ords[0])
+        pos = np.full(int(ords[-1]) - lo_ord + 1, -1, dtype=np.int64)
+        pos[ords - lo_ord] = np.arange(len(ords))
+        slope_parts = []
+        for g in range(1, _TS_MAX_GAP + 1):
+            tgt = ords - lo_ord + g
+            ok = tgt < len(pos)
+            j = pos[tgt[ok]]
+            hit = j >= 0
+            i = np.flatnonzero(ok)[hit]
+            j = j[hit]
+            if len(j):
+                slope_parts.append(
+                    (cents[j] - cents[i]).astype(np.float64) / float(g)
+                )
+        slopes = (
+            np.concatenate(slope_parts)
+            if slope_parts
+            else np.empty(0, dtype=np.float64)
+        )
+        n_pairs = len(slopes)
+        if n_pairs == 0:
+            continue  # no band pairs: the oracle's inner join drops it
+        slopes.sort()
+        lo = slopes[(n_pairs + 1) // 2 - 1]
+        hi = slopes[n_pairs // 2]
+        med = float(lo) + (float(hi) - float(lo)) * 0.5
+        out.append((priority, len(cells), n_pairs, med))
+    return spark.createDataFrame(
+        out,
+        "priority string, n_days bigint, n_pairs bigint, med double",
     ).select(
-        "priority",
-        ((F.col("c2") - F.col("c1")).cast("double") / F.col("g")).alias("slope"),
-    )
-    # Exact median WITHOUT the `percentile` UDAF: the UDAF buffers the
-    # full value->count map through partial/merge serialization
-    # (measured ~4s on 1.06M slopes at sf0.1); a positional pick over a
-    # per-priority sort window is one shuffle + an O(n log n) in-task
-    # sort of the calendar-bounded band (~2x faster end-to-end).
-    # Interpolation is lo + (hi-lo)*0.5 — the exact form BOTH DuckDB's
-    # MEDIAN (quantile_cont) and Spark's percentile use, so the value
-    # is bit-identical to the UDAF's (and to the oracle) pre-round.
-    w = Window.partitionBy("priority").orderBy("slope")
-    ranked = slopes.select(
-        "priority",
-        "slope",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
-    )
-    med = (
-        ranked.where(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
-        )
-        .groupBy("priority")
-        .agg(
-            F.max("n").cast("bigint").alias("n_pairs"),
-            F.min("slope").alias("lo"),
-            F.max("slope").alias("hi"),
-        )
-        .select(
-            "priority",
-            "n_pairs",
-            (F.col("lo") + (F.col("hi") - F.col("lo")) * 0.5).alias("med"),
-        )
-    )
-    days = daily.groupBy("priority").agg(
-        F.countDistinct("day").cast("bigint").alias("n_days")
-    )
-    return days.join(med, "priority").select(
         "priority",
         "n_days",
         "n_pairs",

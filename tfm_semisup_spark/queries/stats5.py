@@ -974,93 +974,72 @@ FROM v JOIN s ON v.priority = s.priority
 @register("mann_kendall_daily_trend", MANN_KENDALL_ORACLE)
 def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Kendall trend test of daily revenue per priority:
-    (priority, n_days, s_stat, z_score, trend)."""
-    from tfm_semisup_spark.operators.lineage import truncate
+    (priority, n_days, s_stat, z_score, trend).
+
+    r15 grid replay (guide §1.2; the SSL sufficient-statistics
+    pattern): the ONLY corpus-scale work is the daily aggregate — the
+    (priority, day, cents) grid is CALENDAR-bounded (~12 k rows at any
+    SF; the same bound the old pair join's candidate volume relied
+    on), so it is collected once and the ~29 M-per-priority sign
+    comparisons, tie sums and counts replay in numpy/Python exact
+    integers instead of a 145 M-row Spark join (bench-context: the
+    join was ~2 s of CPU that never shrinks with cores because it is
+    corpus-size-independent). The comparisons avoid subtraction
+    (boolean >/<), so no difference-overflow exists at any cents
+    magnitude; the single double tree — (S∓1) / sqrt(var18/18) — is
+    computed with the identical casts/ops (IEEE-correctly-rounded
+    either engine) and the final round(…, 6) stays in Spark.
+    cents stays BIGINT (magnitude proof: one calendar cell's revenue
+    reaches 9.2e18 only past ~sf5e9; ANSI makes overflow loud)."""
+    import math
+
+    import numpy as np
 
     orders = load_table(spark, sf_dir, "orders")
-    # cents stays BIGINT (not DECIMAL(38,0)): the pair join below
-    # evaluates ~n_days²/2 sign comparisons per priority (~29M at any
-    # SF — calendar-bounded rows, but each compare ran on the slow
-    # non-long-backed Decimal path; measured 3.5s -> ~0.9s exec at
-    # sf0.1 on long compares). Magnitude proof: cents is ONE calendar
-    # cell's revenue — per-(priority, day) daily revenue reaches
-    # BIGINT's 9.2e18 only past ~sf5e9 (sf1 measures ~2e9 cents/cell;
-    # linear in SF), four orders of magnitude beyond the 100 TB design
-    # point, and ANSI mode makes a hypothetical overflow loud, never
-    # wrong. s_stat/n_days/tie_sum are calendar-bounded (~1.4e10 max).
-    daily = truncate(
+    daily = (
         orders.select(
             F.col("o_orderpriority").alias("priority"),
             F.to_date("o_orderdate").alias("day"),
             F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c100"),
         )
         .groupBy("priority", "day")
-        .agg(F.sum("c100").alias("cents")),
-        eager=True,
+        .agg(F.sum("c100").alias("cents"))
     )
-    b = daily.select(
-        F.col("priority").alias("bp"),
-        F.col("day").alias("bday"),
-        F.col("cents").alias("bcents"),
-    )
-    sign = (
-        F.when(F.col("bcents") > F.col("cents"), 1)
-        .when(F.col("bcents") < F.col("cents"), -1)
-        .otherwise(0)
-    )
-    s = (
-        daily.join(
-            b, (F.col("priority") == F.col("bp")) & (F.col("day") < F.col("bday"))
-        )
-        .groupBy("priority")
-        .agg(F.sum(sign).alias("s_stat"))
-    )
-    n = daily.groupBy("priority").agg(
-        F.count(F.lit(1)).alias("n_days")
-    )
-    ties = (
-        daily.groupBy("priority", "cents")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .groupBy("priority")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
-                ),
-                F.lit(0).cast("bigint"),
-            ).alias("tie_sum")
-        )
-    )
-    var18 = (
-        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
-        - F.col("tie_sum")
-    ).cast("double") / 18.0
-    z = (
-        F.when(
-            F.col("s_stat") > 0,
-            (F.col("s_stat") - 1).cast("double") / F.sqrt(var18),
-        )
-        .when(
-            F.col("s_stat") < 0,
-            (F.col("s_stat") + 1).cast("double") / F.sqrt(var18),
-        )
-        .otherwise(F.lit(0.0))
-    )
-    trend = (
-        F.when(F.col("s_stat") > 0, "increasing")
-        .when(F.col("s_stat") < 0, "decreasing")
-        .otherwise("no trend")
-    )
-    return (
-        n.join(ties, "priority")
-        .join(s, "priority")
-        .select(
-            "priority",
-            F.col("n_days").cast("bigint").alias("n_days"),
-            F.col("s_stat").cast("bigint").alias("s_stat"),
-            F.round(z, 6).alias("z_score"),
-            trend.alias("trend"),
-        )
+    rows = daily.collect()
+    grid: dict[str, list[tuple]] = {}
+    for r in rows:
+        grid.setdefault(r["priority"], []).append((r["day"], r["cents"]))
+    out = []
+    for priority in sorted(grid):
+        cells = sorted(grid[priority])  # by day (the join's a.day < b.day)
+        c = np.asarray([v for _, v in cells], dtype=np.int64)
+        n = len(c)
+        # S = Σ_{i<j} sign(c_j − c_i), via boolean compares (no diffs)
+        gt = np.triu(c[None, :] > c[:, None], k=1).sum()
+        lt = np.triu(c[None, :] < c[:, None], k=1).sum()
+        s_stat = int(gt) - int(lt)
+        _, counts = np.unique(c, return_counts=True)
+        tie_sum = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in counts)
+        var18 = n * (n - 1) * (2 * n + 5) - tie_sum  # exact Python int
+        if s_stat > 0:
+            z = float(s_stat - 1) / math.sqrt(float(var18) / 18.0)
+            trend = "increasing"
+        elif s_stat < 0:
+            z = float(s_stat + 1) / math.sqrt(float(var18) / 18.0)
+            trend = "decreasing"
+        else:
+            z, trend = 0.0, "no trend"
+        out.append((priority, n, s_stat, z, trend))
+    return spark.createDataFrame(
+        out,
+        "priority string, n_days bigint, s_stat bigint, z_raw double, "
+        "trend string",
+    ).select(
+        "priority",
+        "n_days",
+        "s_stat",
+        F.round("z_raw", 6).alias("z_score"),
+        "trend",
     )
 
 
